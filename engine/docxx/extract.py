@@ -1,0 +1,177 @@
+"""D1 — DOCX → Node tree (SURVEY.md §2.2 D1).
+
+Parses ``word/document.xml`` from the zip container with xml.etree:
+- ``w:p`` paragraphs; ``w:pStyle w:val="HeadingN"`` → <hN>; ``w:numPr`` →
+  list items at ``w:ilvl`` depth (bullet vs ordered decided by ``w:numId``
+  parity — our generator uses numId 1=bullet, 2=ordered; real numbering.xml
+  resolution is out of the fixture subset and documented as such);
+- ``w:r`` runs with ``w:b``/``w:i`` → <strong>/<em>;
+- ``w:tbl``/``w:tr``/``w:tc`` → <table>/<tr>/<td>;
+- ``w:br`` → <br>, ``w:tab`` → a space.
+
+The output tree reuses the HTML serializer (engine.mdserialize) unchanged.
+"""
+
+from __future__ import annotations
+
+import io
+import re
+import zipfile
+import xml.etree.ElementTree as ET
+
+from engine.htmlx.dom import Node
+
+W = "{http://schemas.openxmlformats.org/wordprocessingml/2006/main}"
+_HEADING_RE = re.compile(r"^(?:Heading|heading)\s*([1-6])$")
+
+
+class DocxError(ValueError):
+    pass
+
+
+def _run_to_nodes(run: ET.Element) -> list[Node | str]:
+    rpr = run.find(f"{W}rPr")
+    bold = italic = False
+    if rpr is not None:
+        b = rpr.find(f"{W}b")
+        i = rpr.find(f"{W}i")
+        bold = b is not None and b.get(f"{W}val", "true") not in ("false", "0")
+        italic = i is not None and i.get(f"{W}val", "true") not in ("false", "0")
+    parts: list[Node | str] = []
+    for el in run:
+        tag = el.tag
+        if tag == f"{W}t":
+            parts.append(el.text or "")
+        elif tag == f"{W}br":
+            parts.append(Node("br"))
+        elif tag == f"{W}tab":
+            parts.append(" ")
+    if not parts:
+        return []
+    if bold or italic:
+        inner = parts
+        if italic:
+            em = Node("em")
+            em.children = inner
+            inner = [em]
+        if bold:
+            strong = Node("strong")
+            strong.children = inner
+            inner = [strong]
+        return inner
+    return parts
+
+
+def _para_inline(p: ET.Element) -> list[Node | str]:
+    out: list[Node | str] = []
+    for child in p:
+        if child.tag == f"{W}r":
+            out.extend(_run_to_nodes(child))
+        elif child.tag == f"{W}hyperlink":
+            a = Node("a")  # relationship targets not resolved in the subset
+            for run in child.findall(f"{W}r"):
+                a.children.extend(_run_to_nodes(run))
+            out.append(a)
+    return out
+
+
+def _para_style(p: ET.Element) -> tuple[str | None, int | None, int | None]:
+    """Returns (heading_tag, list_ilvl, list_numid)."""
+    ppr = p.find(f"{W}pPr")
+    if ppr is None:
+        return None, None, None
+    heading = None
+    style = ppr.find(f"{W}pStyle")
+    if style is not None:
+        m = _HEADING_RE.match(style.get(f"{W}val", ""))
+        if m:
+            heading = f"h{m.group(1)}"
+    numpr = ppr.find(f"{W}numPr")
+    ilvl = numid = None
+    if numpr is not None:
+        lvl = numpr.find(f"{W}ilvl")
+        nid = numpr.find(f"{W}numId")
+        ilvl = int(lvl.get(f"{W}val", "0")) if lvl is not None else 0
+        numid = int(nid.get(f"{W}val", "1")) if nid is not None else 1
+    return heading, ilvl, numid
+
+
+def _close_lists(stack: list[tuple[Node, int]], to_level: int) -> None:
+    while stack and stack[-1][1] >= to_level:
+        stack.pop()
+
+
+def docx_to_tree(data: bytes) -> Node:
+    """DOCX bytes → Node tree rooted at <body>. Raises DocxError when the zip
+    or document.xml is unreadable (per-row failed status for the caller)."""
+    try:
+        with zipfile.ZipFile(io.BytesIO(data)) as zf:
+            xml_bytes = zf.read("word/document.xml")
+    except (zipfile.BadZipFile, KeyError, OSError) as exc:
+        raise DocxError(f"not a DOCX container: {exc}") from exc
+    try:
+        root = ET.fromstring(xml_bytes)
+    except ET.ParseError as exc:
+        raise DocxError(f"bad document.xml: {exc}") from exc
+
+    body_el = root.find(f"{W}body")
+    body = Node("body")
+    if body_el is None:
+        return body
+
+    # open list containers: [(ul/ol Node, ilvl)]
+    list_stack: list[tuple[Node, int]] = []
+
+    def append_block(node: Node) -> None:
+        list_stack.clear()
+        body.children.append(node)
+
+    for el in body_el:
+        if el.tag == f"{W}p":
+            heading, ilvl, numid = _para_style(el)
+            inline = _para_inline(el)
+            if heading:
+                h = Node(heading)
+                h.children = inline
+                append_block(h)
+            elif ilvl is not None:
+                tag = "ol" if (numid is not None and numid % 2 == 0) else "ul"
+                # find/open the list container at this level
+                while list_stack and list_stack[-1][1] > ilvl:
+                    list_stack.pop()
+                if not list_stack or list_stack[-1][1] < ilvl or list_stack[-1][0].tag != tag:
+                    new_list = Node(tag)
+                    if list_stack and list_stack[-1][1] < ilvl:
+                        # nest under the last <li> of the parent list
+                        parent_list = list_stack[-1][0]
+                        if parent_list.children and isinstance(parent_list.children[-1], Node):
+                            parent_list.children[-1].children.append(new_list)
+                        else:
+                            body.children.append(new_list)
+                    else:
+                        if list_stack and list_stack[-1][0].tag != tag and list_stack[-1][1] == ilvl:
+                            list_stack.pop()
+                        body.children.append(new_list)
+                    list_stack.append((new_list, ilvl))
+                li = Node("li")
+                li.children = inline
+                list_stack[-1][0].children.append(li)
+            else:
+                p = Node("p")
+                p.children = inline
+                append_block(p)
+        elif el.tag == f"{W}tbl":
+            table = Node("table")
+            for tr_el in el.findall(f"{W}tr"):
+                tr = Node("tr")
+                for tc_el in tr_el.findall(f"{W}tc"):
+                    td = Node("td")
+                    for p_el in tc_el.findall(f"{W}p"):
+                        td.children.extend(_para_inline(p_el))
+                        td.children.append(" ")
+                    if td.children and td.children[-1] == " ":
+                        td.children.pop()
+                    tr.children.append(td)
+                table.children.append(tr)
+            append_block(table)
+    return body

@@ -1,0 +1,121 @@
+"""The extraction kernel (C2) and its stateful actor stage (C1/ST1).
+
+Per-row semantics mirror the reference's conversion path (SURVEY.md §3.1):
+magic-byte sniff replaces the extension dispatch (app/main.py:224); the
+50 MiB gate (app/main.py:644-648) becomes a per-row 'rejected' status; per-row
+failure becomes status='failed' + error, never poisoning the batch
+(app/main.py:438-441 analog; SURVEY.md §4.3).
+
+A payload with no recognizable structure at all (no magic bytes AND no HTML
+elements — e.g. the reference's own test_document.txt) is 'rejected',
+mirroring validate_file's extension gate (app/main.py:221-236). Documented
+deviation: we sniff content, the reference sniffs filenames.
+
+``plain_text`` applies the reference's markdown→plain strip chain
+(app/main.py:262-269) because its *actual* default output format is "text"
+(app/main.py:632, M11 quirk).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from engine.docxx import DocxError, docx_to_tree
+from engine.htmlx import parse_html, strip_boilerplate, extract_title
+from engine.htmlx.dom import Node
+from engine.mdserialize import serialize
+from engine.pdfx import PdfError, extract_pdf
+from engine.schema import EXTRACTED, MAX_FILE_SIZE
+from engine.textops import markdown_to_plain
+
+_EMPTY = {"title": "", "markdown_text": "", "plain_text": "", "spans": [],
+          "n_chars": 0}
+
+
+def sniff_format(payload: bytes) -> str:
+    if payload[:5] == b"%PDF-":
+        return "pdf"
+    if payload[:4] == b"PK\x03\x04":
+        return "docx"
+    return "html"
+
+
+def _has_element(node: Node) -> bool:
+    return any(isinstance(c, Node) for c in node.children)
+
+
+def extract_row(payload: bytes, max_file_size: int = MAX_FILE_SIZE) -> dict:
+    """One payload → the extracted-column dict (everything but url)."""
+    size = len(payload)
+    if size > max_file_size:
+        return {**_EMPTY, "format": "", "status": "rejected",
+                "error": f"file too large: {size} > {max_file_size}"}
+    if size == 0:
+        return {**_EMPTY, "format": "", "status": "failed",
+                "error": "empty payload"}
+    fmt = sniff_format(payload)
+    try:
+        if fmt == "pdf":
+            markdown, spans = extract_pdf(payload)
+            title = ""
+        elif fmt == "docx":
+            tree = docx_to_tree(payload)
+            title = extract_title(tree)
+            markdown, spans = serialize(tree)
+        else:
+            root = parse_html(payload)
+            if not _has_element(root):
+                return {**_EMPTY, "format": "html", "status": "rejected",
+                        "error": "unsupported format: no document structure"}
+            title = extract_title(root)
+            content = strip_boilerplate(root)
+            markdown, spans = serialize(content)
+    except (PdfError, DocxError) as exc:
+        return {**_EMPTY, "format": fmt, "status": "failed", "error": str(exc)}
+    except Exception as exc:  # any residual parser bug: fail the row, not the task
+        return {**_EMPTY, "format": fmt, "status": "failed",
+                "error": f"{type(exc).__name__}: {exc}"}
+    return {
+        "title": title,
+        "markdown_text": markdown,
+        "plain_text": markdown_to_plain(markdown),
+        "spans": spans,
+        "n_chars": len(markdown),
+        "format": fmt,
+        "status": "ok",
+        "error": "",
+    }
+
+
+class ExtractActor:
+    """Stateful map_batches stage (C1 analog of the once-per-process
+    MarkItDown() at app/main.py:201).
+
+    All parser state that is buildable ahead of time — compiled regexes,
+    entity tables, tag-policy sets — is module-level in the engine submodules
+    and therefore warmed on first import in ``__init__``; per-batch work is
+    pure compute. Arrow in / Arrow out (zero-copy from the object store).
+    """
+
+    def __init__(self, max_file_size: int = MAX_FILE_SIZE):
+        self.max_file_size = max_file_size
+        # Warm every parser path once so per-batch latency is flat.
+        extract_row(b"<html><body><p>warm</p></body></html>")
+        import engine.fixtures  # noqa: F401  (zlib/zipfile import warm-up)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch["url"]
+        payloads = batch["html"]
+        out: dict[str, list] = {name: [] for name in EXTRACTED.names}
+        for i in range(batch.num_rows):
+            payload = payloads[i].as_py() or b""
+            row = extract_row(payload, self.max_file_size)
+            out["url"].append(urls[i].as_py())
+            for key, val in row.items():
+                out[key].append(val)
+        return pa.table(out, schema=EXTRACTED)
+
+
+def extract_batch(batch: pa.Table, max_file_size: int = MAX_FILE_SIZE) -> pa.Table:
+    """Stateless-task form of the same transform (for tiny control datasets)."""
+    return ExtractActor(max_file_size)(batch)

@@ -1,0 +1,461 @@
+"""Deterministic fixture generator for the ``pages`` table (FIXTURES.md F1).
+
+Everything is seeded stdlib ``random.Random`` — no external data, no network.
+The generator and the parsers agree on the supported PDF/DOCX subset by
+construction (SURVEY.md §7 hard-parts #1): we emit only what we parse.
+
+Payload mix by row index (FIXTURES.md F1): ~80 % HTML, ~10 % PDF, ~5 % DOCX,
+~5 % pathological. The ``text`` column holds the human-readable source
+sentences used to build the payload — a cross-check aid, NOT the byte-identity
+oracle (that is the golden fixture suite, SURVEY.md §2.2 "byte-identity note").
+"""
+
+from __future__ import annotations
+
+import datetime
+import io
+import random
+import zipfile
+import zlib
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from engine.schema import PAGES
+
+_WORDS = (
+    "data ray arrow stream batch block shuffle actor page crawl markdown "
+    "extract parse token column schema parquet vector index graph node edge "
+    "query plan filter sort merge join hash scan read write spill memory"
+).split()
+_WORDS_I18N = ["café", "naïve", "über", "niño", "façade", "crème"]
+
+
+def _sentence(rng: random.Random, n: int) -> str:
+    words = [rng.choice(_WORDS) for _ in range(n)]
+    if rng.random() < 0.15:
+        words[rng.randrange(n)] = rng.choice(_WORDS_I18N)
+    s = " ".join(words)
+    return s[0].upper() + s[1:] + "."
+
+
+def _paragraph(rng: random.Random, sentences: int = 3) -> str:
+    return " ".join(_sentence(rng, rng.randint(5, 12)) for _ in range(sentences))
+
+
+# ---------------------------------------------------------------------------
+# HTML payloads (F1a)
+# ---------------------------------------------------------------------------
+
+_NAV = (
+    '<nav class="navbar"><a href="/">Home</a> <a href="/news">News</a> '
+    '<a href="/about">About</a> <a href="/contact">Contact</a></nav>'
+)
+_FOOTER = (
+    '<footer><p>Copyright 2024 Example Corp. <a href="/tos">Terms</a> '
+    '<a href="/privacy">Privacy</a></p></footer>'
+)
+_SIDEBAR = (
+    '<div class="sidebar-ads"><a href="/buy1">Buy now!</a><a href="/buy2">'
+    "Great deals</a><a href=\"/buy3\">Click here</a></div>"
+)
+_COOKIE = '<div id="cookie-banner">We use cookies. <a href="/accept">Accept</a></div>'
+
+
+def make_html(rng: random.Random, variant: int) -> tuple[bytes, str]:
+    """Returns (payload_bytes, source_text)."""
+    title = _sentence(rng, 4)[:-1]
+    paras = [_paragraph(rng) for _ in range(rng.randint(2, 6))]
+    body_parts: list[str] = [f"<h1>{title}</h1>"]
+    v = variant % 10
+    if v == 0:  # headings ladder + paragraphs
+        for lvl, p in zip((2, 3, 4, 5, 6, 2), paras):
+            body_parts.append(f"<h{lvl}>{_sentence(rng, 3)[:-1]}</h{lvl}><p>{p}</p>")
+    elif v == 1:  # inline markup + links + code
+        body_parts.append(
+            f"<p>{paras[0]} <strong>{_sentence(rng, 2)[:-1]}</strong> and "
+            f"<em>{_sentence(rng, 2)[:-1]}</em> see "
+            f'<a href="https://example.com/{rng.randint(1, 99)}">this link</a> '
+            f"plus <code>x = {rng.randint(0, 999)}</code>.</p>"
+        )
+        body_parts.append(f"<pre>def f():\n    return {rng.randint(0, 99)}</pre>")
+    elif v == 2:  # nested lists
+        items = "".join(
+            f"<li>{_sentence(rng, 3)}"
+            + (
+                "<ul>" + "".join(f"<li>{_sentence(rng, 2)}</li>" for _ in range(2)) + "</ul>"
+                if rng.random() < 0.5
+                else ""
+            )
+            + "</li>"
+            for _ in range(3)
+        )
+        body_parts.append(f"<ul>{items}</ul>")
+        body_parts.append(
+            "<ol>" + "".join(f"<li>{_sentence(rng, 3)}</li>" for _ in range(3)) + "</ol>"
+        )
+    elif v == 3:  # tables
+        header = "".join(f"<th>col{j}</th>" for j in range(3))
+        rows = "".join(
+            "<tr>" + "".join(f"<td>{rng.randint(0, 999)}</td>" for _ in range(3)) + "</tr>"
+            for _ in range(3)
+        )
+        body_parts.append(
+            f"<table><thead><tr>{header}</tr></thead><tbody>{rows}</tbody></table>"
+        )
+        body_parts.append(f"<p>{paras[0]}</p>")
+    elif v == 4:  # malformed markup
+        body_parts.append(f"<p>{paras[0]} <b>unclosed bold")
+        body_parts.append(f"<p>{paras[1] if len(paras) > 1 else ''}</div></div>")
+        body_parts.append(f"<p class=noquotes id=x7>{_sentence(rng, 4)}")
+    elif v == 5:  # entities + non-ASCII
+        body_parts.append(
+            f"<p>Fish &amp; chips &nbsp;cost &#x27;less&#x27; at caf&eacute;s. {paras[0]}</p>"
+        )
+        body_parts.append("<p>中文段落：数据处理引擎。 Grüße und ¡hola señor!</p>")
+    elif v == 6:  # blockquote + hr + br
+        body_parts.append(f"<blockquote><p>{paras[0]}</p></blockquote><hr>")
+        body_parts.append(f"<p>line one<br>line two of {_sentence(rng, 2)}</p>")
+    elif v == 7:  # script/style heavy
+        body_parts.append(f"<script>var x = {rng.randint(0, 9)}; alert('hi');</script>")
+        body_parts.append("<style>.cls { color: red; }</style>")
+        body_parts.append(f"<p>{paras[0]}</p>")
+    elif v == 8:  # all-boilerplate body (expected extraction: empty)
+        body_parts = [_NAV, _SIDEBAR, _COOKIE, _FOOTER.replace("<footer>", '<div class="footer">').replace("</footer>", "</div>")]
+        paras = []
+        title = ""
+    else:  # article wrapper + full boilerplate chrome
+        inner = "".join(f"<p>{p}</p>" for p in paras)
+        body_parts = [
+            _NAV,
+            _COOKIE,
+            f"<article><h1>{title}</h1>{inner}</article>",
+            _SIDEBAR,
+            _FOOTER,
+        ]
+    head_title = f"<title>{title}</title>" if (title and rng.random() < 0.8) else ""
+    html = (
+        f"<!DOCTYPE html><html><head>{head_title}"
+        '<meta charset="utf-8"></head><body>'
+        + ("".join(body_parts) if v in (8, 9) else _NAV + "".join(body_parts) + _FOOTER)
+        + "</body></html>"
+    )
+    return html.encode("utf-8"), " ".join([title] + paras).strip()
+
+
+# ---------------------------------------------------------------------------
+# PDF payloads (F1b)
+# ---------------------------------------------------------------------------
+
+
+def _pdf_escape(s: str) -> bytes:
+    raw = s.encode("cp1252", errors="replace")
+    return raw.replace(b"\\", b"\\\\").replace(b"(", b"\\(").replace(b")", b"\\)")
+
+
+def _page_stream(blocks: list[tuple[float, float, list[str]]], style: str) -> bytes:
+    """blocks: (x, y_top, lines). Emission styles exercise different operators."""
+    out = [b"BT", b"/F1 12 Tf", b"14 TL"]
+    if style == "td":
+        px, py = 0.0, 0.0
+        for x, y, lines in blocks:
+            out.append(b"%.1f %.1f Td" % (x - px, y - py))
+            px, py = x, y
+            for li, line in enumerate(lines):
+                if li > 0:
+                    out.append(b"T*")
+                    py -= 14
+                out.append(b"(" + _pdf_escape(line) + b") Tj")
+    elif style == "quote":
+        px, py = 0.0, 0.0
+        for x, y, lines in blocks:
+            out.append(b"%.1f %.1f Td" % (x - px, y - py + 14))
+            px, py = x, y + 14
+            for line in lines:
+                out.append(b"(" + _pdf_escape(line) + b") '")
+                py -= 14
+    else:  # "tm" (+ TJ arrays)
+        for x, y, lines in blocks:
+            for li, line in enumerate(lines):
+                out.append(b"1 0 0 1 %.1f %.1f Tm" % (x, y - 14 * li))
+                if style == "tj" and " " in line:
+                    a, b = line.split(" ", 1)
+                    out.append(
+                        b"[(" + _pdf_escape(a + " ") + b") -120 (" + _pdf_escape(b) + b")] TJ"
+                    )
+                else:
+                    out.append(b"(" + _pdf_escape(line) + b") Tj")
+    out.append(b"ET")
+    return b"\n".join(out)
+
+
+def build_pdf(
+    pages: list[list[tuple[float, float, list[str]]]],
+    compress: bool = False,
+    style: str = "tm",
+) -> bytes:
+    objs: dict[int, bytes] = {}
+    n_pages = len(pages)
+    kids = " ".join(f"{4 + 2 * i} 0 R" for i in range(n_pages))
+    objs[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    objs[2] = f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode()
+    objs[3] = (
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+        b"/Encoding /WinAnsiEncoding >>"
+    )
+    for i, blocks in enumerate(pages):
+        stream = _page_stream(blocks, style)
+        filt = b""
+        if compress:
+            stream = zlib.compress(stream)
+            filt = b" /Filter /FlateDecode"
+        objs[4 + 2 * i] = (
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 3 0 R >> >> /Contents "
+            + f"{5 + 2 * i} 0 R >>".encode()
+        )
+        objs[5 + 2 * i] = (
+            b"<< /Length %d%s >>\nstream\n" % (len(stream), filt) + stream + b"\nendstream"
+        )
+    buf = io.BytesIO()
+    buf.write(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets: dict[int, int] = {}
+    for num in sorted(objs):
+        offsets[num] = buf.tell()
+        buf.write(b"%d 0 obj\n" % num)
+        buf.write(objs[num])
+        buf.write(b"\nendobj\n")
+    xref_pos = buf.tell()
+    n = max(objs) + 1
+    buf.write(b"xref\n0 %d\n" % n)
+    buf.write(b"0000000000 65535 f \n")
+    for num in range(1, n):
+        buf.write(b"%010d 00000 n \n" % offsets.get(num, 0))
+    buf.write(
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n" % (n, xref_pos)
+    )
+    return buf.getvalue()
+
+
+def make_pdf(rng: random.Random, variant: int) -> tuple[bytes, str]:
+    v = variant % 4
+    style = ("tm", "td", "tj", "quote")[variant % 4]
+    compress = variant % 2 == 1
+    all_lines: list[str] = []
+
+    def block(x: float, y: float, n_lines: int) -> tuple[float, float, list[str]]:
+        lines = [_sentence(rng, rng.randint(4, 8)) for _ in range(n_lines)]
+        all_lines.extend(lines)
+        return (x, y, lines)
+
+    if v == 2:  # two-column page
+        page = [block(72, 720, 4), block(400, 720, 4), block(72, 560, 3), block(400, 560, 3)]
+        pages = [page]
+    elif v == 3:  # 3-page document
+        pages = [[block(72, 720, 3), block(72, 600, 2)] for _ in range(3)]
+    else:  # single page, multiple blocks
+        pages = [[block(72, 720, 3), block(72, 620, 4), block(72, 480, 2)]]
+    return build_pdf(pages, compress=compress, style=style), " ".join(all_lines)
+
+
+# ---------------------------------------------------------------------------
+# DOCX payloads (F1c)
+# ---------------------------------------------------------------------------
+
+_CONTENT_TYPES = b"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
+<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>
+<Default Extension="xml" ContentType="application/xml"/>
+<Override PartName="/word/document.xml" ContentType="application/vnd.openxmlformats-officedocument.wordprocessingml.document.main+xml"/>
+</Types>"""
+
+_RELS = b"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="word/document.xml"/>
+</Relationships>"""
+
+
+def _xml_escape(s: str) -> str:
+    return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+
+def _w_p(text_runs: list[tuple[str, bool, bool]], style: str | None = None,
+         numpr: tuple[int, int] | None = None) -> str:
+    ppr = ""
+    if style or numpr:
+        parts = []
+        if style:
+            parts.append(f'<w:pStyle w:val="{style}"/>')
+        if numpr:
+            ilvl, numid = numpr
+            parts.append(
+                f'<w:numPr><w:ilvl w:val="{ilvl}"/><w:numId w:val="{numid}"/></w:numPr>'
+            )
+        ppr = "<w:pPr>" + "".join(parts) + "</w:pPr>"
+    runs = []
+    for text, bold, italic in text_runs:
+        rpr = ""
+        if bold or italic:
+            rpr = "<w:rPr>" + ("<w:b/>" if bold else "") + ("<w:i/>" if italic else "") + "</w:rPr>"
+        runs.append(f'<w:r>{rpr}<w:t xml:space="preserve">{_xml_escape(text)}</w:t></w:r>')
+    return f"<w:p>{ppr}{''.join(runs)}</w:p>"
+
+
+def build_docx(body_xml: str) -> bytes:
+    doc = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main">'
+        f"<w:body>{body_xml}</w:body></w:document>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("[Content_Types].xml", _CONTENT_TYPES)
+        zf.writestr("_rels/.rels", _RELS)
+        zf.writestr("word/document.xml", doc.encode("utf-8"))
+    return buf.getvalue()
+
+
+def make_docx(rng: random.Random, variant: int) -> tuple[bytes, str]:
+    title = _sentence(rng, 4)[:-1]
+    texts = [title]
+    parts = [_w_p([(title, False, False)], style="Heading1")]
+    v = variant % 3
+    if v == 0:  # headings + styled runs
+        sub = _sentence(rng, 3)[:-1]
+        texts.append(sub)
+        parts.append(_w_p([(sub, False, False)], style="Heading2"))
+        p1, p2, p3 = _sentence(rng, 6), _sentence(rng, 4), _sentence(rng, 5)
+        texts += [p1, p2, p3]
+        parts.append(_w_p([(p1 + " ", False, False), (p2, True, False), (" " + p3, False, True)]))
+    elif v == 1:  # lists: bulleted (numId 1) + ordered (numId 2), nested levels
+        for lvl in (0, 1, 1, 0):
+            s = _sentence(rng, 3)
+            texts.append(s)
+            parts.append(_w_p([(s, False, False)], numpr=(lvl, 1)))
+        for _ in range(3):
+            s = _sentence(rng, 3)
+            texts.append(s)
+            parts.append(_w_p([(s, False, False)], numpr=(0, 2)))
+    else:  # 3x3 table + paragraphs
+        rows = []
+        for r in range(3):
+            cells = []
+            for c in range(3):
+                val = f"r{r}c{c}"
+                texts.append(val)
+                cells.append(f"<w:tc>{_w_p([(val, False, False)])}</w:tc>")
+            rows.append("<w:tr>" + "".join(cells) + "</w:tr>")
+        parts.append("<w:tbl>" + "".join(rows) + "</w:tbl>")
+        p = _paragraph(rng, 2)
+        texts.append(p)
+        parts.append(_w_p([(p, False, False)]))
+    return build_docx("".join(parts)), " ".join(texts)
+
+
+# ---------------------------------------------------------------------------
+# Pathological payloads (F1d)
+# ---------------------------------------------------------------------------
+
+
+def make_pathological(rng: random.Random, variant: int,
+                      giant_scale: int = 1) -> tuple[bytes, str]:
+    v = variant % 6
+    if v == 0:  # giant HTML (~512 KiB * giant_scale): repeated sections
+        section = f"<h2>{_sentence(rng, 3)[:-1]}</h2><p>{_paragraph(rng, 4)}</p>"
+        reps = max(1, (512 * 1024 * giant_scale) // max(1, len(section)))
+        html = f"<html><body><h1>Giant</h1>{section * reps}</body></html>"
+        return html.encode(), "giant repeated sections"
+    if v == 1:  # empty payload
+        return b"", ""
+    if v == 2:  # truncated PDF (header only)
+        return b"%PDF-1.4\n1 0 obj\n<< /Type /Catalog", ""
+    if v == 3:  # binary garbage, no magic
+        return bytes(rng.randrange(256) for _ in range(256)), ""
+    if v == 4:  # zip that is not a DOCX
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as zf:
+            zf.writestr("readme.txt", "not a docx")
+        return buf.getvalue(), ""
+    # plain .txt-style payload (reference's unsupported test_document.txt analog)
+    return (
+        "CONVERSION TEST\n\nEste es un documento de prueba.\n- item uno\n- item dos\n"
+    ).encode(), "plain text file"
+
+
+# ---------------------------------------------------------------------------
+# pages table assembly (F1)
+# ---------------------------------------------------------------------------
+
+_LANGS = ["en", "es", "de", "fr", "zh"]
+_EPOCH = datetime.datetime(2024, 1, 1)
+
+
+def gen_page_row(i: int, seed: int = 42, giant_scale: int = 1,
+                 dup_fraction: float = 0.02) -> dict:
+    rng = random.Random((seed << 20) ^ i)
+    lang = _LANGS[i % len(_LANGS)]
+    slot = i % 100
+    if slot < 80:
+        payload, text = make_html(rng, i)
+        kind = "html"
+    elif slot < 90:
+        payload, text = make_pdf(rng, i)
+        kind = "pdf"
+    elif slot < 95:
+        payload, text = make_docx(rng, i)
+        kind = "docx"
+    else:
+        payload, text = make_pathological(rng, i, giant_scale=giant_scale)
+        kind = "path"
+    # a small fraction of rows duplicate an earlier url verbatim (dedup coverage)
+    if i > 10 and rng.random() < dup_fraction:
+        j = rng.randrange(max(1, i - 10))
+        dup_rng = random.Random((seed << 20) ^ j)
+        return gen_page_row(j, seed=seed, giant_scale=giant_scale, dup_fraction=0.0)
+    url = f"https://site{i % 97}.example/{lang}/doc{i}"
+    return {
+        "url": url,
+        "warc_ts": _EPOCH + datetime.timedelta(seconds=37 * i),
+        "html": payload,
+        "text": text,
+        "lang": lang,
+        "_kind": kind,
+    }
+
+
+def gen_pages_table(n_rows: int, seed: int = 42, giant_scale: int = 1,
+                    dup_fraction: float = 0.02) -> pa.Table:
+    rows = [
+        gen_page_row(i, seed=seed, giant_scale=giant_scale, dup_fraction=dup_fraction)
+        for i in range(n_rows)
+    ]
+    cols = {
+        "url": [r["url"] for r in rows],
+        "warc_ts": [r["warc_ts"] for r in rows],
+        "html": [r["html"] for r in rows],
+        "text": [r["text"] for r in rows],
+        "lang": [r["lang"] for r in rows],
+    }
+    return pa.table(cols, schema=PAGES)
+
+
+def write_pages_parquet(out_dir: str, n_rows: int, seed: int = 42,
+                        num_files: int = 4, giant_scale: int = 1,
+                        dup_fraction: float = 0.02) -> list[str]:
+    """Write the pages table as ``num_files`` parquet shards (the multi-file
+    layout is what file-granular checkpoint partitioning keys on)."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    table = gen_pages_table(n_rows, seed=seed, giant_scale=giant_scale,
+                            dup_fraction=dup_fraction)
+    paths = []
+    per = (n_rows + num_files - 1) // num_files
+    for f in range(num_files):
+        shard = table.slice(f * per, per)
+        if shard.num_rows == 0:
+            continue
+        path = os.path.join(out_dir, f"pages-{f:05d}.parquet")
+        pq.write_table(shard, path)
+        paths.append(path)
+    return paths

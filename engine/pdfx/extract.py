@@ -1,0 +1,42 @@
+"""PDF extraction entry: bytes → (text, spans) with the frozen separator
+policy. For PDFs, ``markdown_text`` IS the extracted text (the reference's
+MarkItDown does the same: pdfminer output is returned as text_content —
+SURVEY.md §2.2 C2/P3), so spans index blocks directly.
+"""
+
+from __future__ import annotations
+
+from engine.pdfx.content import interpret
+from engine.pdfx.layout import page_blocks
+from engine.pdfx.objects import PdfError, get_pages, page_content, parse_objects
+
+
+def extract_pdf(data: bytes) -> tuple[str, list[dict]]:
+    """PDF bytes → (text, block spans). Raises PdfError on malformed input
+    (caller maps that to a per-row status='failed', app/main.py:438-441 analog).
+    """
+    objects, trailer = parse_objects(data)
+    pages = get_pages(objects, trailer)
+    parts: list[str] = []
+    spans: list[dict] = []
+    offset = 0
+    for pi, page in enumerate(pages):
+        if pi > 0:
+            parts.append("\x0c")
+            offset += 1
+        runs = interpret(page_content(objects, page))
+        blocks = page_blocks(runs)
+        for bi, (_y, _x, lines) in enumerate(blocks):
+            if bi > 0:
+                parts.append("\n\n")
+                offset += 2
+            text = "\n".join(lines)
+            nbytes = len(text.encode("utf-8"))
+            spans.append({"kind": "para", "start": offset, "end": offset + nbytes})
+            parts.append(text)
+            offset += nbytes
+    return "".join(parts), spans
+
+
+def extract_pdf_text(data: bytes) -> str:
+    return extract_pdf(data)[0]

@@ -1,0 +1,336 @@
+"""P1 — PDF object/stream parser (SURVEY.md §2.2 P1).
+
+A small recursive-descent parser over the COS object syntax: dictionaries,
+arrays, names, numbers, literal/hex strings, indirect references, streams.
+No xref processing: objects are discovered by scanning for ``N G obj`` —
+simpler, and robust to the truncated/garbage fixtures (FIXTURES.md F1d),
+while equivalent for the well-formed subset our generator emits.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+
+class PdfError(ValueError):
+    pass
+
+
+class Ref:
+    __slots__ = ("num",)
+
+    def __init__(self, num: int):
+        self.num = num
+
+    def __repr__(self):
+        return f"Ref({self.num})"
+
+
+class Name(str):
+    """A /Name token (subclass of str so dict keys compare naturally)."""
+
+
+class Stream:
+    __slots__ = ("dict", "raw")
+
+    def __init__(self, d: dict, raw: bytes):
+        self.dict = d
+        self.raw = raw
+
+    def data(self) -> bytes:
+        filt = self.dict.get("Filter")
+        if filt is None:
+            return self.raw
+        filters = filt if isinstance(filt, list) else [filt]
+        data = self.raw
+        for f in filters:
+            if f == "FlateDecode":
+                data = zlib.decompress(data)
+            else:
+                raise PdfError(f"unsupported filter: {f}")
+        return data
+
+
+_WS = b"\x00\t\n\x0c\r "
+_DELIM = b"()<>[]{}/%"
+_NUM_RE = re.compile(rb"[+-]?(\d+\.?\d*|\.\d+)")
+_OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
+
+
+class _Lexer:
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.pos = pos
+
+    def skip_ws(self) -> None:
+        d, n = self.data, len(self.data)
+        while self.pos < n:
+            c = d[self.pos : self.pos + 1]
+            if c in (b" ", b"\t", b"\r", b"\n", b"\x0c", b"\x00"):
+                self.pos += 1
+            elif c == b"%":  # comment to EOL
+                eol = d.find(b"\n", self.pos)
+                self.pos = n if eol < 0 else eol + 1
+            else:
+                return
+
+    def parse_value(self):
+        self.skip_ws()
+        d = self.data
+        p = self.pos
+        if p >= len(d):
+            raise PdfError("unexpected EOF")
+        c = d[p : p + 1]
+        if c == b"<":
+            if d[p : p + 2] == b"<<":
+                return self._parse_dict()
+            return self._parse_hex_string()
+        if c == b"(":
+            return self._parse_literal_string()
+        if c == b"[":
+            return self._parse_array()
+        if c == b"/":
+            return self._parse_name()
+        if d[p : p + 4] == b"true":
+            self.pos = p + 4
+            return True
+        if d[p : p + 5] == b"false":
+            self.pos = p + 5
+            return False
+        if d[p : p + 4] == b"null":
+            self.pos = p + 4
+            return None
+        m = _NUM_RE.match(d, p)
+        if m:
+            # lookahead for "G R" → indirect reference
+            ref_m = re.compile(rb"(\d+)\s+(\d+)\s+R\b").match(d, p)
+            if ref_m:
+                self.pos = ref_m.end()
+                return Ref(int(ref_m.group(1)))
+            self.pos = m.end()
+            tok = m.group(0)
+            return float(tok) if b"." in tok else int(tok)
+        raise PdfError(f"bad token at {p}: {d[p:p+16]!r}")
+
+    def _parse_name(self) -> Name:
+        d = self.data
+        p = self.pos + 1
+        start = p
+        n = len(d)
+        out = bytearray()
+        while p < n:
+            b = d[p : p + 1]
+            if b in _WS or (b in _DELIM):
+                break
+            if b == b"#" and p + 2 < n:
+                out += bytes.fromhex(d[p + 1 : p + 3].decode("ascii", "replace"))
+                p += 3
+            else:
+                out += b
+                p += 1
+        self.pos = p
+        return Name(out.decode("latin-1"))
+
+    def _parse_dict(self) -> dict:
+        self.pos += 2
+        out: dict = {}
+        while True:
+            self.skip_ws()
+            if self.data[self.pos : self.pos + 2] == b">>":
+                self.pos += 2
+                return out
+            key = self.parse_value()
+            if not isinstance(key, Name):
+                raise PdfError("dict key is not a name")
+            out[str(key)] = self.parse_value()
+
+    def _parse_array(self) -> list:
+        self.pos += 1
+        out = []
+        while True:
+            self.skip_ws()
+            if self.data[self.pos : self.pos + 1] == b"]":
+                self.pos += 1
+                return out
+            out.append(self.parse_value())
+
+    def _parse_hex_string(self) -> bytes:
+        end = self.data.find(b">", self.pos + 1)
+        if end < 0:
+            raise PdfError("unterminated hex string")
+        hexstr = re.sub(rb"\s", b"", self.data[self.pos + 1 : end])
+        if len(hexstr) % 2:
+            hexstr += b"0"
+        self.pos = end + 1
+        return bytes.fromhex(hexstr.decode("ascii", "replace"))
+
+    def _parse_literal_string(self) -> bytes:
+        d = self.data
+        p = self.pos + 1
+        depth = 1
+        out = bytearray()
+        n = len(d)
+        while p < n:
+            b = d[p]
+            if b == 0x5C:  # backslash
+                p += 1
+                if p >= n:
+                    break
+                e = d[p]
+                if e == 0x6E:
+                    out.append(0x0A)
+                elif e == 0x72:
+                    out.append(0x0D)
+                elif e == 0x74:
+                    out.append(0x09)
+                elif e == 0x62:
+                    out.append(0x08)
+                elif e == 0x66:
+                    out.append(0x0C)
+                elif e in (0x28, 0x29, 0x5C):
+                    out.append(e)
+                elif 0x30 <= e <= 0x37:  # octal, up to 3 digits
+                    oct_digits = chr(e)
+                    for _ in range(2):
+                        if p + 1 < n and 0x30 <= d[p + 1] <= 0x37:
+                            p += 1
+                            oct_digits += chr(d[p])
+                        else:
+                            break
+                    out.append(int(oct_digits, 8) & 0xFF)
+                elif e in (0x0A, 0x0D):  # line continuation
+                    if e == 0x0D and p + 1 < n and d[p + 1] == 0x0A:
+                        p += 1
+                else:
+                    out.append(e)
+                p += 1
+            elif b == 0x28:
+                depth += 1
+                out.append(b)
+                p += 1
+            elif b == 0x29:
+                depth -= 1
+                if depth == 0:
+                    self.pos = p + 1
+                    return bytes(out)
+                out.append(b)
+                p += 1
+            else:
+                out.append(b)
+                p += 1
+        raise PdfError("unterminated literal string")
+
+
+def parse_objects(data: bytes) -> tuple[dict[int, object], dict]:
+    """Scan for all ``N G obj`` bodies; return (objects, trailer_dict).
+
+    The trailer is found by scanning for the last ``trailer`` keyword; if
+    absent (our generator always emits one), falls back to locating the
+    /Catalog object directly.
+    """
+    objects: dict[int, object] = {}
+    pos = 0
+    while True:
+        m = _OBJ_RE.search(data, pos)
+        if not m:
+            break
+        num = int(m.group(1))
+        lex = _Lexer(data, m.end())
+        try:
+            value = lex.parse_value()
+        except PdfError:
+            pos = m.end()
+            continue
+        lex.skip_ws()
+        if isinstance(value, dict) and data[lex.pos : lex.pos + 6] == b"stream":
+            sp = lex.pos + 6
+            if data[sp : sp + 2] == b"\r\n":
+                sp += 2
+            elif data[sp : sp + 1] == b"\n":
+                sp += 1
+            length = value.get("Length")
+            if isinstance(length, Ref):
+                length = None  # resolved below if possible; generator uses direct
+            if isinstance(length, int):
+                raw = data[sp : sp + length]
+                end = sp + length
+            else:
+                end_idx = data.find(b"endstream", sp)
+                if end_idx < 0:
+                    raise PdfError("unterminated stream")
+                raw = data[sp:end_idx].rstrip(b"\r\n")
+                end = end_idx
+            objects[num] = Stream(value, raw)
+            pos = end
+        else:
+            objects[num] = value
+            pos = lex.pos
+    # trailer
+    t_idx = data.rfind(b"trailer")
+    trailer: dict = {}
+    if t_idx >= 0:
+        lex = _Lexer(data, t_idx + len(b"trailer"))
+        try:
+            trailer = lex.parse_value()
+            if not isinstance(trailer, dict):
+                trailer = {}
+        except PdfError:
+            trailer = {}
+    if "Root" not in trailer:
+        for num, obj in objects.items():
+            if isinstance(obj, dict) and obj.get("Type") == "Catalog":
+                trailer = {"Root": Ref(num)}
+                break
+    if not objects:
+        raise PdfError("no PDF objects found")
+    return objects, trailer
+
+
+def resolve(objects: dict[int, object], value):
+    seen = 0
+    while isinstance(value, Ref):
+        value = objects.get(value.num)
+        seen += 1
+        if seen > 32:
+            raise PdfError("reference cycle")
+    return value
+
+
+def get_pages(objects: dict[int, object], trailer: dict) -> list[dict]:
+    """Walk Catalog → Pages → Kids recursively; return page dicts in order."""
+    root = resolve(objects, trailer.get("Root"))
+    if not isinstance(root, dict):
+        raise PdfError("no /Root catalog")
+    pages_node = resolve(objects, root.get("Pages"))
+    out: list[dict] = []
+
+    def walk(node, depth=0):
+        if depth > 64 or not isinstance(node, dict):
+            return
+        if node.get("Type") == "Page":
+            out.append(node)
+            return
+        for kid in node.get("Kids", []) or []:
+            walk(resolve(objects, kid), depth + 1)
+
+    walk(pages_node)
+    if not out:
+        raise PdfError("no pages")
+    return out
+
+
+def page_content(objects: dict[int, object], page: dict) -> bytes:
+    contents = resolve(objects, page.get("Contents"))
+    if contents is None:
+        return b""
+    if isinstance(contents, Stream):
+        return contents.data()
+    if isinstance(contents, list):
+        parts = []
+        for ref in contents:
+            st = resolve(objects, ref)
+            if isinstance(st, Stream):
+                parts.append(st.data())
+        return b"\n".join(parts)
+    return b""

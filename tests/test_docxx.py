@@ -1,0 +1,75 @@
+"""DOCX path tests (D1): headings, runs, lists, tables, failure modes."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from engine.docxx import DocxError, docx_to_tree
+from engine.fixtures import build_docx, make_docx, make_pathological, _w_p
+from engine.mdserialize import serialize
+
+
+def md_of_docx(data: bytes) -> str:
+    return serialize(docx_to_tree(data))[0]
+
+
+def test_heading_styles():
+    doc = build_docx(_w_p([("Title", False, False)], style="Heading1")
+                     + _w_p([("Sub", False, False)], style="Heading3"))
+    assert md_of_docx(doc) == "# Title\n\n### Sub"
+
+
+def test_bold_italic_runs():
+    doc = build_docx(_w_p([("plain ", False, False), ("bold", True, False),
+                           (" mix", False, True)]))
+    assert md_of_docx(doc) == "plain **bold** *mix*"
+
+
+def test_bullet_list_with_nesting():
+    doc = build_docx(
+        _w_p([("top", False, False)], numpr=(0, 1))
+        + _w_p([("nested", False, False)], numpr=(1, 1))
+        + _w_p([("top2", False, False)], numpr=(0, 1))
+    )
+    assert md_of_docx(doc) == "- top\n  - nested\n- top2"
+
+
+def test_ordered_list():
+    doc = build_docx(_w_p([("a", False, False)], numpr=(0, 2))
+                     + _w_p([("b", False, False)], numpr=(0, 2)))
+    assert md_of_docx(doc) == "1. a\n2. b"
+
+
+def test_table():
+    rows = "".join(
+        "<w:tr>" + "".join(
+            f"<w:tc>{_w_p([(f'r{r}c{c}', False, False)])}</w:tc>" for c in range(2)
+        ) + "</w:tr>"
+        for r in range(2)
+    )
+    doc = build_docx(f"<w:tbl>{rows}</w:tbl>")
+    assert md_of_docx(doc) == "| r0c0 | r0c1 |\n| --- | --- |\n| r1c0 | r1c1 |"
+
+
+def test_xml_escaping_roundtrip():
+    doc = build_docx(_w_p([("a < b & c > d", False, False)]))
+    assert md_of_docx(doc) == "a < b & c > d"
+
+
+def test_not_a_docx_zip_raises():
+    with pytest.raises(DocxError):
+        docx_to_tree(make_pathological(random.Random(0), 4)[0])
+
+
+def test_corrupt_zip_raises():
+    with pytest.raises(DocxError):
+        docx_to_tree(b"PK\x03\x04 not really a zip")
+
+
+def test_generator_variants_roundtrip():
+    for v in range(3):
+        doc, _src = make_docx(random.Random(v), v)
+        md = md_of_docx(doc)
+        assert md.startswith("# ")

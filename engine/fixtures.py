@@ -62,8 +62,11 @@ _SIDEBAR = (
 _COOKIE = '<div id="cookie-banner">We use cookies. <a href="/accept">Accept</a></div>'
 
 
-def make_html(rng: random.Random, variant: int) -> tuple[bytes, str]:
-    """Returns (payload_bytes, source_text)."""
+def make_html(rng: random.Random, variant: int,
+              weight: int = 1) -> tuple[bytes, str]:
+    """Returns (payload_bytes, source_text). ``weight`` multiplies the number
+    of content sections (bench realism: Common-Crawl pages are tens of KiB,
+    the unit-test default weight=1 is ~1 KiB)."""
     title = _sentence(rng, 4)[:-1]
     paras = [_paragraph(rng) for _ in range(rng.randint(2, 6))]
     body_parts: list[str] = [f"<h1>{title}</h1>"]
@@ -133,6 +136,12 @@ def make_html(rng: random.Random, variant: int) -> tuple[bytes, str]:
             _SIDEBAR,
             _FOOTER,
         ]
+    if weight > 1 and v != 8:
+        extra = []
+        for w in range(weight - 1):
+            extra.append(f"<h2>{_sentence(rng, 3)[:-1]}</h2>")
+            extra.extend(f"<p>{_paragraph(rng, 4)}</p>" for _ in range(3))
+        body_parts.append("<div class=\"content-extra\">" + "".join(extra) + "</div>")
     head_title = f"<title>{title}</title>" if (title and rng.random() < 0.8) else ""
     html = (
         f"<!DOCTYPE html><html><head>{head_title}"
@@ -237,7 +246,7 @@ def build_pdf(
     return buf.getvalue()
 
 
-def make_pdf(rng: random.Random, variant: int) -> tuple[bytes, str]:
+def make_pdf(rng: random.Random, variant: int, weight: int = 1) -> tuple[bytes, str]:
     v = variant % 4
     style = ("tm", "td", "tj", "quote")[variant % 4]
     compress = variant % 2 == 1
@@ -255,6 +264,8 @@ def make_pdf(rng: random.Random, variant: int) -> tuple[bytes, str]:
         pages = [[block(72, 720, 3), block(72, 600, 2)] for _ in range(3)]
     else:  # single page, multiple blocks
         pages = [[block(72, 720, 3), block(72, 620, 4), block(72, 480, 2)]]
+    for _ in range(weight - 1):
+        pages.append([block(72, 720, 4), block(72, 580, 4), block(72, 440, 3)])
     return build_pdf(pages, compress=compress, style=style), " ".join(all_lines)
 
 
@@ -315,7 +326,7 @@ def build_docx(body_xml: str) -> bytes:
     return buf.getvalue()
 
 
-def make_docx(rng: random.Random, variant: int) -> tuple[bytes, str]:
+def make_docx(rng: random.Random, variant: int, weight: int = 1) -> tuple[bytes, str]:
     title = _sentence(rng, 4)[:-1]
     texts = [title]
     parts = [_w_p([(title, False, False)], style="Heading1")]
@@ -347,6 +358,10 @@ def make_docx(rng: random.Random, variant: int) -> tuple[bytes, str]:
             rows.append("<w:tr>" + "".join(cells) + "</w:tr>")
         parts.append("<w:tbl>" + "".join(rows) + "</w:tbl>")
         p = _paragraph(rng, 2)
+        texts.append(p)
+        parts.append(_w_p([(p, False, False)]))
+    for _ in range(weight - 1):
+        p = _paragraph(rng, 3)
         texts.append(p)
         parts.append(_w_p([(p, False, False)]))
     return build_docx("".join(parts)), " ".join(texts)
@@ -391,18 +406,18 @@ _EPOCH = datetime.datetime(2024, 1, 1)
 
 
 def gen_page_row(i: int, seed: int = 42, giant_scale: int = 1,
-                 dup_fraction: float = 0.02) -> dict:
+                 dup_fraction: float = 0.02, weight: int = 1) -> dict:
     rng = random.Random((seed << 20) ^ i)
     lang = _LANGS[i % len(_LANGS)]
     slot = i % 100
     if slot < 80:
-        payload, text = make_html(rng, i)
+        payload, text = make_html(rng, i, weight=weight)
         kind = "html"
     elif slot < 90:
-        payload, text = make_pdf(rng, i)
+        payload, text = make_pdf(rng, i, weight=weight)
         kind = "pdf"
     elif slot < 95:
-        payload, text = make_docx(rng, i)
+        payload, text = make_docx(rng, i, weight=weight)
         kind = "docx"
     else:
         payload, text = make_pathological(rng, i, giant_scale=giant_scale)
@@ -410,8 +425,8 @@ def gen_page_row(i: int, seed: int = 42, giant_scale: int = 1,
     # a small fraction of rows duplicate an earlier url verbatim (dedup coverage)
     if i > 10 and rng.random() < dup_fraction:
         j = rng.randrange(max(1, i - 10))
-        dup_rng = random.Random((seed << 20) ^ j)
-        return gen_page_row(j, seed=seed, giant_scale=giant_scale, dup_fraction=0.0)
+        return gen_page_row(j, seed=seed, giant_scale=giant_scale,
+                            dup_fraction=0.0, weight=weight)
     url = f"https://site{i % 97}.example/{lang}/doc{i}"
     return {
         "url": url,
@@ -424,9 +439,10 @@ def gen_page_row(i: int, seed: int = 42, giant_scale: int = 1,
 
 
 def gen_pages_table(n_rows: int, seed: int = 42, giant_scale: int = 1,
-                    dup_fraction: float = 0.02) -> pa.Table:
+                    dup_fraction: float = 0.02, weight: int = 1) -> pa.Table:
     rows = [
-        gen_page_row(i, seed=seed, giant_scale=giant_scale, dup_fraction=dup_fraction)
+        gen_page_row(i, seed=seed, giant_scale=giant_scale,
+                     dup_fraction=dup_fraction, weight=weight)
         for i in range(n_rows)
     ]
     cols = {
@@ -441,20 +457,35 @@ def gen_pages_table(n_rows: int, seed: int = 42, giant_scale: int = 1,
 
 def write_pages_parquet(out_dir: str, n_rows: int, seed: int = 42,
                         num_files: int = 4, giant_scale: int = 1,
-                        dup_fraction: float = 0.02) -> list[str]:
+                        dup_fraction: float = 0.02, weight: int = 1) -> list[str]:
     """Write the pages table as ``num_files`` parquet shards (the multi-file
-    layout is what file-granular checkpoint partitioning keys on)."""
+    layout is what file-granular checkpoint partitioning keys on).
+
+    Generation is chunked per shard to keep memory flat at bench sizes."""
     import os
 
     os.makedirs(out_dir, exist_ok=True)
-    table = gen_pages_table(n_rows, seed=seed, giant_scale=giant_scale,
-                            dup_fraction=dup_fraction)
     paths = []
     per = (n_rows + num_files - 1) // num_files
     for f in range(num_files):
-        shard = table.slice(f * per, per)
-        if shard.num_rows == 0:
+        lo, hi = f * per, min((f + 1) * per, n_rows)
+        if lo >= hi:
             continue
+        rows = [
+            gen_page_row(i, seed=seed, giant_scale=giant_scale,
+                         dup_fraction=dup_fraction, weight=weight)
+            for i in range(lo, hi)
+        ]
+        shard = pa.table(
+            {
+                "url": [r["url"] for r in rows],
+                "warc_ts": [r["warc_ts"] for r in rows],
+                "html": [r["html"] for r in rows],
+                "text": [r["text"] for r in rows],
+                "lang": [r["lang"] for r in rows],
+            },
+            schema=PAGES,
+        )
         path = os.path.join(out_dir, f"pages-{f:05d}.parquet")
         pq.write_table(shard, path)
         paths.append(path)

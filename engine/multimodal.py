@@ -1,0 +1,187 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+The container has no image/audio libraries, so the DECODE kernels are stubbed
+(clearly marked below); everything Ray-side — schemas, batch sizing, actor
+signatures, output layout — is real and tested. A deployment with pillow /
+torchaudio installed replaces only the ``_decode_*`` functions.
+
+Design rules encoded here (the 100 TB shape):
+- media rows are LARGE: stages default to small ``batch_size`` so a batch ×
+  concurrency fits worker heaps, mirroring the pipeline's large-row lane;
+- decode/feature stages are ACTOR pools (real deployments hold model weights /
+  codec contexts per actor — this is the case where actors beat tasks);
+- outputs are fixed-width feature columns (list<float>) + typed metadata, so
+  downstream similarity/dedup stages (engine.similarity) compose directly.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        pa.field("media_id", pa.int64()),
+        pa.field("kind", pa.string()),  # image | audio | video
+        pa.field("payload", pa.binary()),
+        pa.field("mime", pa.string()),
+        pa.field("width", pa.int32()),  # images/video; -1 otherwise
+        pa.field("height", pa.int32()),
+        pa.field("duration_ms", pa.int32()),  # audio/video; -1 otherwise
+    ]
+)
+
+FEATURE_DIM = 32
+
+
+class MediaDecodeError(ValueError):
+    pass
+
+
+def _decode_image(payload: bytes) -> np.ndarray:
+    """STUB — real impl: pillow/turbojpeg decode to HxWx3 uint8.
+
+    The deterministic fake derives a pseudo-image from the payload hash so
+    the plumbing (shapes, dtypes, feature extraction, tests) is exercised
+    end-to-end without the codec. Raises on empty payload like a real decoder.
+    """
+    if not payload:
+        raise MediaDecodeError("empty image payload")
+    seed = zlib.crc32(payload)
+    rng = np.random.RandomState(seed)
+    h, w = 8 + seed % 24, 8 + (seed >> 8) % 24
+    return rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+def _decode_audio(payload: bytes) -> np.ndarray:
+    """STUB — real impl: soundfile/ffmpeg decode to float32 mono PCM."""
+    if not payload:
+        raise MediaDecodeError("empty audio payload")
+    seed = zlib.crc32(payload)
+    rng = np.random.RandomState(seed ^ 0xA5A5)
+    n = 1024 + seed % 4096
+    return rng.uniform(-1, 1, size=n).astype(np.float32)
+
+
+def _sample_video_frames(payload: bytes, num_frames: int = 4) -> list[np.ndarray]:
+    """STUB — real impl: ffmpeg keyframe sampling."""
+    if not payload:
+        raise MediaDecodeError("empty video payload")
+    return [
+        _decode_image(payload + struct.pack("<I", i)) for i in range(num_frames)
+    ]
+
+
+def image_features(img: np.ndarray) -> np.ndarray:
+    """Real kernel: channel-wise histogram features → FEATURE_DIM floats."""
+    feats = []
+    for c in range(3):
+        hist, _ = np.histogram(img[:, :, c], bins=10, range=(0, 256))
+        feats.append(hist / max(1, img[:, :, c].size))
+    feats.append([img.shape[0] / 64.0, img.shape[1] / 64.0])
+    out = np.concatenate([np.asarray(f, dtype=np.float64).ravel() for f in feats])
+    return np.pad(out, (0, max(0, FEATURE_DIM - len(out))))[:FEATURE_DIM]
+
+
+def audio_features(pcm: np.ndarray) -> np.ndarray:
+    """Real kernel: frame-energy + zero-crossing summary → FEATURE_DIM floats."""
+    frames = np.array_split(pcm, 15)
+    energy = [float(np.sqrt((f**2).mean())) for f in frames]
+    zc = [float(((f[:-1] * f[1:]) < 0).mean()) for f in frames]
+    out = np.asarray(energy + zc + [len(pcm) / 48000.0], dtype=np.float64)
+    return np.pad(out, (0, max(0, FEATURE_DIM - len(out))))[:FEATURE_DIM]
+
+
+class MediaFeatureActor:
+    """Actor-pool stage: (media_id, kind, payload) → features + status.
+
+    This is the genuinely-stateful stage shape (model weights / codec contexts
+    live in ``__init__`` in a real deployment), so it stays an actor pool —
+    unlike the text kernel (see engine.pipeline module docstring).
+    """
+
+    def __init__(self, num_video_frames: int = 4):
+        self.num_video_frames = num_video_frames
+        # real deployment: load the embedding model here, once per actor
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t["media_id"].to_pylist()
+        kinds = t["kind"].to_pylist()
+        payloads = t["payload"].to_pylist()
+        feats: list[list[float]] = []
+        status: list[str] = []
+        error: list[str] = []
+        sha: list[str] = []
+        for kind, payload in zip(kinds, payloads):
+            payload = payload or b""
+            sha.append(hashlib.sha1(payload).hexdigest())
+            try:
+                if kind == "image":
+                    f = image_features(_decode_image(payload))
+                elif kind == "audio":
+                    f = audio_features(_decode_audio(payload))
+                elif kind == "video":
+                    frames = _sample_video_frames(payload, self.num_video_frames)
+                    f = np.mean([image_features(fr) for fr in frames], axis=0)
+                else:
+                    raise MediaDecodeError(f"unknown media kind: {kind}")
+                feats.append([float(x) for x in f])
+                status.append("ok")
+                error.append("")
+            except MediaDecodeError as exc:  # per-row failure, never the task
+                feats.append([0.0] * FEATURE_DIM)
+                status.append("failed")
+                error.append(str(exc))
+        return pa.table({
+            "media_id": pa.array(ids, type=pa.int64()),
+            "kind": pa.array(kinds, type=pa.string()),
+            "sha1": pa.array(sha, type=pa.string()),
+            "features": pa.array(feats, type=pa.list_(pa.float64())),
+            "status": pa.array(status, type=pa.string()),
+            "error": pa.array(error, type=pa.string()),
+        })
+
+
+def media_features(ds: "ray.data.Dataset", *, batch_size: int = 8,
+                   concurrency: tuple[int, int] = (1, 8),
+                   num_video_frames: int = 4) -> "ray.data.Dataset":
+    """The media feature pipeline stage. Small batches on purpose: media
+    payloads are MiB-scale, so batch × pool must fit in worker heaps."""
+    return ds.map_batches(
+        MediaFeatureActor,
+        fn_constructor_kwargs={"num_video_frames": num_video_frames},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def gen_media_table(n_rows: int, seed: int = 42) -> pa.Table:
+    """Deterministic media fixture (binary payloads with typed metadata)."""
+    rng = np.random.RandomState(seed)
+    kinds = ["image", "audio", "video"]
+    rows = {k: [] for k in MEDIA_SCHEMA.names}
+    for i in range(n_rows):
+        kind = kinds[i % 3]
+        payload = rng.bytes(256 + int(rng.randint(0, 1024)))
+        if i % 17 == 0:
+            payload = b""  # error-channel coverage
+        rows["media_id"].append(i)
+        rows["kind"].append(kind)
+        rows["payload"].append(payload)
+        rows["mime"].append(
+            {"image": "image/jpeg", "audio": "audio/wav", "video": "video/mp4"}[kind]
+        )
+        rows["width"].append(int(rng.randint(64, 1920)) if kind != "audio" else -1)
+        rows["height"].append(int(rng.randint(64, 1080)) if kind != "audio" else -1)
+        rows["duration_ms"].append(
+            int(rng.randint(1000, 60000)) if kind != "image" else -1
+        )
+    return pa.table(rows, schema=MEDIA_SCHEMA)

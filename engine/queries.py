@@ -1,0 +1,527 @@
+"""Driver-contract queries: one Ray Data pipeline per implemented operator
+(SURVEY.md §2), each with a DuckDB-oracle SQL twin in ``__ray_entry__.py``.
+
+Every callable takes ``sf_dir`` (a /root/testdata/sf* directory) and returns a
+Dataset / pandas DataFrame / pyarrow Table whose column NAMES match the oracle
+SQL exactly (the driver hash-compares values after sorting columns by name).
+
+Floating-point aggregates are rounded on BOTH sides (round 6 for means, 2-4
+for sums) so summation-order differences between Ray partial aggregation and
+DuckDB never flip the value hash.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from engine import textops
+from engine.extract import ExtractActor
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None):
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, f"{table}.parquet"), columns=columns
+    )
+
+
+# ---------------------------------------------------------------------------
+# M4 — chunk explode (app/main.py:243-250) over documents
+# ---------------------------------------------------------------------------
+
+CHUNK_LINES = 20
+
+
+def q_chunk_explode(sf_dir: str):
+    """documents.text → newline-per-word text → 20-line chunks (ungated)."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        lined = pc.replace_substring(t["text"], pattern=" ", replacement="\n")
+        t2 = pa.table({"doc_id": t["doc_id"], "text": lined})
+        return textops.explode_chunks_batch(
+            t2, text_col="text", key_col="doc_id", gated=False,
+            chunk_size=CHUNK_LINES,
+        )
+
+    return docs.map_batches(explode, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# M5 — sanitize_filename (app/main.py:252-258) over part names
+# ---------------------------------------------------------------------------
+
+
+def q_sanitize_names(sf_dir: str):
+    parts = _read(sf_dir, "part", ["p_partkey", "p_name"])
+    return parts.map_batches(
+        lambda t: pa.table(
+            {"p_partkey": t["p_partkey"],
+             "safe_name": textops.sanitize_batch(t["p_name"])}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
+# M6/M7 — output-format strip chains (app/main.py:262-277) over synthesized md
+# ---------------------------------------------------------------------------
+
+
+def _synth_markdown(t: pa.Table) -> pa.Array | pa.ChunkedArray:
+    """Deterministic markdown assembled from documents columns; the oracle SQL
+    builds the identical string, so the strip chains are exercised end-to-end."""
+    did = pc.cast(t["doc_id"], pa.string())
+    return pc.binary_join_element_wise(
+        "# Title ", t["source"], "\n**", t["lang"], "** *", t["source"],
+        "* [link](http://x/", did, ") `", t["lang"], "`\n", t["text"], "",
+    )
+
+
+def q_plain_strip(sf_dir: str):
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang", "source"])
+    return docs.map_batches(
+        lambda t: pa.table(
+            {"doc_id": t["doc_id"],
+             "plain_text": textops.markdown_to_plain_batch(_synth_markdown(t))}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_gdocs_strip(sf_dir: str):
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang", "source"])
+    return docs.map_batches(
+        lambda t: pa.table(
+            {"doc_id": t["doc_id"],
+             "gdocs_text": textops.markdown_to_gdocs_batch(_synth_markdown(t))}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
+# M8/M9 — preview + estimated time (app/main.py:547, :676)
+# ---------------------------------------------------------------------------
+
+
+def q_preview(sf_dir: str):
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return docs.map_batches(
+        lambda t: pa.table(
+            {"doc_id": t["doc_id"],
+             "preview": textops.content_preview_batch(t["text"], limit=200)}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_estimated_minutes(sf_dir: str):
+    docs = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    return docs.map_batches(
+        lambda t: pa.table(
+            {"doc_id": t["doc_id"],
+             "est_minutes": textops.estimated_time_batch(
+                 pc.multiply(t["n_chars"], 4096))}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
+# A1/A2 — grouped counts + rollups (app/main.py:882-903) over events
+# ---------------------------------------------------------------------------
+
+
+def q_status_counts(sf_dir: str):
+    events = _read(sf_dir, "events", ["event_type"])
+    return events.groupby("event_type").aggregate(Count(alias_name="n"))
+
+
+def q_value_rollup(sf_dir: str):
+    events = _read(sf_dir, "events", ["value"])
+    res = events.aggregate(
+        Sum("value", alias_name="sum_value"),
+        Mean("value", alias_name="mean_value"),
+        Count(alias_name="n"),
+    )
+    return pd.DataFrame(
+        [{"sum_value": round(res["sum_value"], 6),
+          "mean_value": round(res["mean_value"], 6),
+          "n": res["n"]}]
+    )
+
+
+def q_user_value_stats(sf_dir: str):
+    """Per-user grouped aggregate with partial aggregation under the hood."""
+    events = _read(sf_dir, "events", ["user_id", "value"])
+    agg = events.groupby("user_id").aggregate(
+        Sum("value", alias_name="sum_value"),
+        Min("value", alias_name="min_value"),
+        Max("value", alias_name="max_value"),
+        Count(alias_name="n"),
+    )
+    df = agg.to_pandas()
+    df["sum_value"] = df["sum_value"].round(6)
+    return df
+
+
+# ---------------------------------------------------------------------------
+# K1 — filter → sort → top-k listing (app/main.py:829-862) over events
+# ---------------------------------------------------------------------------
+
+
+def q_recent_events(sf_dir: str):
+    events = _read(sf_dir, "events",
+                   ["event_id", "ts", "user_id", "event_type", "value"])
+    clicks = events.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "click")),
+        batch_format="pyarrow",
+    )
+    top = clicks.sort(["ts", "event_id"], descending=[True, True]).limit(50)
+    return top.select_columns(["event_id", "ts", "user_id", "value"])
+
+
+def q_top_parts(sf_dir: str):
+    parts = _read(sf_dir, "part", ["p_partkey", "p_name", "p_retailprice"])
+    return parts.sort(
+        ["p_retailprice", "p_partkey"], descending=[True, False]
+    ).limit(20)
+
+
+# ---------------------------------------------------------------------------
+# A6 — exact dedup (SURVEY.md §2.6 A6) over documents by text
+# ---------------------------------------------------------------------------
+
+
+def q_exact_dedup(sf_dir: str):
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return docs.groupby("text").aggregate(
+        Min("doc_id", alias_name="doc_id"), Count(alias_name="n_copies")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join — broadcast hash join (SURVEY.md §2.5): orders ⋈ customer (small side)
+# ---------------------------------------------------------------------------
+
+
+def q_orders_join(sf_dir: str):
+    customer = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    lookup_ref = ray.put(dict(zip(customer["c_custkey"], customer["c_mktsegment"])))
+
+    class AttachSegment:
+        def __init__(self, ref):
+            self.lookup = ray.get(ref)  # fetched ONCE per actor, not per batch
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            keys = t["o_custkey"].to_pylist()
+            seg = [self.lookup.get(k) for k in keys]
+            return pa.table({
+                "c_mktsegment": pa.array(seg, type=pa.string()),
+                "o_totalprice": t["o_totalprice"],
+            })
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    joined = orders.map_batches(
+        AttachSegment, fn_constructor_args=(lookup_ref,),
+        batch_format="pyarrow", concurrency=(1, 4),
+    )
+    agg = joined.groupby("c_mktsegment").aggregate(
+        Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="total_price")
+    )
+    df = agg.to_pandas()
+    df["total_price"] = df["total_price"].round(2)
+    return df
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q1-style pricing summary over lineitem (partial agg + tiny groupby)
+# ---------------------------------------------------------------------------
+
+
+def q_lineitem_pricing(sf_dir: str):
+    li = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+                "l_discount"])
+
+    def add_disc_price(t: pa.Table) -> pa.Table:
+        disc = pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"]))
+        return t.append_column("disc_price", disc)
+
+    agg = (
+        li.map_batches(add_disc_price, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_base_price"),
+            Sum("disc_price", alias_name="sum_disc_price"),
+            Mean("l_quantity", alias_name="avg_qty"),
+            Count(alias_name="count_order"),
+        )
+    )
+    df = agg.to_pandas()
+    for col in ("sum_qty", "sum_base_price", "sum_disc_price"):
+        df[col] = df[col].round(2)
+    df["avg_qty"] = df["avg_qty"].round(6)
+    return df
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: token counts + fingerprints (scale additions) over documents
+# ---------------------------------------------------------------------------
+
+
+def q_token_count(sf_dir: str):
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def count_tokens(t: pa.Table) -> pa.Table:
+        # \S+ match count == len(str.split()) == DuckDB regexp_extract_all len
+        n = pc.count_substring_regex(t["text"], pattern=r"\S+")
+        return pa.table({"doc_id": t["doc_id"],
+                         "n_tokens": pc.cast(n, pa.int64())})
+
+    return docs.map_batches(count_tokens, batch_format="pyarrow")
+
+
+def q_fingerprint(sf_dir: str):
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fp(t: pa.Table) -> pa.Table:
+        digests = [hashlib.md5(s.encode()).hexdigest() for s in t["text"].to_pylist()]
+        return pa.table({"doc_id": t["doc_id"],
+                         "fingerprint": pa.array(digests, type=pa.string())})
+
+    return docs.map_batches(fp, batch_format="pyarrow")
+
+
+def q_json_props(sf_dir: str):
+    """JSON scalar op over events.props (SURVEY.md §2.9): sum of $.k per user."""
+    events = _read(sf_dir, "events", ["user_id", "props"])
+
+    def extract_k(t: pa.Table) -> pa.Table:
+        ks = [json.loads(p)["k"] for p in t["props"].to_pylist()]
+        return pa.table({"user_id": t["user_id"],
+                         "k": pa.array(ks, type=pa.int64())})
+
+    return (
+        events.map_batches(extract_k, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("k", alias_name="sum_k"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# The extraction engine end-to-end with a SQL oracle: wrap documents.text in
+# real HTML, run the REAL kernel (parse → strip → serialize), compare against
+# the whitespace-collapse the serializer spec guarantees for a pure paragraph.
+# ---------------------------------------------------------------------------
+
+
+def q_extract_roundtrip(sf_dir: str):
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def to_pages(t: pa.Table) -> pa.Table:
+        payloads = [
+            ("<html><body><p>"
+             + s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+             + "</p></body></html>").encode()
+            for s in t["text"].to_pylist()
+        ]
+        return pa.table({"url": pc.cast(t["doc_id"], pa.string()),
+                         "html": pa.array(payloads, type=pa.binary())})
+
+    pages = docs.map_batches(to_pages, batch_format="pyarrow")
+    extracted = pages.map_batches(
+        ExtractActor, batch_format="pyarrow", batch_size=128, concurrency=(1, 4)
+    )
+    return extracted.map_batches(
+        lambda t: pa.table({
+            "doc_id": pc.cast(t["url"], pa.int64()),
+            "markdown_text": t["markdown_text"],
+        }),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup family (engine.dedup) over documents — scale additions
+# ---------------------------------------------------------------------------
+
+
+def q_minhash_clusters(sf_dir: str):
+    """Near-dup clustering via MinHash-LSH (rows-only: not SQL-expressible)."""
+    from engine.dedup import minhash_dedup_clusters
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return minhash_dedup_clusters(docs, threshold=0.7)
+
+
+def q_simhash(sf_dir: str):
+    """64-bit SimHash per document (rows-only; deterministic)."""
+    from engine.dedup import simhash_signatures
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return simhash_signatures(docs)
+
+
+def q_ngram_dedup_pairs(sf_dir: str):
+    """LSH candidates → exact 3-gram Jaccard verification (rows-only)."""
+    from engine.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    cand = minhash_lsh_pairs(docs, threshold=0.5)
+    return ngram_jaccard_pairs(docs, cand[["id_a", "id_b"]], threshold=0.5)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (engine.similarity) over embeddings
+# ---------------------------------------------------------------------------
+
+
+def _load_query_vecs(sf_dir: str, n: int = 5) -> np.ndarray:
+    import pyarrow.parquet as pq
+    import os as _os
+
+    t = pq.read_table(_os.path.join(sf_dir, "embeddings.parquet"))
+    ids = t["vec_id"].to_pylist()
+    vecs = t["embedding"].to_pylist()
+    by_id = dict(zip(ids, vecs))
+    return np.asarray([by_id[i] for i in range(n)], dtype=np.float64)
+
+
+def q_knn_cosine(sf_dir: str):
+    """Exact cosine top-10 for query vectors vec_id 0..4 (SQL oracle via
+    list_cosine_similarity; scores dropped — DuckDB computes in float32)."""
+    from engine.similarity import knn_brute
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = knn_brute(emb, _load_query_vecs(sf_dir), k=10)
+    return out[["query_id", "rank", "vec_id"]]
+
+
+def q_knn_lsh(sf_dir: str):
+    """LSH-bucketed approximate top-10 (rows-only; recall measured in bench)."""
+    from engine.similarity import knn_lsh
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = knn_lsh(emb, _load_query_vecs(sf_dir), k=10)
+    return out[["query_id", "rank", "vec_id"]]
+
+
+def q_embedding_near_dup(sf_dir: str):
+    """Embedding-cosine near-dup pairs within LSH buckets (rows-only)."""
+    from engine.similarity import embedding_near_dup_pairs
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = embedding_near_dup_pairs(emb, threshold=0.95)
+    out["cosine"] = out["cosine"].round(6)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (engine.textstats) over documents
+# ---------------------------------------------------------------------------
+
+
+def q_lang_id(sf_dir: str):
+    from engine.textstats import LangIdStage
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return docs.map_batches(LangIdStage, batch_format="pyarrow",
+                            concurrency=(1, 4)).select_columns(
+        ["doc_id", "lang_pred"])
+
+
+def q_quality(sf_dir: str):
+    from engine.textstats import QualityStage
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = docs.map_batches(QualityStage, batch_format="pyarrow",
+                           concurrency=(1, 4))
+    return out.select_columns(["doc_id", "n_tokens", "uniq_ratio",
+                               "stopword_ratio", "quality"])
+
+
+def q_url_buckets(sf_dir: str):
+    """Explicit url-hash partitioning (engine.partition): bucket counts over
+    synthesized urls — proves the partitioner against the SQL oracle (both
+    sides compute int(md5(url)[:8], 16) % 64)."""
+    from engine.partition import add_url_hash_batch
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def to_urls(t: pa.Table) -> pa.Table:
+        urls = pc.binary_join_element_wise(
+            "https://docs.example/", pc.cast(t["doc_id"], pa.string()), ""
+        )
+        return add_url_hash_batch(pa.table({"url": urls}))
+
+    return (
+        docs.map_batches(to_urls, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Count(alias_name="n_docs"))
+        .map_batches(
+            lambda t: pa.table({"bucket": pc.cast(t["bucket"], pa.int64()),
+                                "n_docs": t["n_docs"]}),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def q_media_features(sf_dir: str):
+    """Multimodal feature stage over a deterministic media fixture (rows-only;
+    decode stubbed — engine/multimodal.py)."""
+    import ray.data as rd
+
+    from engine.multimodal import gen_media_table, media_features
+
+    media = rd.from_arrow(gen_media_table(120, seed=42))
+    out = media_features(media, batch_size=16, concurrency=(1, 4))
+    return out.select_columns(["media_id", "kind", "sha1", "status"])
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "chunk_explode": q_chunk_explode,
+    "sanitize_names": q_sanitize_names,
+    "plain_strip": q_plain_strip,
+    "gdocs_strip": q_gdocs_strip,
+    "preview": q_preview,
+    "estimated_minutes": q_estimated_minutes,
+    "status_counts": q_status_counts,
+    "value_rollup": q_value_rollup,
+    "user_value_stats": q_user_value_stats,
+    "recent_events": q_recent_events,
+    "top_parts": q_top_parts,
+    "exact_dedup": q_exact_dedup,
+    "orders_join": q_orders_join,
+    "lineitem_pricing": q_lineitem_pricing,
+    "token_count": q_token_count,
+    "fingerprint": q_fingerprint,
+    "json_props": q_json_props,
+    "extract_roundtrip": q_extract_roundtrip,
+    "minhash_clusters": q_minhash_clusters,
+    "simhash": q_simhash,
+    "ngram_dedup_pairs": q_ngram_dedup_pairs,
+    "knn_cosine": q_knn_cosine,
+    "knn_lsh": q_knn_lsh,
+    "embedding_near_dup": q_embedding_near_dup,
+    "lang_id": q_lang_id,
+    "quality": q_quality,
+    "url_buckets": q_url_buckets,
+    "media_features": q_media_features,
+}

@@ -1,0 +1,190 @@
+"""Similarity search over an embedding column (scale addition).
+
+Brute-force cosine top-k is the exactness baseline: the query matrix is
+broadcast ONCE via ray.put and each batch does one numpy matmul against it —
+per-batch work is a (batch × dim) @ (dim × q) GEMM, the canonical Ray Data
+pattern for embedding scoring. The scale path is LSH bucketing (random
+hyperplane signatures) so each query only scans its bucket neighborhood.
+
+Determinism: ties broken by ascending vec_id everywhere.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+def _to_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """list<float> column → float64 matrix (copy, but batch-sized only)."""
+    pylist = col.to_pylist()
+    return np.asarray(pylist, dtype=np.float64)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+def knn_brute(ds: "ray.data.Dataset", queries: np.ndarray, k: int = 10,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              query_ids: list | None = None) -> pd.DataFrame:
+    """Exact cosine top-k: per-batch local top-k, driver-side merge of the
+    (num_queries × k)-sized partials. Returns (query_id, rank, vec_id, cosine).
+    """
+    qm = _normalize(np.asarray(queries, dtype=np.float64))
+    q_ref = ray.put(qm)
+    if query_ids is None:
+        query_ids = list(range(len(qm)))
+
+    class LocalTopK:
+        def __init__(self, ref, k):
+            self.q = ray.get(ref)  # fetched once per actor
+            self.k = k
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            vecs = _normalize(_to_matrix(t[vec_col]))
+            ids = np.asarray(t[id_col].to_pylist())
+            cos = vecs @ self.q.T  # (batch, q)
+            kk = min(self.k, len(ids))
+            out_q, out_id, out_cos = [], [], []
+            for qi in range(cos.shape[1]):
+                col = cos[:, qi]
+                # top-k by (-cosine, vec_id): lexsort for deterministic ties
+                order = np.lexsort((ids, -col))[:kk]
+                out_q.extend([qi] * len(order))
+                out_id.extend(ids[order].tolist())
+                out_cos.extend(col[order].tolist())
+            return pa.table({
+                "qi": pa.array(out_q, type=pa.int32()),
+                id_col: pa.array(out_id),
+                "cosine": pa.array(out_cos, type=pa.float64()),
+            })
+
+    partials = ds.map_batches(
+        LocalTopK, fn_constructor_args=(q_ref, k),
+        batch_format="pyarrow", batch_size=4096, concurrency=(1, 8),
+    ).to_pandas()
+
+    rows = []
+    for qi, grp in partials.groupby("qi"):
+        grp = grp.sort_values(["cosine", id_col], ascending=[False, True]).head(k)
+        for rank, (_, r) in enumerate(grp.iterrows(), start=1):
+            rows.append({
+                "query_id": query_ids[qi],
+                "rank": rank,
+                "vec_id": int(r[id_col]),
+                "cosine": float(r["cosine"]),
+            })
+    return pd.DataFrame(rows).sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN (the scale path)
+# ---------------------------------------------------------------------------
+
+NUM_PLANES = 8  # 2^8 = 256 buckets
+
+
+def _hyperplanes(dim: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.normal(size=(NUM_PLANES, dim))
+
+
+def lsh_bucket_of(vecs: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    bits = (vecs @ planes.T) > 0
+    return (bits * (1 << np.arange(NUM_PLANES))).sum(axis=1).astype(np.int32)
+
+
+def knn_lsh(ds: "ray.data.Dataset", queries: np.ndarray, k: int = 10,
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            query_ids: list | None = None, probe_hamming: int = 1,
+            dim: int | None = None) -> pd.DataFrame:
+    """Approximate top-k: scan only rows whose hyperplane signature is within
+    ``probe_hamming`` of the query's (multi-probe). Same output schema as
+    knn_brute; recall < 1 by design — the bench compares recall vs brute."""
+    qm = _normalize(np.asarray(queries, dtype=np.float64))
+    if dim is None:
+        dim = qm.shape[1]
+    planes = _hyperplanes(dim)
+    q_buckets = lsh_bucket_of(qm, planes)
+
+    # probe set: all buckets within hamming distance of any query bucket
+    probe: set[int] = set()
+    for b in q_buckets.tolist():
+        probe.add(b)
+        if probe_hamming >= 1:
+            for i in range(NUM_PLANES):
+                probe.add(b ^ (1 << i))
+    probe_ref = ray.put(probe)
+    planes_ref = ray.put(planes)
+
+    class BucketFilter:
+        def __init__(self, p_ref, pl_ref):
+            self.probe = ray.get(p_ref)
+            self.planes = ray.get(pl_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            vecs = _normalize(_to_matrix(t[vec_col]))
+            buckets = lsh_bucket_of(vecs, self.planes)
+            mask = pa.array([int(b) in self.probe for b in buckets])
+            return t.filter(mask)
+
+    candidates = ds.map_batches(
+        BucketFilter, fn_constructor_args=(probe_ref, planes_ref),
+        batch_format="pyarrow", batch_size=4096, concurrency=(1, 8),
+    )
+    return knn_brute(candidates, queries, k, id_col, vec_col, query_ids)
+
+
+def embedding_near_dup_pairs(ds: "ray.data.Dataset", threshold: float = 0.95,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding") -> pd.DataFrame:
+    """Embedding-cosine near-dup: bucket by LSH signature, compare within
+    buckets only, keep pairs with cosine >= threshold."""
+    first = ds.take(1)
+    dim = len(first[0][vec_col])
+    planes = _hyperplanes(dim)
+    planes_ref = ray.put(planes)
+
+    class AddBucket:
+        def __init__(self, ref):
+            self.planes = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            vecs = _normalize(_to_matrix(t[vec_col]))
+            buckets = lsh_bucket_of(vecs, self.planes)
+            return t.append_column("bucket", pa.array(buckets, type=pa.int32()))
+
+    with_bucket = ds.map_batches(AddBucket, fn_constructor_args=(planes_ref,),
+                                 batch_format="pyarrow", concurrency=(1, 8))
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        vecs = _normalize(np.asarray(g[vec_col].tolist(), dtype=np.float64))
+        ids = g[id_col].to_numpy()
+        order = np.argsort(ids)
+        vecs, ids = vecs[order], ids[order]
+        cos = vecs @ vecs.T
+        ia, ib = np.triu_indices(len(ids), k=1)
+        keep = cos[ia, ib] >= threshold
+        return pd.DataFrame({
+            "id_a": ids[ia[keep]],
+            "id_b": ids[ib[keep]],
+            "cosine": cos[ia[keep], ib[keep]],
+        })
+
+    pairs = (
+        with_bucket.groupby("bucket")
+        .map_groups(pairs_in_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(pairs) == 0:
+        return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+    return pairs.sort_values(["id_a", "id_b"]).reset_index(drop=True)

@@ -1,0 +1,82 @@
+"""Query layer over the output tables (SURVEY.md §2.6 A1-A5, §2.7 K1-K2).
+
+The reference's job-inspection endpoints (app/main.py:750-903) become Dataset
+queries: the mutable jobs_store dissolves into the extracted/chunks/manifest
+tables (ST2), so every 'endpoint' is a groupby / filter→sort→limit pipeline.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+from ray.data.aggregate import Count, Mean, Sum
+
+from engine.textops import explode_chunks_batch
+
+
+def job_stats(extracted: "ray.data.Dataset") -> "ray.data.Dataset":
+    """A1 — jobs-by-status counts (replaces 4 linear scans, app/main.py:882-888).
+    Single pass: Ray Data runs partial counts per block + a tiny final groupby."""
+    return extracted.groupby("status").aggregate(Count(alias_name="count"))
+
+
+def run_rollup(manifest: pa.Table) -> dict:
+    """A2 — system-stats analog over the manifest (app/main.py:890-903)."""
+    if manifest.num_rows == 0:
+        return {"partitions": 0, "rows_in": 0, "rows_ok": 0, "rows_err": 0,
+                "bytes_in": 0, "mean_wall_s": 0.0}
+    return {
+        "partitions": manifest.num_rows,
+        "rows_in": pc.sum(manifest["rows_in"]).as_py(),
+        "rows_ok": pc.sum(manifest["rows_ok"]).as_py(),
+        "rows_err": pc.sum(manifest["rows_err"]).as_py(),
+        "bytes_in": pc.sum(manifest["bytes_in"]).as_py(),
+        "mean_wall_s": pc.mean(manifest["wall_s"]).as_py(),
+    }
+
+
+def list_rows(ds: "ray.data.Dataset", sort_key: str, *, status: str | None = None,
+              limit: int = 50, descending: bool = True,
+              tiebreak: str | None = None) -> "ray.data.Dataset":
+    """K1 — filter → sort → top-k listing (app/main.py:829-862).
+
+    ``tiebreak`` should be a unique column so the top-k SET is deterministic
+    (the reference's created_at sort has the same latent tie issue)."""
+    if status is not None:
+        ds = ds.map_batches(
+            lambda t, s=status: t.filter(pc.equal(t["status"], s)),
+            batch_format="pyarrow",
+        )
+    keys = [sort_key] if tiebreak is None else [sort_key, tiebreak]
+    return ds.sort(keys, descending=[descending] * len(keys)).limit(limit)
+
+
+def explode_chunks(extracted: "ray.data.Dataset", *, gated: bool = True
+                   ) -> "ray.data.Dataset":
+    """M4 as a Dataset op: extracted → chunks table (url, chunk_index, content,
+    char_count), preserving the >10k-chars gate (app/main.py:394)."""
+    return extracted.map_batches(
+        lambda t, g=gated: explode_chunks_batch(t, gated=g),
+        batch_format="pyarrow",
+    )
+
+
+def chunk_page(chunks: "ray.data.Dataset", url: str, index: int
+               ) -> "ray.data.Dataset":
+    """K2 — chunk pagination (app/main.py:810-824) as a predicate."""
+    return chunks.map_batches(
+        lambda t: t.filter(
+            pc.and_(pc.equal(t["url"], url), pc.equal(t["chunk_index"], index))
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def content_length_rollup(extracted: "ray.data.Dataset") -> dict:
+    """A5 — content_length metadata rollup (app/main.py:414, :551, :716)."""
+    res = extracted.aggregate(Sum("n_chars", alias_name="total_chars"),
+                              Mean("n_chars", alias_name="mean_chars"),
+                              Count(alias_name="rows"))
+    return dict(res)

@@ -20,7 +20,6 @@ from __future__ import annotations
 import os
 import re
 
-import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -45,7 +44,8 @@ def chunk_text_gated(text: str, chunk_size: int = CHUNK_SIZE) -> list[str]:
 
 
 def explode_chunks_batch(batch: pa.Table, text_col: str = "markdown_text",
-                         key_col: str = "url", gated: bool = True) -> pa.Table:
+                         key_col: str = "url", gated: bool = True,
+                         chunk_size: int = CHUNK_SIZE) -> pa.Table:
     """pages-of-text batch → chunk rows (url, chunk_index, content, char_count)."""
     keys: list = []
     idxs: list[int] = []
@@ -56,7 +56,7 @@ def explode_chunks_batch(batch: pa.Table, text_col: str = "markdown_text",
     for key, text in zip(key_arr, txt_arr):
         if text is None:
             text = ""
-        for i, chunk in enumerate(fn(text)):
+        for i, chunk in enumerate(fn(text, chunk_size)):
             keys.append(key)
             idxs.append(i)
             contents.append(chunk)
@@ -125,7 +125,14 @@ _PLAIN_CHAIN_PA: list[tuple[str, str]] = [
 
 def markdown_to_plain_batch(arr: pa.ChunkedArray | pa.Array) -> pa.Array | pa.ChunkedArray:
     """Vectorized strip chain (pyarrow uses RE2: same non-greedy semantics;
-    ``.`` does not match newline in either engine by default)."""
+    ``.`` does not match newline in either engine by default).
+
+    Semantics note: RE2's ``\\s`` is ASCII-only while Python re's is
+    Unicode-aware, so this batch form is byte-identical to the scalar
+    reference form on ASCII whitespace only (e.g. a NBSP after ``#`` is
+    stripped by the scalar chain but not here). The extraction kernel
+    (engine.extract) uses the scalar form — Python-re semantics ARE the
+    reference's (app/main.py:262-269)."""
     for pat, repl in _PLAIN_CHAIN_PA:
         arr = pc.replace_substring_regex(arr, pattern=pat, replacement=repl)
     return arr

@@ -1,0 +1,213 @@
+"""Text analysis for training-data pipelines: language-ID, quality scoring,
+token counting, document fingerprinting (scale additions).
+
+All stages are vectorized-or-C-speed per batch and stateless-or-actor per the
+usual rule; profiles and regexes are module-level (warm per worker process).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+# ---------------------------------------------------------------------------
+# Language ID: tiny char-trigram + stopword profiles (n-gram heuristic).
+# Profiles are hand-built from the fixture languages; unknown → 'und'.
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "that", "for", "it"},
+    "es": {"el", "la", "de", "que", "y", "en", "los", "del", "se", "las"},
+    "de": {"der", "die", "und", "das", "in", "von", "zu", "mit", "den", "ist"},
+    "fr": {"le", "la", "de", "et", "les", "des", "en", "un", "une", "du"},
+}
+_CJK_RE = re.compile(r"[一-鿿]")
+_WORD_RE = re.compile(r"[^\W\d_]+", re.UNICODE)
+
+
+def detect_lang(text: str) -> str:
+    """Deterministic heuristic language-ID.
+
+    CJK chars dominate → 'zh'; else the stopword profile with the highest hit
+    rate (ties broken by profile name); no hits → 'und'.
+    """
+    if not text:
+        return "und"
+    cjk = len(_CJK_RE.findall(text))
+    if cjk and cjk / max(1, len(text)) > 0.05:
+        return "zh"
+    words = [w.lower() for w in _WORD_RE.findall(text)]
+    if not words:
+        return "und"
+    scores = {
+        lang: sum(w in sw for w in words) / len(words)
+        for lang, sw in _STOPWORDS.items()
+    }
+    best = max(sorted(scores), key=lambda k: scores[k])
+    return best if scores[best] > 0.0 else "und"
+
+
+class LangIdStage:
+    """Actor stage: (id, text) → + lang_pred column."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        langs = [detect_lang(s or "") for s in t[self.text_col].to_pylist()]
+        return t.append_column("lang_pred", pa.array(langs, type=pa.string()))
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring: length / punctuation / stopword / repetition signals
+# ---------------------------------------------------------------------------
+
+_PUNCT_RE = re.compile(r"[.,;:!?]")
+_ALL_STOP = set().union(*_STOPWORDS.values())
+
+
+def quality_features(text: str) -> dict:
+    n_chars = len(text)
+    tokens = text.split()
+    n_tokens = len(tokens)
+    uniq = len(set(tokens))
+    n_punct = len(_PUNCT_RE.findall(text))
+    lowers = [t.lower() for t in tokens]
+    n_stop = sum(t in _ALL_STOP for t in lowers)
+    mean_tok = (sum(len(t) for t in tokens) / n_tokens) if n_tokens else 0.0
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "uniq_ratio": (uniq / n_tokens) if n_tokens else 0.0,
+        "punct_ratio": (n_punct / n_chars) if n_chars else 0.0,
+        "stopword_ratio": (n_stop / n_tokens) if n_tokens else 0.0,
+        "mean_token_len": mean_tok,
+    }
+
+
+def quality_score(f: dict) -> float:
+    """Frozen heuristic in [0, 1]: rewards mid-length docs with sane token
+    stats; penalizes no-stopword or hyper-repetitive text."""
+    score = 1.0
+    if f["n_tokens"] < 5:
+        score *= 0.2
+    elif f["n_tokens"] < 20:
+        score *= 0.7
+    if f["uniq_ratio"] < 0.3:
+        score *= 0.5
+    if f["stopword_ratio"] == 0.0:
+        score *= 0.7
+    if f["mean_token_len"] > 15 or (0 < f["mean_token_len"] < 2):
+        score *= 0.5
+    return round(score, 4)
+
+
+class QualityStage:
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        feats = [quality_features(s or "") for s in t[self.text_col].to_pylist()]
+        out = t
+        for key, typ in (
+            ("n_tokens", pa.int64()), ("uniq_ratio", pa.float64()),
+            ("punct_ratio", pa.float64()), ("stopword_ratio", pa.float64()),
+            ("mean_token_len", pa.float64()),
+        ):
+            out = out.append_column(key, pa.array([f[key] for f in feats], type=typ))
+        out = out.append_column(
+            "quality", pa.array([quality_score(f) for f in feats], type=pa.float64())
+        )
+        return out
+
+
+# ---------------------------------------------------------------------------
+# Token counting: whitespace + BPE-ish regex (GPT-2-style pretokenizer shape)
+# ---------------------------------------------------------------------------
+
+_BPEISH_RE = re.compile(
+    r"'(?:s|t|re|ve|m|ll|d)| ?[^\W\d_]+| ?\d+| ?[^\s\w]+|\s+(?!\S)|\s+",
+    re.UNICODE,
+)
+
+
+def count_tokens_ws(text: str) -> int:
+    return len(text.split())
+
+
+def count_tokens_bpeish(text: str) -> int:
+    return len(_BPEISH_RE.findall(text))
+
+
+def token_count_batch(t: pa.Table, text_col: str = "text") -> pa.Table:
+    # count_substring_regex(\S+) == len(str.split()) exactly; Arrow's
+    # utf8_split_whitespace emits empty edge tokens and would over-count.
+    ws = pc.cast(pc.count_substring_regex(t[text_col], pattern=r"\S+"),
+                 pa.int64())
+    bp = pa.array([count_tokens_bpeish(s or "") for s in t[text_col].to_pylist()],
+                  type=pa.int64())
+    return t.append_column("n_tokens_ws", ws).append_column("n_tokens_bpe", bp)
+
+
+# ---------------------------------------------------------------------------
+# Fingerprinting: md5 (exact) + winnowed rolling-hash fingerprints
+# ---------------------------------------------------------------------------
+
+WINNOW_K = 8  # rolling window (chars)
+WINNOW_W = 16  # winnowing window (hashes)
+_ROLL_BASE = 257
+_ROLL_MOD = (1 << 31) - 1
+
+
+def md5_fingerprint(text: str) -> str:
+    return hashlib.md5(text.encode()).hexdigest()
+
+
+def winnow_fingerprints(text: str, k: int = WINNOW_K, w: int = WINNOW_W) -> list[int]:
+    """Winnowing (Schleimer et al. 2003): min rolling hash per window, deduped
+    consecutively — a compact, alignment-robust document signature."""
+    data = text.encode("utf-8", "replace")
+    n = len(data)
+    if n < k:
+        return [zlib.crc32(data)] if n else []
+    hashes = np.empty(n - k + 1, dtype=np.int64)
+    h = 0
+    power = pow(_ROLL_BASE, k - 1, _ROLL_MOD)
+    for i in range(k):
+        h = (h * _ROLL_BASE + data[i]) % _ROLL_MOD
+    hashes[0] = h
+    for i in range(1, n - k + 1):
+        h = ((h - data[i - 1] * power) * _ROLL_BASE + data[i + k - 1]) % _ROLL_MOD
+    # numpy sliding-window min for the winnow pass
+        hashes[i] = h
+    if len(hashes) <= w:
+        return [int(hashes.min())]
+    sw = np.lib.stride_tricks.sliding_window_view(hashes, w)
+    mins = sw.min(axis=1)
+    out: list[int] = []
+    prev = None
+    for m in mins.tolist():
+        if m != prev:
+            out.append(m)
+            prev = m
+    return out
+
+
+class FingerprintStage:
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        texts = [s or "" for s in t[self.text_col].to_pylist()]
+        md5s = [md5_fingerprint(s) for s in texts]
+        wins = [winnow_fingerprints(s) for s in texts]
+        return (
+            t.append_column("fingerprint", pa.array(md5s, type=pa.string()))
+            .append_column("winnow", pa.array(wins, type=pa.list_(pa.int64())))
+        )

@@ -1,0 +1,100 @@
+"""Dedup operator tests: exact, MinHash-LSH, SimHash, n-gram Jaccard."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from engine import dedup
+
+BASE = ("the quick brown fox jumps over the lazy dog and runs far away into "
+        "the woods tonight under a pale moon while owls watch silently")
+TEXTS = [
+    BASE,                                   # 0
+    BASE,                                   # 1 exact dup of 0
+    BASE + " with one extra clause",        # 2 near dup of 0
+    BASE.replace("quick", "swift"),         # 3 near dup of 0
+    "completely different content about ray data pipelines and arrow tables "
+    "streaming through the object store with backpressure",  # 4
+    "completely different content about ray data pipelines and arrow batches "
+    "streaming through the object store with backpressure",  # 5 near dup of 4
+    "unique snowflake text nothing like the others at all whatsoever",  # 6
+]
+
+
+@pytest.fixture(scope="module")
+def docs(ray_session):
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table({"doc_id": list(range(len(TEXTS))), "text": TEXTS})
+    )
+
+
+def test_content_hash_deterministic():
+    assert dedup.content_hash64("abc") == dedup.content_hash64("abc")
+    assert dedup.content_hash64("abc") != dedup.content_hash64("abd")
+
+
+def test_exact_dedup(docs):
+    out = dedup.exact_dedup(docs).take_all()
+    kept = sorted(r["doc_id"] for r in out)
+    assert kept == [0, 2, 3, 4, 5, 6]  # doc 1 (exact dup, higher id) dropped
+
+
+def test_minhash_identical_signatures():
+    a = dedup.minhash_of(BASE)
+    b = dedup.minhash_of(BASE)
+    assert (a == b).all()
+    c = dedup.minhash_of(TEXTS[2])
+    assert 0.5 < (a == c).mean() < 1.0  # near dup: high but not full overlap
+
+
+def test_minhash_lsh_pairs(docs):
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.5)
+    pairset = set(zip(pairs["id_a"], pairs["id_b"]))
+    assert (0, 1) in pairset  # exact dup always found
+    assert (4, 5) in pairset  # near dup found
+    assert all(a < b for a, b in pairset)
+    # unrelated docs never pair
+    assert not any(6 in p for p in pairset)
+    sim_01 = pairs[(pairs.id_a == 0) & (pairs.id_b == 1)]["similarity"].iloc[0]
+    assert sim_01 == 1.0
+
+
+def test_minhash_clusters(docs):
+    clusters = dedup.minhash_dedup_clusters(docs, threshold=0.5)
+    cl = dict(zip(clusters["doc_id"], clusters["cluster_id"]))
+    assert cl[0] == cl[1] == 0  # exact dups share cluster 0
+    assert cl[4] == cl[5] == 4
+    assert cl[6] == 6  # singleton keeps own id
+
+
+def test_simhash_properties():
+    assert dedup.simhash64(BASE) == dedup.simhash64(BASE)
+    d_near = dedup.hamming64(dedup.simhash64(BASE), dedup.simhash64(TEXTS[2]))
+    d_far = dedup.hamming64(dedup.simhash64(BASE), dedup.simhash64(TEXTS[4]))
+    assert d_near < d_far
+
+
+def test_simhash_pairs(docs):
+    pairs = dedup.simhash_pairs(docs, max_hamming=10)
+    pairset = set(zip(pairs["id_a"], pairs["id_b"]))
+    assert (0, 1) in pairset
+    ham_01 = pairs[(pairs.id_a == 0) & (pairs.id_b == 1)]["hamming"].iloc[0]
+    assert ham_01 == 0
+
+
+def test_ngram_jaccard_math():
+    assert dedup.ngram_jaccard("a b c d", "a b c d") == 1.0
+    assert dedup.ngram_jaccard("a b c", "x y z") == 0.0
+    assert dedup.ngram_jaccard("", "") == 1.0
+
+
+def test_ngram_jaccard_pairs(docs):
+    cand = pd.DataFrame({"id_a": [0, 0, 4], "id_b": [1, 6, 5]})
+    out = dedup.ngram_jaccard_pairs(docs, cand, threshold=0.5)
+    got = set(zip(out["id_a"], out["id_b"]))
+    assert (0, 1) in got
+    assert (0, 6) not in got  # below threshold

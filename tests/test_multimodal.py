@@ -1,0 +1,68 @@
+"""Multimodal plumbing tests: schema, actor signature, error channel.
+
+Decode is stubbed (no codec libs in the container — engine/multimodal.py);
+the Ray-side plumbing is real and exercised here.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from engine import multimodal as mm
+
+
+def test_decode_stubs_deterministic():
+    img = mm._decode_image(b"payload-bytes")
+    img2 = mm._decode_image(b"payload-bytes")
+    assert (img == img2).all()
+    assert img.ndim == 3 and img.shape[2] == 3 and img.dtype == np.uint8
+
+
+def test_feature_kernels_shape():
+    img = mm._decode_image(b"x" * 100)
+    f = mm.image_features(img)
+    assert f.shape == (mm.FEATURE_DIM,)
+    pcm = mm._decode_audio(b"y" * 100)
+    fa = mm.audio_features(pcm)
+    assert fa.shape == (mm.FEATURE_DIM,)
+
+
+def test_media_pipeline(ray_session):
+    import ray.data as rd
+
+    table = mm.gen_media_table(30, seed=5)
+    ds = rd.from_arrow(table)
+    out = mm.media_features(ds, batch_size=8, concurrency=(1, 2)).take_all()
+    assert len(out) == 30
+    by_id = {r["media_id"]: r for r in out}
+    # empty payloads (every 17th row) land in the error channel, others ok
+    assert by_id[0]["status"] == "failed"
+    assert "empty" in by_id[0]["error"]
+    assert by_id[1]["status"] == "ok"
+    assert len(by_id[1]["features"]) == mm.FEATURE_DIM
+    # determinism: same payload → same features
+    out2 = mm.media_features(rd.from_arrow(table), batch_size=4,
+                             concurrency=(1, 1)).take_all()
+    by_id2 = {r["media_id"]: r for r in out2}
+    for i in (1, 2, 3):
+        assert by_id[i]["features"] == by_id2[i]["features"]
+        assert by_id[i]["sha1"] == by_id2[i]["sha1"]
+
+
+def test_features_compose_with_similarity(ray_session):
+    import ray.data as rd
+    from engine import similarity
+
+    table = mm.gen_media_table(31, seed=6)
+    feats = mm.media_features(rd.from_arrow(table), batch_size=8,
+                              concurrency=(1, 2))
+    ok = feats.map_batches(
+        lambda t: t.filter(
+            __import__("pyarrow").compute.equal(t["status"], "ok")
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    row = ok.take(1)[0]
+    out = similarity.knn_brute(ok, np.array([row["features"]]), k=3,
+                               id_col="media_id", vec_col="features")
+    assert out["vec_id"].iloc[0] == row["media_id"]  # self-match first

@@ -1,0 +1,67 @@
+"""url-hash partitioning tests (north_rule explicit-repartitioning feature)."""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from engine import partition as part
+
+
+def test_url_bucket_deterministic_and_md5_based():
+    u = "https://x.example/a"
+    expect = int(hashlib.md5(u.encode()).hexdigest()[:8], 16) % 64
+    assert part.url_bucket(u) == expect
+    assert part.url_bucket(u) == part.url_bucket(u)
+    assert 0 <= part.url_bucket("anything", 16) < 16
+
+
+def test_add_url_hash_batch():
+    t = pa.table({"url": ["a", "b", "c"]})
+    out = part.add_url_hash_batch(t, num_buckets=8)
+    assert out.column_names == ["url", "url_hash", "bucket"]
+    assert all(0 <= b < 8 for b in out["bucket"].to_pylist())
+    assert [h % 8 for h in out["url_hash"].to_pylist()] == out["bucket"].to_pylist()
+
+
+def test_buckets_roughly_uniform():
+    buckets = [part.url_bucket(f"https://s{i}.example/d{i}", 16)
+               for i in range(4000)]
+    counts = [buckets.count(b) for b in range(16)]
+    assert min(counts) > 150  # 250 expected; gross skew would fail
+
+
+def test_write_partitioned_layout(ray_session, tmp_path):
+    import ray.data as rd
+
+    urls = [f"https://site{i}.example/doc{i}" for i in range(200)]
+    ds = rd.from_arrow(pa.table({"url": urls, "val": list(range(200))}))
+    out = str(tmp_path / "parts")
+    part.write_partitioned(ds, out, num_buckets=8)
+
+    files = glob.glob(f"{out}/bucket=*/*.parquet")
+    assert files
+    seen = set()
+    total = 0
+    for f in files:
+        bucket = int(f.split("bucket=")[1].split("/")[0])
+        t = pq.read_table(f, columns=["url"])
+        total += t.num_rows
+        for u in t["url"].to_pylist():
+            assert part.url_bucket(u, 8) == bucket  # co-location holds
+        seen.add(bucket)
+    assert total == 200
+    assert len(seen) >= 6  # most buckets populated
+
+
+def test_bucket_filter(ray_session):
+    import ray.data as rd
+
+    urls = [f"https://site{i}.example/doc{i}" for i in range(100)]
+    ds = rd.from_arrow(pa.table({"url": urls}))
+    got = part.bucket_filter(ds, bucket=3, num_buckets=8).take_all()
+    expect = [u for u in urls if part.url_bucket(u, 8) == 3]
+    assert sorted(r["url"] for r in got) == sorted(expect)

@@ -1,0 +1,81 @@
+"""Similarity search tests: brute-force cosine top-k, LSH ANN, near-dup."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from engine import similarity
+
+
+@pytest.fixture(scope="module")
+def vecs(ray_session):
+    import ray.data as rd
+
+    rng = np.random.RandomState(7)
+    base = rng.normal(size=(40, 16))
+    # make ids 100..103 near-duplicates of ids 0..3
+    dups = base[:4] + rng.normal(scale=0.01, size=(4, 16))
+    all_vecs = np.vstack([base, dups])
+    ids = list(range(40)) + [100, 101, 102, 103]
+    table = pa.table({
+        "vec_id": pa.array(ids, type=pa.int64()),
+        "embedding": pa.array([v.tolist() for v in all_vecs],
+                              type=pa.list_(pa.float32())),
+    })
+    return rd.from_arrow(table), all_vecs, ids
+
+
+def _np_topk(all_vecs, ids, q, k):
+    m = all_vecs / np.linalg.norm(all_vecs, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q)
+    # float32 storage: mirror the engine's read path exactly
+    m32 = m.astype(np.float32).astype(np.float64)
+    cos = m32 @ (qn)
+    order = np.lexsort((ids, -cos))[:k]
+    return [ids[i] for i in order]
+
+
+def test_knn_brute_matches_numpy(vecs):
+    ds, all_vecs, ids = vecs
+    q = all_vecs[5]
+    out = similarity.knn_brute(ds, np.array([q]), k=5)
+    assert out["vec_id"].tolist()[0] == 5  # self is nearest (cosine 1.0)
+    assert out["rank"].tolist() == [1, 2, 3, 4, 5]
+    assert out["cosine"].is_monotonic_decreasing
+
+
+def test_knn_brute_multiple_queries(vecs):
+    ds, all_vecs, ids = vecs
+    out = similarity.knn_brute(ds, all_vecs[:3], k=3, query_ids=["a", "b", "c"])
+    assert sorted(out["query_id"].unique()) == ["a", "b", "c"]
+    assert len(out) == 9
+
+
+def test_knn_lsh_recall(vecs):
+    ds, all_vecs, ids = vecs
+    queries = all_vecs[:5]
+    brute = similarity.knn_brute(ds, queries, k=3)
+    approx = similarity.knn_lsh(ds, queries, k=3, probe_hamming=1)
+    # self-neighbor is always found (same bucket as itself)
+    for qi in range(5):
+        b_ids = set(brute[brute.query_id == qi]["vec_id"])
+        a_ids = set(approx[approx.query_id == qi]["vec_id"])
+        assert len(a_ids & b_ids) >= 1
+    # overall recall reasonable for 1-probe LSH
+    hits = sum(
+        len(set(brute[brute.query_id == q]["vec_id"])
+            & set(approx[approx.query_id == q]["vec_id"]))
+        for q in range(5)
+    )
+    assert hits / 15 >= 0.5
+
+
+def test_embedding_near_dup_pairs(vecs):
+    ds, all_vecs, ids = vecs
+    pairs = similarity.embedding_near_dup_pairs(ds, threshold=0.99)
+    got = set(zip(pairs["id_a"], pairs["id_b"]))
+    found = sum((i, 100 + i) in got for i in range(4))
+    assert found >= 3  # LSH bucketing finds nearly all planted near-dups
+    assert all(c >= 0.99 for c in pairs["cosine"])

@@ -1,0 +1,81 @@
+"""Text-analysis tests: language-ID, quality, token counts, fingerprints."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from engine import textstats as ts
+
+
+def test_detect_lang():
+    assert ts.detect_lang("the cat and the dog sat in the house of it") == "en"
+    assert ts.detect_lang("el perro y la casa de los niños en la calle") == "es"
+    assert ts.detect_lang("der Hund und die Katze ist in den Haus mit") == "de"
+    assert ts.detect_lang("le chat et la maison des enfants dans un jardin") == "fr"
+    assert ts.detect_lang("这是一个中文句子，用来测试语言识别功能。") == "zh"
+    assert ts.detect_lang("") == "und"
+    assert ts.detect_lang("12345 67890 !!!") == "und"
+
+
+def test_langid_stage(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": [0, 1],
+        "text": ["the cat and the dog in the house", "el perro de la casa y los gatos"],
+    }))
+    out = ds.map_batches(ts.LangIdStage, batch_format="pyarrow",
+                         concurrency=1).take_all()
+    assert [r["lang_pred"] for r in sorted(out, key=lambda r: r["doc_id"])] == ["en", "es"]
+
+
+def test_quality_features_and_score():
+    good = ("this is a reasonably long document with the usual mix of words "
+            "and punctuation, written for the quality scorer to like it. "
+            "it has enough tokens and variety to pass the bar easily, and "
+            "more sentences follow to pad the token count above twenty.")
+    f = ts.quality_features(good)
+    assert f["n_tokens"] > 20
+    assert 0 < f["stopword_ratio"] < 1
+    assert ts.quality_score(f) == 1.0
+
+    junk = "x " * 100  # hyper-repetitive, no stopwords
+    fj = ts.quality_features(junk)
+    assert ts.quality_score(fj) < 0.5
+    assert ts.quality_score(ts.quality_features("")) < 0.3
+
+
+def test_token_counts():
+    assert ts.count_tokens_ws("a b  c") == 3
+    assert ts.count_tokens_ws("") == 0
+    assert ts.count_tokens_bpeish("hello world, it's 42") >= 5
+
+
+def test_token_count_batch_matches_scalar():
+    texts = ["a b  c", "", "hello world", "  leading and trailing  "]
+    t = pa.table({"text": texts})
+    out = ts.token_count_batch(t)
+    assert out["n_tokens_ws"].to_pylist() == [ts.count_tokens_ws(s) for s in texts]
+
+
+def test_fingerprints():
+    assert ts.md5_fingerprint("abc") == "900150983cd24fb0d6963f7d28e17f72"
+    a = ts.winnow_fingerprints("the quick brown fox jumps over the lazy dog " * 5)
+    b = ts.winnow_fingerprints("the quick brown fox jumps over the lazy dog " * 5)
+    assert a == b and len(a) > 0
+    # winnowing is alignment-robust: a shifted copy shares most fingerprints
+    text = "the quick brown fox jumps over the lazy dog and runs away " * 10
+    fa = set(ts.winnow_fingerprints(text))
+    fb = set(ts.winnow_fingerprints("PREFIX then " + text))
+    assert len(fa & fb) / len(fa) > 0.8
+    assert ts.winnow_fingerprints("") == []
+
+
+def test_quality_stage(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_arrow(pa.table({"doc_id": [0], "text": ["the cat sat on the mat today again"]}))
+    out = ds.map_batches(ts.QualityStage, batch_format="pyarrow",
+                         concurrency=1).take_all()[0]
+    assert set(out) >= {"n_tokens", "uniq_ratio", "punct_ratio",
+                        "stopword_ratio", "mean_token_len", "quality"}

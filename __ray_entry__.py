@@ -142,6 +142,23 @@ SELECT query_id, CAST(rnk AS BIGINT) AS rank, vec_id FROM (
   SELECT query_id, vec_id, cosine,
          row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rnk
   FROM scored) WHERE rnk <= 10""",
+        "chunk_page": f"SELECT * FROM ({chunk}) WHERE chunk_index = 1",
+        "event_dates": """
+SELECT event_id, strftime(ts, '%Y-%m-%d') AS day,
+       CAST(hour(ts) AS BIGINT) AS hour,
+       CAST((epoch_us(ts) - 1704067200000000) // 1000000 AS BIGINT) AS elapsed_s
+FROM events""",
+        "tumbling_window": """
+SELECT event_type,
+       CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start_s,
+       count(*) AS n,
+       round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1, 2""",
+        "first_per_user": """
+SELECT user_id, event_id, ts FROM (
+  SELECT user_id, event_id, ts,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+  FROM events) WHERE rn = 1""",
         "url_buckets": """
 SELECT CAST(CAST('0x' || substr(md5('https://docs.example/' ||
             CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 64 AS BIGINT) AS bucket,

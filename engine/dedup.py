@@ -91,6 +91,23 @@ def exact_dedup(ds: "ray.data.Dataset", text_col: str = "text",
                           batch_format="pyarrow", concurrency=(1, 8))
 
 
+def first_per_key(ds: "ray.data.Dataset", key_col: str = "url",
+                  order_col: str | None = None) -> "ray.data.Dataset":
+    """A6 — exact dedup by key: one deterministic winner per key value
+    (hash-partitioned groupby; 'first' = min ``order_col``, else min of the
+    remaining columns' tuple, so the result is stable under any parallelism).
+
+    This is the per-url dedup the byte-identity invariant implies (SURVEY.md
+    §2.6 A6): downstream of extraction, one output row per url.
+    """
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        cols = [order_col] if order_col else [c for c in g.columns if c != key_col]
+        return g.sort_values(cols, kind="mergesort").head(1)
+
+    return ds.groupby(key_col).map_groups(pick, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

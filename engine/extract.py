@@ -33,11 +33,56 @@ _EMPTY = {"title": "", "markdown_text": "", "plain_text": "", "spans": [],
 
 
 def sniff_format(payload: bytes) -> str:
-    if payload[:5] == b"%PDF-":
-        return "pdf"
-    if payload[:4] == b"PK\x03\x04":
-        return "docx"
+    for magic, fmt in _MAGIC:
+        if payload[: len(magic)] == magic:
+            return fmt
     return "html"
+
+
+def _extract_html(payload: bytes) -> tuple[str, str, list[dict]] | dict:
+    root = parse_html(payload)
+    if not _has_element(root):
+        return {**_EMPTY, "format": "html", "status": "rejected",
+                "error": "unsupported format: no document structure"}
+    title = extract_title(root)
+    content = strip_boilerplate(root)
+    markdown, spans = serialize(content)
+    return title, markdown, spans
+
+
+def _extract_pdf(payload: bytes) -> tuple[str, str, list[dict]]:
+    markdown, spans = extract_pdf(payload)
+    return "", markdown, spans
+
+
+def _extract_docx(payload: bytes) -> tuple[str, str, list[dict]]:
+    tree = docx_to_tree(payload)
+    title = extract_title(tree)
+    markdown, spans = serialize(tree)
+    return title, markdown, spans
+
+
+# The user-extension surface (SURVEY.md §2.11): per-format extractor registry
+# keyed on magic-byte sniff — the rebuild of MarkItDown's register_converter.
+# An extractor takes payload bytes and returns (title, markdown, spans), or a
+# complete row dict to short-circuit (e.g. a rejection).
+_MAGIC: list[tuple[bytes, str]] = [(b"%PDF-", "pdf"), (b"PK\x03\x04", "docx")]
+EXTRACTORS: dict[str, object] = {
+    "html": _extract_html,
+    "pdf": _extract_pdf,
+    "docx": _extract_docx,
+}
+
+
+def register_extractor(fmt: str, fn, magic: bytes | None = None) -> None:
+    """Register a new payload format: ``fn(payload) -> (title, md, spans)``.
+
+    NOTE: registration is per-process; in a Ray pipeline, call this at module
+    import time (workers re-import modules) or wrap the stage in an actor
+    whose __init__ registers the format."""
+    EXTRACTORS[fmt] = fn
+    if magic is not None:
+        _MAGIC.insert(0, (magic, fmt))
 
 
 def _has_element(node: Node) -> bool:
@@ -55,21 +100,10 @@ def extract_row(payload: bytes, max_file_size: int = MAX_FILE_SIZE) -> dict:
                 "error": "empty payload"}
     fmt = sniff_format(payload)
     try:
-        if fmt == "pdf":
-            markdown, spans = extract_pdf(payload)
-            title = ""
-        elif fmt == "docx":
-            tree = docx_to_tree(payload)
-            title = extract_title(tree)
-            markdown, spans = serialize(tree)
-        else:
-            root = parse_html(payload)
-            if not _has_element(root):
-                return {**_EMPTY, "format": "html", "status": "rejected",
-                        "error": "unsupported format: no document structure"}
-            title = extract_title(root)
-            content = strip_boilerplate(root)
-            markdown, spans = serialize(content)
+        result = EXTRACTORS[fmt](payload)
+        if isinstance(result, dict):  # extractor short-circuited a full row
+            return result
+        title, markdown, spans = result
     except (PdfError, DocxError) as exc:
         return {**_EMPTY, "format": fmt, "status": "failed", "error": str(exc)}
     except Exception as exc:  # any residual parser bug: fail the row, not the task

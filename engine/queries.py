@@ -453,6 +453,67 @@ def q_quality(sf_dir: str):
                                "stopword_ratio", "quality"])
 
 
+def q_chunk_page(sf_dir: str):
+    """K2 — chunk pagination (app/main.py:810-824): fetch chunk #1 per doc."""
+    chunks = q_chunk_explode(sf_dir)
+    return chunks.map_batches(
+        lambda t: t.filter(pc.equal(t["chunk_index"], 1)),
+        batch_format="pyarrow",
+    )
+
+
+def q_event_dates(sf_dir: str):
+    """§2.9 date/time scalars: isoformat-style parts + elapsed seconds from
+    the epoch-start of the stream (datetime.now()/isoformat analogs,
+    app/main.py:767-776)."""
+    events = _read(sf_dir, "events", ["event_id", "ts"])
+
+    def dates(t: pa.Table) -> pa.Table:
+        day = pc.strftime(t["ts"], format="%Y-%m-%d")
+        hour = pc.cast(pc.hour(t["ts"]), pa.int64())
+        epoch_us = pc.cast(t["ts"], pa.int64())
+        elapsed_s = pc.cast(
+            pc.divide(pc.subtract(epoch_us, 1704067200000000), 1_000_000),
+            pa.int64(),
+        )  # integer seconds since 2024-01-01T00:00:00
+        return pa.table({"event_id": t["event_id"], "day": day,
+                         "hour": hour, "elapsed_s": elapsed_s})
+
+    return events.map_batches(dates, batch_format="pyarrow")
+
+
+def q_tumbling_window(sf_dir: str):
+    """Streaming-shaped tumbling window (guide pattern; the reference has no
+    windows, SURVEY.md §2.10): 1-hour buckets per event_type → count + sum."""
+    events = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        epoch_s = pc.divide(pc.cast(t["ts"], pa.int64()), 1_000_000)
+        win = pc.cast(pc.multiply(pc.floor(
+            pc.divide(pc.cast(epoch_s, pa.float64()), 3600.0)), 3600), pa.int64())
+        return pa.table({"event_type": t["event_type"],
+                         "window_start_s": win, "value": t["value"]})
+
+    agg = (
+        events.map_batches(bucket, batch_format="pyarrow")
+        .groupby(["event_type", "window_start_s"])
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+    )
+    df = agg.to_pandas()
+    df["sum_value"] = df["sum_value"].round(6)
+    return df
+
+
+def q_first_per_user(sf_dir: str):
+    """A6 first-per-key dedup (engine.dedup.first_per_key) with SQL oracle:
+    each user's earliest event (deterministic ties via event_id)."""
+    from engine.dedup import first_per_key
+
+    events = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
+    out = first_per_key(events, key_col="user_id", order_col="event_id")
+    return out.select_columns(["user_id", "event_id", "ts"])
+
+
 def q_url_buckets(sf_dir: str):
     """Explicit url-hash partitioning (engine.partition): bucket counts over
     synthesized urls — proves the partitioner against the SQL oracle (both
@@ -523,5 +584,9 @@ QUERIES = {
     "lang_id": q_lang_id,
     "quality": q_quality,
     "url_buckets": q_url_buckets,
+    "chunk_page": q_chunk_page,
+    "event_dates": q_event_dates,
+    "tumbling_window": q_tumbling_window,
+    "first_per_user": q_first_per_user,
     "media_features": q_media_features,
 }

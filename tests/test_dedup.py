@@ -98,3 +98,16 @@ def test_ngram_jaccard_pairs(docs):
     got = set(zip(out["id_a"], out["id_b"]))
     assert (0, 1) in got
     assert (0, 6) not in got  # below threshold
+
+
+def test_first_per_key(docs, ray_session):
+    import ray.data as rd
+    import pyarrow as pa
+
+    ds = rd.from_arrow(pa.table({
+        "url": ["u1", "u2", "u1", "u3", "u2"],
+        "val": [5, 1, 3, 9, 0],
+    }))
+    out = dedup.first_per_key(ds, key_col="url", order_col="val").take_all()
+    got = {r["url"]: r["val"] for r in out}
+    assert got == {"u1": 3, "u2": 0, "u3": 9}

@@ -76,3 +76,26 @@ def test_golden_byte_identity():
     for col in ("url", "title", "markdown_text", "plain_text", "status", "error"):
         assert fresh[col].to_pylist() == golden[col].to_pylist(), f"column {col} diverged"
     assert fresh["spans"].to_pylist() == golden["spans"].to_pylist()
+
+
+def test_extractor_registry_roundtrip():
+    from engine import extract as ex
+
+    def tsv_extractor(payload: bytes):
+        rows = payload[4:].decode().strip().split("\n")  # strip own magic
+        md = "\n".join("| " + " | ".join(r.split("\t")) + " |" for r in rows)
+        return "", md, [{"kind": "table", "start": 0,
+                         "end": len(md.encode())}]
+
+    ex.register_extractor("tsv", tsv_extractor, magic=b"TSV\x00")
+    try:
+        assert ex.sniff_format(b"TSV\x00a\tb") == "tsv"
+        row = ex.extract_row(b"TSV\x00a\tb\nc\td")
+        assert row["status"] == "ok"
+        assert row["format"] == "tsv"
+        assert row["markdown_text"] == "| a | b |\n| c | d |"
+    finally:
+        del ex.EXTRACTORS["tsv"]
+        ex._MAGIC.remove((b"TSV\x00", "tsv"))
+    # registry restored: magic now falls through to html
+    assert ex.sniff_format(b"TSV\x00a\tb") == "html"

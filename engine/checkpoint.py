@@ -91,14 +91,19 @@ def _atomic_write_json(path: str, payload: dict) -> None:
     os.replace(tmp, path)
 
 
+def _parquet_files(root: str) -> list[str]:
+    out = []
+    for dirpath, _dirs, names in os.walk(root):
+        out.extend(os.path.join(dirpath, n) for n in names if n.endswith(".parquet"))
+    return sorted(out)
+
+
 def _partition_metrics(pdir: str) -> tuple[int, int, int]:
     """(rows, rows_ok, rows_err) from the committed partition files —
     column-pruned read of just 'status'."""
     rows = ok = 0
-    for name in os.listdir(pdir):
-        if not name.endswith(".parquet"):
-            continue
-        t = pq.read_table(os.path.join(pdir, name), columns=["status"])
+    for path in _parquet_files(pdir):
+        t = pq.read_table(path, columns=["status"])
         rows += t.num_rows
         ok += pc.sum(pc.cast(pc.equal(t["status"], "ok"), pa.int64())).as_py() or 0
     return rows, ok, rows - ok
@@ -110,6 +115,7 @@ def run_extraction(
     cfg: PipelineConfig = PipelineConfig(),
     num_partitions: int = 16,
     resume: bool = True,
+    url_hash_buckets: int = 0,
 ) -> pa.Table:
     """Checkpointed extraction over parquet shards; returns the manifest table.
 
@@ -139,7 +145,16 @@ def run_extraction(
 
         pages = ray.data.read_parquet(files, columns=["url", "html"])
         extracted = extract_pages(pages, cfg)
-        extracted.write_parquet(tmp_dir)
+        if url_hash_buckets > 0:
+            # §4.2 item 1: url-hash layout inside each checkpoint partition
+            # (engine.partition; no shuffle — tasks append to bucket dirs)
+            from engine.partition import with_url_hash
+
+            with_url_hash(extracted, num_buckets=url_hash_buckets).write_parquet(
+                tmp_dir, partition_cols=["bucket"]
+            )
+        else:
+            extracted.write_parquet(tmp_dir)
         os.replace(tmp_dir, pdir)
 
         rows, ok, err = _partition_metrics(pdir)
@@ -162,11 +177,10 @@ def run_extraction(
 def read_extracted(out_dir: str) -> "ray.data.Dataset":
     """S4 analog — results are queryable, not re-served (SURVEY.md §2.1 S4)."""
     files = sorted(
-        os.path.join(out_dir, d, f)
+        f
         for d in os.listdir(out_dir)
         if d.startswith("part-") and d != "_manifest" and not d.endswith(".tmp")
-        for f in os.listdir(os.path.join(out_dir, d))
-        if f.endswith(".parquet")
+        for f in _parquet_files(os.path.join(out_dir, d))
     )
     return ray.data.read_parquet(files)
 

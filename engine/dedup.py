@@ -256,11 +256,94 @@ def connected_components(pairs: pd.DataFrame, ids: list) -> pd.DataFrame:
     return pd.DataFrame(rows).sort_values("doc_id").reset_index(drop=True)
 
 
+_NO_PEER = -1  # sentinel: row is a label row, not an edge row
+_BIG_LABEL = 1 << 62  # edge rows carry this so they never win a Min
+
+
+def _propagate_group(g: pd.DataFrame) -> pd.DataFrame:
+    """One node's group (label row: peer==-1; edge rows: real peer) → emit the
+    node's current label addressed to each peer."""
+    label = g.loc[g["peer"] == _NO_PEER, "label"].min()
+    peers = g.loc[g["peer"] != _NO_PEER, "peer"]
+    if peers.empty or pd.isna(label):
+        return pd.DataFrame({"node": pd.Series(dtype="int64"),
+                             "label": pd.Series(dtype="int64"),
+                             "peer": pd.Series(dtype="int64")})
+    return pd.DataFrame({"node": peers.astype("int64"),
+                         "label": int(label),
+                         "peer": _NO_PEER})
+
+
+def connected_components_distributed(pairs: pd.DataFrame, ids: list,
+                                     max_iters: int = 25) -> pd.DataFrame:
+    """Distributed min-label propagation — the scale path for when the
+    verified pair set is too large for driver union-find (integer ids).
+
+    Each round is: per-endpoint groupby (carry the node's current label to
+    every neighbor) → per-node groupby min. Converges in O(components'
+    diameter) rounds, bounded by ``max_iters``; each round shuffles only
+    (node, label) pairs — never the documents. Same output contract as
+    connected_components: (doc_id, cluster_id = min member id)."""
+    import ray.data as rd
+
+    if len(pairs) == 0:
+        return pd.DataFrame({"doc_id": ids, "cluster_id": ids}).sort_values(
+            "doc_id").reset_index(drop=True)
+
+    ids = [int(i) for i in ids]
+    edges = pd.DataFrame({
+        "node": pd.Series(list(pairs["id_a"]) + list(pairs["id_b"]),
+                          dtype="int64"),
+        "label": _BIG_LABEL,
+        "peer": pd.Series(list(pairs["id_b"]) + list(pairs["id_a"]),
+                          dtype="int64"),
+    })
+    edges_ds = rd.from_arrow(pa.Table.from_pandas(edges))
+    labels = rd.from_arrow(pa.Table.from_pandas(pd.DataFrame({
+        "node": pd.Series(ids, dtype="int64"),
+        "label": pd.Series(ids, dtype="int64"),
+        "peer": pd.Series([_NO_PEER] * len(ids), dtype="int64"),
+    })))
+    old_sum = sum(ids)
+
+    for _ in range(max_iters):
+        tagged = (
+            labels.union(edges_ds)
+            .groupby("node")
+            .map_groups(_propagate_group, batch_format="pandas")
+            # normalize to Arrow blocks: union requires matching block types
+            .map_batches(lambda t: t, batch_format="pyarrow")
+        )
+        new_labels = (
+            labels.union(tagged)
+            .groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+            .map_batches(lambda t: t.append_column(
+                "peer", pa.array([_NO_PEER] * t.num_rows, type=pa.int64())),
+                batch_format="pyarrow")
+            .materialize()
+        )
+        new_sum = new_labels.sum("label")
+        labels = new_labels
+        if new_sum == old_sum:  # labels only ever decrease; fixpoint reached
+            break
+        old_sum = new_sum
+    out = labels.to_pandas()[["node", "label"]].rename(
+        columns={"node": "doc_id", "label": "cluster_id"}
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def minhash_dedup_clusters(ds: "ray.data.Dataset", text_col: str = "text",
-                           id_col: str = "doc_id",
-                           threshold: float = 0.7) -> pd.DataFrame:
+                           id_col: str = "doc_id", threshold: float = 0.7,
+                           distributed: bool = False) -> pd.DataFrame:
+    """``distributed=True`` clusters via min-label propagation (integer ids;
+    the scale path); default is driver union-find over the small verified
+    pair set."""
     pairs = minhash_lsh_pairs(ds, text_col, id_col, threshold)
     ids = [r[id_col] for r in ds.select_columns([id_col]).take_all()]
+    if distributed:
+        return connected_components_distributed(pairs, ids)
     return connected_components(pairs, ids)
 
 

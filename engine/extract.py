@@ -31,6 +31,36 @@ from engine.textops import markdown_to_plain
 _EMPTY = {"title": "", "markdown_text": "", "plain_text": "", "spans": [],
           "n_chars": 0}
 
+# Per-row wall-clock budget. The reference DECLARES a 300 s conversion
+# timeout but never enforces it (app/main.py:208, SURVEY.md §2.12); we do
+# enforce it — a 10^12-row run cannot hang on one row — via SIGALRM when the
+# kernel runs on a main thread (Ray task/actor UDFs do), else best-effort
+# no-op. Documented deviation, same default value.
+ROW_TIMEOUT_S = 300.0
+
+
+class _RowTimeout(Exception):
+    pass
+
+
+def _run_with_timeout(fn, payload: bytes, timeout_s: float):
+    import signal
+    import threading
+
+    if timeout_s <= 0 or threading.current_thread() is not threading.main_thread():
+        return fn(payload)
+
+    def _raise(signum, frame):
+        raise _RowTimeout(f"row exceeded {timeout_s}s")
+
+    old = signal.signal(signal.SIGALRM, _raise)
+    signal.setitimer(signal.ITIMER_REAL, timeout_s)
+    try:
+        return fn(payload)
+    finally:
+        signal.setitimer(signal.ITIMER_REAL, 0)
+        signal.signal(signal.SIGALRM, old)
+
 
 def sniff_format(payload: bytes) -> str:
     for magic, fmt in _MAGIC:
@@ -89,7 +119,8 @@ def _has_element(node: Node) -> bool:
     return any(isinstance(c, Node) for c in node.children)
 
 
-def extract_row(payload: bytes, max_file_size: int = MAX_FILE_SIZE) -> dict:
+def extract_row(payload: bytes, max_file_size: int = MAX_FILE_SIZE,
+                row_timeout_s: float = ROW_TIMEOUT_S) -> dict:
     """One payload → the extracted-column dict (everything but url)."""
     size = len(payload)
     if size > max_file_size:
@@ -100,11 +131,11 @@ def extract_row(payload: bytes, max_file_size: int = MAX_FILE_SIZE) -> dict:
                 "error": "empty payload"}
     fmt = sniff_format(payload)
     try:
-        result = EXTRACTORS[fmt](payload)
+        result = _run_with_timeout(EXTRACTORS[fmt], payload, row_timeout_s)
         if isinstance(result, dict):  # extractor short-circuited a full row
             return result
         title, markdown, spans = result
-    except (PdfError, DocxError) as exc:
+    except (PdfError, DocxError, _RowTimeout) as exc:
         return {**_EMPTY, "format": fmt, "status": "failed", "error": str(exc)}
     except Exception as exc:  # any residual parser bug: fail the row, not the task
         return {**_EMPTY, "format": fmt, "status": "failed",
@@ -131,8 +162,10 @@ class ExtractActor:
     pure compute. Arrow in / Arrow out (zero-copy from the object store).
     """
 
-    def __init__(self, max_file_size: int = MAX_FILE_SIZE):
+    def __init__(self, max_file_size: int = MAX_FILE_SIZE,
+                 row_timeout_s: float = ROW_TIMEOUT_S):
         self.max_file_size = max_file_size
+        self.row_timeout_s = row_timeout_s
         # Warm every parser path once so per-batch latency is flat.
         extract_row(b"<html><body><p>warm</p></body></html>")
         import engine.fixtures  # noqa: F401  (zlib/zipfile import warm-up)
@@ -143,13 +176,14 @@ class ExtractActor:
         out: dict[str, list] = {name: [] for name in EXTRACTED.names}
         for i in range(batch.num_rows):
             payload = payloads[i].as_py() or b""
-            row = extract_row(payload, self.max_file_size)
+            row = extract_row(payload, self.max_file_size, self.row_timeout_s)
             out["url"].append(urls[i].as_py())
             for key, val in row.items():
                 out[key].append(val)
         return pa.table(out, schema=EXTRACTED)
 
 
-def extract_batch(batch: pa.Table, max_file_size: int = MAX_FILE_SIZE) -> pa.Table:
-    """Stateless-task form of the same transform (for tiny control datasets)."""
-    return ExtractActor(max_file_size)(batch)
+def extract_batch(batch: pa.Table, max_file_size: int = MAX_FILE_SIZE,
+                  row_timeout_s: float = ROW_TIMEOUT_S) -> pa.Table:
+    """Stateless-task form of the same transform (the default pipeline stage)."""
+    return ExtractActor(max_file_size, row_timeout_s)(batch)

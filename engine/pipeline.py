@@ -37,7 +37,7 @@ import pyarrow.compute as pc
 
 import ray.data
 
-from engine.extract import ExtractActor, extract_batch
+from engine.extract import ROW_TIMEOUT_S, ExtractActor, extract_batch
 from engine.schema import LARGE_FILE_THRESHOLD, MAX_FILE_SIZE
 
 
@@ -47,6 +47,9 @@ class PipelineConfig:
 
     max_file_size: int = MAX_FILE_SIZE  # app/main.py:205
     large_threshold: int = LARGE_FILE_THRESHOLD  # app/main.py:206
+    # enforced per-row wall clock (reference declares-but-never-enforces the
+    # same 300 s default, app/main.py:208 — SURVEY.md §2.12 deviation)
+    row_timeout_s: float = ROW_TIMEOUT_S
     batch_size: int = 64  # rows/batch on the small branch
     large_batch_size: int = 1  # rows/batch on the large branch (M3)
     min_actors: int = 1
@@ -69,7 +72,8 @@ def _extract_stage(ds: "ray.data.Dataset", cfg: "PipelineConfig",
         cap = pool_cap or cfg.max_actors
         return ds.map_batches(
             ExtractActor,
-            fn_constructor_kwargs={"max_file_size": cfg.max_file_size},
+            fn_constructor_kwargs={"max_file_size": cfg.max_file_size,
+                                   "row_timeout_s": cfg.row_timeout_s},
             batch_format="pyarrow",
             batch_size=batch_size,
             concurrency=(min(cfg.min_actors, cap), cap),
@@ -77,7 +81,8 @@ def _extract_stage(ds: "ray.data.Dataset", cfg: "PipelineConfig",
         )
     return ds.map_batches(
         extract_batch,
-        fn_kwargs={"max_file_size": cfg.max_file_size},
+        fn_kwargs={"max_file_size": cfg.max_file_size,
+                   "row_timeout_s": cfg.row_timeout_s},
         batch_format="pyarrow",
         batch_size=batch_size,
         num_cpus=cfg.num_cpus,

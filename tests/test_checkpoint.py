@@ -127,3 +127,24 @@ def test_stats_layer(ray_session, tmp_path):
 
     roll2 = stats.content_length_rollup(extracted)
     assert roll2["rows"] == 60
+
+
+def test_url_hash_bucketed_output(ray_session, tmp_path):
+    import glob
+
+    from engine.partition import url_bucket
+
+    src = str(tmp_path / "pages")
+    out = str(tmp_path / "out")
+    write_pages_parquet(src, 40, seed=31, num_files=2)
+    manifest = cp.run_extraction(src, out, CFG, num_partitions=2,
+                                 url_hash_buckets=8)
+    assert manifest.num_rows == 2
+    files = glob.glob(f"{out}/part-*/bucket=*/*.parquet")
+    assert files
+    for f in files[:4]:
+        b = int(f.split("bucket=")[1].split("/")[0])
+        t = pq.read_table(f, columns=["url"])
+        assert all(url_bucket(u, 8) == b for u in t["url"].to_pylist())
+    # read_extracted handles the nested layout; rows complete
+    assert cp.read_extracted(out).count() == 40

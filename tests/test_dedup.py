@@ -111,3 +111,22 @@ def test_first_per_key(docs, ray_session):
     out = dedup.first_per_key(ds, key_col="url", order_col="val").take_all()
     got = {r["url"]: r["val"] for r in out}
     assert got == {"u1": 3, "u2": 0, "u3": 9}
+
+
+def test_connected_components_distributed_matches_union_find(ray_session):
+    # chain + pair + singleton; distributed label propagation must equal
+    # the driver union-find exactly
+    pairs = pd.DataFrame({"id_a": [0, 1, 2, 10], "id_b": [1, 2, 3, 11]})
+    ids = [0, 1, 2, 3, 10, 11, 20]
+    a = dedup.connected_components(pairs, ids)
+    b = dedup.connected_components_distributed(pairs, ids)
+    assert a.values.tolist() == b.values.tolist()
+    empty = dedup.connected_components_distributed(
+        pd.DataFrame({"id_a": [], "id_b": []}), [5, 6])
+    assert empty.values.tolist() == [[5, 5], [6, 6]]
+
+
+def test_minhash_clusters_distributed(docs):
+    a = dedup.minhash_dedup_clusters(docs, threshold=0.5)
+    b = dedup.minhash_dedup_clusters(docs, threshold=0.5, distributed=True)
+    assert a.values.tolist() == b.values.tolist()

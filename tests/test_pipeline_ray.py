@@ -64,3 +64,36 @@ def test_oversize_row_rejected_in_pipeline(ray_session, tmp_path):
                                            max_file_size=700))
     statuses = [r["status"] for r in out.take_all()]
     assert "rejected" in statuses  # big HTML rows tripped the gate
+
+
+def test_row_timeout_in_pipeline(ray_session):
+    """The enforced per-row wall clock (SURVEY §2.12 deviation): a stuck row
+    becomes status='failed' without poisoning the batch or the task."""
+    import ray.data as rd
+
+    import engine.extract  # noqa: F401 — keep module warm on driver
+
+    def to_batch(t):
+        # register a pathologically slow format INSIDE the worker process so
+        # the stateless task sees it (per register_extractor's caveat)
+        from engine import extract as ex
+
+        if "hang" not in ex.EXTRACTORS:
+            def hang(payload):
+                import time as _t
+
+                _t.sleep(30)
+                return "", "late", []
+
+            ex.register_extractor("hang", hang, magic=b"HANG")
+        return ex.extract_batch(t, row_timeout_s=0.5)
+
+    ds = rd.from_arrow(
+        pa.Table.from_pydict({"url": ["slow", "ok"],
+                              "html": [b"HANGxxxx", b"<p>fine</p>"]})
+    )
+    rows = {r["url"]: r for r in
+            ds.map_batches(to_batch, batch_format="pyarrow").take_all()}
+    assert rows["slow"]["status"] == "failed"
+    assert "exceeded" in rows["slow"]["error"]
+    assert rows["ok"]["status"] == "ok"

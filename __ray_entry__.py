@@ -129,6 +129,11 @@ FROM events GROUP BY user_id""",
         "extract_roundtrip": r"""
 SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS markdown_text
 FROM documents""",
+        "pdf_roundtrip": """
+SELECT doc_id, text AS pdf_text, 'ok' AS status FROM documents""",
+        "docx_roundtrip": r"""
+SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS docx_text
+FROM documents""",
         # knn_cosine: scores dropped on purpose — DuckDB's
         # list_cosine_similarity computes in float32 (max |Δ| ~1e-7 vs the
         # engine's float64); ids+ranks are exact (verified margins ~3e-4).

@@ -359,6 +359,58 @@ def q_extract_roundtrip(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
+def q_pdf_roundtrip(sf_dir: str):
+    """P1-P3 end-to-end with a SQL oracle: build a deterministic one-line PDF
+    per document (WinAnsi, uncompressed), run the REAL PDF kernel; extracted
+    text must equal the source text byte-for-byte (ASCII corpus)."""
+    from engine.fixtures import build_pdf
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def to_pdf_pages(t: pa.Table) -> pa.Table:
+        payloads = [
+            build_pdf([[(72.0, 720.0, [s])]], compress=(i % 2 == 1))
+            for i, s in enumerate(t["text"].to_pylist())
+        ]
+        return pa.table({"url": pc.cast(t["doc_id"], pa.string()),
+                         "html": pa.array(payloads, type=pa.binary())})
+
+    extracted = docs.map_batches(to_pdf_pages, batch_format="pyarrow").map_batches(
+        ExtractActor, batch_format="pyarrow", batch_size=256, concurrency=(1, 4)
+    )
+    return extracted.map_batches(
+        lambda t: pa.table({"doc_id": pc.cast(t["url"], pa.int64()),
+                            "pdf_text": t["markdown_text"],
+                            "status": t["status"]}),
+        batch_format="pyarrow",
+    )
+
+
+def q_docx_roundtrip(sf_dir: str):
+    """D1 end-to-end with a SQL oracle: one-paragraph DOCX per document; the
+    markdown paragraph is the whitespace-collapsed source text."""
+    from engine.fixtures import build_docx, _w_p
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def to_docx_pages(t: pa.Table) -> pa.Table:
+        payloads = [
+            build_docx(_w_p([(s, False, False)]))
+            for s in t["text"].to_pylist()
+        ]
+        return pa.table({"url": pc.cast(t["doc_id"], pa.string()),
+                         "html": pa.array(payloads, type=pa.binary())})
+
+    extracted = docs.map_batches(to_docx_pages, batch_format="pyarrow").map_batches(
+        ExtractActor, batch_format="pyarrow", batch_size=256, concurrency=(1, 4)
+    )
+    return extracted.map_batches(
+        lambda t: pa.table({"doc_id": pc.cast(t["url"], pa.int64()),
+                            "docx_text": t["markdown_text"]}),
+        batch_format="pyarrow",
+    )
+
+
 def q_minhash_clusters(sf_dir: str):
     """Near-dup clustering via MinHash-LSH (rows-only: not SQL-expressible)."""
     from engine.dedup import minhash_dedup_clusters
@@ -416,6 +468,15 @@ def q_knn_lsh(sf_dir: str):
 
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     out = knn_lsh(emb, _load_query_vecs(sf_dir), k=10)
+    return out[["query_id", "rank", "vec_id"]]
+
+
+def q_knn_ivf(sf_dir: str):
+    """IVF-bucketed approximate top-10 (rows-only; recall rises with nprobe)."""
+    from engine.similarity import knn_ivf
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = knn_ivf(emb, _load_query_vecs(sf_dir), k=10, num_cells=16, nprobe=4)
     return out[["query_id", "rank", "vec_id"]]
 
 
@@ -575,11 +636,14 @@ QUERIES = {
     "fingerprint": q_fingerprint,
     "json_props": q_json_props,
     "extract_roundtrip": q_extract_roundtrip,
+    "pdf_roundtrip": q_pdf_roundtrip,
+    "docx_roundtrip": q_docx_roundtrip,
     "minhash_clusters": q_minhash_clusters,
     "simhash": q_simhash,
     "ngram_dedup_pairs": q_ngram_dedup_pairs,
     "knn_cosine": q_knn_cosine,
     "knn_lsh": q_knn_lsh,
+    "knn_ivf": q_knn_ivf,
     "embedding_near_dup": q_embedding_near_dup,
     "lang_id": q_lang_id,
     "quality": q_quality,

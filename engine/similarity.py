@@ -142,6 +142,63 @@ def knn_lsh(ds: "ray.data.Dataset", queries: np.ndarray, k: int = 10,
     return knn_brute(candidates, queries, k, id_col, vec_col, query_ids)
 
 
+def train_ivf_centroids(ds: "ray.data.Dataset", num_cells: int = 16,
+                        sample_size: int = 2048, iters: int = 8,
+                        vec_col: str = "embedding", seed: int = 42) -> np.ndarray:
+    """IVF coarse quantizer: k-means (Lloyd, seeded, fixed iterations) on a
+    driver-side sample. The sample is small by design — training is O(sample),
+    not O(corpus); assignment is distributed."""
+    frac = None
+    total = ds.count()
+    frac = min(1.0, sample_size / max(1, total))
+    sample = ds.random_sample(frac, seed=seed).take(sample_size)
+    vecs = _normalize(np.asarray([r[vec_col] for r in sample], dtype=np.float64))
+    rng = np.random.RandomState(seed)
+    centroids = vecs[rng.choice(len(vecs), size=min(num_cells, len(vecs)),
+                                replace=False)]
+    for _ in range(iters):
+        assign = (vecs @ centroids.T).argmax(axis=1)
+        for c in range(len(centroids)):
+            members = vecs[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+        centroids = _normalize(centroids)
+    return centroids
+
+
+def knn_ivf(ds: "ray.data.Dataset", queries: np.ndarray, k: int = 10,
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            query_ids: list | None = None, num_cells: int = 16,
+            nprobe: int = 4, centroids: np.ndarray | None = None) -> pd.DataFrame:
+    """IVF ANN: scan only rows whose nearest centroid is among each query's
+    ``nprobe`` closest cells. Same output schema as knn_brute; recall < 1 by
+    design (rises with nprobe). Centroids may be precomputed/broadcast."""
+    if centroids is None:
+        centroids = train_ivf_centroids(ds, num_cells, vec_col=vec_col)
+    qm = _normalize(np.asarray(queries, dtype=np.float64))
+    q_cells = np.argsort(-(qm @ centroids.T), axis=1)[:, :nprobe]
+    probe = set(int(c) for row in q_cells for c in row)
+    cent_ref = ray.put(centroids)
+    probe_ref = ray.put(probe)
+
+    class CellFilter:
+        def __init__(self, c_ref, p_ref):
+            self.centroids = ray.get(c_ref)
+            self.probe = ray.get(p_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            vecs = _normalize(_to_matrix(t[vec_col]))
+            cells = (vecs @ self.centroids.T).argmax(axis=1)
+            mask = pa.array([int(c) in self.probe for c in cells])
+            return t.filter(mask)
+
+    candidates = ds.map_batches(
+        CellFilter, fn_constructor_args=(cent_ref, probe_ref),
+        batch_format="pyarrow", batch_size=4096, concurrency=(1, 8),
+    )
+    return knn_brute(candidates, queries, k, id_col, vec_col, query_ids)
+
+
 def embedding_near_dup_pairs(ds: "ray.data.Dataset", threshold: float = 0.95,
                              id_col: str = "vec_id",
                              vec_col: str = "embedding") -> pd.DataFrame:

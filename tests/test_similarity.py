@@ -79,3 +79,26 @@ def test_embedding_near_dup_pairs(vecs):
     found = sum((i, 100 + i) in got for i in range(4))
     assert found >= 3  # LSH bucketing finds nearly all planted near-dups
     assert all(c >= 0.99 for c in pairs["cosine"])
+
+
+def test_knn_ivf_recall(vecs):
+    ds, all_vecs, ids = vecs
+    queries = all_vecs[:5]
+    brute = similarity.knn_brute(ds, queries, k=3)
+    ivf = similarity.knn_ivf(ds, queries, k=3, num_cells=8, nprobe=3)
+    hits = sum(
+        len(set(brute[brute.query_id == q]["vec_id"])
+            & set(ivf[ivf.query_id == q]["vec_id"]))
+        for q in range(5)
+    )
+    assert hits / 15 >= 0.6  # nprobe=3 of 8 cells: decent recall
+    # self-neighbor always lands in its own probed cell
+    for qi in range(5):
+        assert qi in set(ivf[ivf.query_id == qi]["vec_id"])
+
+
+def test_ivf_centroids_deterministic(vecs):
+    ds, _, _ = vecs
+    a = similarity.train_ivf_centroids(ds, num_cells=4, sample_size=32)
+    b = similarity.train_ivf_centroids(ds, num_cells=4, sample_size=32)
+    assert (a == b).all()

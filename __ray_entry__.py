@@ -110,6 +110,11 @@ SELECT c_mktsegment, count(*) AS n_orders,
        round(sum(o_totalprice), 2) AS total_price
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment""",
+        "large_join": """
+SELECT o_orderpriority, count(*) AS n_items,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority""",
         "lineitem_pricing": """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,

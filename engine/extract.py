@@ -171,13 +171,14 @@ class ExtractActor:
         import engine.fixtures  # noqa: F401  (zlib/zipfile import warm-up)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        urls = batch["url"]
-        payloads = batch["html"]
+        # one bulk conversion per column beats per-element .as_py() calls
+        urls = batch["url"].to_pylist()
+        payloads = batch["html"].to_pylist()
         out: dict[str, list] = {name: [] for name in EXTRACTED.names}
-        for i in range(batch.num_rows):
-            payload = payloads[i].as_py() or b""
-            row = extract_row(payload, self.max_file_size, self.row_timeout_s)
-            out["url"].append(urls[i].as_py())
+        out["url"] = urls
+        for payload in payloads:
+            row = extract_row(payload or b"", self.max_file_size,
+                              self.row_timeout_s)
             for key, val in row.items():
                 out[key].append(val)
         return pa.table(out, schema=EXTRACTED)

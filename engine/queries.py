@@ -245,6 +245,30 @@ def q_orders_join(sf_dir: str):
     return df
 
 
+def q_large_join(sf_dir: str):
+    """Both-sides-large partitioned hash join (engine.joins.hash_join):
+    lineitem ⋈ orders on orderkey → per-priority rollup (one all-to-all)."""
+    from engine.joins import hash_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"]).map_batches(
+        lambda t: pa.table({"okey": t["l_orderkey"],
+                            "l_quantity": t["l_quantity"]}),
+        batch_format="pyarrow",
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"]).map_batches(
+        lambda t: pa.table({"okey": t["o_orderkey"],
+                            "o_orderpriority": t["o_orderpriority"]}),
+        batch_format="pyarrow",
+    )
+    joined = hash_join(li, orders, on="okey", num_buckets=32)
+    agg = joined.groupby("o_orderpriority").aggregate(
+        Count(alias_name="n_items"), Sum("l_quantity", alias_name="sum_qty")
+    )
+    df = agg.to_pandas()
+    df["sum_qty"] = df["sum_qty"].round(2)
+    return df
+
+
 # ---------------------------------------------------------------------------
 # TPC-H Q1-style pricing summary over lineitem (partial agg + tiny groupby)
 # ---------------------------------------------------------------------------
@@ -631,6 +655,7 @@ QUERIES = {
     "top_parts": q_top_parts,
     "exact_dedup": q_exact_dedup,
     "orders_join": q_orders_join,
+    "large_join": q_large_join,
     "lineitem_pricing": q_lineitem_pricing,
     "token_count": q_token_count,
     "fingerprint": q_fingerprint,

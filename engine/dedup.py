@@ -192,22 +192,49 @@ def minhash_lsh_pairs(ds: "ray.data.Dataset", text_col: str = "text",
     sigs = minhash_signatures(ds, text_col, id_col).materialize()
 
     bands = sigs.map_batches(lambda t: _band_rows(t, id_col),
-                             batch_format="pyarrow")
+                             batch_format="pyarrow").materialize()
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g[id_col].tolist())[:MAX_BUCKET]
-        out = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
-        if not out:
-            return pd.DataFrame({"id_a": [], "id_b": []})
-        return pd.DataFrame(out, columns=["id_a", "id_b"])
-
-    pairs = (
-        bands.groupby(["band_id", "band_hash"])
-        .map_groups(bucket_pairs, batch_format="pandas")
-        .to_pandas()
-    )
-    if len(pairs) == 0:
+    # Almost every bucket holds exactly one doc; calling map_groups once per
+    # bucket would pay one Python round trip per *singleton*. Instead:
+    # count per bucket (partial-agg shuffle of tiny rows) → keep the hot
+    # buckets (count ≥ 2, a tiny set) → broadcast-filter the band rows down
+    # to hot buckets → expand pairs with one vectorized pandas pass.
+    counts = bands.groupby(["band_id", "band_hash"]).count()
+    hot = {
+        (r["band_id"], r["band_hash"])
+        for r in counts.take_all()
+        if r["count()"] >= 2
+    }
+    if not hot:
         return pd.DataFrame({"id_a": [], "id_b": [], "similarity": []})
+    hot_ref = ray.put(hot)
+
+    class HotFilter:
+        def __init__(self, ref):
+            self.hot = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            mask = pa.array([
+                (b, h) in self.hot
+                for b, h in zip(t["band_id"].to_pylist(),
+                                t["band_hash"].to_pylist())
+            ])
+            return t.filter(mask)
+
+    hot_rows = bands.map_batches(
+        HotFilter, fn_constructor_args=(hot_ref,), batch_format="pyarrow",
+        concurrency=(1, 8),
+    ).to_pandas()
+
+    pair_list: list[tuple] = []
+    for _, g in hot_rows.groupby(["band_id", "band_hash"], sort=False):
+        ids = sorted(g[id_col].tolist())[:MAX_BUCKET]
+        pair_list.extend(
+            (a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]
+        )
+    if not pair_list:
+        return pd.DataFrame({"id_a": [], "id_b": [], "similarity": []})
+    pairs = pd.DataFrame(pair_list, columns=["id_a", "id_b"])
     pairs = pairs.drop_duplicates().reset_index(drop=True)
 
     # verify on full signatures (estimate of Jaccard)
@@ -412,21 +439,45 @@ def simhash_pairs(ds: "ray.data.Dataset", text_col: str = "text",
                          "band_val": pa.array(oh, type=pa.int32()),
                          id_col: pa.array(oi)})
 
-    bands = sigs.map_batches(band_rows, batch_format="pyarrow")
+    bands = sigs.map_batches(band_rows, batch_format="pyarrow").materialize()
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g[id_col].tolist())[:MAX_BUCKET]
-        out = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
-        return pd.DataFrame(out or None, columns=["id_a", "id_b"])
-
-    pairs = (
-        bands.groupby(["band_id", "band_val"])
-        .map_groups(bucket_pairs, batch_format="pandas")
-        .to_pandas()
-        .drop_duplicates()
-    )
-    if len(pairs) == 0:
+    # same singleton-skip as minhash_lsh_pairs: count → hot buckets →
+    # broadcast filter → one vectorized pair expansion
+    counts = bands.groupby(["band_id", "band_val"]).count()
+    hot = {
+        (r["band_id"], r["band_val"])
+        for r in counts.take_all()
+        if r["count()"] >= 2
+    }
+    if not hot:
         return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+    hot_ref = ray.put(hot)
+
+    class HotFilter:
+        def __init__(self, ref):
+            self.hot = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            mask = pa.array([
+                (b, v) in self.hot
+                for b, v in zip(t["band_id"].to_pylist(),
+                                t["band_val"].to_pylist())
+            ])
+            return t.filter(mask)
+
+    hot_rows = bands.map_batches(
+        HotFilter, fn_constructor_args=(hot_ref,), batch_format="pyarrow",
+        concurrency=(1, 8),
+    ).to_pandas()
+    pair_list: list[tuple] = []
+    for _, g in hot_rows.groupby(["band_id", "band_val"], sort=False):
+        ids = sorted(g[id_col].tolist())[:MAX_BUCKET]
+        pair_list.extend(
+            (a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]
+        )
+    if not pair_list:
+        return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+    pairs = pd.DataFrame(pair_list, columns=["id_a", "id_b"]).drop_duplicates()
     sim_map = {r[id_col]: r["simhash"] for r in sigs.take_all()}
     pairs["hamming"] = [
         hamming64(sim_map[a], sim_map[b])

@@ -260,7 +260,7 @@ def q_large_join(sf_dir: str):
                             "o_orderpriority": t["o_orderpriority"]}),
         batch_format="pyarrow",
     )
-    joined = hash_join(li, orders, on="okey", num_buckets=32)
+    joined = hash_join(li, orders, on="okey", num_buckets=128)
     agg = joined.groupby("o_orderpriority").aggregate(
         Count(alias_name="n_items"), Sum("l_quantity", alias_name="sum_qty")
     )

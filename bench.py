@@ -84,16 +84,23 @@ def run_bench() -> dict:
 
     cfg = PipelineConfig(batch_size=64)
 
-    # warm-up: untimed pass over enough rows that every worker process pays
-    # its import cost + the OS page cache is hot; the timed run then measures
-    # steady-state throughput (what a multi-hour 100 TB job looks like).
-    extract_from_parquet(pages_dir, cfg).limit(NUM_CPUS * 64 * 2).count()
+    if os.environ.get("RAY_GRAFT_SKIP_HEADLINE"):
+        # query-iteration mode: warm the worker pool cheaply, skip the
+        # headline extract (dev loop only — the driver never sets this)
+        extract_from_parquet(pages_dir, cfg).limit(NUM_CPUS * 64).count()
+        headline = float("nan")
+    else:
+        # warm-up: untimed pass over enough rows that every worker process
+        # pays its import cost + the OS page cache is hot; the timed run then
+        # measures steady-state throughput (what a multi-hour 100 TB job
+        # looks like).
+        extract_from_parquet(pages_dir, cfg).limit(NUM_CPUS * 64 * 2).count()
 
-    out_dir = f"/tmp/graft_bench_out_{NUM_CPUS}"
-    shutil.rmtree(out_dir, ignore_errors=True)
-    t0 = time.time()
-    extract_from_parquet(pages_dir, cfg).write_parquet(out_dir)
-    headline = time.time() - t0
+        out_dir = f"/tmp/graft_bench_out_{NUM_CPUS}"
+        shutil.rmtree(out_dir, ignore_errors=True)
+        t0 = time.time()
+        extract_from_parquet(pages_dir, cfg).write_parquet(out_dir)
+        headline = time.time() - t0
 
     # per-query timings over the driver testdata tables (skipped during
     # scaling legs: they add minutes of unrelated variance per leg)
@@ -103,6 +110,10 @@ def run_bench() -> dict:
     query_items = (
         {} if os.environ.get("RAY_GRAFT_SKIP_QUERIES") else e.queries()
     )
+    only = os.environ.get("RAY_GRAFT_ONLY_QUERIES")
+    if only:
+        wanted = set(only.split(","))
+        query_items = {k: v for k, v in query_items.items() if k in wanted}
     for name, fn in query_items.items():
         t0 = time.time()
         try:

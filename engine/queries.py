@@ -217,26 +217,30 @@ def q_exact_dedup(sf_dir: str):
 
 
 def q_orders_join(sf_dir: str):
-    customer = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
-    lookup_ref = ray.put(dict(zip(customer["c_custkey"], customer["c_mktsegment"])))
+    import pyarrow.parquet as pq
 
-    class AttachSegment:
-        def __init__(self, ref):
-            self.lookup = ray.get(ref)  # fetched ONCE per actor, not per batch
+    from engine.broadcast import get_broadcast
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            keys = t["o_custkey"].to_pylist()
-            seg = [self.lookup.get(k) for k in keys]
-            return pa.table({
-                "c_mktsegment": pa.array(seg, type=pa.string()),
-                "o_totalprice": t["o_totalprice"],
-            })
+    # small side read driver-side directly (one file, two columns — no Ray
+    # job needed), broadcast ONCE via ray.put
+    customer = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                             columns=["c_custkey", "c_mktsegment"])
+    lookup_ref = ray.put((customer["c_custkey"].combine_chunks(),
+                          customer["c_mktsegment"].combine_chunks()))
+
+    def attach_segment(t: pa.Table) -> pa.Table:
+        # vectorized dictionary-index join: position of each o_custkey in the
+        # broadcast key array, then a take from the value array (stateless
+        # task + worker-cached broadcast — see engine/broadcast.py)
+        keys, vals = get_broadcast(lookup_ref)
+        idx = pc.index_in(t["o_custkey"], value_set=keys)
+        return pa.table({
+            "c_mktsegment": pc.take(vals, idx),
+            "o_totalprice": t["o_totalprice"],
+        })
 
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-    joined = orders.map_batches(
-        AttachSegment, fn_constructor_args=(lookup_ref,),
-        batch_format="pyarrow", concurrency=(1, 4),
-    )
+    joined = orders.map_batches(attach_segment, batch_format="pyarrow")
     agg = joined.groupby("c_mktsegment").aggregate(
         Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="total_price")
     )
@@ -260,7 +264,7 @@ def q_large_join(sf_dir: str):
                             "o_orderpriority": t["o_orderpriority"]}),
         batch_format="pyarrow",
     )
-    joined = hash_join(li, orders, on="okey", num_buckets=128)
+    joined = hash_join(li, orders, on="okey", num_buckets=32)
     agg = joined.groupby("o_orderpriority").aggregate(
         Count(alias_name="n_items"), Sum("l_quantity", alias_name="sum_qty")
     )

@@ -4,23 +4,39 @@ The reference has no dedup at all (every upload is a fresh uuid, SURVEY.md
 §2.8); at 100 TB dedup is a first-class pipeline stage. All operators follow
 the same shuffle discipline: heavy text never moves twice — signatures are
 computed vectorized inside ``map_batches``, only (key, id) projections are
-shuffled, and clustering happens on the (tiny) candidate-pair set.
+shuffled, and NO stage materializes O(corpus) state on the driver:
+
+- candidate discovery uses a ``groupby(bucket).aggregate(Count, Min, Max)``
+  over narrow (bucket, id) rows: size-2 buckets (the overwhelming majority of
+  non-singleton LSH buckets) yield their pair directly from the aggregate —
+  zero per-group Python calls — and only the rare ≥3 buckets take a
+  ``map_groups`` expansion, reached via a broadcast filter whose driver
+  footprint is bounded by the candidate-bucket count (small by the LSH
+  premise), never by the corpus;
+- pair verification joins the candidate pairs back to the signature table
+  with two ``engine.joins.hash_join`` passes (signatures cross the wire once
+  per endpoint — 0.5 KiB/doc, ~30× less than re-shuffling text) and computes
+  similarity vectorized per batch;
+- clustering defaults to distributed min-label propagation over (node, label)
+  rows; the driver union-find remains for provably-small pair sets.
 
 Operators:
-- exact_dedup           hash-partitioned first-wins on a content hash
+- exact_dedup           content-hash winners + distributed id semi-join
+- first_per_key         hash-partitioned first-wins by key
 - minhash_signatures    k-shingle → 64-perm MinHash per row (numpy)
-- minhash_lsh_pairs     band-bucket groupby → candidate pairs → signature-
-                        similarity verification
+- minhash_lsh_pairs     band-bucket aggregate → candidate pairs → signature-
+                        similarity verification (all stages distributed)
 - minhash_dedup_clusters  pairs → connected components → (id, cluster_id)
 - simhash_signatures    64-bit SimHash per row
 - simhash_pairs         16-bit-band bucketing → Hamming-verified pairs
-- ngram_jaccard_pairs   exact n-gram Jaccard verification over candidate pairs
+- ngram_jaccard_pairs   exact n-gram Jaccard over candidate pairs (texts
+                        co-located per pair via hash_join, not a driver dict)
 
 Partitioning assumption (documented per the custom-operator rule): LSH bucket
 keys are uniformly distributed by construction (hashes), so the band groupby
 has no inherent skew; pathological buckets (same boilerplate shingled by
 thousands of docs) are capped at ``MAX_BUCKET`` docs per bucket with a
-deterministic keep-lowest-id policy, and the cap is logged via a count column.
+deterministic keep-lowest-id policy.
 """
 
 from __future__ import annotations
@@ -31,9 +47,13 @@ import zlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
+import ray
 import ray.data
-from ray.data.aggregate import Min
+from ray.data.aggregate import Count, Max, Min
+
+from engine.broadcast import get_broadcast
 
 # MinHash parameters (frozen)
 NUM_PERM = 64
@@ -61,34 +81,28 @@ def add_content_hash(batch: pa.Table, text_col: str = "text",
 
 def exact_dedup(ds: "ray.data.Dataset", text_col: str = "text",
                 id_col: str = "doc_id") -> "ray.data.Dataset":
-    """Exact dedup, shuffle-light: only (content_hash, id) rows move.
+    """Exact dedup via a distributed semi-join — no O(unique docs) driver set.
 
-    1. hash text per batch (vectorized-ish, C-speed blake2b)
-    2. groupby(content_hash).min(id) — the keeper set (tiny shuffle)
-    3. broadcast keeper ids, filter the full table in place (no re-shuffle
-       of the heavy text column)
+    1. hash text per batch (C-speed blake2b)
+    2. groupby(content_hash).min(id) over the NARROW (hash, id) projection —
+       the keeper set (tiny shuffle; heavy text does not move)
+    3. semi-join the full table against the keeper ids with hash_join (one
+       all-to-all of the corpus — the textbook dedup exchange; keeper ids are
+       unique so the inner join never duplicates rows)
     """
+    from engine.joins import hash_join
+
     hashed = ds.map_batches(
         lambda t: add_content_hash(t, text_col), batch_format="pyarrow"
     )
     keepers = (
         hashed.select_columns(["content_hash", id_col])
         .groupby("content_hash")
-        .aggregate(Min(id_col, alias_name="keep_id"))
+        .aggregate(Min(id_col, alias_name=id_col))
+        .select_columns([id_col])
     )
-    keep_ids = set(r["keep_id"] for r in keepers.take_all())
-    keep_ref = ray.put(keep_ids)
-
-    class KeepFilter:
-        def __init__(self, ref):
-            self.keep = ray.get(ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            mask = pa.array([i in self.keep for i in t[id_col].to_pylist()])
-            return t.filter(mask)
-
-    return ds.map_batches(KeepFilter, fn_constructor_args=(keep_ref,),
-                          batch_format="pyarrow", concurrency=(1, 8))
+    joined = hash_join(ds, keepers, on=id_col, how="inner")
+    return joined
 
 
 def first_per_key(ds: "ray.data.Dataset", key_col: str = "url",
@@ -136,47 +150,189 @@ def minhash_of(text: str) -> np.ndarray:
 
 def minhash_signatures(ds: "ray.data.Dataset", text_col: str = "text",
                        id_col: str = "doc_id") -> "ray.data.Dataset":
-    """(id, sig: list<uint64>[64]) per row."""
+    """(id, sig: list<uint64>[64]) per row (stateless tasks; module perms warm
+    per reused worker process)."""
 
-    class MinHasher:
-        def __init__(self):
-            self.a = _PERM_A[:, None]
-            self.b = _PERM_B[:, None]
+    def minhash_batch(t: pa.Table) -> pa.Table:
+        sigs = [minhash_of(s or "") for s in t[text_col].to_pylist()]
+        return pa.table({
+            id_col: t[id_col],
+            "sig": pa.array([s.tolist() for s in sigs],
+                            type=pa.list_(pa.uint64())),
+        })
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            sigs = [minhash_of(s or "") for s in t[text_col].to_pylist()]
-            return pa.table({
-                id_col: t[id_col],
-                "sig": pa.array([s.tolist() for s in sigs],
-                                type=pa.list_(pa.uint64())),
-            })
-
-    return ds.map_batches(MinHasher, batch_format="pyarrow",
-                          batch_size=1024, concurrency=(1, 8))
+    return ds.map_batches(minhash_batch, batch_format="pyarrow",
+                          batch_size=1024)
 
 
 def _band_rows(sig_table: pa.Table, id_col: str) -> pa.Table:
-    """Explode signatures into (band_id, band_hash, id) rows."""
+    """Explode signatures into narrow (bkey = band_id<<32 | band_hash, id)
+    rows — signatures themselves stay behind (verified later via a join)."""
     ids = sig_table[id_col].to_pylist()
     sigs = sig_table["sig"].to_pylist()
-    out_band, out_hash, out_id = [], [], []
+    out_key, out_id = [], []
     for i, sig in zip(ids, sigs):
         arr = np.asarray(sig, dtype=np.uint64)
         for b in range(NUM_BANDS):
             chunk = arr[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND]
             h = zlib.crc32(chunk.tobytes())
-            out_band.append(b)
-            out_hash.append(h)
+            out_key.append((b << 32) | h)
             out_id.append(i)
     return pa.table({
-        "band_id": pa.array(out_band, type=pa.int32()),
-        "band_hash": pa.array(out_hash, type=pa.uint32()),
+        "bkey": pa.array(out_key, type=pa.int64()),
         id_col: pa.array(out_id),
     })
 
 
-def _sig_similarity(a: np.ndarray, b: np.ndarray) -> float:
-    return float((a == b).mean())
+def _sig_matrix(col: pa.ChunkedArray | pa.Array, width: int) -> np.ndarray:
+    """list<uint64>[width] column → (n, width) uint64 matrix, zero-copy-ish."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    return flat.reshape(-1, width)
+
+
+def _list_u64_to_binary(col: pa.ChunkedArray | pa.Array,
+                        width: int) -> pa.Array:
+    """list<uint64>[width] → binary (width*8 bytes/row, one memcpy) — Acero
+    hash joins do not support list-typed payload columns, binary they do."""
+    flat = _sig_matrix(col, width)
+    n = len(flat)
+    data = pa.py_buffer(flat.tobytes())
+    offsets = pa.py_buffer(
+        (np.arange(n + 1, dtype=np.int32) * (width * 8)).tobytes())
+    return pa.Array.from_buffers(pa.binary(), n, [None, offsets, data])
+
+
+def _binary_to_u64_matrix(col: pa.ChunkedArray | pa.Array,
+                          width: int) -> np.ndarray:
+    """binary(width*8) column → (n, width) uint64 matrix."""
+    vals = col.to_pylist()
+    if not vals:
+        return np.empty((0, width), dtype=np.uint64)
+    return np.frombuffer(b"".join(vals), dtype=np.uint64).reshape(-1, width)
+
+
+# Above this many candidate pairs the verification/clustering stages switch
+# from the candidate-bounded driver plan to the fully-distributed join plan
+# (a size-based plan choice, like broadcast-vs-shuffle join selection).
+VERIFY_DRIVER_MAX = 200_000
+
+
+def _candidate_pairs(rows: "ray.data.Dataset", id_col: str,
+                     key_col: str = "bkey") -> "ray.data.Dataset | None":
+    """Candidate pairs (possibly band-duplicated) from bucketed (key, id) rows.
+
+    groupby(key).aggregate(Count, Min, Max) yields size-2 buckets' pairs
+    straight from the aggregate (no per-group Python — almost every
+    non-singleton LSH bucket has exactly 2 docs); buckets ≥3 are rare — their
+    rows are recovered by a broadcast key filter (driver footprint =
+    hot-bucket count, bounded by the candidate set, never the corpus) and
+    expanded in map_groups under the MAX_BUCKET cap. Returns None when there
+    are no candidates at all; the result is materialized (it is small).
+    """
+    rows = rows.materialize()  # band rows are consumed 1-2×; never recompute
+    agg = (
+        rows.groupby(key_col)
+        .aggregate(Count(alias_name="n"),
+                   Min(id_col, alias_name="min_id"),
+                   Max(id_col, alias_name="max_id"))
+        .materialize()
+    )
+
+    pair2 = agg.map_batches(
+        lambda t: pa.table({
+            "id_a": t.filter(pc.equal(t["n"], 2))["min_id"],
+            "id_b": t.filter(pc.equal(t["n"], 2))["max_id"],
+        }),
+        batch_format="pyarrow",
+    ).materialize()
+
+    hot = agg.map_batches(
+        lambda t: t.filter(pc.greater(t["n"], 2)).select([key_col]),
+        batch_format="pyarrow",
+    )
+    hot_keys = set(r[key_col] for r in hot.take_all())  # bounded: hot buckets
+    n_pair2 = pair2.count()
+    if not hot_keys and n_pair2 == 0:
+        return None
+
+    parts = []
+    if n_pair2:
+        parts.append(pair2)
+    if hot_keys:
+        hot_ref = ray.put(hot_keys)
+
+        def hot_filter(t: pa.Table) -> pa.Table:
+            keys = get_broadcast(hot_ref)
+            mask = pa.array([k in keys for k in t[key_col].to_pylist()])
+            return t.filter(mask)
+
+        def expand(g: pd.DataFrame) -> pd.DataFrame:
+            ids = sorted(g[id_col].tolist())[:MAX_BUCKET]
+            out_a, out_b = [], []
+            for i, a in enumerate(ids):
+                for b in ids[i + 1 :]:
+                    out_a.append(a)
+                    out_b.append(b)
+            return pd.DataFrame({"id_a": out_a, "id_b": out_b})
+
+        expanded = (
+            rows.map_batches(hot_filter, batch_format="pyarrow")
+            .groupby(key_col)
+            .map_groups(expand, batch_format="pandas")
+            .map_batches(lambda t: t, batch_format="pyarrow")
+        )
+        parts.append(expanded)
+
+    cand = parts[0] if len(parts) == 1 else parts[0].union(parts[1])
+    return cand.materialize()
+
+
+def _distinct_pairs(cand: "ray.data.Dataset",
+                    n_cand: int) -> "ray.data.Dataset | pd.DataFrame":
+    """Distinct (id_a, id_b) — driver drop_duplicates when candidate-bounded
+    small, groupby shuffle otherwise (a pair can collide in several bands)."""
+    if n_cand <= VERIFY_DRIVER_MAX:
+        return cand.to_pandas().drop_duplicates().reset_index(drop=True)
+    return (
+        cand.groupby(["id_a", "id_b"])
+        .aggregate(Count(alias_name="__n"))
+        .select_columns(["id_a", "id_b"])
+    )
+
+
+def _fetch_for_ids(ds: "ray.data.Dataset", id_col: str,
+                   wanted: set) -> pd.DataFrame:
+    """Streaming broadcast semi-join: rows of ``ds`` whose id ∈ wanted, as a
+    DataFrame bounded by |wanted| (callers guarantee wanted is
+    candidate-bounded — the corpus itself is never collected)."""
+    ref = ray.put(wanted)
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = get_broadcast(ref)
+        mask = pa.array([i in ids for i in t[id_col].to_pylist()])
+        return t.filter(mask)
+
+    return ds.map_batches(keep, batch_format="pyarrow").to_pandas()
+
+
+def _attach_pair_columns(pairs: "ray.data.Dataset", side_ds: "ray.data.Dataset",
+                         id_col: str, endpoint: str,
+                         renames: dict[str, str],
+                         num_buckets: int = 32) -> "ray.data.Dataset":
+    """hash_join ``pairs`` with ``side_ds`` on pair endpoint ``endpoint``
+    (id_a / id_b), renaming side columns per ``renames`` (id_col → endpoint
+    implied)."""
+    from engine.joins import hash_join
+
+    mapping = {id_col: endpoint, **renames}
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({mapping.get(n, n): t[n] for n in t.column_names})
+
+    side = side_ds.map_batches(rename, batch_format="pyarrow")
+    return hash_join(pairs, side, on=endpoint, num_buckets=num_buckets)
 
 
 def minhash_lsh_pairs(ds: "ray.data.Dataset", text_col: str = "text",
@@ -184,68 +340,66 @@ def minhash_lsh_pairs(ds: "ray.data.Dataset", text_col: str = "text",
                       threshold: float = 0.7) -> pd.DataFrame:
     """Near-dup candidate pairs via banded LSH, verified on full signatures.
 
-    Returns a pandas DataFrame (id_a, id_b, similarity) — the candidate set is
-    tiny relative to the corpus (that is the point of LSH), so the pair table
-    is a driver-side object; at 100 TB it would be a Dataset written to
-    parquet, same code path via from_pandas.
+    Every stage is distributed (see module docstring); only the FINAL verified
+    pair table — small by the LSH premise — is returned as a pandas DataFrame.
+    At 100 TB the same pipeline ends in write_parquet instead of to_pandas.
     """
+    empty = pd.DataFrame({"id_a": [], "id_b": [], "similarity": []})
     sigs = minhash_signatures(ds, text_col, id_col).materialize()
 
     bands = sigs.map_batches(lambda t: _band_rows(t, id_col),
-                             batch_format="pyarrow").materialize()
+                             batch_format="pyarrow")
+    cand = _candidate_pairs(bands, id_col)
+    if cand is None:
+        return empty
+    pairs = _distinct_pairs(cand, cand.count())
 
-    # Almost every bucket holds exactly one doc; calling map_groups once per
-    # bucket would pay one Python round trip per *singleton*. Instead:
-    # count per bucket (partial-agg shuffle of tiny rows) → keep the hot
-    # buckets (count ≥ 2, a tiny set) → broadcast-filter the band rows down
-    # to hot buckets → expand pairs with one vectorized pandas pass.
-    counts = bands.groupby(["band_id", "band_hash"]).count()
-    hot = {
-        (r["band_id"], r["band_hash"])
-        for r in counts.take_all()
-        if r["count()"] >= 2
-    }
-    if not hot:
-        return pd.DataFrame({"id_a": [], "id_b": [], "similarity": []})
-    hot_ref = ray.put(hot)
+    if isinstance(pairs, pd.DataFrame):
+        # candidate-bounded driver plan: semi-join the signatures down to the
+        # candidate ids (streaming filter; |wanted| = O(candidates)), verify
+        # vectorized on the driver
+        wanted = set(pairs["id_a"]) | set(pairs["id_b"])
+        sigdf = _fetch_for_ids(sigs, id_col, wanted)
+        mat = np.asarray(sigdf["sig"].tolist(), dtype=np.uint64)
+        pos = pd.Series(np.arange(len(sigdf)), index=sigdf[id_col])
+        a = mat[pos[pairs["id_a"]].to_numpy()]
+        b = mat[pos[pairs["id_b"]].to_numpy()]
+        out = pairs.copy()
+        out["similarity"] = (a == b).mean(axis=1)
+        out = out[out["similarity"] >= threshold]
+        if len(out) == 0:
+            return empty
+        return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
-    class HotFilter:
-        def __init__(self, ref):
-            self.hot = ray.get(ref)
+    # distributed join plan (candidate set too large for the driver): join
+    # each endpoint's signature to the pair rows — signatures cross the wire
+    # once per endpoint, never a driver dict
+    sigs_bin = sigs.map_batches(
+        lambda t: pa.table({id_col: t[id_col],
+                            "sig": _list_u64_to_binary(t["sig"], NUM_PERM)}),
+        batch_format="pyarrow",
+    )
+    with_a = _attach_pair_columns(pairs, sigs_bin, id_col, "id_a",
+                                  {"sig": "sig_a"})
+    with_ab = _attach_pair_columns(with_a, sigs_bin, id_col, "id_b",
+                                   {"sig": "sig_b"})
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            mask = pa.array([
-                (b, h) in self.hot
-                for b, h in zip(t["band_id"].to_pylist(),
-                                t["band_hash"].to_pylist())
-            ])
-            return t.filter(mask)
+    def verify(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"id_a": pa.array([], type=pa.int64()),
+                             "id_b": pa.array([], type=pa.int64()),
+                             "similarity": pa.array([], type=pa.float64())})
+        a = _binary_to_u64_matrix(t["sig_a"], NUM_PERM)
+        b = _binary_to_u64_matrix(t["sig_b"], NUM_PERM)
+        sim = (a == b).mean(axis=1)
+        out = pa.table({"id_a": t["id_a"], "id_b": t["id_b"],
+                        "similarity": pa.array(sim, type=pa.float64())})
+        return out.filter(pc.greater_equal(out["similarity"], threshold))
 
-    hot_rows = bands.map_batches(
-        HotFilter, fn_constructor_args=(hot_ref,), batch_format="pyarrow",
-        concurrency=(1, 8),
-    ).to_pandas()
-
-    pair_list: list[tuple] = []
-    for _, g in hot_rows.groupby(["band_id", "band_hash"], sort=False):
-        ids = sorted(g[id_col].tolist())[:MAX_BUCKET]
-        pair_list.extend(
-            (a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]
-        )
-    if not pair_list:
-        return pd.DataFrame({"id_a": [], "id_b": [], "similarity": []})
-    pairs = pd.DataFrame(pair_list, columns=["id_a", "id_b"])
-    pairs = pairs.drop_duplicates().reset_index(drop=True)
-
-    # verify on full signatures (estimate of Jaccard)
-    sig_map = {r[id_col]: np.asarray(r["sig"], dtype=np.uint64)
-               for r in sigs.take_all()}
-    sims = [
-        _sig_similarity(sig_map[a], sig_map[b])
-        for a, b in zip(pairs["id_a"], pairs["id_b"])
-    ]
-    pairs["similarity"] = sims
-    out = pairs[pairs["similarity"] >= threshold].reset_index(drop=True)
+    verified = with_ab.map_batches(verify, batch_format="pyarrow")
+    out = verified.to_pandas()
+    if len(out) == 0:
+        return empty
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
@@ -253,7 +407,8 @@ def connected_components(pairs: pd.DataFrame, ids: list) -> pd.DataFrame:
     """Union-find over the verified pair set → (id, cluster_id = min member).
 
     Driver-side on the candidate set (provably small after LSH verification);
-    the distributed fallback is iterative min-label propagation via groupby.
+    the distributed default is min-label propagation — see
+    connected_components_distributed.
     """
     parent: dict = {}
 
@@ -283,71 +438,63 @@ def connected_components(pairs: pd.DataFrame, ids: list) -> pd.DataFrame:
     return pd.DataFrame(rows).sort_values("doc_id").reset_index(drop=True)
 
 
-_NO_PEER = -1  # sentinel: row is a label row, not an edge row
-_BIG_LABEL = 1 << 62  # edge rows carry this so they never win a Min
+def _pair_cluster_map(pairs: pd.DataFrame) -> dict:
+    """Union-find over the verified pair set (candidate-bounded) →
+    {paired node: min member of its component}. Nodes in no pair are absent
+    (they implicitly keep their own id as cluster)."""
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs.get("id_a", []), pairs.get("id_b", [])):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if str(ra) <= str(rb) else (rb, ra)
+            parent[hi] = lo
+    comp: dict = {}
+    for node in parent:
+        comp.setdefault(find(node), []).append(node)
+    mapping: dict = {}
+    for root, members in comp.items():
+        members.append(root)
+        cid = min(members)
+        for m in members:
+            mapping[m] = cid
+    return mapping
 
 
-def _propagate_group(g: pd.DataFrame) -> pd.DataFrame:
-    """One node's group (label row: peer==-1; edge rows: real peer) → emit the
-    node's current label addressed to each peer."""
-    label = g.loc[g["peer"] == _NO_PEER, "label"].min()
-    peers = g.loc[g["peer"] != _NO_PEER, "peer"]
-    if peers.empty or pd.isna(label):
-        return pd.DataFrame({"node": pd.Series(dtype="int64"),
-                             "label": pd.Series(dtype="int64"),
-                             "peer": pd.Series(dtype="int64")})
-    return pd.DataFrame({"node": peers.astype("int64"),
-                         "label": int(label),
-                         "peer": _NO_PEER})
+def _propagate_labels(edges_ds: "ray.data.Dataset", ids_ds: "ray.data.Dataset",
+                      max_iters: int = 25) -> "ray.data.Dataset":
+    """Distributed min-label propagation (the huge-pair-set scale path).
 
+    ``edges_ds``: symmetric (node, peer) rows; ``ids_ds``: (node) rows.
+    Each round carries every node's current label to its neighbors via one
+    vectorized hash_join (never a per-node Python call) and takes the
+    per-node min; labels only decrease, so the label sum is a fixpoint
+    detector. Each round shuffles only (node, label/peer) rows — never the
+    documents. Returns (doc_id, cluster_id = min member id)."""
+    from engine.joins import hash_join
 
-def connected_components_distributed(pairs: pd.DataFrame, ids: list,
-                                     max_iters: int = 25) -> pd.DataFrame:
-    """Distributed min-label propagation — the scale path for when the
-    verified pair set is too large for driver union-find (integer ids).
-
-    Each round is: per-endpoint groupby (carry the node's current label to
-    every neighbor) → per-node groupby min. Converges in O(components'
-    diameter) rounds, bounded by ``max_iters``; each round shuffles only
-    (node, label) pairs — never the documents. Same output contract as
-    connected_components: (doc_id, cluster_id = min member id)."""
-    import ray.data as rd
-
-    if len(pairs) == 0:
-        return pd.DataFrame({"doc_id": ids, "cluster_id": ids}).sort_values(
-            "doc_id").reset_index(drop=True)
-
-    ids = [int(i) for i in ids]
-    edges = pd.DataFrame({
-        "node": pd.Series(list(pairs["id_a"]) + list(pairs["id_b"]),
-                          dtype="int64"),
-        "label": _BIG_LABEL,
-        "peer": pd.Series(list(pairs["id_b"]) + list(pairs["id_a"]),
-                          dtype="int64"),
-    })
-    edges_ds = rd.from_arrow(pa.Table.from_pandas(edges))
-    labels = rd.from_arrow(pa.Table.from_pandas(pd.DataFrame({
-        "node": pd.Series(ids, dtype="int64"),
-        "label": pd.Series(ids, dtype="int64"),
-        "peer": pd.Series([_NO_PEER] * len(ids), dtype="int64"),
-    })))
-    old_sum = sum(ids)
+    labels = ids_ds.map_batches(
+        lambda t: pa.table({"node": t["node"], "label": t["node"]}),
+        batch_format="pyarrow",
+    ).materialize()
+    edges_ds = edges_ds.materialize()
+    old_sum = labels.sum("label")
 
     for _ in range(max_iters):
-        tagged = (
-            labels.union(edges_ds)
-            .groupby("node")
-            .map_groups(_propagate_group, batch_format="pandas")
-            # normalize to Arrow blocks: union requires matching block types
-            .map_batches(lambda t: t, batch_format="pyarrow")
+        carried = hash_join(edges_ds, labels, on="node").map_batches(
+            lambda t: pa.table({"node": t["peer"], "label": t["label"]}),
+            batch_format="pyarrow",
         )
         new_labels = (
-            labels.union(tagged)
+            labels.union(carried)
             .groupby("node")
             .aggregate(Min("label", alias_name="label"))
-            .map_batches(lambda t: t.append_column(
-                "peer", pa.array([_NO_PEER] * t.num_rows, type=pa.int64())),
-                batch_format="pyarrow")
             .materialize()
         )
         new_sum = new_labels.sum("label")
@@ -355,23 +502,110 @@ def connected_components_distributed(pairs: pd.DataFrame, ids: list,
         if new_sum == old_sum:  # labels only ever decrease; fixpoint reached
             break
         old_sum = new_sum
-    out = labels.to_pandas()[["node", "label"]].rename(
-        columns={"node": "doc_id", "label": "cluster_id"}
+    return labels.map_batches(
+        lambda t: pa.table({"doc_id": t["node"], "cluster_id": t["label"]}),
+        batch_format="pyarrow",
     )
+
+
+def connected_components_distributed(pairs, ids,
+                                     max_iters: int = 25) -> pd.DataFrame:
+    """Distributed min-label propagation over integer ids (``ids`` may be a
+    Dataset of one id column or a Python list). Same output contract as
+    connected_components: (doc_id, cluster_id = min member id)."""
+    import ray.data as rd
+
+    if isinstance(ids, list):
+        ids_ds = rd.from_arrow(pa.table({
+            "node": pa.array([int(i) for i in ids], type=pa.int64())}))
+    else:
+        id_name = ids.schema().names[0]
+        ids_ds = ids.map_batches(
+            lambda t: pa.table({"node": pc.cast(t[id_name], pa.int64())}),
+            batch_format="pyarrow",
+        )
+
+    if isinstance(pairs, pd.DataFrame):
+        if len(pairs) == 0:
+            out = ids_ds.map_batches(
+                lambda t: pa.table({"doc_id": t["node"],
+                                    "cluster_id": t["node"]}),
+                batch_format="pyarrow",
+            ).to_pandas()
+            return out.sort_values("doc_id").reset_index(drop=True)
+        pairs = rd.from_arrow(pa.Table.from_pandas(
+            pairs[["id_a", "id_b"]].astype("int64"), preserve_index=False))
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        a = pc.cast(t["id_a"], pa.int64()).combine_chunks() \
+            if isinstance(t["id_a"], pa.ChunkedArray) else t["id_a"]
+        b = pc.cast(t["id_b"], pa.int64()).combine_chunks() \
+            if isinstance(t["id_b"], pa.ChunkedArray) else t["id_b"]
+        a = pc.cast(a, pa.int64())
+        b = pc.cast(b, pa.int64())
+        return pa.table({
+            "node": pa.concat_arrays([a, b]),
+            "peer": pa.concat_arrays([b, a]),
+        })
+
+    edges_ds = pairs.map_batches(to_edges, batch_format="pyarrow")
+    out = _propagate_labels(edges_ds, ids_ds, max_iters).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
 def minhash_dedup_clusters(ds: "ray.data.Dataset", text_col: str = "text",
                            id_col: str = "doc_id", threshold: float = 0.7,
-                           distributed: bool = False) -> pd.DataFrame:
-    """``distributed=True`` clusters via min-label propagation (integer ids;
-    the scale path); default is driver union-find over the small verified
-    pair set."""
+                           distributed: bool = True) -> "ray.data.Dataset":
+    """Near-dup clusters as a Dataset (doc_id, cluster_id = min member id).
+
+    Default plan: union-find over the VERIFIED pair set (candidate-bounded —
+    never O(corpus)), broadcast the paired-node→cluster map, and attach the
+    cluster id distributed over the id column; pair sets above
+    VERIFY_DRIVER_MAX take the min-label-propagation scale path instead.
+    ``distributed=False`` is the legacy all-driver union-find (testing only).
+    """
+    import ray.data as rd
+
     pairs = minhash_lsh_pairs(ds, text_col, id_col, threshold)
-    ids = [r[id_col] for r in ds.select_columns([id_col]).take_all()]
-    if distributed:
-        return connected_components_distributed(pairs, ids)
-    return connected_components(pairs, ids)
+    ids_ds = ds.select_columns([id_col])
+
+    if not distributed:
+        ids = [r[id_col] for r in ids_ds.take_all()]
+        return rd.from_arrow(pa.Table.from_pandas(
+            connected_components(pairs, ids), preserve_index=False))
+
+    if len(pairs) > VERIFY_DRIVER_MAX:
+        edges = rd.from_arrow(pa.Table.from_pandas(
+            pairs[["id_a", "id_b"]].astype("int64"), preserve_index=False))
+
+        def to_edges(t: pa.Table) -> pa.Table:
+            a = pc.cast(t["id_a"], pa.int64()).combine_chunks() \
+                if isinstance(t["id_a"], pa.ChunkedArray) else t["id_a"]
+            b = pc.cast(t["id_b"], pa.int64()).combine_chunks() \
+                if isinstance(t["id_b"], pa.ChunkedArray) else t["id_b"]
+            return pa.table({"node": pa.concat_arrays([a, b]),
+                             "peer": pa.concat_arrays([b, a])})
+
+        nodes = ids_ds.map_batches(
+            lambda t: pa.table({"node": pc.cast(t[id_col], pa.int64())}),
+            batch_format="pyarrow",
+        )
+        return _propagate_labels(edges.map_batches(to_edges,
+                                                   batch_format="pyarrow"),
+                                 nodes)
+
+    mapping = _pair_cluster_map(pairs)
+    ref = ray.put(mapping)
+
+    def attach(t: pa.Table) -> pa.Table:
+        m = get_broadcast(ref)
+        ids = t[id_col].to_pylist()
+        return pa.table({
+            "doc_id": t[id_col],
+            "cluster_id": pa.array([m.get(i, i) for i in ids]),
+        })
+
+    return ids_ds.map_batches(attach, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -383,20 +617,28 @@ _BIT_IDX = np.arange(64, dtype=np.uint64)
 
 
 def simhash64(text: str) -> int:
-    """64-bit SimHash over whitespace tokens (crc32 token hashes).
+    """64-bit SimHash over whitespace tokens.
+
+    Token hash = crc32 (low word) + blake2b (high word): the high word must be
+    INDEPENDENT of the low one — crc32 with a different seed is linear in the
+    seed (crc32(b, s) == crc32(b) XOR f(len(b), s)), which would leave only
+    ~32 bits of real entropy and degrade Hamming discrimination.
 
     Vectorized: one (tokens × 64) bit matrix per document instead of a
     per-token numpy round trip (~20× on long documents)."""
     tokens = text.split()
     if not tokens:
         return 0
+    encoded = [t.encode("utf-8", "replace") for t in tokens]
     hs = np.fromiter(
         (
-            zlib.crc32(b) | (zlib.crc32(b, 0xFFFF) << 32)
-            for b in (t.encode("utf-8", "replace") for t in tokens)
+            zlib.crc32(b)
+            | (int.from_bytes(hashlib.blake2b(b, digest_size=4).digest(),
+                              "big") << 32)
+            for b in encoded
         ),
         dtype=np.uint64,
-        count=len(tokens),
+        count=len(encoded),
     )
     bits = (hs[:, None] >> _BIT_IDX[None, :]) & 1
     acc = (2 * bits.astype(np.int64) - 1).sum(axis=0)
@@ -405,85 +647,87 @@ def simhash64(text: str) -> int:
 
 def simhash_signatures(ds: "ray.data.Dataset", text_col: str = "text",
                        id_col: str = "doc_id") -> "ray.data.Dataset":
-    class SimHasher:
-        def __call__(self, t: pa.Table) -> pa.Table:
-            vals = [simhash64(s or "") for s in t[text_col].to_pylist()]
-            return pa.table({id_col: t[id_col],
-                             "simhash": pa.array(vals, type=pa.uint64())})
+    def simhash_batch(t: pa.Table) -> pa.Table:
+        vals = [simhash64(s or "") for s in t[text_col].to_pylist()]
+        return pa.table({id_col: t[id_col],
+                         "simhash": pa.array(vals, type=pa.uint64())})
 
-    return ds.map_batches(SimHasher, batch_format="pyarrow",
-                          batch_size=1024, concurrency=(1, 8))
+    return ds.map_batches(simhash_batch, batch_format="pyarrow",
+                          batch_size=1024)
 
 
 def hamming64(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
 
 
+def _popcount64_np(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 array (per-byte unpackbits sum)."""
+    return np.unpackbits(x.view(np.uint8)).reshape(len(x), 8 * 8).sum(axis=1)
+
+
 def simhash_pairs(ds: "ray.data.Dataset", text_col: str = "text",
                   id_col: str = "doc_id", max_hamming: int = 3) -> pd.DataFrame:
     """Near-dup pairs by SimHash: bucket on each of the four 16-bit bands
     (any pair within Hamming ≤ 3 of 64 bits shares at least one exact band
-    by pigeonhole when distance < 4), verify exact Hamming distance."""
+    by pigeonhole when distance < 4), verify exact Hamming distance.
+    Same distributed discipline as minhash_lsh_pairs."""
+    empty = pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
     sigs = simhash_signatures(ds, text_col, id_col).materialize()
 
     def band_rows(t: pa.Table) -> pa.Table:
-        ids = t[id_col].to_pylist()
-        hs = t["simhash"].to_pylist()
-        ob, oh, oi = [], [], []
-        for i, h in zip(ids, hs):
-            for b in range(4):
-                ob.append(b)
-                oh.append((h >> (16 * b)) & 0xFFFF)
-                oi.append(i)
-        return pa.table({"band_id": pa.array(ob, type=pa.int32()),
-                         "band_val": pa.array(oh, type=pa.int32()),
-                         id_col: pa.array(oi)})
+        h = pc.cast(t["simhash"], pa.uint64()).to_numpy(zero_copy_only=False)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        keys, out_ids = [], []
+        for b in range(4):
+            band_val = (h >> np.uint64(16 * b)) & np.uint64(0xFFFF)
+            keys.append((np.int64(b) << np.int64(32))
+                        | band_val.astype(np.int64))
+            out_ids.append(ids)
+        return pa.table({
+            "bkey": pa.array(np.concatenate(keys)),
+            id_col: pa.array(np.concatenate(out_ids)),
+        })
 
-    bands = sigs.map_batches(band_rows, batch_format="pyarrow").materialize()
+    bands = sigs.map_batches(band_rows, batch_format="pyarrow")
+    cand = _candidate_pairs(bands, id_col)
+    if cand is None:
+        return empty
+    pairs = _distinct_pairs(cand, cand.count())
 
-    # same singleton-skip as minhash_lsh_pairs: count → hot buckets →
-    # broadcast filter → one vectorized pair expansion
-    counts = bands.groupby(["band_id", "band_val"]).count()
-    hot = {
-        (r["band_id"], r["band_val"])
-        for r in counts.take_all()
-        if r["count()"] >= 2
-    }
-    if not hot:
-        return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
-    hot_ref = ray.put(hot)
+    if isinstance(pairs, pd.DataFrame):
+        wanted = set(pairs["id_a"]) | set(pairs["id_b"])
+        sigdf = _fetch_for_ids(sigs, id_col, wanted)
+        vals = sigdf["simhash"].to_numpy().astype(np.uint64)
+        pos = pd.Series(np.arange(len(sigdf)), index=sigdf[id_col])
+        a = vals[pos[pairs["id_a"]].to_numpy()]
+        b = vals[pos[pairs["id_b"]].to_numpy()]
+        out = pairs.copy()
+        out["hamming"] = _popcount64_np(np.bitwise_xor(a, b)).astype(np.int64)
+        out = out[out["hamming"] <= max_hamming]
+        if len(out) == 0:
+            return empty
+        return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
-    class HotFilter:
-        def __init__(self, ref):
-            self.hot = ray.get(ref)
+    with_a = _attach_pair_columns(pairs, sigs, id_col, "id_a",
+                                  {"simhash": "sim_a"})
+    with_ab = _attach_pair_columns(with_a, sigs, id_col, "id_b",
+                                   {"simhash": "sim_b"})
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            mask = pa.array([
-                (b, v) in self.hot
-                for b, v in zip(t["band_id"].to_pylist(),
-                                t["band_val"].to_pylist())
-            ])
-            return t.filter(mask)
+    def verify(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"id_a": pa.array([], type=pa.int64()),
+                             "id_b": pa.array([], type=pa.int64()),
+                             "hamming": pa.array([], type=pa.int64())})
+        a = pc.cast(t["sim_a"], pa.uint64()).to_numpy(zero_copy_only=False)
+        b = pc.cast(t["sim_b"], pa.uint64()).to_numpy(zero_copy_only=False)
+        ham = _popcount64_np(np.bitwise_xor(a, b))
+        out = pa.table({"id_a": t["id_a"], "id_b": t["id_b"],
+                        "hamming": pa.array(ham.astype(np.int64))})
+        return out.filter(pc.less_equal(out["hamming"], max_hamming))
 
-    hot_rows = bands.map_batches(
-        HotFilter, fn_constructor_args=(hot_ref,), batch_format="pyarrow",
-        concurrency=(1, 8),
-    ).to_pandas()
-    pair_list: list[tuple] = []
-    for _, g in hot_rows.groupby(["band_id", "band_val"], sort=False):
-        ids = sorted(g[id_col].tolist())[:MAX_BUCKET]
-        pair_list.extend(
-            (a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]
-        )
-    if not pair_list:
-        return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
-    pairs = pd.DataFrame(pair_list, columns=["id_a", "id_b"]).drop_duplicates()
-    sim_map = {r[id_col]: r["simhash"] for r in sigs.take_all()}
-    pairs["hamming"] = [
-        hamming64(sim_map[a], sim_map[b])
-        for a, b in zip(pairs["id_a"], pairs["id_b"])
-    ]
-    out = pairs[pairs["hamming"] <= max_hamming]
+    out = with_ab.map_batches(verify, batch_format="pyarrow").to_pandas()
+    if len(out) == 0:
+        return empty
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
@@ -507,38 +751,59 @@ def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
     return inter / (len(sa) + len(sb) - inter)
 
 
-def ngram_jaccard_pairs(ds: "ray.data.Dataset", candidate_pairs: pd.DataFrame,
+def ngram_jaccard_pairs(ds: "ray.data.Dataset", candidate_pairs,
                         text_col: str = "text", id_col: str = "doc_id",
                         n: int = 3, threshold: float = 0.8) -> pd.DataFrame:
-    """Exact word-n-gram Jaccard over an LSH candidate set. Texts for the
-    candidate ids are fetched via a broadcast id-set filter (no shuffle)."""
-    if len(candidate_pairs) == 0:
-        return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
-    wanted = set(candidate_pairs["id_a"]) | set(candidate_pairs["id_b"])
-    ref = ray.put(wanted)
+    """Exact word-n-gram Jaccard over an LSH candidate set. Texts are
+    co-located per pair via two hash_joins (each endpoint's text crosses the
+    wire once) — never a driver-side id→text dict."""
+    import ray.data as rd
 
-    class Fetch:
-        def __init__(self, r):
-            self.keep = ray.get(r)
+    empty = pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
+    texts = ds.select_columns([id_col, text_col])
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            mask = pa.array([i in self.keep for i in t[id_col].to_pylist()])
-            return t.filter(mask)
+    if isinstance(candidate_pairs, pd.DataFrame):
+        if len(candidate_pairs) == 0:
+            return empty
+        if len(candidate_pairs) <= VERIFY_DRIVER_MAX:
+            # candidate-bounded driver plan (streaming semi-join fetch)
+            pairs = candidate_pairs[["id_a", "id_b"]].reset_index(drop=True)
+            wanted = set(pairs["id_a"]) | set(pairs["id_b"])
+            tdf = _fetch_for_ids(texts, id_col, wanted)
+            lookup = dict(zip(tdf[id_col], tdf[text_col]))
+            out = pairs.copy()
+            out["jaccard"] = [
+                ngram_jaccard(lookup.get(a, ""), lookup.get(b, ""), n)
+                for a, b in zip(pairs["id_a"], pairs["id_b"])
+            ]
+            out = out[out["jaccard"] >= threshold]
+            if len(out) == 0:
+                return empty
+            return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        candidate_pairs = rd.from_arrow(pa.Table.from_pandas(
+            candidate_pairs[["id_a", "id_b"]], preserve_index=False))
 
-    texts = {
-        r[id_col]: r[text_col]
-        for r in ds.select_columns([id_col, text_col])
-        .map_batches(Fetch, fn_constructor_args=(ref,), batch_format="pyarrow",
-                     concurrency=(1, 4))
-        .take_all()
-    }
-    jac = [
-        ngram_jaccard(texts.get(a, ""), texts.get(b, ""), n)
-        for a, b in zip(candidate_pairs["id_a"], candidate_pairs["id_b"])
-    ]
-    out = candidate_pairs.copy()
-    out["jaccard"] = jac
-    out = out[out["jaccard"] >= threshold]
+    with_a = _attach_pair_columns(candidate_pairs, texts, id_col, "id_a",
+                                  {text_col: "text_a"})
+    with_ab = _attach_pair_columns(with_a, texts, id_col, "id_b",
+                                   {text_col: "text_b"})
+
+    def verify(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"id_a": pa.array([], type=pa.int64()),
+                             "id_b": pa.array([], type=pa.int64()),
+                             "jaccard": pa.array([], type=pa.float64())})
+        jac = [
+            ngram_jaccard(a or "", b or "", n)
+            for a, b in zip(t["text_a"].to_pylist(), t["text_b"].to_pylist())
+        ]
+        out = pa.table({"id_a": t["id_a"], "id_b": t["id_b"],
+                        "jaccard": pa.array(jac, type=pa.float64())})
+        return out.filter(pc.greater_equal(out["jaccard"], threshold))
+
+    out = with_ab.map_batches(verify, batch_format="pyarrow").to_pandas()
+    if len(out) == 0:
+        return empty
     return out[["id_a", "id_b", "jaccard"]].sort_values(
         ["id_a", "id_b"]
     ).reset_index(drop=True)

@@ -205,8 +205,20 @@ def q_top_parts(sf_dir: str):
 
 
 def q_exact_dedup(sf_dir: str):
+    """Exact dedup with hash-key shuffle discipline: the groupby key is a
+    60-bit content hash (md5 prefix — reproducible in DuckDB), so the
+    all-to-all moves 8 bytes per row instead of the full document text."""
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    return docs.groupby("text").aggregate(
+
+    def h(t: pa.Table) -> pa.Table:
+        hashes = [int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+                  for s in t["text"].to_pylist()]
+        return pa.table({"content_hash": pa.array(hashes, type=pa.int64()),
+                         "doc_id": t["doc_id"]})
+
+    return docs.map_batches(h, batch_format="pyarrow").groupby(
+        "content_hash"
+    ).aggregate(
         Min("doc_id", alias_name="doc_id"), Count(alias_name="n_copies")
     )
 

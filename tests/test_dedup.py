@@ -64,7 +64,7 @@ def test_minhash_lsh_pairs(docs):
 
 
 def test_minhash_clusters(docs):
-    clusters = dedup.minhash_dedup_clusters(docs, threshold=0.5)
+    clusters = dedup.minhash_dedup_clusters(docs, threshold=0.5).to_pandas()
     cl = dict(zip(clusters["doc_id"], clusters["cluster_id"]))
     assert cl[0] == cl[1] == 0  # exact dups share cluster 0
     assert cl[4] == cl[5] == 4
@@ -127,6 +127,34 @@ def test_connected_components_distributed_matches_union_find(ray_session):
 
 
 def test_minhash_clusters_distributed(docs):
-    a = dedup.minhash_dedup_clusters(docs, threshold=0.5)
+    def canon(ds):
+        return (ds.to_pandas().sort_values("doc_id")
+                .reset_index(drop=True).values.tolist())
+
+    a = dedup.minhash_dedup_clusters(docs, threshold=0.5, distributed=False)
     b = dedup.minhash_dedup_clusters(docs, threshold=0.5, distributed=True)
-    assert a.values.tolist() == b.values.tolist()
+    assert canon(a) == canon(b)
+
+
+def test_join_plan_matches_driver_plan(docs, monkeypatch):
+    """Forcing VERIFY_DRIVER_MAX below any candidate count routes pairs
+    through the fully-distributed join plan and clustering through min-label
+    propagation; outputs must be identical to the candidate-bounded plan."""
+    a_pairs = dedup.minhash_lsh_pairs(docs, threshold=0.5)
+    a_sim = dedup.simhash_pairs(docs, max_hamming=10)
+    cand = pd.DataFrame({"id_a": [0, 0, 4], "id_b": [1, 6, 5]})
+    a_ng = dedup.ngram_jaccard_pairs(docs, cand, threshold=0.5)
+    a_cl = dedup.minhash_dedup_clusters(docs, threshold=0.5).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+    monkeypatch.setattr(dedup, "VERIFY_DRIVER_MAX", -1)
+    b_pairs = dedup.minhash_lsh_pairs(docs, threshold=0.5)
+    b_sim = dedup.simhash_pairs(docs, max_hamming=10)
+    b_ng = dedup.ngram_jaccard_pairs(docs, cand, threshold=0.5)
+    b_cl = dedup.minhash_dedup_clusters(docs, threshold=0.5).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+    for a, b in ((a_pairs, b_pairs), (a_sim, b_sim), (a_ng, b_ng)):
+        assert a.reset_index(drop=True).astype(str).values.tolist() == \
+            b.reset_index(drop=True).astype(str).values.tolist()
+    assert a_cl.values.tolist() == b_cl.values.tolist()

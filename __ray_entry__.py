@@ -29,6 +29,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from engine.textstats import _ALL_STOP
+
+    stop_list = ", ".join(f"'{w}'" for w in sorted(_ALL_STOP))
     chunk = r"""
 WITH exploded AS (
     SELECT doc_id,
@@ -170,13 +173,63 @@ SELECT user_id, event_id, ts FROM (
   SELECT user_id, event_id, ts,
          row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
   FROM events) WHERE rn = 1""",
+        # embedding_near_dup: the query plants PLANT_N exact copies at
+        # vec_id + 1e6 over a base table with no natural pairs >= 0.95, so
+        # the full output is exactly the planted pairs at cosine 1.0.
+        "embedding_near_dup": """
+SELECT CAST(vec_id AS BIGINT) AS id_a,
+       CAST(vec_id + 1000000 AS BIGINT) AS id_b,
+       1.0 AS cosine
+FROM embeddings WHERE vec_id < 20""",
         "url_buckets": """
 SELECT CAST(CAST('0x' || substr(md5('https://docs.example/' ||
             CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 64 AS BIGINT) AS bucket,
        count(*) AS n_docs
 FROM documents GROUP BY 1""",
-        # minhash_clusters / simhash / ngram_dedup_pairs / knn_lsh /
-        # embedding_near_dup / lang_id / quality / media_features:
-        # intentionally no SQL oracle (sketching, LSH recall, heuristic
-        # scoring, stubbed decode are not SQL-expressible) → rows-only check.
+        # Planted-dup corpora (engine/queries.py _planted_docs): texts are
+        # built deterministically from doc_id alone, so the near-dup truth —
+        # groups of 3 consecutive ids — is SQL-derivable even though the
+        # MinHash/SimHash/Jaccard pipelines themselves are not.
+        "minhash_clusters": """
+SELECT doc_id, (doc_id // 3) * 3 AS cluster_id FROM documents""",
+        "simhash": """
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS BIGINT) AS hamming
+FROM documents a JOIN documents b
+  ON a.doc_id // 3 = b.doc_id // 3 AND a.doc_id < b.doc_id""",
+        "ngram_dedup_pairs": """
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, 0.975 AS jaccard
+FROM documents a JOIN documents b
+  ON a.doc_id // 3 = b.doc_id // 3 AND a.doc_id < b.doc_id""",
+        "lang_id": """
+SELECT doc_id,
+       CASE doc_id % 5 WHEN 0 THEN 'en' WHEN 1 THEN 'es' WHEN 2 THEN 'de'
+            WHEN 3 THEN 'fr' ELSE 'zh' END AS lang_pred
+FROM documents""",
+        "quality": rf"""
+WITH f AS (
+  SELECT doc_id,
+         CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+         CAST(length(list_distinct(regexp_extract_all(text, '\S+')))
+              AS BIGINT) AS n_uniq,
+         CAST(length(list_filter(regexp_extract_all(lower(text), '\S+'),
+              x -> list_contains([{stop_list}], x))) AS BIGINT) AS n_stop,
+         length(regexp_replace(text, '\s', '', 'g')) AS n_nonspace
+  FROM documents)
+SELECT doc_id, n_tokens, n_uniq, n_stop,
+       round(
+         CASE WHEN n_tokens < 5 THEN 0.2
+              WHEN n_tokens < 20 THEN 0.7 ELSE 1.0 END
+         * CASE WHEN coalesce(CAST(n_uniq AS DOUBLE) / nullif(n_tokens, 0),
+                              0.0) < 0.3 THEN 0.5 ELSE 1.0 END
+         * CASE WHEN n_stop = 0 THEN 0.7 ELSE 1.0 END
+         * CASE WHEN mean_tok > 15 OR (mean_tok > 0 AND mean_tok < 2)
+                THEN 0.5 ELSE 1.0 END,
+         4) AS quality
+FROM (SELECT *,
+             coalesce(CAST(n_nonspace AS DOUBLE) / nullif(n_tokens, 0),
+                      0.0) AS mean_tok
+      FROM f)""",
+        # knn_lsh / knn_ivf / media_features: intentionally no SQL oracle
+        # (LSH/IVF probing and the stubbed media decode are not
+        # SQL-expressible) → rows-only check; recall pinned in tests.
     }

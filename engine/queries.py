@@ -15,6 +15,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import zlib
 
 import numpy as np
 import pandas as pd
@@ -451,29 +452,72 @@ def q_docx_roundtrip(sf_dir: str):
     )
 
 
+# --- planted-dup corpora: texts built deterministically from doc_id only,
+# so the near-dup truth (groups of 3 consecutive ids) is SQL-derivable and
+# the sketch pipelines run against a REAL oracle (the pdf_roundtrip trick).
+# Group gid shares 80 crc32-hex tokens; the "variant" corpus appends one
+# member-specific token (word-3-gram Jaccard = 78/80 = 0.975 exactly), the
+# "exact" corpus makes all members byte-identical (Hamming 0 / Jaccard 1).
+
+PLANT_GROUP = 3
+_PLANT_TOKENS = 80
+
+
+def _planted_base(gid: int) -> str:
+    return " ".join(
+        format(zlib.crc32(f"{gid}:{j}".encode()), "08x")
+        for j in range(_PLANT_TOKENS)
+    )
+
+
+def _planted_docs(sf_dir: str, exact: bool = False):
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def build(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        if exact:
+            texts = [_planted_base(i // PLANT_GROUP) for i in ids]
+        else:
+            texts = [
+                _planted_base(i // PLANT_GROUP) + f" v{i % PLANT_GROUP}"
+                for i in ids
+            ]
+        return pa.table({"doc_id": t["doc_id"],
+                         "text": pa.array(texts, type=pa.string())})
+
+    return docs.map_batches(build, batch_format="pyarrow")
+
+
 def q_minhash_clusters(sf_dir: str):
-    """Near-dup clustering via MinHash-LSH (rows-only: not SQL-expressible)."""
+    """Full MinHash-LSH near-dup clustering over the planted-variant corpus;
+    the oracle knows cluster_id = (doc_id // 3) * 3 by construction."""
     from engine.dedup import minhash_dedup_clusters
 
-    docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    return minhash_dedup_clusters(docs, threshold=0.7)
+    return minhash_dedup_clusters(_planted_docs(sf_dir), threshold=0.7)
 
 
 def q_simhash(sf_dir: str):
-    """64-bit SimHash per document (rows-only; deterministic)."""
-    from engine.dedup import simhash_signatures
+    """SimHash signatures → 16-bit-band LSH → Hamming-verified pairs over the
+    planted-exact corpus (identical members ⇒ Hamming 0; distinct groups'
+    64-bit hashes are ≫ 3 apart)."""
+    from engine.dedup import simhash_pairs
 
-    docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    return simhash_signatures(docs)
+    out = simhash_pairs(_planted_docs(sf_dir, exact=True), max_hamming=3)
+    out["hamming"] = out["hamming"].astype("int64")
+    return out
 
 
 def q_ngram_dedup_pairs(sf_dir: str):
-    """LSH candidates → exact 3-gram Jaccard verification (rows-only)."""
+    """LSH candidates → exact 3-gram Jaccard verification over the planted-
+    variant corpus (each intra-group pair differs in exactly one trailing
+    token ⇒ Jaccard = 78/80 = 0.975)."""
     from engine.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
 
-    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    docs = _planted_docs(sf_dir)
     cand = minhash_lsh_pairs(docs, threshold=0.5)
-    return ngram_jaccard_pairs(docs, cand[["id_a", "id_b"]], threshold=0.5)
+    out = ngram_jaccard_pairs(docs, cand[["id_a", "id_b"]], threshold=0.5)
+    out["jaccard"] = out["jaccard"].round(6)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -520,13 +564,32 @@ def q_knn_ivf(sf_dir: str):
     return out[["query_id", "rank", "vec_id"]]
 
 
+PLANT_N = 20  # planted near-dup copies (vec_id + PLANT_OFFSET)
+PLANT_OFFSET = 1_000_000
+
+
 def q_embedding_near_dup(sf_dir: str):
-    """Embedding-cosine near-dup pairs within LSH buckets (rows-only)."""
+    """Embedding-cosine near-dup pairs within LSH buckets, on the embeddings
+    table plus PLANT_N planted exact copies (vec_id + PLANT_OFFSET) — the
+    planted truth is SQL-derivable, so this runs against a real oracle; the
+    base table itself has no pairs ≥ 0.95 (verified), so the output is
+    exactly the planted pairs at cosine 1.0."""
     from engine.similarity import embedding_near_dup_pairs
 
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    out = embedding_near_dup_pairs(emb, threshold=0.95)
+
+    def plant(t: pa.Table) -> pa.Table:
+        sel = t.filter(pc.less(t["vec_id"], PLANT_N))
+        return pa.table({
+            "vec_id": pc.add(sel["vec_id"], PLANT_OFFSET),
+            "embedding": sel["embedding"],
+        })
+
+    full = emb.union(emb.map_batches(plant, batch_format="pyarrow"))
+    out = embedding_near_dup_pairs(full, threshold=0.95)
     out["cosine"] = out["cosine"].round(6)
+    out["id_a"] = out["id_a"].astype("int64")
+    out["id_b"] = out["id_b"].astype("int64")
     return out
 
 
@@ -535,23 +598,51 @@ def q_embedding_near_dup(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
+# one pure-profile sample per language family: each classifies to its own
+# language with score 1.0 (cross-profile stopword overlap ≤ 0.3 — margins
+# checked in tests), so lang_pred is derivable from doc_id % 5 in SQL
+_LANG_SAMPLES = {
+    0: "the and of to a in is that for it",              # en
+    1: "el la de que y en los del se las",               # es
+    2: "der die und das in von zu mit den ist",          # de
+    3: "le la de et les des en un une du",               # fr
+    4: "文本 数据 处理 系统 分析 模型 训练 语料",              # zh (CJK ratio)
+}
+_LANG_OF = {0: "en", 1: "es", 2: "de", 3: "fr", 4: "zh"}
+
+
 def q_lang_id(sf_dir: str):
+    """Language-ID over a constructed corpus whose true language is
+    doc_id % 5 by construction (pure stopword-profile texts) — turns the
+    heuristic classifier into an oracle-checked operator; behavior on free
+    text is pinned separately in tests/test_textstats.py."""
     from engine.textstats import LangIdStage
 
-    docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    return docs.map_batches(LangIdStage, batch_format="pyarrow",
-                            concurrency=(1, 4)).select_columns(
-        ["doc_id", "lang_pred"])
+    stage = LangIdStage()
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def build_and_classify(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        texts = pa.array([_LANG_SAMPLES[i % 5] for i in ids],
+                         type=pa.string())
+        out = stage(pa.table({"doc_id": t["doc_id"], "text": texts}))
+        return out.select(["doc_id", "lang_pred"])
+
+    return docs.map_batches(build_and_classify, batch_format="pyarrow")
 
 
 def q_quality(sf_dir: str):
+    """Quality scoring over the real documents table; outputs integer signal
+    counts (n_uniq / n_stop instead of ratios — ratios hit the Python-vs-SQL
+    banker's-rounding mismatch at exactly-representable fractions) plus the
+    frozen quality score, all reproducible in DuckDB."""
     from engine.textstats import QualityStage
 
+    stage = QualityStage()
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    out = docs.map_batches(QualityStage, batch_format="pyarrow",
-                           concurrency=(1, 4))
-    return out.select_columns(["doc_id", "n_tokens", "uniq_ratio",
-                               "stopword_ratio", "quality"])
+    out = docs.map_batches(lambda t: stage(t), batch_format="pyarrow")
+    return out.select_columns(["doc_id", "n_tokens", "n_uniq", "n_stop",
+                               "quality"])
 
 
 def q_chunk_page(sf_dir: str):

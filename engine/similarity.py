@@ -88,17 +88,21 @@ def knn_brute(ds: "ray.data.Dataset", queries: np.ndarray, k: int = 10,
 # LSH-bucketed ANN (the scale path)
 # ---------------------------------------------------------------------------
 
-NUM_PLANES = 8  # 2^8 = 256 buckets
+NUM_PLANES = 8  # 2^8 = 256 buckets (query-probing default)
+MAX_BUCKET_EMB = 256  # cap on vectors all-paired within one near-dup bucket
 
 
-def _hyperplanes(dim: int, seed: int = 42) -> np.ndarray:
+def _hyperplanes(dim: int, seed: int = 42,
+                 num_planes: int = NUM_PLANES) -> np.ndarray:
     rng = np.random.RandomState(seed)
-    return rng.normal(size=(NUM_PLANES, dim))
+    return rng.normal(size=(num_planes, dim))
 
 
 def lsh_bucket_of(vecs: np.ndarray, planes: np.ndarray) -> np.ndarray:
     bits = (vecs @ planes.T) > 0
-    return (bits * (1 << np.arange(NUM_PLANES))).sum(axis=1).astype(np.int32)
+    weights = np.left_shift(np.uint64(1),
+                            np.arange(planes.shape[0], dtype=np.uint64))
+    return (bits * weights).sum(axis=1).astype(np.int64)
 
 
 def knn_lsh(ds: "ray.data.Dataset", queries: np.ndarray, k: int = 10,
@@ -201,33 +205,43 @@ def knn_ivf(ds: "ray.data.Dataset", queries: np.ndarray, k: int = 10,
 
 def embedding_near_dup_pairs(ds: "ray.data.Dataset", threshold: float = 0.95,
                              id_col: str = "vec_id",
-                             vec_col: str = "embedding") -> pd.DataFrame:
+                             vec_col: str = "embedding",
+                             num_planes: int | None = None,
+                             max_bucket: int = MAX_BUCKET_EMB) -> pd.DataFrame:
     """Embedding-cosine near-dup: bucket by LSH signature, compare within
-    buckets only, keep pairs with cosine >= threshold."""
+    buckets only, keep pairs with cosine >= threshold.
+
+    Scale guards: ``num_planes`` defaults to log2(corpus / 64) (≥8), keeping
+    the EXPECTED bucket population ~64 as the corpus grows instead of the
+    old fixed 256 buckets; a degenerate bucket (near-dup-heavy or all-zero
+    vectors) is capped at ``max_bucket`` members (keep-lowest-id, same policy
+    as engine.dedup.MAX_BUCKET) before the O(k²) pair expansion.
+    """
+    n = ds.count()
     first = ds.take(1)
     dim = len(first[0][vec_col])
-    planes = _hyperplanes(dim)
+    if num_planes is None:
+        num_planes = max(NUM_PLANES,
+                         int(np.ceil(np.log2(max(2.0, n / 64.0)))))
+    planes = _hyperplanes(dim, num_planes=num_planes)
     planes_ref = ray.put(planes)
 
-    class AddBucket:
-        def __init__(self, ref):
-            self.planes = ray.get(ref)
+    def add_bucket(t: pa.Table) -> pa.Table:
+        from engine.broadcast import get_broadcast
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            vecs = _normalize(_to_matrix(t[vec_col]))
-            buckets = lsh_bucket_of(vecs, self.planes)
-            return t.append_column("bucket", pa.array(buckets, type=pa.int32()))
+        pl = get_broadcast(planes_ref)
+        vecs = _normalize(_to_matrix(t[vec_col]))
+        buckets = lsh_bucket_of(vecs, pl)
+        return t.append_column("bucket", pa.array(buckets, type=pa.int64()))
 
-    with_bucket = ds.map_batches(AddBucket, fn_constructor_args=(planes_ref,),
-                                 batch_format="pyarrow", concurrency=(1, 8))
+    with_bucket = ds.map_batches(add_bucket, batch_format="pyarrow")
 
     def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
             return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        g = g.sort_values(id_col).head(max_bucket)  # skew guard
         vecs = _normalize(np.asarray(g[vec_col].tolist(), dtype=np.float64))
         ids = g[id_col].to_numpy()
-        order = np.argsort(ids)
-        vecs, ids = vecs[order], ids[order]
         cos = vecs @ vecs.T
         ia, ib = np.triu_indices(len(ids), k=1)
         keep = cos[ia, ib] >= threshold

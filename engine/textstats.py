@@ -84,6 +84,8 @@ def quality_features(text: str) -> dict:
     return {
         "n_chars": n_chars,
         "n_tokens": n_tokens,
+        "n_uniq": uniq,
+        "n_stop": n_stop,
         "uniq_ratio": (uniq / n_tokens) if n_tokens else 0.0,
         "punct_ratio": (n_punct / n_chars) if n_chars else 0.0,
         "stopword_ratio": (n_stop / n_tokens) if n_tokens else 0.0,
@@ -116,7 +118,8 @@ class QualityStage:
         feats = [quality_features(s or "") for s in t[self.text_col].to_pylist()]
         out = t
         for key, typ in (
-            ("n_tokens", pa.int64()), ("uniq_ratio", pa.float64()),
+            ("n_tokens", pa.int64()), ("n_uniq", pa.int64()),
+            ("n_stop", pa.int64()), ("uniq_ratio", pa.float64()),
             ("punct_ratio", pa.float64()), ("stopword_ratio", pa.float64()),
             ("mean_token_len", pa.float64()),
         ):

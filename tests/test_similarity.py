@@ -102,3 +102,40 @@ def test_ivf_centroids_deterministic(vecs):
     a = similarity.train_ivf_centroids(ds, num_cells=4, sample_size=32)
     b = similarity.train_ivf_centroids(ds, num_cells=4, sample_size=32)
     assert (a == b).all()
+
+
+def test_embedding_near_dup_perturbed(ray_session):
+    """Perturbed (non-identical) planted near-dups are recovered, and the
+    per-bucket cap bounds a degenerate bucket's pair expansion."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from engine.similarity import embedding_near_dup_pairs
+
+    rng = np.random.RandomState(7)
+    base = rng.normal(size=(50, 32))
+    # plant: ids 1000+i are tiny perturbations of ids i (cosine ~0.999)
+    pert = base[:10] + 0.01 * rng.normal(size=(10, 32))
+    vecs = np.vstack([base, pert])
+    ids = list(range(50)) + [1000 + i for i in range(10)]
+    ds = rd.from_arrow(pa.table({
+        "vec_id": ids,
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              type=pa.list_(pa.float64())),
+    }))
+    out = embedding_near_dup_pairs(ds, threshold=0.95)
+    got = set(zip(out["id_a"], out["id_b"]))
+    assert {(i, 1000 + i) for i in range(10)} <= got
+    assert all(c > 0.95 for c in out["cosine"])
+
+    # degenerate bucket: 40 identical vectors, cap=8 → at most C(8,2) pairs
+    same = np.tile(rng.normal(size=(1, 32)), (40, 1))
+    ds2 = rd.from_arrow(pa.table({
+        "vec_id": list(range(40)),
+        "embedding": pa.array([v.tolist() for v in same],
+                              type=pa.list_(pa.float64())),
+    }))
+    out2 = embedding_near_dup_pairs(ds2, threshold=0.95, max_bucket=8)
+    assert len(out2) == 8 * 7 // 2
+    assert set(out2["id_a"]) | set(out2["id_b"]) == set(range(8))

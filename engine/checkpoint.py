@@ -175,14 +175,21 @@ def run_extraction(
 
 
 def read_extracted(out_dir: str) -> "ray.data.Dataset":
-    """S4 analog — results are queryable, not re-served (SURVEY.md §2.1 S4)."""
+    """S4 analog — results are queryable, not re-served (SURVEY.md §2.1 S4).
+
+    Projects to exactly the EXTRACTED schema columns: bucketed runs
+    (url_hash_buckets > 0) write hive ``bucket=N/`` dirs and keep the helper
+    ``url_hash`` column, which would otherwise leak schema differences into
+    downstream consumers depending on how the run was written."""
+    from engine.schema import EXTRACTED
+
     files = sorted(
         f
         for d in os.listdir(out_dir)
         if d.startswith("part-") and d != "_manifest" and not d.endswith(".tmp")
         for f in _parquet_files(os.path.join(out_dir, d))
     )
-    return ray.data.read_parquet(files)
+    return ray.data.read_parquet(files).select_columns(list(EXTRACTED.names))
 
 
 def gc_runs(root_dir: str, retention_hours: float = 24.0) -> int:

@@ -101,14 +101,31 @@ def _close_lists(stack: list[tuple[Node, int]], to_level: int) -> None:
         stack.pop()
 
 
+# Zip-bomb / entity-expansion guards: a tiny payload can declare a multi-GB
+# document.xml (checked against ZipInfo.file_size BEFORE reading), and
+# xml.etree is documented vulnerable to billion-laughs DTD expansion — OOXML
+# never legitimately carries a DTD, so any <!DOCTYPE is rejected outright.
+MAX_DOCUMENT_XML = 4 * 50 * 1024 * 1024  # 4× engine.schema.MAX_FILE_SIZE
+
+
 def docx_to_tree(data: bytes) -> Node:
     """DOCX bytes → Node tree rooted at <body>. Raises DocxError when the zip
     or document.xml is unreadable (per-row failed status for the caller)."""
     try:
         with zipfile.ZipFile(io.BytesIO(data)) as zf:
-            xml_bytes = zf.read("word/document.xml")
+            info = zf.getinfo("word/document.xml")
+            if info.file_size > MAX_DOCUMENT_XML:
+                raise DocxError(
+                    f"document.xml declares {info.file_size} bytes "
+                    f"(cap {MAX_DOCUMENT_XML})")
+            with zf.open(info) as f:
+                xml_bytes = f.read(MAX_DOCUMENT_XML + 1)
+            if len(xml_bytes) > MAX_DOCUMENT_XML:  # lying zip header
+                raise DocxError("document.xml exceeds size cap")
     except (zipfile.BadZipFile, KeyError, OSError) as exc:
         raise DocxError(f"not a DOCX container: {exc}") from exc
+    if b"<!DOCTYPE" in xml_bytes[:4096]:
+        raise DocxError("document.xml carries a DTD (rejected)")
     try:
         root = ET.fromstring(xml_bytes)
     except ET.ParseError as exc:

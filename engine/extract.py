@@ -24,7 +24,7 @@ from engine.docxx import DocxError, docx_to_tree
 from engine.htmlx import parse_html, strip_boilerplate, extract_title
 from engine.htmlx.dom import Node
 from engine.mdserialize import serialize
-from engine.pdfx import PdfError, extract_pdf
+from engine.pdfx import PdfError
 from engine.schema import EXTRACTED, MAX_FILE_SIZE
 from engine.textops import markdown_to_plain
 
@@ -81,8 +81,9 @@ def _extract_html(payload: bytes) -> tuple[str, str, list[dict]] | dict:
 
 
 def _extract_pdf(payload: bytes) -> tuple[str, str, list[dict]]:
-    markdown, spans = extract_pdf(payload)
-    return "", markdown, spans
+    from engine.pdfx.extract import extract_pdf_doc
+
+    return extract_pdf_doc(payload)  # title from /Info /Title (H4 analog)
 
 
 def _extract_docx(payload: bytes) -> tuple[str, str, list[dict]]:

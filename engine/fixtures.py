@@ -202,6 +202,7 @@ def build_pdf(
     pages: list[list[tuple[float, float, list[str]]]],
     compress: bool = False,
     style: str = "tm",
+    title: str | None = None,
 ) -> bytes:
     objs: dict[int, bytes] = {}
     n_pages = len(pages)
@@ -226,6 +227,12 @@ def build_pdf(
         objs[5 + 2 * i] = (
             b"<< /Length %d%s >>\nstream\n" % (len(stream), filt) + stream + b"\nendstream"
         )
+    info_num = None
+    if title is not None:
+        info_num = max(objs) + 1
+        esc = title.encode("cp1252", "replace")
+        esc = esc.replace(b"\\", rb"\\").replace(b"(", rb"\(").replace(b")", rb"\)")
+        objs[info_num] = b"<< /Title (" + esc + b") >>"
     buf = io.BytesIO()
     buf.write(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
     offsets: dict[int, int] = {}
@@ -240,8 +247,10 @@ def build_pdf(
     buf.write(b"0000000000 65535 f \n")
     for num in range(1, n):
         buf.write(b"%010d 00000 n \n" % offsets.get(num, 0))
+    info = b" /Info %d 0 R" % info_num if info_num is not None else b""
     buf.write(
-        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n" % (n, xref_pos)
+        b"trailer\n<< /Size %d /Root 1 0 R%s >>\nstartxref\n%d\n%%%%EOF\n"
+        % (n, info, xref_pos)
     )
     return buf.getvalue()
 

@@ -10,6 +10,7 @@ Separator policy (frozen, pdfminer-style): '\\n' between lines, '\\n\\n'
 between blocks, '\\x0c' between pages.
 """
 
-from engine.pdfx.extract import extract_pdf, extract_pdf_text, PdfError
+from engine.pdfx.extract import (extract_pdf, extract_pdf_doc,
+                                 extract_pdf_text, PdfError)
 
-__all__ = ["extract_pdf", "extract_pdf_text", "PdfError"]
+__all__ = ["extract_pdf", "extract_pdf_doc", "extract_pdf_text", "PdfError"]

@@ -6,16 +6,47 @@ SURVEY.md §2.2 C2/P3), so spans index blocks directly.
 
 from __future__ import annotations
 
-from engine.pdfx.content import interpret
+from engine.pdfx.content import decode_pdf_string, interpret
 from engine.pdfx.layout import page_blocks
-from engine.pdfx.objects import PdfError, get_pages, page_content, parse_objects
+from engine.pdfx.objects import (PdfError, get_pages, page_content,
+                                 parse_objects, resolve)
+
+
+def pdf_title(objects: dict, trailer: dict) -> str:
+    """H4 analog for PDFs: /Info → /Title (the metadata pdfminer surfaces as
+    the document title); '' when absent or non-string."""
+    info = resolve(objects, trailer.get("Info"))
+    if not isinstance(info, dict):
+        return ""
+    title = resolve(objects, info.get("Title"))
+    if isinstance(title, bytes):
+        if title[:2] in (b"\xfe\xff", b"\xff\xfe"):  # UTF-16 text string
+            try:
+                return title.decode("utf-16")
+            except UnicodeDecodeError:
+                return ""
+        return decode_pdf_string(title)
+    return ""
+
+
+def extract_pdf_doc(data: bytes) -> tuple[str, str, list[dict]]:
+    """PDF bytes → (title, text, block spans). Raises PdfError on malformed
+    input (caller maps that to a per-row status='failed',
+    app/main.py:438-441 analog)."""
+    objects, trailer = parse_objects(data)
+    title = pdf_title(objects, trailer)
+    text, spans = _pages_text(objects, trailer)
+    return title, text, spans
 
 
 def extract_pdf(data: bytes) -> tuple[str, list[dict]]:
-    """PDF bytes → (text, block spans). Raises PdfError on malformed input
-    (caller maps that to a per-row status='failed', app/main.py:438-441 analog).
-    """
+    """PDF bytes → (text, block spans); see extract_pdf_doc for the titled
+    variant."""
     objects, trailer = parse_objects(data)
+    return _pages_text(objects, trailer)
+
+
+def _pages_text(objects: dict, trailer: dict) -> tuple[str, list[dict]]:
     pages = get_pages(objects, trailer)
     parts: list[str] = []
     spans: list[dict] = []

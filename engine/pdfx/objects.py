@@ -31,6 +31,38 @@ class Name(str):
     """A /Name token (subclass of str so dict keys compare naturally)."""
 
 
+# Decompression bound: a crafted ≤50 MiB FlateDecode stream can expand
+# ~1000× and OOM the worker, poisoning the whole batch — the SIGALRM row
+# timeout bounds time, not memory. 4× MAX_FILE_SIZE (engine.schema) is far
+# above any legitimate page content stream.
+MAX_DECOMPRESSED = 4 * 50 * 1024 * 1024
+
+
+def _bounded_inflate(data: bytes, limit: int = MAX_DECOMPRESSED) -> bytes:
+    """zlib.decompress with an output-size cap (incremental max_length reads;
+    raises PdfError instead of ballooning to gigabytes)."""
+    d = zlib.decompressobj()
+    chunks = []
+    total = 0
+    buf = data
+    try:
+        while buf:
+            chunk = d.decompress(buf, 1 << 20)
+            total += len(chunk)
+            if total > limit:
+                raise PdfError("FlateDecode output exceeds size cap")
+            chunks.append(chunk)
+            buf = d.unconsumed_tail
+        tail = d.flush()
+    except zlib.error as exc:
+        raise PdfError(f"bad FlateDecode stream: {exc}") from exc
+    total += len(tail)
+    if total > limit:
+        raise PdfError("FlateDecode output exceeds size cap")
+    chunks.append(tail)
+    return b"".join(chunks)
+
+
 class Stream:
     __slots__ = ("dict", "raw")
 
@@ -46,7 +78,7 @@ class Stream:
         data = self.raw
         for f in filters:
             if f == "FlateDecode":
-                data = zlib.decompress(data)
+                data = _bounded_inflate(data)
             else:
                 raise PdfError(f"unsupported filter: {f}")
         return data

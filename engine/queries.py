@@ -529,10 +529,13 @@ def _load_query_vecs(sf_dir: str, n: int = 5) -> np.ndarray:
     import pyarrow.parquet as pq
     import os as _os
 
-    t = pq.read_table(_os.path.join(sf_dir, "embeddings.parquet"))
-    ids = t["vec_id"].to_pylist()
-    vecs = t["embedding"].to_pylist()
-    by_id = dict(zip(ids, vecs))
+    # row-group/predicate pushdown: only the n query vectors leave storage
+    t = pq.read_table(
+        _os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", n)],
+    )
+    by_id = dict(zip(t["vec_id"].to_pylist(), t["embedding"].to_pylist()))
     return np.asarray([by_id[i] for i in range(n)], dtype=np.float64)
 
 

@@ -179,16 +179,16 @@ def winnow_fingerprints(text: str, k: int = WINNOW_K, w: int = WINNOW_W) -> list
     n = len(data)
     if n < k:
         return [zlib.crc32(data)] if n else []
-    hashes = np.empty(n - k + 1, dtype=np.int64)
-    h = 0
-    power = pow(_ROLL_BASE, k - 1, _ROLL_MOD)
-    for i in range(k):
-        h = (h * _ROLL_BASE + data[i]) % _ROLL_MOD
-    hashes[0] = h
-    for i in range(1, n - k + 1):
-        h = ((h - data[i - 1] * power) * _ROLL_BASE + data[i + k - 1]) % _ROLL_MOD
-    # numpy sliding-window min for the winnow pass
-        hashes[i] = h
+    # vectorized polynomial hash: h_i = Σ_j data[i+j]·BASE^(k-1-j) mod M.
+    # Powers are reduced mod M first, so each term < 256·2^31 and the k-term
+    # sum stays far inside int64 — no Python per-byte loop.
+    arr = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
+    powers = np.array(
+        [pow(_ROLL_BASE, k - 1 - j, _ROLL_MOD) for j in range(k)],
+        dtype=np.int64,
+    )
+    windows = np.lib.stride_tricks.sliding_window_view(arr, k)
+    hashes = (windows * powers).sum(axis=1) % _ROLL_MOD
     if len(hashes) <= w:
         return [int(hashes.min())]
     sw = np.lib.stride_tricks.sliding_window_view(hashes, w)

@@ -73,3 +73,29 @@ def test_generator_variants_roundtrip():
         doc, _src = make_docx(random.Random(v), v)
         md = md_of_docx(doc)
         assert md.startswith("# ")
+
+
+def test_docx_zip_bomb_and_dtd_rejected():
+    """Oversized document.xml and DTD-carrying payloads raise DocxError
+    (ADVICE: zip-bomb / billion-laughs guards)."""
+    import io
+    import zipfile
+
+    import pytest
+
+    from engine.docxx import extract as dx
+
+    def make(xml_bytes):
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+            zf.writestr("word/document.xml", xml_bytes)
+        return buf.getvalue()
+
+    big = make(b"<w:document>" + b" " * (dx.MAX_DOCUMENT_XML + 1))
+    with pytest.raises(dx.DocxError):
+        dx.docx_to_tree(big)
+
+    dtd = make(b'<?xml version="1.0"?><!DOCTYPE x [<!ENTITY a "b">]>'
+               b"<doc>&a;</doc>")
+    with pytest.raises(dx.DocxError):
+        dx.docx_to_tree(dtd)

@@ -67,3 +67,39 @@ def test_generator_roundtrip_all_variants():
         pdf, _src = make_pdf(random.Random(v), v)
         text = extract_pdf_text(pdf)
         assert len(text) > 50
+
+
+def test_flate_bomb_rejected():
+    """A small FlateDecode stream expanding past the cap raises PdfError
+    instead of ballooning worker memory (ADVICE: decompression bound)."""
+    import zlib
+
+    import pytest
+
+    from engine.pdfx import objects as ob
+
+    bomb = zlib.compress(b"\x00" * (16 * 1024 * 1024))  # 16 MiB of zeros
+    s = ob.Stream({"Filter": ob.Name("FlateDecode")}, bomb)
+    with pytest.raises(ob.PdfError):
+        ob._bounded_inflate(bomb, limit=1024 * 1024)
+    # under the default cap it still round-trips
+    assert s.data() == b"\x00" * (16 * 1024 * 1024)
+
+
+def test_pdf_info_title():
+    from engine.extract import extract_row
+    from engine.fixtures import build_pdf
+    from engine.pdfx import extract_pdf_doc
+
+    pdf = build_pdf([[(72.0, 720.0, ["hello world"])]],
+                    title="My (Quarterly) Report")
+    title, text, spans = extract_pdf_doc(pdf)
+    assert title == "My (Quarterly) Report"
+    assert text == "hello world"
+    row = extract_row(pdf)
+    assert row["status"] == "ok"
+    assert row["title"] == "My (Quarterly) Report"
+    # no /Info -> empty title, unchanged text
+    pdf2 = build_pdf([[(72.0, 720.0, ["hello world"])]])
+    t2, x2, _ = extract_pdf_doc(pdf2)
+    assert t2 == "" and x2 == "hello world"

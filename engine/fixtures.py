@@ -198,11 +198,78 @@ def _page_stream(blocks: list[tuple[float, float, list[str]]], style: str) -> by
     return b"\n".join(out)
 
 
+def lzw_encode(data: bytes, early: int = 1) -> bytes:
+    """PDF-variant LZW encoder (fixtures only): 9→12-bit codes MSB-first,
+    256=clear, 257=EOD, EarlyChange=1. Round-trips with
+    engine.pdfx.objects._lzw_decode (pinned by test)."""
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    buf = 0
+    nbits = 0
+    out = bytearray()
+
+    def put(code: int) -> None:
+        nonlocal buf, nbits
+        buf = (buf << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((buf >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+        buf &= (1 << nbits) - 1
+
+    put(256)
+    w = b""
+    for ch in data:
+        c = bytes([ch])
+        if w + c in table:
+            w += c
+            continue
+        put(table[w])
+        if next_code >= 4095:
+            # table nearly full: emit a clear code and restart (codes must
+            # stay representable in 12 bits)
+            put(256)
+            table = {bytes([i]): i for i in range(256)}
+            next_code, width = 258, 9
+        else:
+            table[w + c] = next_code
+            next_code += 1
+            # the encoder's next_code runs ONE AHEAD of the decoder's (the
+            # decoder adds no entry for the first code after a clear), so it
+            # bumps at (1<<w) where the early-change decoder bumps at
+            # (1<<w)-1
+            if next_code >= (1 << width) + 1 - early and width < 12:
+                width += 1
+        w = c
+    if w:
+        put(table[w])
+    put(257)
+    if nbits:
+        out.append((buf << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _apply_stream_filter(stream: bytes, flt: str | None) -> tuple[bytes, bytes]:
+    """Encode a content stream with a named PDF filter; returns
+    (encoded bytes, ' /Filter /Name' dict fragment)."""
+    if flt is None:
+        return stream, b""
+    if flt == "FlateDecode":
+        return zlib.compress(stream), b" /Filter /FlateDecode"
+    if flt == "LZWDecode":
+        return lzw_encode(stream), b" /Filter /LZWDecode"
+    if flt == "ASCIIHexDecode":
+        return stream.hex().encode() + b">", b" /Filter /ASCIIHexDecode"
+    raise ValueError(f"unknown fixture filter {flt}")
+
+
 def build_pdf(
     pages: list[list[tuple[float, float, list[str]]]],
     compress: bool = False,
     style: str = "tm",
     title: str | None = None,
+    stream_filter: str | None = None,
 ) -> bytes:
     objs: dict[int, bytes] = {}
     n_pages = len(pages)
@@ -213,12 +280,11 @@ def build_pdf(
         b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
         b"/Encoding /WinAnsiEncoding >>"
     )
+    if stream_filter is None and compress:
+        stream_filter = "FlateDecode"
     for i, blocks in enumerate(pages):
-        stream = _page_stream(blocks, style)
-        filt = b""
-        if compress:
-            stream = zlib.compress(stream)
-            filt = b" /Filter /FlateDecode"
+        stream, filt = _apply_stream_filter(_page_stream(blocks, style),
+                                            stream_filter)
         objs[4 + 2 * i] = (
             b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
             b"/Resources << /Font << /F1 3 0 R >> >> /Contents "
@@ -255,7 +321,132 @@ def build_pdf(
     return buf.getvalue()
 
 
+def build_pdf_objstm(
+    pages: list[list[tuple[float, float, list[str]]]],
+    title: str | None = None,
+) -> bytes:
+    """PDF 1.5 layout: catalog/pages/font/page dicts (and /Info) packed into
+    a compressed /ObjStm; trailer keys live in a cross-reference STREAM dict
+    (no ``trailer`` keyword at all) — the modern layout pdfminer handles and
+    round 1 could not."""
+    n_pages = len(pages)
+    kids = " ".join(f"{10 + i} 0 R" for i in range(n_pages))
+    inner: dict[int, bytes] = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode(),
+        3: (b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+            b"/Encoding /WinAnsiEncoding >>"),
+    }
+    if title is not None:
+        esc = title.encode("cp1252", "replace")
+        esc = esc.replace(b"\\", rb"\\").replace(b"(", rb"\(").replace(b")", rb"\)")
+        inner[4] = b"<< /Title (" + esc + b") >>"
+    objs: dict[int, bytes] = {}
+    for i, blocks in enumerate(pages):
+        stream = _page_stream(blocks, "tm")
+        inner[10 + i] = (
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 3 0 R >> >> /Contents "
+            + f"{100 + i} 0 R >>".encode()
+        )
+        objs[100 + i] = (
+            b"<< /Length %d >>\nstream\n" % len(stream) + stream
+            + b"\nendstream"
+        )
+    pairs: list[tuple[int, int]] = []
+    body = bytearray()
+    for num in sorted(inner):
+        pairs.append((num, len(body)))
+        body += inner[num] + b"\n"
+    header = " ".join(f"{n} {o}" for n, o in pairs).encode() + b"\n"
+    payload = header + bytes(body)
+    comp = zlib.compress(payload)
+    objs[5] = (
+        b"<< /Type /ObjStm /N %d /First %d /Length %d /Filter /FlateDecode "
+        b">>\nstream\n" % (len(inner), len(header), len(comp))
+        + comp + b"\nendstream"
+    )
+    info = b" /Info 4 0 R" if title is not None else b""
+    objs[6] = (
+        b"<< /Type /XRef /Size 200 /W [1 2 1] /Root 1 0 R%s /Length 1 "
+        b">>\nstream\n\x00\nendstream" % info
+    )
+    buf = io.BytesIO()
+    buf.write(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+    for num in sorted(objs):
+        buf.write(b"%d 0 obj\n" % num)
+        buf.write(objs[num])
+        buf.write(b"\nendobj\n")
+    buf.write(b"startxref\n0\n%%EOF\n")
+    return buf.getvalue()
+
+
+def build_pdf_cid(lines: list[str], title: str | None = None) -> bytes:
+    """Composite-font PDF: a Type0/Identity-H font whose 2-byte codes map to
+    arbitrary unicode via an embedded /ToUnicode CMap (bfchar entries);
+    content strings are hex-encoded code sequences. Exercises the CMap
+    decode path (P3 breadth)."""
+    charset = sorted({ch for line in lines for ch in line})
+    code_of = {ch: i + 1 for i, ch in enumerate(charset)}
+    bfchars = "\n".join(
+        f"<{code:04x}> <{''.join(f'{u:02x}' for u in ch.encode('utf-16-be'))}>"
+        for ch, code in code_of.items()
+    )
+    cmap = (
+        "/CIDInit /ProcSet findresource begin\n"
+        "begincodespacerange\n<0000> <ffff>\nendcodespacerange\n"
+        f"{len(code_of)} beginbfchar\n{bfchars}\nendbfchar\n"
+        "endcmap end\n"
+    ).encode()
+    ops = [b"BT", b"/F1 12 Tf", b"14 TL", b"1 0 0 1 72 720 Tm"]
+    for li, line in enumerate(lines):
+        hexstr = "".join(f"{code_of[ch]:04x}" for ch in line).encode()
+        if li > 0:
+            ops.append(b"T*")
+        ops.append(b"<" + hexstr + b"> Tj")
+    ops.append(b"ET")
+    stream = b"\n".join(ops)
+
+    objs: dict[int, bytes] = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>",
+        3: (b"<< /Type /Font /Subtype /Type0 /BaseFont /Fixture-CID "
+            b"/Encoding /Identity-H /ToUnicode 6 0 R >>"),
+        4: (b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>"),
+        5: (b"<< /Length %d >>\nstream\n" % len(stream) + stream
+            + b"\nendstream"),
+        6: (b"<< /Length %d >>\nstream\n" % len(cmap) + cmap
+            + b"\nendstream"),
+    }
+    if title is not None:
+        esc = title.encode("cp1252", "replace")
+        esc = esc.replace(b"\\", rb"\\").replace(b"(", rb"\(").replace(b")", rb"\)")
+        objs[7] = b"<< /Title (" + esc + b") >>"
+    buf = io.BytesIO()
+    buf.write(b"%PDF-1.6\n%\xe2\xe3\xcf\xd3\n")
+    offsets: dict[int, int] = {}
+    for num in sorted(objs):
+        offsets[num] = buf.tell()
+        buf.write(b"%d 0 obj\n" % num)
+        buf.write(objs[num])
+        buf.write(b"\nendobj\n")
+    xref_pos = buf.tell()
+    n = max(objs) + 1
+    buf.write(b"xref\n0 %d\n" % n)
+    buf.write(b"0000000000 65535 f \n")
+    for num in range(1, n):
+        buf.write(b"%010d 00000 n \n" % offsets.get(num, 0))
+    info = b" /Info 7 0 R" if title is not None else b""
+    buf.write(
+        b"trailer\n<< /Size %d /Root 1 0 R%s >>\nstartxref\n%d\n%%%%EOF\n"
+        % (n, info, xref_pos)
+    )
+    return buf.getvalue()
+
+
 def make_pdf(rng: random.Random, variant: int, weight: int = 1) -> tuple[bytes, str]:
+    v8 = variant % 8
     v = variant % 4
     style = ("tm", "td", "tj", "quote")[variant % 4]
     compress = variant % 2 == 1
@@ -275,7 +466,22 @@ def make_pdf(rng: random.Random, variant: int, weight: int = 1) -> tuple[bytes, 
         pages = [[block(72, 720, 3), block(72, 620, 4), block(72, 480, 2)]]
     for _ in range(weight - 1):
         pages.append([block(72, 720, 4), block(72, 580, 4), block(72, 440, 3)])
-    return build_pdf(pages, compress=compress, style=style), " ".join(all_lines)
+    expected = " ".join(all_lines)
+    if v8 == 4:  # LZW-filtered content streams
+        return build_pdf(pages, style=style,
+                         stream_filter="LZWDecode"), expected
+    if v8 == 5:  # ASCIIHex-filtered content streams
+        return build_pdf(pages, style=style,
+                         stream_filter="ASCIIHexDecode"), expected
+    if v8 == 6:  # PDF 1.5: ObjStm-packed dicts + xref-stream trailer
+        return build_pdf_objstm(pages), expected
+    if v8 == 7:  # Type0/CID font with ToUnicode CMap (unicode text)
+        lines = [
+            _sentence(rng, rng.randint(4, 8)) + " — αβγ 世界 ümlaut"
+            for _ in range(3 + 2 * (weight - 1))
+        ]
+        return build_pdf_cid(lines), " ".join(lines)
+    return build_pdf(pages, compress=compress, style=style), expected
 
 
 # ---------------------------------------------------------------------------

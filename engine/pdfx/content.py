@@ -53,22 +53,27 @@ def _tokens(data: bytes):
             yield ("op", m.group(0).decode("latin-1"))
 
 
-def interpret(data: bytes) -> list[TextRun]:
-    """Run the text subset; return runs with absolute (x, y) positions."""
+def interpret(data: bytes, fonts: dict | None = None) -> list[TextRun]:
+    """Run the text subset; return runs with absolute (x, y) positions.
+
+    ``fonts``: optional {font name: FontDecoder} from
+    engine.pdfx.cmap.build_page_fonts — strings shown under a font with a
+    /ToUnicode CMap decode through it (Type0/CID path); otherwise WinAnsi."""
     runs: list[TextRun] = []
     stack: list = []
     lx = ly = 0.0  # line-matrix translation
     cx = cy = 0.0  # current position
     leading = 0.0
     in_text = False
+    cur_decode = decode_pdf_string  # active font's string decoder
 
     def emit(value) -> None:
         nonlocal cx
         if isinstance(value, bytes):
-            text = decode_pdf_string(value)
+            text = cur_decode(value)
         elif isinstance(value, list):  # TJ array: strings + kerning numbers
             text = "".join(
-                decode_pdf_string(v) for v in value if isinstance(v, bytes)
+                cur_decode(v) for v in value if isinstance(v, bytes)
             )
         else:
             return
@@ -125,8 +130,12 @@ def interpret(data: bytes) -> list[TextRun]:
                 else:
                     stack.pop()
             elif op == "Tf" and len(stack) >= 2:
-                stack.pop()
-                stack.pop()
+                stack.pop()  # size
+                fname = stack.pop()
+                if fonts:
+                    fd = fonts.get(str(fname))
+                    cur_decode = fd.decode if fd is not None \
+                        else decode_pdf_string
             else:
                 stack.clear()  # unknown operator: drop its operands
         except (TypeError, ValueError) as exc:

@@ -47,6 +47,8 @@ def extract_pdf(data: bytes) -> tuple[str, list[dict]]:
 
 
 def _pages_text(objects: dict, trailer: dict) -> tuple[str, list[dict]]:
+    from engine.pdfx.cmap import build_page_fonts
+
     pages = get_pages(objects, trailer)
     parts: list[str] = []
     spans: list[dict] = []
@@ -55,7 +57,8 @@ def _pages_text(objects: dict, trailer: dict) -> tuple[str, list[dict]]:
         if pi > 0:
             parts.append("\x0c")
             offset += 1
-        runs = interpret(page_content(objects, page))
+        runs = interpret(page_content(objects, page),
+                         build_page_fonts(objects, page))
         blocks = page_blocks(runs)
         for bi, (_y, _x, lines) in enumerate(blocks):
             if bi > 0:

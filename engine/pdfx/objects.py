@@ -63,6 +63,74 @@ def _bounded_inflate(data: bytes, limit: int = MAX_DECOMPRESSED) -> bytes:
     return b"".join(chunks)
 
 
+def _asciihex_decode(data: bytes) -> bytes:
+    """ASCIIHexDecode: hex digits, whitespace ignored, '>' terminates, odd
+    final digit padded with 0."""
+    end = data.find(b">")
+    if end >= 0:
+        data = data[:end]
+    hexstr = re.sub(rb"\s", b"", data)
+    if len(hexstr) % 2:
+        hexstr += b"0"
+    try:
+        return bytes.fromhex(hexstr.decode("ascii"))
+    except (UnicodeDecodeError, ValueError) as exc:
+        raise PdfError(f"bad ASCIIHex stream: {exc}") from exc
+
+
+def _lzw_decode(data: bytes, limit: int = MAX_DECOMPRESSED,
+                early: int = 1) -> bytes:
+    """LZWDecode (PDF variant: 9→12-bit codes MSB-first, 256=clear, 257=EOD,
+    EarlyChange default 1), with the same output-size cap as Flate."""
+    out = bytearray()
+    table: dict[int, bytes] = {}
+    next_code = width = 0
+    prev = b""
+
+    def reset():
+        nonlocal table, next_code, width, prev
+        table = {i: bytes([i]) for i in range(256)}
+        next_code = 258
+        width = 9
+        prev = b""
+
+    reset()
+    bitbuf = 0
+    nbits = 0
+    for byte in data:
+        bitbuf = (bitbuf << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (bitbuf >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == 256:
+                reset()
+                continue
+            if code == 257:
+                return bytes(out)
+            if prev == b"":
+                entry = table.get(code)
+                if entry is None:
+                    raise PdfError("bad first LZW code")
+            elif code in table:
+                entry = table[code]
+                table[next_code] = prev + entry[:1]
+                next_code += 1
+            elif code == next_code:
+                entry = prev + prev[:1]
+                table[next_code] = entry
+                next_code += 1
+            else:
+                raise PdfError("bad LZW code")
+            if next_code >= (1 << width) - early and width < 12:
+                width += 1
+            out += entry
+            if len(out) > limit:
+                raise PdfError("LZW output exceeds size cap")
+            prev = entry
+    return bytes(out)
+
+
 class Stream:
     __slots__ = ("dict", "raw")
 
@@ -79,6 +147,10 @@ class Stream:
         for f in filters:
             if f == "FlateDecode":
                 data = _bounded_inflate(data)
+            elif f == "ASCIIHexDecode":
+                data = _asciihex_decode(data)
+            elif f == "LZWDecode":
+                data = _lzw_decode(data)
             else:
                 raise PdfError(f"unsupported filter: {f}")
         return data
@@ -298,6 +370,32 @@ def parse_objects(data: bytes) -> tuple[dict[int, object], dict]:
         else:
             objects[num] = value
             pos = lex.pos
+    # PDF 1.5 object streams: objects packed inside /ObjStm streams are
+    # invisible to the top-level scan — expand them now (header is N pairs of
+    # "objnum offset", bodies start at /First)
+    for num in list(objects):
+        st = objects[num]
+        if not (isinstance(st, Stream) and st.dict.get("Type") == "ObjStm"):
+            continue
+        n_objs = st.dict.get("N")
+        first = st.dict.get("First")
+        if not isinstance(n_objs, int) or not isinstance(first, int):
+            continue
+        try:
+            payload = st.data()
+            header = _Lexer(payload, 0)
+            pairs = []
+            for _ in range(n_objs):
+                onum = header.parse_value()
+                off = header.parse_value()
+                if isinstance(onum, int) and isinstance(off, int):
+                    pairs.append((onum, off))
+            for onum, off in pairs:
+                lex = _Lexer(payload, first + off)
+                objects.setdefault(onum, lex.parse_value())
+        except PdfError:
+            continue  # tolerant: a bad ObjStm degrades, never poisons
+
     # trailer
     t_idx = data.rfind(b"trailer")
     trailer: dict = {}
@@ -309,6 +407,15 @@ def parse_objects(data: bytes) -> tuple[dict[int, object], dict]:
                 trailer = {}
         except PdfError:
             trailer = {}
+    if "Root" not in trailer:
+        # PDF 1.5 without a trailer keyword: the cross-reference STREAM dict
+        # carries /Root and /Info (we never need the xref table itself — the
+        # object scan already found every top-level object)
+        for num, obj in objects.items():
+            if isinstance(obj, Stream) and obj.dict.get("Type") == "XRef":
+                trailer = {k: v for k, v in obj.dict.items()
+                           if k in ("Root", "Info", "Size")}
+                break
     if "Root" not in trailer:
         for num, obj in objects.items():
             if isinstance(obj, dict) and obj.get("Type") == "Catalog":

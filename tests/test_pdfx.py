@@ -103,3 +103,62 @@ def test_pdf_info_title():
     pdf2 = build_pdf([[(72.0, 720.0, ["hello world"])]])
     t2, x2, _ = extract_pdf_doc(pdf2)
     assert t2 == "" and x2 == "hello world"
+
+
+def test_lzw_roundtrip():
+    import random as _random
+
+    from engine.fixtures import lzw_encode
+    from engine.pdfx.objects import _lzw_decode
+
+    rng = _random.Random(3)
+    cases = [
+        b"",
+        b"a",
+        b"aaaaaaaaaaaaaaaaaaaaaaa",
+        b"abcabcabcabcabc" * 100,
+        bytes(rng.randrange(256) for _ in range(5000)),
+        (b"the quick brown fox " * 400),  # grows table past 9->10->11 bits
+    ]
+    for data in cases:
+        assert _lzw_decode(lzw_encode(data)) == data
+
+
+def test_filter_variants_extract_identically():
+    """LZW / ASCIIHex / Flate / raw streams all decode to the same text."""
+    from engine.fixtures import build_pdf
+    from engine.pdfx import extract_pdf_text
+
+    pages = [[(72.0, 720.0, ["line one here", "line two here"]),
+              (72.0, 600.0, ["second block"])]]
+    expected = extract_pdf_text(build_pdf(pages))
+    for flt in ("FlateDecode", "LZWDecode", "ASCIIHexDecode"):
+        assert extract_pdf_text(build_pdf(pages, stream_filter=flt)) == expected
+
+
+def test_objstm_xref_stream_layout():
+    """PDF 1.5: dicts inside a compressed /ObjStm, trailer keys in the xref
+    STREAM dict (no trailer keyword) — parses identically to the classic
+    layout, including /Info /Title resolved out of the ObjStm."""
+    from engine.fixtures import build_pdf, build_pdf_objstm
+    from engine.pdfx import extract_pdf_doc, extract_pdf_text
+
+    pages = [[(72.0, 720.0, ["alpha beta", "gamma delta"])],
+             [(72.0, 720.0, ["page two"])]]
+    classic = extract_pdf_text(build_pdf(pages))
+    modern = build_pdf_objstm(pages, title="Modern Layout")
+    assert b"trailer" not in modern
+    title, text, spans = extract_pdf_doc(modern)
+    assert text == classic
+    assert title == "Modern Layout"
+    assert len(spans) == 2
+
+
+def test_cid_tounicode_decode():
+    from engine.fixtures import build_pdf_cid
+    from engine.pdfx import extract_pdf_doc
+
+    lines = ["Héllo wörld", "数据 处理 — ΣΔ", "plain ascii line"]
+    title, text, _ = extract_pdf_doc(build_pdf_cid(lines, title="CID Doc"))
+    assert text == "\n".join(lines)
+    assert title == "CID Doc"

@@ -161,8 +161,11 @@ def minhash_signatures(ds: "ray.data.Dataset", text_col: str = "text",
                             type=pa.list_(pa.uint64())),
         })
 
+    # batch_size sized for parallelism, not just amortization: 1024 over a
+    # 5k-row table yields 5 tasks on 32 CPUs (measured 3.2 s wall); 256
+    # keeps every core busy
     return ds.map_batches(minhash_batch, batch_format="pyarrow",
-                          batch_size=1024)
+                          batch_size=256)
 
 
 def _band_rows(sig_table: pa.Table, id_col: str) -> pa.Table:
@@ -248,11 +251,12 @@ def _candidate_pairs(rows: "ray.data.Dataset", id_col: str,
         batch_format="pyarrow",
     ).materialize()
 
-    hot = agg.map_batches(
-        lambda t: t.filter(pc.greater(t["n"], 2)).select([key_col]),
+    hot_stats = agg.map_batches(
+        lambda t: t.filter(pc.greater(t["n"], 2)).select([key_col, "n"]),
         batch_format="pyarrow",
-    )
-    hot_keys = set(r[key_col] for r in hot.take_all())  # bounded: hot buckets
+    ).take_all()
+    hot_keys = set(r[key_col] for r in hot_stats)  # bounded: hot buckets
+    hot_row_count = sum(r["n"] for r in hot_stats)
     n_pair2 = pair2.count()
     if not hot_keys and n_pair2 == 0:
         return None
@@ -261,6 +265,8 @@ def _candidate_pairs(rows: "ray.data.Dataset", id_col: str,
     if n_pair2:
         parts.append(pair2)
     if hot_keys:
+        import ray.data as rd
+
         hot_ref = ray.put(hot_keys)
 
         def hot_filter(t: pa.Table) -> pa.Table:
@@ -268,22 +274,40 @@ def _candidate_pairs(rows: "ray.data.Dataset", id_col: str,
             mask = pa.array([k in keys for k in t[key_col].to_pylist()])
             return t.filter(mask)
 
-        def expand(g: pd.DataFrame) -> pd.DataFrame:
-            ids = sorted(g[id_col].tolist())[:MAX_BUCKET]
-            out_a, out_b = [], []
-            for i, a in enumerate(ids):
-                for b in ids[i + 1 :]:
-                    out_a.append(a)
-                    out_b.append(b)
-            return pd.DataFrame({"id_a": out_a, "id_b": out_b})
+        hot_rows = rows.map_batches(hot_filter, batch_format="pyarrow")
 
-        expanded = (
-            rows.map_batches(hot_filter, batch_format="pyarrow")
-            .groupby(key_col)
-            .map_groups(expand, batch_format="pandas")
-            .map_batches(lambda t: t, batch_format="pyarrow")
-        )
-        parts.append(expanded)
+        if hot_row_count <= VERIFY_DRIVER_MAX:
+            # candidate-bounded driver expansion: one vectorized self-merge
+            # per bucket key beats one Python map_groups call per bucket by
+            # ~100× when every bucket is hot (planted-dup corpora, heavy
+            # boilerplate). hot_row_count is known EXACTLY from the
+            # aggregate before any row is collected.
+            df = hot_rows.to_pandas().sort_values(
+                [key_col, id_col], kind="mergesort")
+            df = df[df.groupby(key_col).cumcount() < MAX_BUCKET]
+            m = df.merge(df, on=key_col)
+            a, b = f"{id_col}_x", f"{id_col}_y"
+            pairs = m.loc[m[a] < m[b], [a, b]].rename(
+                columns={a: "id_a", b: "id_b"})
+            parts.append(rd.from_arrow(pa.Table.from_pandas(
+                pairs, preserve_index=False)))
+        else:
+            # scale path: distributed per-bucket expansion
+
+            def expand(g: pd.DataFrame) -> pd.DataFrame:
+                ids = sorted(g[id_col].tolist())[:MAX_BUCKET]
+                out_a, out_b = [], []
+                for i, va in enumerate(ids):
+                    for vb in ids[i + 1 :]:
+                        out_a.append(va)
+                        out_b.append(vb)
+                return pd.DataFrame({"id_a": out_a, "id_b": out_b})
+
+            parts.append(
+                hot_rows.groupby(key_col)
+                .map_groups(expand, batch_format="pandas")
+                .map_batches(lambda t: t, batch_format="pyarrow")
+            )
 
     cand = parts[0] if len(parts) == 1 else parts[0].union(parts[1])
     return cand.materialize()
@@ -653,7 +677,7 @@ def simhash_signatures(ds: "ray.data.Dataset", text_col: str = "text",
                          "simhash": pa.array(vals, type=pa.uint64())})
 
     return ds.map_batches(simhash_batch, batch_format="pyarrow",
-                          batch_size=1024)
+                          batch_size=256)
 
 
 def hamming64(a: int, b: int) -> int:

@@ -47,6 +47,13 @@ LIST_TAGS = frozenset({"ul", "ol"})
 
 
 def _collapse(s: str) -> str:
+    # Fast path: an ASCII string with no control whitespace and no double
+    # spaces is already collapsed — strip() alone suffices. The isascii()
+    # gate matters because Unicode \s also matches \xa0 (&nbsp;) and
+    # friends, which MUST keep taking the regex path.
+    if s.isascii() and "  " not in s and "\n" not in s and "\t" not in s \
+            and "\r" not in s and "\x0b" not in s and "\x0c" not in s:
+        return s.strip()
     return _WS.sub(" ", s).strip()
 
 

@@ -11,7 +11,7 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass
 
-from engine.pdfx.objects import PdfError, _Lexer
+from engine.pdfx.objects import Name, PdfError, _Lexer
 
 
 @dataclass(frozen=True)
@@ -31,26 +31,97 @@ def decode_pdf_string(raw: bytes) -> str:
 
 _OP_RE = re.compile(rb"[A-Za-z'\"*]+")
 
+# Single-pass content tokenizer: one finditer over the stream instead of a
+# per-token Python lexer round trip (the lexer remains the fallback for
+# nested literal strings, which the 'lit' alternative deliberately fails to
+# match — it stops at the first unescaped paren).
+_CONTENT_RE = re.compile(
+    rb"(?:[\x00\t\n\x0c\r ]+|%[^\n]*)"
+    rb"|(?P<num>[+-]?(?:\d+\.?\d*|\.\d+))"
+    rb"|(?P<name>/[^\x00\t\n\x0c\r ()<>\[\]{}/%]*)"
+    rb"|(?P<lit>\((?:[^()\\]|\\.)*\))"
+    rb"|(?P<hex><[0-9A-Fa-f\x00\t\n\x0c\r ]*>)"
+    rb"|(?P<open>\[)"
+    rb"|(?P<close>\])"
+    rb"|(?P<op>[A-Za-z'\"*]+)"
+    rb"|(?P<other>.)",
+    re.S,
+)
+_HEX_WS_RE = re.compile(rb"[\x00\t\n\x0c\r ]")
+
 
 def _tokens(data: bytes):
-    """Yield ('val', value) and ('op', name) tokens from a content stream."""
-    lex = _Lexer(data)
+    """Yield ('val', value) and ('op', name) tokens from a content stream.
+
+    Array operands ([...] for TJ) are assembled here and yielded as one
+    ('val', list) token, matching the old lexer's parse_value behavior."""
+    arrays: list[list] = []
+
+    def out(value):
+        if arrays:
+            arrays[-1].append(value)
+            return None
+        return ("val", value)
+
+    pos = 0
     n = len(data)
-    while True:
-        lex.skip_ws()
-        if lex.pos >= n:
-            return
-        c = data[lex.pos : lex.pos + 1]
-        if c in b"([</+-.0123456789":
-            yield ("val", lex.parse_value())
-        else:
-            m = _OP_RE.match(data, lex.pos)
-            if not m:
-                # unknown byte: skip it (tolerant per-row behavior)
-                lex.pos += 1
+    while pos < n:
+        for m in _CONTENT_RE.finditer(data, pos):
+            kind = m.lastgroup
+            if kind is None:  # whitespace / comment
                 continue
-            lex.pos = m.end()
-            yield ("op", m.group(0).decode("latin-1"))
+            if kind == "num":
+                tok = m.group()
+                v = out(float(tok) if b"." in tok else int(tok))
+            elif kind == "op":
+                yield ("op", m.group().decode("latin-1"))
+                continue
+            elif kind == "lit":
+                raw = m.group()
+                if b"\\" in raw:
+                    lex = _Lexer(data, m.start())
+                    v = out(lex._parse_literal_string())
+                else:
+                    v = out(raw[1:-1])
+            elif kind == "hex":
+                hexstr = _HEX_WS_RE.sub(b"", m.group()[1:-1])
+                if len(hexstr) % 2:
+                    hexstr += b"0"
+                v = out(bytes.fromhex(hexstr.decode("ascii", "replace")))
+            elif kind == "name":
+                raw = m.group()
+                if b"#" in raw:
+                    lex = _Lexer(data, m.start())
+                    v = out(lex._parse_name())
+                else:
+                    v = out(Name(raw[1:].decode("latin-1")))
+            elif kind == "open":
+                arrays.append([])
+                continue
+            elif kind == "close":
+                if arrays:
+                    arr = arrays.pop()
+                    v = out(arr)
+                else:
+                    continue  # stray ] — tolerant skip
+            else:  # 'other': nested literal string or junk byte
+                b = m.group()
+                if b == b"(":
+                    lex = _Lexer(data, m.start())
+                    try:
+                        v = out(lex._parse_literal_string())
+                    except PdfError:
+                        pos = m.start() + 1
+                        break
+                    pos = lex.pos
+                    if v is not None:
+                        yield v
+                    break  # restart finditer past the lexer's end
+                continue  # tolerant: skip unknown byte
+            if v is not None:
+                yield v
+        else:
+            return  # finditer exhausted without a resync break
 
 
 def interpret(data: bytes, fonts: dict | None = None) -> list[TextRun]:

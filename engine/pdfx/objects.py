@@ -160,6 +160,11 @@ _WS = b"\x00\t\n\x0c\r "
 _DELIM = b"()<>[]{}/%"
 _NUM_RE = re.compile(rb"[+-]?(\d+\.?\d*|\.\d+)")
 _OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
+_REF_RE = re.compile(rb"(\d+)\s+(\d+)\s+R\b")
+# whitespace + %-comments in one regex step (the per-char loop was the
+# hottest line of the content-stream lexer)
+_WS_SKIP_RE = re.compile(rb"(?:[\x00\t\n\x0c\r ]+|%[^\n]*)+")
+_LIT_SPECIAL_RE = re.compile(rb"[()\\]")
 
 
 class _Lexer:
@@ -168,16 +173,9 @@ class _Lexer:
         self.pos = pos
 
     def skip_ws(self) -> None:
-        d, n = self.data, len(self.data)
-        while self.pos < n:
-            c = d[self.pos : self.pos + 1]
-            if c in (b" ", b"\t", b"\r", b"\n", b"\x0c", b"\x00"):
-                self.pos += 1
-            elif c == b"%":  # comment to EOL
-                eol = d.find(b"\n", self.pos)
-                self.pos = n if eol < 0 else eol + 1
-            else:
-                return
+        m = _WS_SKIP_RE.match(self.data, self.pos)
+        if m:
+            self.pos = m.end()
 
     def parse_value(self):
         self.skip_ws()
@@ -208,7 +206,7 @@ class _Lexer:
         m = _NUM_RE.match(d, p)
         if m:
             # lookahead for "G R" → indirect reference
-            ref_m = re.compile(rb"(\d+)\s+(\d+)\s+R\b").match(d, p)
+            ref_m = _REF_RE.match(d, p)
             if ref_m:
                 self.pos = ref_m.end()
                 return Ref(int(ref_m.group(1)))
@@ -272,6 +270,12 @@ class _Lexer:
     def _parse_literal_string(self) -> bytes:
         d = self.data
         p = self.pos + 1
+        # fast path: no escape and no nesting before the closing paren
+        # (the overwhelmingly common case) — one regex scan, one slice
+        m = _LIT_SPECIAL_RE.search(d, p)
+        if m is not None and d[m.start()] == 0x29:  # ')'
+            self.pos = m.start() + 1
+            return d[p : m.start()]
         depth = 1
         out = bytearray()
         n = len(d)

@@ -18,7 +18,19 @@ deviation: we sniff content, the reference sniffs filenames.
 
 from __future__ import annotations
 
+import gc
+
 import pyarrow as pa
+
+# The kernel allocates millions of short-lived, ACYCLIC objects per task
+# (DOM nodes carry no parent pointers — see engine/htmlx/dom.py — so
+# refcounting frees every tree immediately). CPython's generational cycle
+# collector only adds cache-thrashing heap scans here, which is exactly the
+# shared-L3 pressure behind the measured 16→32-proc scaling knee
+# (BASELINE.md). Raise the gen-0 threshold in every process that imports
+# the kernel (Ray workers re-import per process, so this lands once per
+# worker, not per batch).
+gc.set_threshold(200_000, 50, 50)
 
 from engine.docxx import DocxError, docx_to_tree
 from engine.htmlx import parse_html, strip_boilerplate, extract_title

@@ -28,6 +28,49 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return dict(QUERIES)
 
 
+def _knn_lsh_sql() -> str:
+    """knn_lsh oracle: the hyperplane matrix is data-INdependent (seeded
+    numpy, dim 64 = the embeddings fixture dim), so the 8 signature bits are
+    reproducible in SQL as literal dot products (double precision; the sign
+    is scale-invariant, so the engine's pre-normalization is irrelevant).
+    Candidates = rows within Hamming ≤ 1 of ANY query's signature — the
+    union probe set, exactly what knn_lsh's multi-probe BucketFilter scans —
+    then exact top-10 by cosine over the union (scores dropped: DuckDB's
+    list_cosine_similarity is float32, ids+ranks are exact — the knn_cosine
+    precedent)."""
+    from engine.similarity import _hyperplanes
+
+    planes = _hyperplanes(64)
+
+    def dot_expr(p: int) -> str:
+        return " + ".join(
+            f"embedding[{i + 1}]*({planes[p][i]!r})" for i in range(64))
+
+    bits = ",\n".join(
+        f"CASE WHEN ({dot_expr(p)}) > 0 THEN 1 ELSE 0 END AS b{p}"
+        for p in range(8))
+    ham = " + ".join(f"abs(s.b{p} - q.b{p})" for p in range(8))
+    return f"""
+WITH sigs AS (
+  SELECT vec_id, embedding, {bits}
+  FROM embeddings
+), qs AS (SELECT * FROM sigs WHERE vec_id < 5),
+cand AS (
+  SELECT DISTINCT s.vec_id, s.embedding
+  FROM sigs s JOIN qs q ON ({ham}) <= 1
+),
+scored AS (
+  SELECT qq.vec_id AS query_id, c.vec_id,
+         list_cosine_similarity(qq.embedding, c.embedding) AS cosine
+  FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) qq
+  CROSS JOIN cand c)
+SELECT query_id, CAST(rnk AS BIGINT) AS rank, vec_id FROM (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id) AS rnk
+  FROM scored) WHERE rnk <= 10"""
+
+
 def oracle_sql() -> dict[str, str]:
     from engine.textstats import _ALL_STOP
 
@@ -229,7 +272,9 @@ FROM (SELECT *,
              coalesce(CAST(n_nonspace AS DOUBLE) / nullif(n_tokens, 0),
                       0.0) AS mean_tok
       FROM f)""",
-        # knn_lsh / knn_ivf / media_features: intentionally no SQL oracle
-        # (LSH/IVF probing and the stubbed media decode are not
-        # SQL-expressible) → rows-only check; recall pinned in tests.
+        "knn_lsh": _knn_lsh_sql(),
+        # knn_ivf / media_features: intentionally no SQL oracle (the IVF
+        # coarse quantizer is trained on a data-dependent sample, and the
+        # media decode is stubbed) → rows-only check; recall and the
+        # indexed-vs-compute-side equivalence are pinned in tests.
     }

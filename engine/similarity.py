@@ -42,33 +42,30 @@ def knn_brute(ds: "ray.data.Dataset", queries: np.ndarray, k: int = 10,
     if query_ids is None:
         query_ids = list(range(len(qm)))
 
-    class LocalTopK:
-        def __init__(self, ref, k):
-            self.q = ray.get(ref)  # fetched once per actor
-            self.k = k
+    def local_topk(t: pa.Table) -> pa.Table:
+        from engine.broadcast import get_broadcast
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            vecs = _normalize(_to_matrix(t[vec_col]))
-            ids = np.asarray(t[id_col].to_pylist())
-            cos = vecs @ self.q.T  # (batch, q)
-            kk = min(self.k, len(ids))
-            out_q, out_id, out_cos = [], [], []
-            for qi in range(cos.shape[1]):
-                col = cos[:, qi]
-                # top-k by (-cosine, vec_id): lexsort for deterministic ties
-                order = np.lexsort((ids, -col))[:kk]
-                out_q.extend([qi] * len(order))
-                out_id.extend(ids[order].tolist())
-                out_cos.extend(col[order].tolist())
-            return pa.table({
-                "qi": pa.array(out_q, type=pa.int32()),
-                id_col: pa.array(out_id),
-                "cosine": pa.array(out_cos, type=pa.float64()),
-            })
+        q = get_broadcast(q_ref)  # one plasma fetch per worker process
+        vecs = _normalize(_to_matrix(t[vec_col]))
+        ids = np.asarray(t[id_col].to_pylist())
+        cos = vecs @ q.T  # (batch, q)
+        kk = min(k, len(ids))
+        out_q, out_id, out_cos = [], [], []
+        for qi in range(cos.shape[1]):
+            col = cos[:, qi]
+            # top-k by (-cosine, vec_id): lexsort for deterministic ties
+            order = np.lexsort((ids, -col))[:kk]
+            out_q.extend([qi] * len(order))
+            out_id.extend(ids[order].tolist())
+            out_cos.extend(col[order].tolist())
+        return pa.table({
+            "qi": pa.array(out_q, type=pa.int32()),
+            id_col: pa.array(out_id),
+            "cosine": pa.array(out_cos, type=pa.float64()),
+        })
 
     partials = ds.map_batches(
-        LocalTopK, fn_constructor_args=(q_ref, k),
-        batch_format="pyarrow", batch_size=4096, concurrency=(1, 8),
+        local_topk, batch_format="pyarrow", batch_size=4096
     ).to_pandas()
 
     rows = []
@@ -125,24 +122,19 @@ def knn_lsh(ds: "ray.data.Dataset", queries: np.ndarray, k: int = 10,
         if probe_hamming >= 1:
             for i in range(NUM_PLANES):
                 probe.add(b ^ (1 << i))
-    probe_ref = ray.put(probe)
-    planes_ref = ray.put(planes)
+    probe_ref = ray.put((probe, planes))
 
-    class BucketFilter:
-        def __init__(self, p_ref, pl_ref):
-            self.probe = ray.get(p_ref)
-            self.planes = ray.get(pl_ref)
+    def bucket_filter(t: pa.Table) -> pa.Table:
+        from engine.broadcast import get_broadcast
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            vecs = _normalize(_to_matrix(t[vec_col]))
-            buckets = lsh_bucket_of(vecs, self.planes)
-            mask = pa.array([int(b) in self.probe for b in buckets])
-            return t.filter(mask)
+        probe_set, pl = get_broadcast(probe_ref)
+        vecs = _normalize(_to_matrix(t[vec_col]))
+        buckets = lsh_bucket_of(vecs, pl)
+        mask = pa.array([int(b) in probe_set for b in buckets])
+        return t.filter(mask)
 
-    candidates = ds.map_batches(
-        BucketFilter, fn_constructor_args=(probe_ref, planes_ref),
-        batch_format="pyarrow", batch_size=4096, concurrency=(1, 8),
-    )
+    candidates = ds.map_batches(bucket_filter, batch_format="pyarrow",
+                                batch_size=4096)
     return knn_brute(candidates, queries, k, id_col, vec_col, query_ids)
 
 
@@ -182,24 +174,19 @@ def knn_ivf(ds: "ray.data.Dataset", queries: np.ndarray, k: int = 10,
     qm = _normalize(np.asarray(queries, dtype=np.float64))
     q_cells = np.argsort(-(qm @ centroids.T), axis=1)[:, :nprobe]
     probe = set(int(c) for row in q_cells for c in row)
-    cent_ref = ray.put(centroids)
-    probe_ref = ray.put(probe)
+    cell_ref = ray.put((centroids, probe))
 
-    class CellFilter:
-        def __init__(self, c_ref, p_ref):
-            self.centroids = ray.get(c_ref)
-            self.probe = ray.get(p_ref)
+    def cell_filter(t: pa.Table) -> pa.Table:
+        from engine.broadcast import get_broadcast
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            vecs = _normalize(_to_matrix(t[vec_col]))
-            cells = (vecs @ self.centroids.T).argmax(axis=1)
-            mask = pa.array([int(c) in self.probe for c in cells])
-            return t.filter(mask)
+        cents, probe_set = get_broadcast(cell_ref)
+        vecs = _normalize(_to_matrix(t[vec_col]))
+        cells = (vecs @ cents.T).argmax(axis=1)
+        mask = pa.array([int(c) in probe_set for c in cells])
+        return t.filter(mask)
 
-    candidates = ds.map_batches(
-        CellFilter, fn_constructor_args=(cent_ref, probe_ref),
-        batch_format="pyarrow", batch_size=4096, concurrency=(1, 8),
-    )
+    candidates = ds.map_batches(cell_filter, batch_format="pyarrow",
+                                batch_size=4096)
     return knn_brute(candidates, queries, k, id_col, vec_col, query_ids)
 
 

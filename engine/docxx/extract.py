@@ -22,6 +22,9 @@ import xml.etree.ElementTree as ET
 from engine.htmlx.dom import Node
 
 W = "{http://schemas.openxmlformats.org/wordprocessingml/2006/main}"
+WP = "{http://schemas.openxmlformats.org/drawingml/2006/wordprocessingDrawing}"
+_CP = "{http://schemas.openxmlformats.org/package/2006/metadata/core-properties}"
+_DC = "{http://purl.org/dc/elements/1.1/}"
 _HEADING_RE = re.compile(r"^(?:Heading|heading)\s*([1-6])$")
 
 
@@ -46,6 +49,16 @@ def _run_to_nodes(run: ET.Element) -> list[Node | str]:
             parts.append(Node("br"))
         elif tag == f"{W}tab":
             parts.append(" ")
+        elif tag == f"{W}drawing":
+            # embedded image → alt text (what mammoth/MarkItDown surfaces,
+            # requirements.txt:6 via app/main.py:383): wp:docPr descr, else
+            # its name; binary payloads are not decoded (no media libs)
+            for docpr in el.iter(f"{WP}docPr"):
+                alt = docpr.get("descr") or docpr.get("name") or ""
+                if alt:
+                    img = Node("img", {"alt": alt})
+                    parts.append(img)
+                break
     if not parts:
         return []
     if bold or italic:
@@ -106,6 +119,37 @@ def _close_lists(stack: list[tuple[Node, int]], to_level: int) -> None:
 # xml.etree is documented vulnerable to billion-laughs DTD expansion — OOXML
 # never legitimately carries a DTD, so any <!DOCTYPE is rejected outright.
 MAX_DOCUMENT_XML = 4 * 50 * 1024 * 1024  # 4× engine.schema.MAX_FILE_SIZE
+
+
+def docx_core_properties(data: bytes) -> dict:
+    """docProps/core.xml → {'title', 'author', 'modified_by'} (the
+    document_metadata surface of the reference architecture doc §6.2; absent
+    file or fields → empty strings, never an error)."""
+    out = {"title": "", "author": "", "modified_by": ""}
+    try:
+        with zipfile.ZipFile(io.BytesIO(data)) as zf:
+            try:
+                info = zf.getinfo("docProps/core.xml")
+            except KeyError:
+                return out
+            if info.file_size > MAX_DOCUMENT_XML:
+                return out
+            xml_bytes = zf.read(info)
+    except (zipfile.BadZipFile, OSError):
+        return out
+    if b"<!DOCTYPE" in xml_bytes[:4096]:
+        return out
+    try:
+        root = ET.fromstring(xml_bytes)
+    except ET.ParseError:
+        return out
+    title = root.find(f"{_DC}title")
+    creator = root.find(f"{_DC}creator")
+    modby = root.find(f"{_CP}lastModifiedBy")
+    out["title"] = (title.text or "") if title is not None else ""
+    out["author"] = (creator.text or "") if creator is not None else ""
+    out["modified_by"] = (modby.text or "") if modby is not None else ""
+    return out
 
 
 def docx_to_tree(data: bytes) -> Node:

@@ -99,8 +99,12 @@ def _extract_pdf(payload: bytes) -> tuple[str, str, list[dict]]:
 
 
 def _extract_docx(payload: bytes) -> tuple[str, str, list[dict]]:
+    from engine.docxx import docx_core_properties
+
     tree = docx_to_tree(payload)
-    title = extract_title(tree)
+    # docProps/core.xml title wins when present (mammoth's document
+    # metadata surface); else first heading, as before
+    title = docx_core_properties(payload)["title"] or extract_title(tree)
     markdown, spans = serialize(tree)
     return title, markdown, spans
 

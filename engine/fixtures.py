@@ -527,7 +527,18 @@ def _w_p(text_runs: list[tuple[str, bool, bool]], style: str | None = None,
     return f"<w:p>{ppr}{''.join(runs)}</w:p>"
 
 
-def build_docx(body_xml: str) -> bytes:
+def _w_drawing(alt: str) -> str:
+    """An inline image run whose wp:docPr carries the alt text."""
+    return (
+        '<w:r><w:drawing xmlns:wp="http://schemas.openxmlformats.org/'
+        'drawingml/2006/wordprocessingDrawing">'
+        f'<wp:inline><wp:docPr id="1" name="pic1" descr="{_xml_escape(alt)}"/>'
+        "</wp:inline></w:drawing></w:r>"
+    )
+
+
+def build_docx(body_xml: str, core_title: str | None = None,
+               core_creator: str | None = None) -> bytes:
     doc = (
         '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
         '<w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main">'
@@ -538,6 +549,19 @@ def build_docx(body_xml: str) -> bytes:
         zf.writestr("[Content_Types].xml", _CONTENT_TYPES)
         zf.writestr("_rels/.rels", _RELS)
         zf.writestr("word/document.xml", doc.encode("utf-8"))
+        if core_title is not None or core_creator is not None:
+            core = (
+                '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+                '<cp:coreProperties xmlns:cp="http://schemas.openxmlformats.'
+                'org/package/2006/metadata/core-properties" '
+                'xmlns:dc="http://purl.org/dc/elements/1.1/">'
+                + (f"<dc:title>{_xml_escape(core_title)}</dc:title>"
+                   if core_title is not None else "")
+                + (f"<dc:creator>{_xml_escape(core_creator)}</dc:creator>"
+                   if core_creator is not None else "")
+                + "</cp:coreProperties>"
+            )
+            zf.writestr("docProps/core.xml", core.encode("utf-8"))
     return buf.getvalue()
 
 
@@ -545,7 +569,20 @@ def make_docx(rng: random.Random, variant: int, weight: int = 1) -> tuple[bytes,
     title = _sentence(rng, 4)[:-1]
     texts = [title]
     parts = [_w_p([(title, False, False)], style="Heading1")]
-    v = variant % 3
+    v = variant % 4
+    if v == 3:  # core properties + inline image alt text
+        alt = _sentence(rng, 3)[:-1]
+        p1 = _sentence(rng, 5)
+        texts += [p1, alt]
+        parts.append(
+            "<w:p>" + _w_p([(p1 + " ", False, False)])[5:-6]
+            + _w_drawing(alt) + "</w:p>"
+        )
+        return (
+            build_docx("".join(parts), core_title=title,
+                       core_creator="Fixture Author"),
+            " ".join(texts),
+        )
     if v == 0:  # headings + styled runs
         sub = _sentence(rng, 3)[:-1]
         texts.append(sub)

@@ -99,3 +99,34 @@ def test_docx_zip_bomb_and_dtd_rejected():
                b"<doc>&a;</doc>")
     with pytest.raises(dx.DocxError):
         dx.docx_to_tree(dtd)
+
+
+def test_docx_core_properties_and_image_alt():
+    import random as _random
+
+    from engine.docxx import docx_core_properties
+    from engine.extract import extract_row
+    from engine.fixtures import build_docx, make_docx, _w_p, _w_drawing
+
+    payload = build_docx(
+        _w_p([("body text ", False, False)])[:-6] + _w_drawing("a chart") + "</w:p>",
+        core_title="Core Title", core_creator="An Author")
+    props = docx_core_properties(payload)
+    assert props == {"title": "Core Title", "author": "An Author",
+                     "modified_by": ""}
+    row = extract_row(payload)
+    assert row["status"] == "ok"
+    assert row["title"] == "Core Title"  # core.xml wins over headings
+    assert "a chart" in row["markdown_text"]  # image surfaced as alt text
+
+    # no core.xml → unchanged legacy behavior (first heading)
+    pdf, _ = make_docx(_random.Random(0), 0)
+    r2 = extract_row(pdf)
+    assert r2["status"] == "ok" and r2["title"] != ""
+
+    # generator variant 3 round-trips
+    payload3, text3 = make_docx(_random.Random(3), 3)
+    r3 = extract_row(payload3)
+    assert r3["status"] == "ok"
+    for word in text3.split()[:4]:
+        assert word in r3["markdown_text"] or word in r3["title"]

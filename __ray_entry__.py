@@ -273,6 +273,33 @@ FROM (SELECT *,
                       0.0) AS mean_tok
       FROM f)""",
         "knn_lsh": _knn_lsh_sql(),
+        "asof_join": """
+WITH v AS (
+  SELECT user_id, ts AS vts, count(*) AS n_view,
+         max(event_id) AS view_event
+  FROM events WHERE event_type = 'view' GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id,
+       coalesce(v.vts, TIMESTAMP '1970-01-01') AS vts,
+       CAST(coalesce(v.view_event, -1) AS BIGINT) AS view_event
+FROM events e ASOF LEFT JOIN v
+  ON e.user_id = v.user_id AND e.ts >= v.vts
+WHERE e.event_type = 'click'""",
+        "session_windows": """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN ts - lag(ts) OVER w > INTERVAL 1 HOUR
+              OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events, round(sum(value), 6) AS sum_value
+FROM numbered GROUP BY user_id, sid""",
         # knn_ivf / media_features: intentionally no SQL oracle (the IVF
         # coarse quantizer is trained on a data-dependent sample, and the
         # media decode is stubbed) → rows-only check; recall and the

@@ -129,3 +129,74 @@ def hash_join(left: "ray.data.Dataset", right: "ray.data.Dataset", on: str,
 
     return tagged.groupby("__bucket").map_groups(merge_bucket,
                                                  batch_format="pyarrow")
+
+
+def asof_join(left: "ray.data.Dataset", right: "ray.data.Dataset", by: str,
+              on: str, right_on: str | None = None,
+              num_buckets: int = 32) -> "ray.data.Dataset":
+    """Backward as-of join (point-in-time lookup) — an operator Ray Data
+    lacks: for every left row, attach the LAST right row of the same ``by``
+    key whose ``right_on`` ≤ the left row's ``on`` (left-join semantics; no
+    match → nulls). The training-data use case is point-in-time feature
+    attachment without future leakage.
+
+    Plan: same narrow side-tagged single exchange as hash_join, bucketed by
+    hash(``by``); each bucket sorts its two sides by time and runs pandas
+    ``merge_asof`` (C-speed galloping merge) with ``by`` matching inside the
+    bucket. Integer right columns survive via nullable Int64.
+
+    Partitioning assumptions (custom-operator rule): ``by`` hashes uniformly
+    and one key's rows fit in a bucket; RIGHT ROWS MUST BE UNIQUE per
+    (by, right_on) — pre-aggregate ties away, else the winner is
+    sort-order-dependent.
+    """
+    right_on = right_on or on
+    l_schema = left.schema()
+    r_schema = right.schema()
+    l_names = list(l_schema.names)
+    r_names = list(r_schema.names)
+    l_types = dict(zip(l_schema.names, l_schema.types))
+    r_types = dict(zip(r_schema.names, r_schema.types))
+
+    def _prep(side: int):
+        def f(t: pa.Table) -> pa.Table:
+            cols = {name: t[name] for name in t.column_names}
+            cols["__side"] = pa.array(np.full(t.num_rows, side, dtype=np.int8))
+            cols["__bucket"] = _bucket_of_column(t[by], num_buckets)
+            return pa.table(cols)
+
+        return f
+
+    tagged = left.map_batches(_prep(0), batch_format="pyarrow").union(
+        right.map_batches(_prep(1), batch_format="pyarrow")
+    )
+
+    def merge_bucket(g: pa.Table) -> pa.Table:
+        side = g["__side"]
+        lg = _ensure_columns(g.filter(pc.equal(side, 0)), l_names, l_types) \
+            .to_pandas()
+        rg = _ensure_columns(g.filter(pc.equal(side, 1)), r_names, r_types) \
+            .to_pandas()
+        # restore nullable ints floatified by the post-shuffle null promote
+        for frame, types in ((lg, l_types), (rg, r_types)):
+            for name, typ in types.items():
+                if name in frame and pa.types.is_integer(typ) \
+                        and frame[name].dtype == "float64":
+                    frame[name] = frame[name].astype("Int64")
+        if lg.empty:
+            return pa.Table.from_pandas(lg, preserve_index=False)
+        lg = lg.sort_values([on, by], kind="mergesort")
+        rg = rg.sort_values([right_on, by], kind="mergesort")
+        out = pd.merge_asof(lg, rg, left_on=on, right_on=right_on, by=by,
+                            direction="backward",
+                            suffixes=("", "_r"))
+        # attached int columns picked up NaN for unmatched rows → Int64
+        for name, typ in r_types.items():
+            col = name if name in out.columns else f"{name}_r"
+            if col in out.columns and pa.types.is_integer(typ) \
+                    and out[col].dtype == "float64":
+                out[col] = out[col].astype("Int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return tagged.groupby("__bucket").map_groups(merge_bucket,
+                                                 batch_format="pyarrow")

@@ -747,6 +747,74 @@ def q_media_features(sf_dir: str):
     return out.select_columns(["media_id", "kind", "sha1", "status"])
 
 
+def q_asof_join(sf_dir: str):
+    """Point-in-time as-of join (engine.joins.asof_join): every 'click'
+    event attaches the user's latest prior-or-simultaneous 'view' event
+    (pre-aggregated per (user, ts) so the match is unique). DuckDB twin uses
+    its native ASOF LEFT JOIN."""
+    from engine.joins import asof_join
+
+    events = _read(sf_dir, "events",
+                   ["event_id", "ts", "user_id", "event_type"])
+    clicks = events.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "click"))
+        .select(["event_id", "ts", "user_id"]),
+        batch_format="pyarrow",
+    )
+    views = (
+        events.map_batches(
+            lambda t: t.filter(pc.equal(t["event_type"], "view"))
+            .select(["user_id", "ts", "event_id"]),
+            batch_format="pyarrow",
+        )
+        .groupby(["user_id", "ts"])
+        .aggregate(Count(alias_name="n_view"),
+                   Max("event_id", alias_name="view_event"))
+        .map_batches(
+            lambda t: pa.table({"user_id": t["user_id"], "vts": t["ts"],
+                                "n_view": t["n_view"],
+                                "view_event": t["view_event"]}),
+            batch_format="pyarrow",
+        )
+    )
+    joined = asof_join(clicks, views, by="user_id", on="ts", right_on="vts")
+
+    def finish(t: pa.Table) -> pa.Table:
+        # sentinel-fill the no-match rows: pandas fetchdf floatifies
+        # nullable BIGINTs on the oracle side, so nulls can't hash-compare
+        epoch = pa.scalar(0, type=pa.timestamp("us"))
+        return pa.table({
+            "event_id": t["event_id"],
+            "user_id": t["user_id"],
+            "vts": pc.fill_null(pc.cast(t["vts"], pa.timestamp("us")), epoch),
+            "view_event": pc.fill_null(pc.cast(t["view_event"], pa.int64()),
+                                       -1),
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def q_session_windows(sf_dir: str):
+    """Gap-based session windows per user (engine.windows.sessionize;
+    1-hour gap). DuckDB twin is the gaps-and-islands window idiom."""
+    from engine.windows import sessionize
+
+    events = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    out = sessionize(events, key_col="user_id", ts_col="ts",
+                     id_col="event_id", value_col="value", gap_s=3600.0)
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "session_start": t["session_start"],
+            "session_end": t["session_end"],
+            "n_events": t["n_events"],
+            "sum_value": pc.round(t["sum_value"], ndigits=6),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -788,4 +856,6 @@ QUERIES = {
     "tumbling_window": q_tumbling_window,
     "first_per_user": q_first_per_user,
     "media_features": q_media_features,
+    "asof_join": q_asof_join,
+    "session_windows": q_session_windows,
 }

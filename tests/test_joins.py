@@ -74,3 +74,67 @@ def test_matches_duckdb_on_testdata(ray_session):
         )
     exp = canon(con.execute(e.oracle_sql()["large_join"]).fetchdf())
     assert got.astype(str).equals(exp.astype(str))
+
+
+def test_asof_join_semantics(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from engine.joins import asof_join
+
+    ts = lambda s: pd.Timestamp(s)
+    left = rd.from_arrow(pa.table({
+        "k": [1, 1, 1, 2, 3],
+        "t": [ts("2024-01-01 10:00"), ts("2024-01-01 11:00"),
+              ts("2024-01-01 09:00"), ts("2024-01-01 10:30"),
+              ts("2024-01-01 10:00")],
+        "lid": [1, 2, 3, 4, 5],
+    }))
+    right = rd.from_arrow(pa.table({
+        "k": [1, 1, 2],
+        "rt": [ts("2024-01-01 09:30"), ts("2024-01-01 10:30"),
+               ts("2024-01-01 10:30")],
+        "rv": [100, 200, 300],
+    }))
+    out = asof_join(left, right, by="k", on="t", right_on="rt").to_pandas()
+    got = {r.lid: (None if pd.isna(r.rv) else int(r.rv))
+           for r in out.itertuples()}
+    assert got == {
+        1: 100,   # 10:00 → last right ≤ 10:00 is 09:30
+        2: 200,   # 11:00 → 10:30
+        3: None,  # 09:00 → nothing before
+        4: 300,   # equal timestamps match (backward includes ties)
+        5: None,  # key 3 has no right rows
+    }
+    assert out["rv"].dtype == "Int64"  # nullable int survives the bucket
+
+
+def test_session_windows_operator(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from engine.windows import sessionize
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    rows = [
+        # user 1: two sessions (gap of 2h between event 2 and 3)
+        (1, base, 1, 1.0),
+        (1, base + pd.Timedelta("30min"), 2, 2.0),
+        (1, base + pd.Timedelta("2h31min"), 3, 4.0),
+        # user 2: exactly 1h gap → SAME session (strict >)
+        (2, base, 4, 1.0),
+        (2, base + pd.Timedelta("1h"), 5, 1.0),
+    ]
+    ds = rd.from_arrow(pa.table({
+        "user_id": [r[0] for r in rows],
+        "ts": [r[1] for r in rows],
+        "event_id": [r[2] for r in rows],
+        "value": [r[3] for r in rows],
+    }))
+    out = sessionize(ds, gap_s=3600.0).to_pandas().sort_values(
+        ["user_id", "session_start"]).reset_index(drop=True)
+    assert out["n_events"].tolist() == [2, 1, 2]
+    assert out["sum_value"].tolist() == [3.0, 4.0, 2.0]
+    assert out.loc[0, "session_end"] == base + pd.Timedelta("30min")

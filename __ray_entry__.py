@@ -273,6 +273,14 @@ FROM (SELECT *,
                       0.0) AS mean_tok
       FROM f)""",
         "knn_lsh": _knn_lsh_sql(),
+        "stable_split": """
+SELECT doc_id,
+       CASE WHEN pct < 80 THEN 'train'
+            WHEN pct < 90 THEN 'val' ELSE 'test' END AS split
+FROM (SELECT doc_id,
+             CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)),
+                                 1, 8) AS BIGINT) % 100 AS pct
+      FROM documents)""",
         "asof_join": """
 WITH v AS (
   SELECT user_id, ts AS vts, count(*) AS n_view,

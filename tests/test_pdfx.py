@@ -162,3 +162,26 @@ def test_cid_tounicode_decode():
     title, text, _ = extract_pdf_doc(build_pdf_cid(lines, title="CID Doc"))
     assert text == "\n".join(lines)
     assert title == "CID Doc"
+
+
+def test_content_tokenizer_nested_and_escaped_strings():
+    """The single-pass tokenizer must fall back to the lexer for nested
+    literal strings (incl. inside TJ arrays) and decode escapes exactly."""
+    from engine.pdfx.content import interpret
+
+    stream = (
+        b"BT\n/F1 12 Tf\n14 TL\n1 0 0 1 72 720 Tm\n"
+        b"(outer (nested) tail) Tj\n"
+        b"T*\n"
+        b"[(array (deep (deeper)) part ) -120 (and \\(escaped\\))] TJ\n"
+        b"T*\n"
+        b"(octal \\101 newline\\n) Tj\n"
+        b"ET"
+    )
+    runs = interpret(stream)
+    texts = [r.text for r in runs]
+    assert texts[0] == "outer (nested) tail"
+    assert texts[1] == "array (deep (deeper)) part and (escaped)"
+    assert texts[2] == "octal A newline\n"
+    # positions advanced by T* (leading 14) per line
+    assert [round(r.y) for r in runs] == [720, 706, 692]

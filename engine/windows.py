@@ -6,35 +6,55 @@ session starts when the time since the key's previous event exceeds ``gap``.
 This is the canonical user-sessionization step of a training-data pipeline
 (conversation/episode assembly, per-session aggregates).
 
-Plan: one hash exchange on the key (``groupby(key).map_groups``), then a
-fully vectorized pandas pass per key group (sort → diff → cumsum → groupby
-agg). Partitioning assumption (custom-operator rule): one key's events fit
-in a worker's heap — keys are users/sessions, which are bounded in practice;
-salt a pathological key upstream if not.
+Plan: ONE hash exchange on a key-hash bucket (not the key itself), then a
+fully vectorized pandas pass per bucket that handles every key in the bucket
+at once (sort → key-change/gap mask → cumsum → groupby agg). Grouping by
+bucket instead of key matters at scale: ``groupby(key).map_groups`` pays one
+Python call per key (~0.5 ms each — millions of users would serialize into
+minutes), while buckets cap the Python-call count at ``num_buckets``
+regardless of key cardinality.
 
-Determinism: events are ordered by (ts, id) inside a key, and a session
-break requires STRICTLY more than ``gap`` between consecutive events — both
+Partitioning assumption (custom-operator rule): one BUCKET's rows fit in a
+worker's heap — size ``num_buckets`` to the corpus like any shuffle; keys
+hash uniformly (same md5-free integer/fixed-key discipline as
+engine/joins.py).
+
+Determinism: events are ordered by (key, ts, id), and a session break
+requires STRICTLY more than ``gap`` between consecutive events — both
 reproduced verbatim by the DuckDB gaps-and-islands oracle twin.
 """
 
 from __future__ import annotations
 
 import pandas as pd
+import pyarrow as pa
 
 import ray.data
+
+from engine.joins import _bucket_of_column
 
 
 def sessionize(ds: "ray.data.Dataset", key_col: str = "user_id",
                ts_col: str = "ts", id_col: str = "event_id",
                value_col: str | None = "value",
-               gap_s: float = 3600.0) -> "ray.data.Dataset":
+               gap_s: float = 3600.0,
+               num_buckets: int = 32) -> "ray.data.Dataset":
     """(key, ts, id[, value]) rows → one row per session:
     (key, session_start, session_end, n_events[, sum_value])."""
     gap = pd.Timedelta(seconds=gap_s)
+    cols = [key_col, ts_col, id_col] + ([value_col] if value_col else [])
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([ts_col, id_col], kind="mergesort")
-        new_session = g[ts_col].diff() > gap
+    def add_bucket(t: pa.Table) -> pa.Table:
+        t = t.select(cols)
+        return t.append_column("__bucket",
+                               _bucket_of_column(t[key_col], num_buckets))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # vectorized across every key in the bucket: a session starts at a
+        # key change OR a strict gap within the key
+        g = g.sort_values([key_col, ts_col, id_col], kind="mergesort")
+        new_session = (g[key_col] != g[key_col].shift()) | \
+            (g[ts_col].diff() > gap)
         sid = new_session.cumsum()
         grouped = g.groupby(sid)
         out = pd.DataFrame({
@@ -47,6 +67,8 @@ def sessionize(ds: "ray.data.Dataset", key_col: str = "user_id",
             out["sum_value"] = grouped[value_col].sum()
         return out.reset_index(drop=True)
 
-    cols = [key_col, ts_col, id_col] + ([value_col] if value_col else [])
-    return ds.select_columns(cols).groupby(key_col).map_groups(
-        per_key, batch_format="pandas")
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )

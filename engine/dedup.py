@@ -106,20 +106,38 @@ def exact_dedup(ds: "ray.data.Dataset", text_col: str = "text",
 
 
 def first_per_key(ds: "ray.data.Dataset", key_col: str = "url",
-                  order_col: str | None = None) -> "ray.data.Dataset":
+                  order_col: str | None = None,
+                  num_buckets: int = 32) -> "ray.data.Dataset":
     """A6 — exact dedup by key: one deterministic winner per key value
-    (hash-partitioned groupby; 'first' = min ``order_col``, else min of the
-    remaining columns' tuple, so the result is stable under any parallelism).
+    ('first' = min ``order_col``, else min of the remaining columns' tuple,
+    so the result is stable under any parallelism).
+
+    One hash exchange on a KEY-HASH BUCKET, then a vectorized
+    sort + drop_duplicates per bucket — grouping by the key itself would pay
+    one Python map_groups call per key (millions at scale; see
+    engine/windows.py for the same argument).
 
     This is the per-url dedup the byte-identity invariant implies (SURVEY.md
     §2.6 A6): downstream of extraction, one output row per url.
     """
+    from engine.joins import _bucket_of_column
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column("__bucket",
+                               _bucket_of_column(t[key_col], num_buckets))
 
     def pick(g: pd.DataFrame) -> pd.DataFrame:
-        cols = [order_col] if order_col else [c for c in g.columns if c != key_col]
-        return g.sort_values(cols, kind="mergesort").head(1)
+        cols = [order_col] if order_col else \
+            [c for c in g.columns if c not in (key_col, "__bucket")]
+        g = g.sort_values([key_col] + cols, kind="mergesort")
+        return g.drop_duplicates(key_col, keep="first") \
+            .drop(columns="__bucket")
 
-    return ds.groupby(key_col).map_groups(pick, batch_format="pandas")
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(pick, batch_format="pandas")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -78,6 +78,59 @@ def _sample_video_frames(payload: bytes, num_frames: int = 4) -> list[np.ndarray
     ]
 
 
+def resize_image(img: np.ndarray, target_h: int, target_w: int) -> np.ndarray:
+    """REAL kernel (not a stub): nearest-neighbor resize via index maps —
+    decode is the only codec-dependent step; everything downstream of the
+    HxWx3 array is plain numpy."""
+    h, w = img.shape[:2]
+    rows = np.minimum((np.arange(target_h) * h) // target_h, h - 1)
+    cols = np.minimum((np.arange(target_w) * w) // target_w, w - 1)
+    return img[rows[:, None], cols[None, :]]
+
+
+class ImageResizeActor:
+    """Actor-pool stage: (media_id, payload) images → fixed-size uint8
+    tensors as binary + shape metadata (the normalize-before-model step of a
+    multimodal training pipeline). Same per-row failure isolation as
+    MediaFeatureActor."""
+
+    def __init__(self, target_h: int = 16, target_w: int = 16):
+        self.th = target_h
+        self.tw = target_w
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t["media_id"].to_pylist()
+        payloads = t["payload"].to_pylist()
+        tensors: list[bytes] = []
+        status: list[str] = []
+        for payload in payloads:
+            try:
+                img = _decode_image(payload or b"")
+                tensors.append(resize_image(img, self.th, self.tw).tobytes())
+                status.append("ok")
+            except MediaDecodeError:
+                tensors.append(b"")
+                status.append("failed")
+        return pa.table({
+            "media_id": pa.array(ids, type=pa.int64()),
+            "tensor": pa.array(tensors, type=pa.binary()),
+            "height": pa.array([self.th] * len(ids), type=pa.int32()),
+            "width": pa.array([self.tw] * len(ids), type=pa.int32()),
+            "status": pa.array(status, type=pa.string()),
+        })
+
+
+def resize_images(ds: "ray.data.Dataset", *, target_h: int = 16,
+                  target_w: int = 16, batch_size: int = 8,
+                  concurrency: tuple[int, int] = (1, 8)) -> "ray.data.Dataset":
+    return ds.map_batches(
+        ImageResizeActor,
+        fn_constructor_kwargs={"target_h": target_h, "target_w": target_w},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=1,
+    )
+
+
 def image_features(img: np.ndarray) -> np.ndarray:
     """Real kernel: channel-wise histogram features → FEATURE_DIM floats."""
     feats = []

@@ -66,3 +66,37 @@ def test_features_compose_with_similarity(ray_session):
     out = similarity.knn_brute(ok, np.array([row["features"]]), k=3,
                                id_col="media_id", vec_col="features")
     assert out["vec_id"].iloc[0] == row["media_id"]  # self-match first
+
+
+def test_resize_stage(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from engine.multimodal import (gen_media_table, resize_image,
+                                   resize_images, _decode_image)
+
+    # kernel: exact nearest-neighbor semantics
+    img = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3)
+    small = resize_image(img, 2, 3)
+    assert small.shape == (2, 3, 3)
+    assert (small[0, 0] == img[0, 0]).all()
+    assert (small[1, 2] == img[2, 4]).all()
+    up = resize_image(img, 8, 8)
+    assert up.shape == (8, 8, 3)
+
+    # stage: images only, fixed-size tensors, per-row failure isolation
+    media = rd.from_arrow(gen_media_table(30, seed=7))
+    imgs = media.filter(lambda r: r["kind"] == "image")
+    payloads = {r["media_id"]: r["payload"] for r in imgs.take_all()}
+    out = resize_images(imgs, target_h=16, target_w=16).take_all()
+    # the fixture plants empty payloads: those fail PER ROW, the rest resize
+    for r in out:
+        if payloads[r["media_id"]]:
+            assert r["status"] == "ok"
+            assert len(r["tensor"]) == 16 * 16 * 3
+            expected = resize_image(
+                _decode_image(payloads[r["media_id"]]), 16, 16).tobytes()
+            assert r["tensor"] == expected
+        else:
+            assert r["status"] == "failed" and r["tensor"] == b""
+    assert any(r["status"] == "ok" for r in out)

@@ -43,8 +43,9 @@ def _knn_lsh_sql() -> str:
     planes = _hyperplanes(64)
 
     def dot_expr(p: int) -> str:
+        # float() — numpy>=2 repr of np.float64 is not valid SQL
         return " + ".join(
-            f"embedding[{i + 1}]*({planes[p][i]!r})" for i in range(64))
+            f"embedding[{i + 1}]*({float(planes[p][i])!r})" for i in range(64))
 
     bits = ",\n".join(
         f"CASE WHEN ({dot_expr(p)}) > 0 THEN 1 ELSE 0 END AS b{p}"

@@ -509,6 +509,18 @@ def _pair_cluster_map(pairs: pd.DataFrame) -> dict:
     return mapping
 
 
+def _edges_batch(t: pa.Table) -> pa.Table:
+    """(id_a, id_b) rows → symmetric (node, peer) int64 edge rows."""
+    a = pc.cast(t["id_a"], pa.int64())
+    b = pc.cast(t["id_b"], pa.int64())
+    a = a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+    b = b.combine_chunks() if isinstance(b, pa.ChunkedArray) else b
+    return pa.table({
+        "node": pa.concat_arrays([a, b]),
+        "peer": pa.concat_arrays([b, a]),
+    })
+
+
 def _propagate_labels(edges_ds: "ray.data.Dataset", ids_ds: "ray.data.Dataset",
                       max_iters: int = 25) -> "ray.data.Dataset":
     """Distributed min-label propagation (the huge-pair-set scale path).
@@ -578,19 +590,7 @@ def connected_components_distributed(pairs, ids,
         pairs = rd.from_arrow(pa.Table.from_pandas(
             pairs[["id_a", "id_b"]].astype("int64"), preserve_index=False))
 
-    def to_edges(t: pa.Table) -> pa.Table:
-        a = pc.cast(t["id_a"], pa.int64()).combine_chunks() \
-            if isinstance(t["id_a"], pa.ChunkedArray) else t["id_a"]
-        b = pc.cast(t["id_b"], pa.int64()).combine_chunks() \
-            if isinstance(t["id_b"], pa.ChunkedArray) else t["id_b"]
-        a = pc.cast(a, pa.int64())
-        b = pc.cast(b, pa.int64())
-        return pa.table({
-            "node": pa.concat_arrays([a, b]),
-            "peer": pa.concat_arrays([b, a]),
-        })
-
-    edges_ds = pairs.map_batches(to_edges, batch_format="pyarrow")
+    edges_ds = pairs.map_batches(_edges_batch, batch_format="pyarrow")
     out = _propagate_labels(edges_ds, ids_ds, max_iters).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
 
@@ -619,20 +619,11 @@ def minhash_dedup_clusters(ds: "ray.data.Dataset", text_col: str = "text",
     if len(pairs) > VERIFY_DRIVER_MAX:
         edges = rd.from_arrow(pa.Table.from_pandas(
             pairs[["id_a", "id_b"]].astype("int64"), preserve_index=False))
-
-        def to_edges(t: pa.Table) -> pa.Table:
-            a = pc.cast(t["id_a"], pa.int64()).combine_chunks() \
-                if isinstance(t["id_a"], pa.ChunkedArray) else t["id_a"]
-            b = pc.cast(t["id_b"], pa.int64()).combine_chunks() \
-                if isinstance(t["id_b"], pa.ChunkedArray) else t["id_b"]
-            return pa.table({"node": pa.concat_arrays([a, b]),
-                             "peer": pa.concat_arrays([b, a])})
-
         nodes = ids_ds.map_batches(
             lambda t: pa.table({"node": pc.cast(t[id_col], pa.int64())}),
             batch_format="pyarrow",
         )
-        return _propagate_labels(edges.map_batches(to_edges,
+        return _propagate_labels(edges.map_batches(_edges_batch,
                                                    batch_format="pyarrow"),
                                  nodes)
 

@@ -6,7 +6,8 @@ levels, tables — emitted as the same Node tree the HTML path produces, so the
 markdown serializer (H3) is shared.
 """
 
-from engine.docxx.extract import (docx_core_properties, docx_to_tree,
-                                  DocxError)
+from engine.docxx.extract import (docx_core_properties, docx_document,
+                                  docx_to_tree, DocxError)
 
-__all__ = ["docx_core_properties", "docx_to_tree", "DocxError"]
+__all__ = ["docx_core_properties", "docx_document", "docx_to_tree",
+           "DocxError"]

@@ -118,27 +118,29 @@ def _close_lists(stack: list[tuple[Node, int]], to_level: int) -> None:
 # document.xml (checked against ZipInfo.file_size BEFORE reading), and
 # xml.etree is documented vulnerable to billion-laughs DTD expansion — OOXML
 # never legitimately carries a DTD, so any <!DOCTYPE is rejected outright.
-MAX_DOCUMENT_XML = 4 * 50 * 1024 * 1024  # 4× engine.schema.MAX_FILE_SIZE
+from engine.schema import MAX_FILE_SIZE as _MAX_FILE_SIZE
+
+MAX_DOCUMENT_XML = 4 * _MAX_FILE_SIZE
 
 
-def docx_core_properties(data: bytes) -> dict:
-    """docProps/core.xml → {'title', 'author', 'modified_by'} (the
-    document_metadata surface of the reference architecture doc §6.2; absent
-    file or fields → empty strings, never an error)."""
-    out = {"title": "", "author": "", "modified_by": ""}
-    try:
-        with zipfile.ZipFile(io.BytesIO(data)) as zf:
-            try:
-                info = zf.getinfo("docProps/core.xml")
-            except KeyError:
-                return out
-            if info.file_size > MAX_DOCUMENT_XML:
-                return out
-            xml_bytes = zf.read(info)
-    except (zipfile.BadZipFile, OSError):
-        return out
+def _read_member_guarded(zf: zipfile.ZipFile, name: str) -> bytes:
+    """Read one zip member with the size-declaration + actual-size guards;
+    raises DocxError on violation, KeyError when absent."""
+    info = zf.getinfo(name)
+    if info.file_size > MAX_DOCUMENT_XML:
+        raise DocxError(
+            f"{name} declares {info.file_size} bytes (cap {MAX_DOCUMENT_XML})")
+    with zf.open(info) as f:
+        xml_bytes = f.read(MAX_DOCUMENT_XML + 1)
+    if len(xml_bytes) > MAX_DOCUMENT_XML:  # lying zip header
+        raise DocxError(f"{name} exceeds size cap")
     if b"<!DOCTYPE" in xml_bytes[:4096]:
-        return out
+        raise DocxError(f"{name} carries a DTD (rejected)")
+    return xml_bytes
+
+
+def _props_from_xml(xml_bytes: bytes) -> dict:
+    out = {"title": "", "author": "", "modified_by": ""}
     try:
         root = ET.fromstring(xml_bytes)
     except ET.ParseError:
@@ -152,24 +154,50 @@ def docx_core_properties(data: bytes) -> dict:
     return out
 
 
+def docx_core_properties(data: bytes) -> dict:
+    """docProps/core.xml → {'title', 'author', 'modified_by'} (the
+    document_metadata surface of the reference architecture doc §6.2; absent
+    file or fields → empty strings, never an error)."""
+    empty = {"title": "", "author": "", "modified_by": ""}
+    try:
+        with zipfile.ZipFile(io.BytesIO(data)) as zf:
+            xml_bytes = _read_member_guarded(zf, "docProps/core.xml")
+    except (zipfile.BadZipFile, KeyError, OSError, DocxError):
+        return empty
+    return _props_from_xml(xml_bytes)
+
+
+def docx_document(data: bytes) -> tuple[Node, dict]:
+    """One-pass DOCX read: (body tree, core properties) from a single zip
+    open — the hot extraction kernel must not parse the container twice.
+    Raises DocxError when document.xml is unreadable; missing/bad core.xml
+    degrades to empty properties."""
+    try:
+        with zipfile.ZipFile(io.BytesIO(data)) as zf:
+            doc_xml = _read_member_guarded(zf, "word/document.xml")
+            try:
+                core_xml = _read_member_guarded(zf, "docProps/core.xml")
+            except (KeyError, DocxError):
+                core_xml = None
+    except (zipfile.BadZipFile, KeyError, OSError) as exc:
+        raise DocxError(f"not a DOCX container: {exc}") from exc
+    props = _props_from_xml(core_xml) if core_xml is not None else {
+        "title": "", "author": "", "modified_by": ""}
+    return _tree_from_xml(doc_xml), props
+
+
 def docx_to_tree(data: bytes) -> Node:
     """DOCX bytes → Node tree rooted at <body>. Raises DocxError when the zip
     or document.xml is unreadable (per-row failed status for the caller)."""
     try:
         with zipfile.ZipFile(io.BytesIO(data)) as zf:
-            info = zf.getinfo("word/document.xml")
-            if info.file_size > MAX_DOCUMENT_XML:
-                raise DocxError(
-                    f"document.xml declares {info.file_size} bytes "
-                    f"(cap {MAX_DOCUMENT_XML})")
-            with zf.open(info) as f:
-                xml_bytes = f.read(MAX_DOCUMENT_XML + 1)
-            if len(xml_bytes) > MAX_DOCUMENT_XML:  # lying zip header
-                raise DocxError("document.xml exceeds size cap")
+            xml_bytes = _read_member_guarded(zf, "word/document.xml")
     except (zipfile.BadZipFile, KeyError, OSError) as exc:
         raise DocxError(f"not a DOCX container: {exc}") from exc
-    if b"<!DOCTYPE" in xml_bytes[:4096]:
-        raise DocxError("document.xml carries a DTD (rejected)")
+    return _tree_from_xml(xml_bytes)
+
+
+def _tree_from_xml(xml_bytes: bytes) -> Node:
     try:
         root = ET.fromstring(xml_bytes)
     except ET.ParseError as exc:

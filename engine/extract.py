@@ -32,7 +32,7 @@ import pyarrow as pa
 # worker, not per batch).
 gc.set_threshold(200_000, 50, 50)
 
-from engine.docxx import DocxError, docx_to_tree
+from engine.docxx import DocxError
 from engine.htmlx import parse_html, strip_boilerplate, extract_title
 from engine.htmlx.dom import Node
 from engine.mdserialize import serialize
@@ -99,12 +99,13 @@ def _extract_pdf(payload: bytes) -> tuple[str, str, list[dict]]:
 
 
 def _extract_docx(payload: bytes) -> tuple[str, str, list[dict]]:
-    from engine.docxx import docx_core_properties
+    from engine.docxx import docx_document
 
-    tree = docx_to_tree(payload)
-    # docProps/core.xml title wins when present (mammoth's document
-    # metadata surface); else first heading, as before
-    title = docx_core_properties(payload)["title"] or extract_title(tree)
+    # one zip open for both document.xml and core properties; the core
+    # title wins when present (mammoth's document metadata surface), else
+    # first heading, as before
+    tree, props = docx_document(payload)
+    title = props["title"] or extract_title(tree)
     markdown, spans = serialize(tree)
     return title, markdown, spans
 

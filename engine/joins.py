@@ -190,9 +190,11 @@ def asof_join(left: "ray.data.Dataset", right: "ray.data.Dataset", by: str,
         out = pd.merge_asof(lg, rg, left_on=on, right_on=right_on, by=by,
                             direction="backward",
                             suffixes=("", "_r"))
-        # attached int columns picked up NaN for unmatched rows → Int64
+        # attached int columns picked up NaN for unmatched rows → Int64;
+        # prefer the suffixed name — when a right column collided with a
+        # left one, the RIGHT values live in "<name>_r"
         for name, typ in r_types.items():
-            col = name if name in out.columns else f"{name}_r"
+            col = f"{name}_r" if f"{name}_r" in out.columns else name
             if col in out.columns and pa.types.is_integer(typ) \
                     and out[col].dtype == "float64":
                 out[col] = out[col].astype("Int64")

@@ -35,6 +35,7 @@ import re
 from engine.htmlx.dom import Node
 
 _WS = re.compile(r"\s+")
+_NEEDS_COLLAPSE = re.compile(r"[^\S ]|  ")
 _BR = "\x00"  # placeholder survives whitespace collapse, then → newline
 _BR_RE = re.compile(r" ?\x00+ ?")
 
@@ -47,12 +48,12 @@ LIST_TAGS = frozenset({"ul", "ol"})
 
 
 def _collapse(s: str) -> str:
-    # Fast path: an ASCII string with no control whitespace and no double
-    # spaces is already collapsed — strip() alone suffices. The isascii()
-    # gate matters because Unicode \s also matches \xa0 (&nbsp;) and
-    # friends, which MUST keep taking the regex path.
-    if s.isascii() and "  " not in s and "\n" not in s and "\t" not in s \
-            and "\r" not in s and "\x0b" not in s and "\x0c" not in s:
+    # Fast path: if the string contains no whitespace other than single
+    # plain spaces, strip() alone suffices — one allocation-free regex
+    # search instead of an always-allocating sub. The pattern covers every
+    # char \s matches except ' ' itself (incl. \xa0, \x1c-\x1f and the
+    # other Unicode spaces), plus double spaces.
+    if _NEEDS_COLLAPSE.search(s) is None:
         return s.strip()
     return _WS.sub(" ", s).strip()
 

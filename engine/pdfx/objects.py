@@ -33,9 +33,11 @@ class Name(str):
 
 # Decompression bound: a crafted ≤50 MiB FlateDecode stream can expand
 # ~1000× and OOM the worker, poisoning the whole batch — the SIGALRM row
-# timeout bounds time, not memory. 4× MAX_FILE_SIZE (engine.schema) is far
-# above any legitimate page content stream.
-MAX_DECOMPRESSED = 4 * 50 * 1024 * 1024
+# timeout bounds time, not memory. 4× MAX_FILE_SIZE is far above any
+# legitimate page content stream.
+from engine.schema import MAX_FILE_SIZE as _MAX_FILE_SIZE
+
+MAX_DECOMPRESSED = 4 * _MAX_FILE_SIZE
 
 
 def _bounded_inflate(data: bytes, limit: int = MAX_DECOMPRESSED) -> bytes:

@@ -240,6 +240,9 @@ def knn_ivf_indexed(index_dir: str, queries: np.ndarray, k: int = 10,
         for name in sorted(os.listdir(os.path.join(index_dir, f"cell={c}")))
         if name.endswith(".parquet")
     ]
+    if not paths:  # every probed cell is empty on disk → no candidates
+        return pd.DataFrame({"query_id": [], "rank": [], "vec_id": [],
+                             "cosine": []})
     candidates = rd.read_parquet(paths, columns=[id_col, vec_col])
     return knn_brute(candidates, queries, k, id_col, vec_col, query_ids)
 

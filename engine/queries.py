@@ -559,11 +559,16 @@ def q_knn_lsh(sf_dir: str):
 
 
 def q_knn_ivf(sf_dir: str):
-    """IVF-bucketed approximate top-10 (rows-only; recall rises with nprobe)."""
-    from engine.similarity import knn_ivf
+    """IVF-bucketed approximate top-10 with the data-independent spherical
+    codebook as centroids, so the SQL twin reproduces cell assignment,
+    probing and ranking exactly (the knn_lsh literal-constant trick); the
+    k-means-trained quantizer stays the default operator path, pinned by
+    recall + indexed-equivalence tests."""
+    from engine.similarity import fixed_codebook, knn_ivf
 
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    out = knn_ivf(emb, _load_query_vecs(sf_dir), k=10, num_cells=16, nprobe=4)
+    out = knn_ivf(emb, _load_query_vecs(sf_dir), k=10, num_cells=16, nprobe=4,
+                  centroids=fixed_codebook(64, 16))
     return out[["query_id", "rank", "vec_id"]]
 
 

@@ -162,6 +162,17 @@ def train_ivf_centroids(ds: "ray.data.Dataset", num_cells: int = 16,
     return centroids
 
 
+def fixed_codebook(dim: int, num_cells: int = 16, seed: int = 7) -> np.ndarray:
+    """Data-INdependent spherical codebook (normalized seeded Gaussian rows)
+    — a random-projection quantizer usable as IVF centroids. Slightly worse
+    cell balance than k-means, but reproducible without seeing the data,
+    which makes the IVF pipeline SQL-oracle-checkable (the knn_lsh
+    literal-plane trick); k-means training (train_ivf_centroids) remains
+    the default quality path."""
+    rng = np.random.RandomState(seed)
+    return _normalize(rng.normal(size=(num_cells, dim)))
+
+
 def knn_ivf(ds: "ray.data.Dataset", queries: np.ndarray, k: int = 10,
             id_col: str = "vec_id", vec_col: str = "embedding",
             query_ids: list | None = None, num_cells: int = 16,

@@ -138,7 +138,9 @@ def parse_html_fast(payload: bytes | str) -> Node:
                 add_text("<")
                 pos = lt + 1
                 continue
-            tag = m.group(1).lower()
+            tag = m.group(1)
+            if not tag.islower():  # avoid the unconditional .lower() alloc
+                tag = tag.lower()
             attr_str = m.group(2)
             self_closing = m.group(3) == "/"
             pos = m.end()
@@ -149,7 +151,8 @@ def parse_html_fast(payload: bytes | str) -> Node:
             if rule:
                 close_implicit(*rule)
 
-            node = Node(tag, _parse_attrs(attr_str) if attr_str.strip() else {})
+            node = Node(tag, _parse_attrs(attr_str)
+                        if attr_str and not attr_str.isspace() else {})
             stack[-1].children.append(node)
             if self_closing or tag in VOID_ELEMENTS:
                 continue

@@ -20,17 +20,27 @@ shuffled, and NO stage materializes O(corpus) state on the driver:
 - clustering defaults to distributed min-label propagation over (node, label)
   rows; the driver union-find remains for provably-small pair sets.
 
+Return contracts: verified pairs are O(corpus) at a fixed duplicate rate
+(a 10 %-dup corpus of 10^9 docs yields ~10^8 pairs), so the SCALE contract is
+the ``*_pairs_ds`` functions, which return a streaming Dataset the caller can
+``write_parquet`` without any driver materialization. The suffix-less
+``*_pairs`` functions are driver-bounded conveniences (tests, small corpora,
+interactive use) that collect + sort that Dataset's rows.
+
 Operators:
-- exact_dedup           content-hash winners + distributed id semi-join
-- first_per_key         hash-partitioned first-wins by key
-- minhash_signatures    k-shingle → 64-perm MinHash per row (numpy)
-- minhash_lsh_pairs     band-bucket aggregate → candidate pairs → signature-
-                        similarity verification (all stages distributed)
-- minhash_dedup_clusters  pairs → connected components → (id, cluster_id)
-- simhash_signatures    64-bit SimHash per row
-- simhash_pairs         16-bit-band bucketing → Hamming-verified pairs
-- ngram_jaccard_pairs   exact n-gram Jaccard over candidate pairs (texts
-                        co-located per pair via hash_join, not a driver dict)
+- exact_dedup             content-hash winners + distributed id semi-join
+- first_per_key           hash-partitioned first-wins by key
+- minhash_signatures      k-shingle → 64-perm MinHash per row (numpy)
+- minhash_lsh_pairs_ds    band-bucket aggregate → candidate pairs → signature-
+                          similarity verification, as a Dataset (the scale
+                          contract; minhash_lsh_pairs collects it)
+- minhash_dedup_clusters  pairs → connected components → (id, cluster_id);
+                          plan gated on pairs.count() BEFORE any collect
+- simhash_signatures      64-bit SimHash per row
+- simhash_pairs_ds        16-bit-band bucketing → Hamming-verified pairs
+- ngram_jaccard_pairs_ds  exact n-gram Jaccard over candidate pairs (texts
+                          co-located per pair via hash_join, not a driver
+                          dict)
 
 Partitioning assumption (documented per the custom-operator rule): LSH bucket
 keys are uniformly distributed by construction (hashes), so the band groupby
@@ -213,8 +223,10 @@ def minhash_signatures(ds: "ray.data.Dataset", text_col: str = "text",
 
 def _band_rows(sig_table: pa.Table, id_col: str,
                num_bands: int = NUM_BANDS) -> pa.Table:
-    """Explode signatures into narrow (bkey = band_id<<32 | band_hash, id)
-    rows — signatures themselves stay behind (verified later via a join).
+    """Explode signatures into narrow (bkey, id) rows — signatures themselves
+    stay behind (verified later via a join). bkey is a band-salted 64-bit
+    fold-mix of the band's r signature slots, computed as ``rows_per_band``
+    whole-matrix numpy passes (no per-doc Python loop, no per-band crc call).
 
     ``num_bands`` tunes the recall/candidate-volume tradeoff: b bands of
     r = NUM_PERM/b rows collide with probability s^r per band — r=4
@@ -222,19 +234,23 @@ def _band_rows(sig_table: pa.Table, id_col: str,
     finite vocabulary (heavy boilerplate) flood r=4 with candidates and
     should use num_bands=8 (r=8)."""
     rows_per_band = NUM_PERM // num_bands
-    ids = sig_table[id_col].to_pylist()
-    sigs = sig_table["sig"].to_pylist()
-    out_key, out_id = [], []
-    for i, sig in zip(ids, sigs):
-        arr = np.asarray(sig, dtype=np.uint64)
-        for b in range(num_bands):
-            chunk = arr[b * rows_per_band : (b + 1) * rows_per_band]
-            h = zlib.crc32(chunk.tobytes())
-            out_key.append((b << 32) | h)
-            out_id.append(i)
+    n = sig_table.num_rows
+    if n == 0:
+        return pa.table({"bkey": pa.array([], type=pa.int64()),
+                         id_col: sig_table[id_col]})
+    mat = _sig_matrix(sig_table["sig"], NUM_PERM)  # (n, NUM_PERM) uint64
+    bands = mat.reshape(n, num_bands, rows_per_band)
+    # band-index salt: band b of doc X only buckets with band b of doc Y
+    salt = np.arange(num_bands, dtype=np.uint64) * _MIX2
+    h = np.broadcast_to(salt, (n, num_bands)).copy()
+    for j in range(rows_per_band):  # r vectorized passes over the matrix
+        h ^= bands[:, :, j]
+        h = (h ^ (h >> np.uint64(33))) * _MIX1
+        h ^= h >> np.uint64(29)
+    ids = sig_table[id_col].to_numpy(zero_copy_only=False)
     return pa.table({
-        "bkey": pa.array(out_key, type=pa.int64()),
-        id_col: pa.array(out_id),
+        "bkey": pa.array(h.view(np.int64).ravel()),
+        id_col: pa.array(np.repeat(ids, num_bands)),
     })
 
 
@@ -276,7 +292,8 @@ FETCH_DRIVER_MAX = 500_000
 
 
 def _candidate_pairs(rows: "ray.data.Dataset", id_col: str,
-                     key_col: str = "bkey"):
+                     key_col: str = "bkey",
+                     max_bucket: int = MAX_BUCKET):
     """DISTINCT candidate pairs from bucketed (key, id) rows.
 
     groupby(key).aggregate(Count, Min, Max) yields size-2 buckets' pairs
@@ -284,7 +301,7 @@ def _candidate_pairs(rows: "ray.data.Dataset", id_col: str,
     non-singleton LSH bucket has exactly 2 docs); buckets ≥3 have their rows
     recovered by a broadcast key filter (driver footprint = hot-bucket
     count, bounded by the candidate set, never the corpus) and expanded by a
-    vectorized self-merge under the MAX_BUCKET cap.
+    vectorized self-merge under the ``max_bucket`` cap.
 
     Returns a pandas DataFrame (already distinct — band duplicates dropped
     driver-side, ~16× smaller than the raw expansion) when the candidate row
@@ -300,37 +317,42 @@ def _candidate_pairs(rows: "ray.data.Dataset", id_col: str,
         .materialize()
     )
 
-    pair2 = agg.map_batches(
-        lambda t: pa.table({
-            "id_a": t.filter(pc.equal(t["n"], 2))["min_id"],
-            "id_b": t.filter(pc.equal(t["n"], 2))["max_id"],
-        }),
-        batch_format="pyarrow",
-    ).materialize()
+    def pair2_batch(t: pa.Table) -> pa.Table:
+        # size-2 buckets; a duplicate id appearing twice in one bucket would
+        # emit a degenerate self-pair (min == max) — exclude it, matching the
+        # id_a < id_b rule of the ≥3 expansion paths
+        two = t.filter(pc.and_(pc.equal(t["n"], 2),
+                               pc.not_equal(t["min_id"], t["max_id"])))
+        return pa.table({"id_a": two["min_id"], "id_b": two["max_id"]})
+
+    pair2 = agg.map_batches(pair2_batch, batch_format="pyarrow").materialize()
 
     hot_stats = agg.map_batches(
         lambda t: t.filter(pc.greater(t["n"], 2)).select([key_col, "n"]),
         batch_format="pyarrow",
     ).take_all()
-    hot_keys = set(r[key_col] for r in hot_stats)  # bounded: hot buckets
+    hot_keys = [r[key_col] for r in hot_stats]  # bounded: hot buckets
     hot_row_count = sum(r["n"] for r in hot_stats)
     n_pair2 = pair2.count()
     if not hot_keys and n_pair2 == 0:
         return None
 
     def hot_rows_ds():
-        hot_ref = ray.put(hot_keys)
+        # vectorized membership: broadcast the hot-key array once, pc.is_in
+        # per batch (the per-row `k in set` comprehension cost a Python call
+        # per band row inside a full-corpus scan)
+        hot_ref = ray.put(np.asarray(hot_keys))
 
         def hot_filter(t: pa.Table) -> pa.Table:
             keys = get_broadcast(hot_ref)
-            mask = pa.array([k in keys for k in t[key_col].to_pylist()])
-            return t.filter(mask)
+            value_set = pa.array(keys).cast(t[key_col].type)
+            return t.filter(pc.is_in(t[key_col], value_set=value_set))
 
         return rows.map_batches(hot_filter, batch_format="pyarrow")
 
-    # the expansion is capped at MAX_BUCKET per bucket, so the worst-case
+    # the expansion is capped at max_bucket per bucket, so the worst-case
     # pair volume is known before generating anything
-    max_expand = sum(min(r["n"], MAX_BUCKET) ** 2 // 2 for r in hot_stats)
+    max_expand = sum(min(r["n"], max_bucket) ** 2 // 2 for r in hot_stats)
     if n_pair2 + hot_row_count <= VERIFY_DRIVER_MAX \
             and n_pair2 + max_expand <= VERIFY_DRIVER_MAX:
         # candidate-bounded driver plan: vectorized self-merge + ONE
@@ -343,14 +365,16 @@ def _candidate_pairs(rows: "ray.data.Dataset", id_col: str,
         if hot_keys:
             df = hot_rows_ds().to_pandas().sort_values(
                 [key_col, id_col], kind="mergesort")
-            df = df[df.groupby(key_col).cumcount() < MAX_BUCKET]
+            df = df[df.groupby(key_col).cumcount() < max_bucket]
             m = df.merge(df, on=key_col)
             a, b = f"{id_col}_x", f"{id_col}_y"
             frames.append(m.loc[m[a] < m[b], [a, b]].rename(
                 columns={a: "id_a", b: "id_b"}))
+        if not frames:
+            return None
         out = pd.concat(frames, ignore_index=True).drop_duplicates() \
             .reset_index(drop=True)
-        return out
+        return out if len(out) else None  # all-self-pair buckets → nothing
 
     # distributed scale plan: per-bucket expansion + distinct via groupby
     import ray.data as rd  # noqa: F401
@@ -359,7 +383,7 @@ def _candidate_pairs(rows: "ray.data.Dataset", id_col: str,
     if hot_keys:
 
         def expand(g: pd.DataFrame) -> pd.DataFrame:
-            ids = sorted(g[id_col].tolist())[:MAX_BUCKET]
+            ids = sorted(g[id_col].tolist())[:max_bucket]
             out_a, out_b = [], []
             for i, va in enumerate(ids):
                 for vb in ids[i + 1 :]:
@@ -386,12 +410,11 @@ def _fetch_for_ids(ds: "ray.data.Dataset", id_col: str,
     """Streaming broadcast semi-join: rows of ``ds`` whose id ∈ wanted, as a
     DataFrame bounded by |wanted| (callers guarantee wanted is
     candidate-bounded — the corpus itself is never collected)."""
-    ref = ray.put(wanted)
+    ref = ray.put(pa.array(list(wanted)))
 
     def keep(t: pa.Table) -> pa.Table:
-        ids = get_broadcast(ref)
-        mask = pa.array([i in ids for i in t[id_col].to_pylist()])
-        return t.filter(mask)
+        value_set = get_broadcast(ref).cast(t[id_col].type)
+        return t.filter(pc.is_in(t[id_col], value_set=value_set))
 
     return ds.map_batches(keep, batch_format="pyarrow").to_pandas()
 
@@ -414,24 +437,52 @@ def _attach_pair_columns(pairs: "ray.data.Dataset", side_ds: "ray.data.Dataset",
     return hash_join(pairs, side, on=endpoint, num_buckets=num_buckets)
 
 
-def minhash_lsh_pairs(ds: "ray.data.Dataset", text_col: str = "text",
-                      id_col: str = "doc_id",
-                      threshold: float = 0.7,
-                      num_bands: int = NUM_BANDS) -> pd.DataFrame:
-    """Near-dup candidate pairs via banded LSH, verified on full signatures.
+def _empty_pairs_table(value_col: str,
+                       value_type: pa.DataType) -> pa.Table:
+    return pa.table({"id_a": pa.array([], type=pa.int64()),
+                     "id_b": pa.array([], type=pa.int64()),
+                     value_col: pa.array([], type=value_type)})
 
-    Every stage is distributed (see module docstring); only the FINAL verified
-    pair table — small by the LSH premise — is returned as a pandas DataFrame.
-    At 100 TB the same pipeline ends in write_parquet instead of to_pandas.
-    """
-    empty = pd.DataFrame({"id_a": [], "id_b": [], "similarity": []})
+
+def _plan_to_ds(plan, value_col: str, value_type: pa.DataType):
+    """Normalize a verified-pairs plan result (None | bounded DataFrame |
+    Dataset) into a Dataset — the write_parquet-able scale contract."""
+    import ray.data as rd
+
+    if plan is None:
+        return rd.from_arrow(_empty_pairs_table(value_col, value_type))
+    if isinstance(plan, pd.DataFrame):
+        if len(plan) == 0:
+            return rd.from_arrow(_empty_pairs_table(value_col, value_type))
+        return rd.from_arrow(pa.Table.from_pandas(plan, preserve_index=False))
+    return plan
+
+
+def _plan_to_pandas(plan, value_col: str) -> pd.DataFrame:
+    """Collect a verified-pairs plan into the sorted driver DataFrame
+    (bounded-convenience contract; scale callers use the _ds variant)."""
+    empty = pd.DataFrame({"id_a": [], "id_b": [], value_col: []})
+    if plan is None:
+        return empty
+    out = plan if isinstance(plan, pd.DataFrame) else plan.to_pandas()
+    if len(out) == 0:
+        return empty
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def _minhash_pairs_plan(ds: "ray.data.Dataset", text_col: str,
+                        id_col: str, threshold: float,
+                        num_bands: int):
+    """Verified MinHash near-dup pairs: candidate-bounded driver DataFrame
+    when the candidate set fits VERIFY_DRIVER_MAX / FETCH_DRIVER_MAX, else a
+    fully-distributed Dataset (never an O(corpus) driver object)."""
     sigs = minhash_signatures(ds, text_col, id_col).materialize()
 
     bands = sigs.map_batches(lambda t: _band_rows(t, id_col, num_bands),
                              batch_format="pyarrow")
     pairs = _candidate_pairs(bands, id_col)
     if pairs is None:
-        return empty
+        return None
 
     if isinstance(pairs, pd.DataFrame):
         wanted = set(pairs["id_a"]) | set(pairs["id_b"])
@@ -454,10 +505,7 @@ def minhash_lsh_pairs(ds: "ray.data.Dataset", text_col: str = "text",
             b = mat[pos[pairs["id_b"]].to_numpy()]
             out = pairs.copy()
             out["similarity"] = (a == b).mean(axis=1)
-            out = out[out["similarity"] >= threshold]
-            if len(out) == 0:
-                return empty
-            return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+            return out[out["similarity"] >= threshold]
 
     # distributed join plan (candidate set too large for the driver): join
     # each endpoint's signature to the pair rows — signatures cross the wire
@@ -474,9 +522,7 @@ def minhash_lsh_pairs(ds: "ray.data.Dataset", text_col: str = "text",
 
     def verify(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
-            return pa.table({"id_a": pa.array([], type=pa.int64()),
-                             "id_b": pa.array([], type=pa.int64()),
-                             "similarity": pa.array([], type=pa.float64())})
+            return _empty_pairs_table("similarity", pa.float64())
         a = _binary_to_u64_matrix(t["sig_a"], NUM_PERM)
         b = _binary_to_u64_matrix(t["sig_b"], NUM_PERM)
         sim = (a == b).mean(axis=1)
@@ -484,11 +530,32 @@ def minhash_lsh_pairs(ds: "ray.data.Dataset", text_col: str = "text",
                         "similarity": pa.array(sim, type=pa.float64())})
         return out.filter(pc.greater_equal(out["similarity"], threshold))
 
-    verified = with_ab.map_batches(verify, batch_format="pyarrow")
-    out = verified.to_pandas()
-    if len(out) == 0:
-        return empty
-    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    return with_ab.map_batches(verify, batch_format="pyarrow")
+
+
+def minhash_lsh_pairs_ds(ds: "ray.data.Dataset", text_col: str = "text",
+                         id_col: str = "doc_id", threshold: float = 0.7,
+                         num_bands: int = NUM_BANDS) -> "ray.data.Dataset":
+    """Verified near-dup pairs as a DATASET (id_a, id_b, similarity) — the
+    scale contract: verified pairs are O(corpus) at a fixed duplicate rate,
+    so callers ``write_parquet`` (or aggregate) this; nothing O(pairs) ever
+    materializes on the driver."""
+    return _plan_to_ds(
+        _minhash_pairs_plan(ds, text_col, id_col, threshold, num_bands),
+        "similarity", pa.float64())
+
+
+def minhash_lsh_pairs(ds: "ray.data.Dataset", text_col: str = "text",
+                      id_col: str = "doc_id",
+                      threshold: float = 0.7,
+                      num_bands: int = NUM_BANDS) -> pd.DataFrame:
+    """Driver-bounded convenience over :func:`minhash_lsh_pairs_ds`: collects
+    the verified pairs into a sorted DataFrame. Fine for tests and
+    interactive corpora; at scale the pair volume is O(corpus), so pipeline
+    code uses the ``_ds`` variant and writes parquet instead."""
+    return _plan_to_pandas(
+        _minhash_pairs_plan(ds, text_col, id_col, threshold, num_bands),
+        "similarity")
 
 
 def connected_components(pairs: pd.DataFrame, ids: list) -> pd.DataFrame:
@@ -654,25 +721,29 @@ def minhash_dedup_clusters(ds: "ray.data.Dataset", text_col: str = "text",
     """
     import ray.data as rd
 
-    pairs = minhash_lsh_pairs(ds, text_col, id_col, threshold)
+    plan = _minhash_pairs_plan(ds, text_col, id_col, threshold, NUM_BANDS)
     ids_ds = ds.select_columns([id_col])
 
     if not distributed:
+        pairs = _plan_to_pandas(plan, "similarity")
         ids = [r[id_col] for r in ids_ds.take_all()]
         return rd.from_arrow(pa.Table.from_pandas(
             connected_components(pairs, ids), preserve_index=False))
 
-    if len(pairs) > VERIFY_DRIVER_MAX:
-        edges = rd.from_arrow(pa.Table.from_pandas(
-            pairs[["id_a", "id_b"]].astype("int64"), preserve_index=False))
-        nodes = ids_ds.map_batches(
-            lambda t: pa.table({"node": pc.cast(t[id_col], pa.int64())}),
-            batch_format="pyarrow",
-        )
-        return _propagate_labels(edges.map_batches(_edges_batch,
-                                                   batch_format="pyarrow"),
-                                 nodes)
+    if isinstance(plan, rd.Dataset):
+        # size-gate BEFORE collecting: count() streams the verified pairs
+        # without materializing them on the driver
+        plan = plan.materialize()
+        if plan.count() > VERIFY_DRIVER_MAX:
+            nodes = ids_ds.map_batches(
+                lambda t: pa.table({"node": pc.cast(t[id_col], pa.int64())}),
+                batch_format="pyarrow",
+            )
+            return _propagate_labels(
+                plan.map_batches(_edges_batch, batch_format="pyarrow"),
+                nodes)
 
+    pairs = _plan_to_pandas(plan, "similarity")
     mapping = _pair_cluster_map(pairs)
     ref = ray.put(mapping)
 
@@ -744,13 +815,12 @@ def _popcount64_np(x: np.ndarray) -> np.ndarray:
     return np.unpackbits(x.view(np.uint8)).reshape(len(x), 8 * 8).sum(axis=1)
 
 
-def simhash_pairs(ds: "ray.data.Dataset", text_col: str = "text",
-                  id_col: str = "doc_id", max_hamming: int = 3) -> pd.DataFrame:
-    """Near-dup pairs by SimHash: bucket on each of the four 16-bit bands
-    (any pair within Hamming ≤ 3 of 64 bits shares at least one exact band
-    by pigeonhole when distance < 4), verify exact Hamming distance.
-    Same distributed discipline as minhash_lsh_pairs."""
-    empty = pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+def _simhash_pairs_plan(ds: "ray.data.Dataset", text_col: str,
+                        id_col: str, max_hamming: int):
+    """Verified SimHash pairs plan (None | bounded DataFrame | Dataset):
+    bucket on each of the four 16-bit bands (any pair within Hamming ≤ 3 of
+    64 bits shares at least one exact band by pigeonhole when distance < 4),
+    verify exact Hamming distance. Same plan discipline as MinHash."""
     sigs = simhash_signatures(ds, text_col, id_col).materialize()
 
     def band_rows(t: pa.Table) -> pa.Table:
@@ -770,7 +840,7 @@ def simhash_pairs(ds: "ray.data.Dataset", text_col: str = "text",
     bands = sigs.map_batches(band_rows, batch_format="pyarrow")
     pairs = _candidate_pairs(bands, id_col)
     if pairs is None:
-        return empty
+        return None
 
     if isinstance(pairs, pd.DataFrame):
         wanted = set(pairs["id_a"]) | set(pairs["id_b"])
@@ -789,10 +859,7 @@ def simhash_pairs(ds: "ray.data.Dataset", text_col: str = "text",
             out = pairs.copy()
             out["hamming"] = _popcount64_np(
                 np.bitwise_xor(a, b)).astype(np.int64)
-            out = out[out["hamming"] <= max_hamming]
-            if len(out) == 0:
-                return empty
-            return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+            return out[out["hamming"] <= max_hamming]
 
     with_a = _attach_pair_columns(pairs, sigs, id_col, "id_a",
                                   {"simhash": "sim_a"})
@@ -801,9 +868,7 @@ def simhash_pairs(ds: "ray.data.Dataset", text_col: str = "text",
 
     def verify(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
-            return pa.table({"id_a": pa.array([], type=pa.int64()),
-                             "id_b": pa.array([], type=pa.int64()),
-                             "hamming": pa.array([], type=pa.int64())})
+            return _empty_pairs_table("hamming", pa.int64())
         a = pc.cast(t["sim_a"], pa.uint64()).to_numpy(zero_copy_only=False)
         b = pc.cast(t["sim_b"], pa.uint64()).to_numpy(zero_copy_only=False)
         ham = _popcount64_np(np.bitwise_xor(a, b))
@@ -811,10 +876,25 @@ def simhash_pairs(ds: "ray.data.Dataset", text_col: str = "text",
                         "hamming": pa.array(ham.astype(np.int64))})
         return out.filter(pc.less_equal(out["hamming"], max_hamming))
 
-    out = with_ab.map_batches(verify, batch_format="pyarrow").to_pandas()
-    if len(out) == 0:
-        return empty
-    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    return with_ab.map_batches(verify, batch_format="pyarrow")
+
+
+def simhash_pairs_ds(ds: "ray.data.Dataset", text_col: str = "text",
+                     id_col: str = "doc_id",
+                     max_hamming: int = 3) -> "ray.data.Dataset":
+    """Verified SimHash pairs as a DATASET (id_a, id_b, hamming) — the scale
+    contract (see minhash_lsh_pairs_ds)."""
+    return _plan_to_ds(
+        _simhash_pairs_plan(ds, text_col, id_col, max_hamming),
+        "hamming", pa.int64())
+
+
+def simhash_pairs(ds: "ray.data.Dataset", text_col: str = "text",
+                  id_col: str = "doc_id", max_hamming: int = 3) -> pd.DataFrame:
+    """Driver-bounded convenience over :func:`simhash_pairs_ds` (sorted
+    DataFrame; scale callers use the _ds variant + write_parquet)."""
+    return _plan_to_pandas(
+        _simhash_pairs_plan(ds, text_col, id_col, max_hamming), "hamming")
 
 
 # ---------------------------------------------------------------------------
@@ -837,20 +917,18 @@ def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
     return inter / (len(sa) + len(sb) - inter)
 
 
-def ngram_jaccard_pairs(ds: "ray.data.Dataset", candidate_pairs,
-                        text_col: str = "text", id_col: str = "doc_id",
-                        n: int = 3, threshold: float = 0.8) -> pd.DataFrame:
+def _ngram_pairs_plan(ds: "ray.data.Dataset", candidate_pairs,
+                      text_col: str, id_col: str, n: int, threshold: float):
     """Exact word-n-gram Jaccard over an LSH candidate set. Texts are
     co-located per pair via two hash_joins (each endpoint's text crosses the
     wire once) — never a driver-side id→text dict."""
     import ray.data as rd
 
-    empty = pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
     texts = ds.select_columns([id_col, text_col])
 
     if isinstance(candidate_pairs, pd.DataFrame):
         if len(candidate_pairs) == 0:
-            return empty
+            return None
         if len(candidate_pairs) <= VERIFY_DRIVER_MAX:
             # candidate-bounded driver plan (streaming semi-join fetch)
             pairs = candidate_pairs[["id_a", "id_b"]].reset_index(drop=True)
@@ -862,12 +940,11 @@ def ngram_jaccard_pairs(ds: "ray.data.Dataset", candidate_pairs,
                 ngram_jaccard(lookup.get(a, ""), lookup.get(b, ""), n)
                 for a, b in zip(pairs["id_a"], pairs["id_b"])
             ]
-            out = out[out["jaccard"] >= threshold]
-            if len(out) == 0:
-                return empty
-            return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+            return out[out["jaccard"] >= threshold]
         candidate_pairs = rd.from_arrow(pa.Table.from_pandas(
             candidate_pairs[["id_a", "id_b"]], preserve_index=False))
+    elif set(candidate_pairs.schema().names) - {"id_a", "id_b"}:
+        candidate_pairs = candidate_pairs.select_columns(["id_a", "id_b"])
 
     with_a = _attach_pair_columns(candidate_pairs, texts, id_col, "id_a",
                                   {text_col: "text_a"})
@@ -876,9 +953,7 @@ def ngram_jaccard_pairs(ds: "ray.data.Dataset", candidate_pairs,
 
     def verify(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
-            return pa.table({"id_a": pa.array([], type=pa.int64()),
-                             "id_b": pa.array([], type=pa.int64()),
-                             "jaccard": pa.array([], type=pa.float64())})
+            return _empty_pairs_table("jaccard", pa.float64())
         jac = [
             ngram_jaccard(a or "", b or "", n)
             for a, b in zip(t["text_a"].to_pylist(), t["text_b"].to_pylist())
@@ -887,9 +962,28 @@ def ngram_jaccard_pairs(ds: "ray.data.Dataset", candidate_pairs,
                         "jaccard": pa.array(jac, type=pa.float64())})
         return out.filter(pc.greater_equal(out["jaccard"], threshold))
 
-    out = with_ab.map_batches(verify, batch_format="pyarrow").to_pandas()
-    if len(out) == 0:
-        return empty
-    return out[["id_a", "id_b", "jaccard"]].sort_values(
-        ["id_a", "id_b"]
-    ).reset_index(drop=True)
+    return with_ab.map_batches(verify, batch_format="pyarrow")
+
+
+def ngram_jaccard_pairs_ds(ds: "ray.data.Dataset", candidate_pairs,
+                           text_col: str = "text", id_col: str = "doc_id",
+                           n: int = 3,
+                           threshold: float = 0.8) -> "ray.data.Dataset":
+    """Jaccard-verified pairs as a DATASET (id_a, id_b, jaccard) — the scale
+    contract (see minhash_lsh_pairs_ds). ``candidate_pairs`` may itself be a
+    Dataset (e.g. minhash_lsh_pairs_ds output), keeping the whole chain
+    driver-free."""
+    return _plan_to_ds(
+        _ngram_pairs_plan(ds, candidate_pairs, text_col, id_col, n, threshold),
+        "jaccard", pa.float64())
+
+
+def ngram_jaccard_pairs(ds: "ray.data.Dataset", candidate_pairs,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        n: int = 3, threshold: float = 0.8) -> pd.DataFrame:
+    """Driver-bounded convenience over :func:`ngram_jaccard_pairs_ds`
+    (sorted DataFrame; scale callers use the _ds variant + write_parquet)."""
+    out = _plan_to_pandas(
+        _ngram_pairs_plan(ds, candidate_pairs, text_col, id_col, n, threshold),
+        "jaccard")
+    return out[["id_a", "id_b", "jaccard"]]

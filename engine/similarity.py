@@ -122,7 +122,8 @@ def knn_lsh(ds: "ray.data.Dataset", queries: np.ndarray, k: int = 10,
         if probe_hamming >= 1:
             for i in range(NUM_PLANES):
                 probe.add(b ^ (1 << i))
-    probe_ref = ray.put((probe, planes))
+    probe_arr = np.sort(np.fromiter(probe, dtype=np.int64, count=len(probe)))
+    probe_ref = ray.put((probe_arr, planes))
 
     def bucket_filter(t: pa.Table) -> pa.Table:
         from engine.broadcast import get_broadcast
@@ -130,8 +131,8 @@ def knn_lsh(ds: "ray.data.Dataset", queries: np.ndarray, k: int = 10,
         probe_set, pl = get_broadcast(probe_ref)
         vecs = _normalize(_to_matrix(t[vec_col]))
         buckets = lsh_bucket_of(vecs, pl)
-        mask = pa.array([int(b) in probe_set for b in buckets])
-        return t.filter(mask)
+        # vectorized membership — this runs inside a full-corpus scan
+        return t.filter(pa.array(np.isin(buckets, probe_set)))
 
     candidates = ds.map_batches(bucket_filter, batch_format="pyarrow",
                                 batch_size=4096)
@@ -184,7 +185,7 @@ def knn_ivf(ds: "ray.data.Dataset", queries: np.ndarray, k: int = 10,
         centroids = train_ivf_centroids(ds, num_cells, vec_col=vec_col)
     qm = _normalize(np.asarray(queries, dtype=np.float64))
     q_cells = np.argsort(-(qm @ centroids.T), axis=1)[:, :nprobe]
-    probe = set(int(c) for row in q_cells for c in row)
+    probe = np.unique(q_cells.ravel()).astype(np.int64)
     cell_ref = ray.put((centroids, probe))
 
     def cell_filter(t: pa.Table) -> pa.Table:
@@ -193,8 +194,8 @@ def knn_ivf(ds: "ray.data.Dataset", queries: np.ndarray, k: int = 10,
         cents, probe_set = get_broadcast(cell_ref)
         vecs = _normalize(_to_matrix(t[vec_col]))
         cells = (vecs @ cents.T).argmax(axis=1)
-        mask = pa.array([int(c) in probe_set for c in cells])
-        return t.filter(mask)
+        # vectorized membership — this runs inside a full-corpus scan
+        return t.filter(pa.array(np.isin(cells, probe_set)))
 
     candidates = ds.map_batches(cell_filter, batch_format="pyarrow",
                                 batch_size=4096)
@@ -258,6 +259,130 @@ def knn_ivf_indexed(index_dir: str, queries: np.ndarray, k: int = 10,
     return knn_brute(candidates, queries, k, id_col, vec_col, query_ids)
 
 
+def _f64_rows_to_binary(mat: np.ndarray) -> pa.Array:
+    """(n, dim) float64 matrix → binary column (dim*8 bytes/row, one memcpy)
+    — Acero hash joins reject list-typed payloads, binary they accept (same
+    trick as engine.dedup._list_u64_to_binary)."""
+    n, dim = mat.shape
+    data = pa.py_buffer(np.ascontiguousarray(mat).tobytes())
+    offsets = pa.py_buffer(
+        (np.arange(n + 1, dtype=np.int32) * (dim * 8)).tobytes())
+    return pa.Array.from_buffers(pa.binary(), n, [None, offsets, data])
+
+
+def _binary_to_f64_matrix(col: pa.ChunkedArray | pa.Array,
+                          dim: int) -> np.ndarray:
+    vals = col.to_pylist()
+    if not vals:
+        return np.empty((0, dim), dtype=np.float64)
+    return np.frombuffer(b"".join(vals), dtype=np.float64).reshape(-1, dim)
+
+
+def _embedding_pairs_plan(ds: "ray.data.Dataset", threshold: float,
+                          id_col: str, vec_col: str,
+                          num_planes: int | None, max_bucket: int):
+    """Verified embedding near-dup pairs, same plan machinery as
+    engine.dedup: NARROW (bucket, id) rows → aggregate candidate discovery
+    (zero per-bucket Python for size-2 buckets — the dominant case) →
+    cosine verification on co-located vector pairs. Returns None / bounded
+    DataFrame / fully-distributed Dataset."""
+    import ray.data as rd
+
+    from engine.dedup import (FETCH_DRIVER_MAX, _attach_pair_columns,
+                              _candidate_pairs, _fetch_for_ids)
+
+    n = ds.count()
+    first = ds.take(1)
+    if not first:
+        return None
+    dim = len(first[0][vec_col])
+    if num_planes is None:
+        num_planes = max(NUM_PLANES,
+                         int(np.ceil(np.log2(max(2.0, n / 64.0)))))
+    planes = _hyperplanes(dim, num_planes=num_planes)
+    planes_ref = ray.put(planes)
+
+    def bucket_rows(t: pa.Table) -> pa.Table:
+        from engine.broadcast import get_broadcast
+
+        pl = get_broadcast(planes_ref)
+        vecs = _normalize(_to_matrix(t[vec_col]))
+        buckets = lsh_bucket_of(vecs, pl)
+        return pa.table({"bucket": pa.array(buckets, type=pa.int64()),
+                         id_col: t[id_col]})
+
+    rows = ds.map_batches(bucket_rows, batch_format="pyarrow")
+    pairs = _candidate_pairs(rows, id_col, key_col="bucket",
+                             max_bucket=max_bucket)
+    if pairs is None:
+        return None
+
+    if isinstance(pairs, pd.DataFrame):
+        wanted = set(pairs["id_a"]) | set(pairs["id_b"])
+        if len(wanted) <= FETCH_DRIVER_MAX:
+            # candidate-bounded driver plan: streaming semi-join fetch of the
+            # endpoint vectors, one vectorized row-wise dot
+            vdf = _fetch_for_ids(ds.select_columns([id_col, vec_col]),
+                                 id_col, wanted).drop_duplicates(id_col)
+            mat = _normalize(np.asarray(vdf[vec_col].tolist(),
+                                        dtype=np.float64))
+            pos = pd.Series(np.arange(len(vdf)), index=vdf[id_col])
+            a = mat[pos[pairs["id_a"]].to_numpy()]
+            b = mat[pos[pairs["id_b"]].to_numpy()]
+            out = pairs.copy()
+            out["cosine"] = (a * b).sum(axis=1)
+            return out[out["cosine"] >= threshold]
+        pairs = rd.from_arrow(pa.Table.from_pandas(
+            pairs, preserve_index=False))
+
+    # distributed join plan: pre-normalized vectors ride the pair join as
+    # binary blobs (once per endpoint), cosine is a per-batch row-wise dot
+    vecs_bin = ds.map_batches(
+        lambda t: pa.table({
+            id_col: t[id_col],
+            "vec": _f64_rows_to_binary(_normalize(_to_matrix(t[vec_col]))),
+        }),
+        batch_format="pyarrow",
+    )
+    with_a = _attach_pair_columns(pairs, vecs_bin, id_col, "id_a",
+                                  {"vec": "vec_a"})
+    with_ab = _attach_pair_columns(with_a, vecs_bin, id_col, "id_b",
+                                   {"vec": "vec_b"})
+
+    def verify(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"id_a": pa.array([], type=pa.int64()),
+                             "id_b": pa.array([], type=pa.int64()),
+                             "cosine": pa.array([], type=pa.float64())})
+        a = _binary_to_f64_matrix(t["vec_a"], dim)
+        b = _binary_to_f64_matrix(t["vec_b"], dim)
+        cos = (a * b).sum(axis=1)
+        out = pa.table({"id_a": t["id_a"], "id_b": t["id_b"],
+                        "cosine": pa.array(cos, type=pa.float64())})
+        import pyarrow.compute as pc
+
+        return out.filter(pc.greater_equal(out["cosine"], threshold))
+
+    return with_ab.map_batches(verify, batch_format="pyarrow")
+
+
+def embedding_near_dup_pairs_ds(ds: "ray.data.Dataset",
+                                threshold: float = 0.95,
+                                id_col: str = "vec_id",
+                                vec_col: str = "embedding",
+                                num_planes: int | None = None,
+                                max_bucket: int = MAX_BUCKET_EMB
+                                ) -> "ray.data.Dataset":
+    """Verified near-dup pairs as a DATASET (id_a, id_b, cosine) — the
+    write_parquet-able scale contract (see engine.dedup)."""
+    from engine.dedup import _plan_to_ds
+
+    return _plan_to_ds(
+        _embedding_pairs_plan(ds, threshold, id_col, vec_col, num_planes,
+                              max_bucket),
+        "cosine", pa.float64())
+
+
 def embedding_near_dup_pairs(ds: "ray.data.Dataset", threshold: float = 0.95,
                              id_col: str = "vec_id",
                              vec_col: str = "embedding",
@@ -266,51 +391,23 @@ def embedding_near_dup_pairs(ds: "ray.data.Dataset", threshold: float = 0.95,
     """Embedding-cosine near-dup: bucket by LSH signature, compare within
     buckets only, keep pairs with cosine >= threshold.
 
+    Candidate discovery is engine.dedup's aggregate pattern: size-2 buckets
+    (the dominant case at the ~64-expected-population default) yield their
+    pair straight from a Count/Min/Max groupby with ZERO per-bucket Python
+    calls; only rare hot buckets take a bounded self-merge — the old
+    ``groupby(bucket).map_groups`` paid one Python call per bucket with
+    bucket count scaled to n/64.
+
     Scale guards: ``num_planes`` defaults to log2(corpus / 64) (≥8), keeping
-    the EXPECTED bucket population ~64 as the corpus grows instead of the
-    old fixed 256 buckets; a degenerate bucket (near-dup-heavy or all-zero
-    vectors) is capped at ``max_bucket`` members (keep-lowest-id, same policy
-    as engine.dedup.MAX_BUCKET) before the O(k²) pair expansion.
+    the EXPECTED bucket population ~64 as the corpus grows; a degenerate
+    bucket (near-dup-heavy or all-zero vectors) is capped at ``max_bucket``
+    members (keep-lowest-id, same policy as engine.dedup.MAX_BUCKET) before
+    the O(k²) pair expansion. This convenience wrapper collects a sorted
+    DataFrame; scale callers use :func:`embedding_near_dup_pairs_ds`.
     """
-    n = ds.count()
-    first = ds.take(1)
-    dim = len(first[0][vec_col])
-    if num_planes is None:
-        num_planes = max(NUM_PLANES,
-                         int(np.ceil(np.log2(max(2.0, n / 64.0)))))
-    planes = _hyperplanes(dim, num_planes=num_planes)
-    planes_ref = ray.put(planes)
+    from engine.dedup import _plan_to_pandas
 
-    def add_bucket(t: pa.Table) -> pa.Table:
-        from engine.broadcast import get_broadcast
-
-        pl = get_broadcast(planes_ref)
-        vecs = _normalize(_to_matrix(t[vec_col]))
-        buckets = lsh_bucket_of(vecs, pl)
-        return t.append_column("bucket", pa.array(buckets, type=pa.int64()))
-
-    with_bucket = ds.map_batches(add_bucket, batch_format="pyarrow")
-
-    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
-        g = g.sort_values(id_col).head(max_bucket)  # skew guard
-        vecs = _normalize(np.asarray(g[vec_col].tolist(), dtype=np.float64))
-        ids = g[id_col].to_numpy()
-        cos = vecs @ vecs.T
-        ia, ib = np.triu_indices(len(ids), k=1)
-        keep = cos[ia, ib] >= threshold
-        return pd.DataFrame({
-            "id_a": ids[ia[keep]],
-            "id_b": ids[ib[keep]],
-            "cosine": cos[ia[keep], ib[keep]],
-        })
-
-    pairs = (
-        with_bucket.groupby("bucket")
-        .map_groups(pairs_in_bucket, batch_format="pandas")
-        .to_pandas()
-    )
-    if len(pairs) == 0:
-        return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
-    return pairs.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    return _plan_to_pandas(
+        _embedding_pairs_plan(ds, threshold, id_col, vec_col, num_planes,
+                              max_bucket),
+        "cosine")

@@ -136,6 +136,52 @@ def test_minhash_clusters_distributed(docs):
     assert canon(a) == canon(b)
 
 
+def test_pairs_ds_write_parquet_no_driver_frame(docs, monkeypatch, tmp_path):
+    """The scale contract: *_pairs_ds → write_parquet with ZERO driver
+    DataFrame of the pair set, on both the candidate-bounded and the
+    forced fully-distributed join plan; bytes on disk match the collected
+    convenience API."""
+    import pyarrow.parquet as pq
+
+    ref = dedup.minhash_lsh_pairs(docs, threshold=0.5)
+
+    for plan, cap in (("driver", dedup.VERIFY_DRIVER_MAX), ("join", -1)):
+        monkeypatch.setattr(dedup, "VERIFY_DRIVER_MAX", cap)
+        out = str(tmp_path / f"pairs_{plan}")
+        dedup.minhash_lsh_pairs_ds(docs, threshold=0.5).write_parquet(out)
+        got = (pq.read_table(out).to_pandas()
+               .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+        assert got[["id_a", "id_b"]].values.tolist() == \
+            ref[["id_a", "id_b"]].values.tolist()
+        assert (got["similarity"].to_numpy()
+                == ref["similarity"].to_numpy()).all()
+
+    # simhash + ngram _ds variants share the plan machinery: schema + rows
+    monkeypatch.setattr(dedup, "VERIFY_DRIVER_MAX", -1)
+    sim = dedup.simhash_pairs_ds(docs, max_hamming=10)
+    assert set(sim.schema().names) == {"id_a", "id_b", "hamming"}
+    cand = dedup.minhash_lsh_pairs_ds(docs, threshold=0.5)
+    ng = dedup.ngram_jaccard_pairs_ds(docs, cand, threshold=0.5)
+    out2 = str(tmp_path / "ngram_join")
+    ng.write_parquet(out2)
+    got2 = pq.read_table(out2).to_pandas()
+    assert {(0, 1), (4, 5)} <= set(zip(got2["id_a"], got2["id_b"]))
+
+
+def test_candidate_pairs_no_self_pairs(ray_session):
+    """Duplicate ids in the input must not produce id_a == id_b pairs on
+    either expansion path (size-2 aggregate vs ≥3 self-merge)."""
+    import ray.data as rd
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": [7, 7, 8, 8, 8],
+        "text": [BASE] * 2 + [TEXTS[4]] * 3,
+    }))
+    pairs = dedup.minhash_lsh_pairs(ds, threshold=0.5)
+    assert (pairs["id_a"] < pairs["id_b"]).all() if len(pairs) else True
+    assert not ((pairs["id_a"] == pairs["id_b"]).any() if len(pairs) else False)
+
+
 def test_join_plan_matches_driver_plan(docs, monkeypatch):
     """Forcing VERIFY_DRIVER_MAX below any candidate count routes pairs
     through the fully-distributed join plan and clustering through min-label

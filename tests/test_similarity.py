@@ -141,6 +141,47 @@ def test_embedding_near_dup_perturbed(ray_session):
     assert set(out2["id_a"]) | set(out2["id_b"]) == set(range(8))
 
 
+def test_embedding_near_dup_join_plan_matches(ray_session, monkeypatch,
+                                              tmp_path):
+    """Forcing the fully-distributed join plan (VERIFY_DRIVER_MAX below any
+    candidate count) must reproduce the driver plan exactly, and the _ds
+    variant must stream to parquet with no driver DataFrame."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from engine import dedup
+    from engine.similarity import (embedding_near_dup_pairs,
+                                   embedding_near_dup_pairs_ds)
+
+    rng = np.random.RandomState(3)
+    base = rng.normal(size=(60, 24))
+    pert = base[:8] + 0.005 * rng.normal(size=(8, 24))
+    vecs = np.vstack([base, pert])
+    ids = list(range(60)) + [500 + i for i in range(8)]
+    ds = rd.from_arrow(pa.table({
+        "vec_id": ids,
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              type=pa.list_(pa.float64())),
+    }))
+    a = embedding_near_dup_pairs(ds, threshold=0.95)
+
+    monkeypatch.setattr(dedup, "VERIFY_DRIVER_MAX", -1)
+    b = embedding_near_dup_pairs(ds, threshold=0.95)
+    out = str(tmp_path / "emb_pairs")
+    embedding_near_dup_pairs_ds(ds, threshold=0.95).write_parquet(out)
+    c = (pq.read_table(out).to_pandas()
+         .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+
+    assert {(i, 500 + i) for i in range(8)} <= set(zip(a["id_a"], a["id_b"]))
+    for other in (b, c):
+        assert a[["id_a", "id_b"]].values.tolist() == \
+            other[["id_a", "id_b"]].values.tolist()
+        assert np.allclose(a["cosine"].to_numpy(), other["cosine"].to_numpy())
+
+
 def test_ivf_index_read_side_prune(ray_session, tmp_path):
     """build_ivf_index + knn_ivf_indexed: only probed cell partitions are
     read, results equal the compute-side knn_ivf with the same centroids,

@@ -196,7 +196,7 @@ ORDER BY ts DESC, event_id DESC LIMIT 50""",
 SELECT p_partkey, p_name, p_retailprice
 FROM part ORDER BY p_retailprice DESC, p_partkey LIMIT 20""",
         "exact_dedup": """
-SELECT CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS content_hash,
+SELECT md5(text) AS content_hash,
        min(doc_id) AS doc_id, count(*) AS n_copies
 FROM documents GROUP BY 1""",
         "orders_join": """

@@ -141,9 +141,12 @@ def asof_join(left: "ray.data.Dataset", right: "ray.data.Dataset", by: str,
     attachment without future leakage.
 
     Plan: same narrow side-tagged single exchange as hash_join, bucketed by
-    hash(``by``); each bucket sorts its two sides by time and runs pandas
-    ``merge_asof`` (C-speed galloping merge) with ``by`` matching inside the
-    bucket. Integer right columns survive via nullable Int64.
+    hash(``by``); each bucket runs pandas ``merge_asof`` (C-speed galloping
+    merge) over NARROW key frames only — (by, time, row-position) — and the
+    resulting left→right row-index mapping drives Arrow ``take`` to assemble
+    the output. Payload columns never round-trip through pandas, so integer
+    (and every other Arrow) type survives verbatim and the per-bucket
+    constant is proportional to the key columns, not the row width.
 
     Partitioning assumptions (custom-operator rule): ``by`` hashes uniformly
     and one key's rows fit in a bucket; RIGHT ROWS MUST BE UNIQUE per
@@ -171,34 +174,59 @@ def asof_join(left: "ray.data.Dataset", right: "ray.data.Dataset", by: str,
         right.map_batches(_prep(1), batch_format="pyarrow")
     )
 
+    # output columns, pandas-merge_asof naming semantics: every left column
+    # (left order), then every right column except ``by`` (appears once) and
+    # except ``right_on`` when it shares the left ``on`` name; right names
+    # colliding with a left name get the "_r" suffix
+    attached = []  # (right source name, output name)
+    for name in r_names:
+        if name == by or (name == right_on and right_on == on):
+            continue
+        attached.append((name, f"{name}_r" if name in l_names else name))
+
+    def _empty_out() -> pa.Table:
+        cols = {n: pa.nulls(0, type=l_types[n]) for n in l_names}
+        for src, dst in attached:
+            cols[dst] = pa.nulls(0, type=r_types[src])
+        return pa.table(cols)
+
     def merge_bucket(g: pa.Table) -> pa.Table:
         side = g["__side"]
-        lg = _ensure_columns(g.filter(pc.equal(side, 0)), l_names, l_types) \
-            .to_pandas()
-        rg = _ensure_columns(g.filter(pc.equal(side, 1)), r_names, r_types) \
-            .to_pandas()
-        # restore nullable ints floatified by the post-shuffle null promote
-        for frame, types in ((lg, l_types), (rg, r_types)):
-            for name, typ in types.items():
-                if name in frame and pa.types.is_integer(typ) \
-                        and frame[name].dtype == "float64":
-                    frame[name] = frame[name].astype("Int64")
-        if lg.empty:
-            return pa.Table.from_pandas(lg, preserve_index=False)
-        lg = lg.sort_values([on, by], kind="mergesort")
-        rg = rg.sort_values([right_on, by], kind="mergesort")
-        out = pd.merge_asof(lg, rg, left_on=on, right_on=right_on, by=by,
-                            direction="backward",
-                            suffixes=("", "_r"))
-        # attached int columns picked up NaN for unmatched rows → Int64;
-        # prefer the suffixed name — when a right column collided with a
-        # left one, the RIGHT values live in "<name>_r"
-        for name, typ in r_types.items():
-            col = f"{name}_r" if f"{name}_r" in out.columns else name
-            if col in out.columns and pa.types.is_integer(typ) \
-                    and out[col].dtype == "float64":
-                out[col] = out[col].astype("Int64")
-        return pa.Table.from_pandas(out, preserve_index=False)
+        lg = _ensure_columns(g.filter(pc.equal(side, 0)), l_names, l_types)
+        rg = _ensure_columns(g.filter(pc.equal(side, 1)), r_names, r_types)
+        if lg.num_rows == 0:
+            # full output schema even for a right-only bucket — downstream
+            # consumers index right columns without schema-promotion luck
+            return _empty_out()
+        # narrow key frames: (by, time, row position) only
+        ln = pd.DataFrame({by: lg[by].to_pandas(), on: lg[on].to_pandas(),
+                           "__li": np.arange(lg.num_rows, dtype=np.int64)})
+        ln = ln.sort_values([on, by], kind="mergesort")
+        if rg.num_rows == 0:
+            m_li = ln["__li"].to_numpy()
+            ri = pa.nulls(lg.num_rows, type=pa.int64())
+        else:
+            rn = pd.DataFrame({by: rg[by].to_pandas(),
+                               right_on: rg[right_on].to_pandas(),
+                               "__ri": np.arange(rg.num_rows,
+                                                 dtype=np.int64)})
+            rn = rn.sort_values([right_on, by], kind="mergesort")
+            m = pd.merge_asof(ln, rn, left_on=on, right_on=right_on, by=by,
+                              direction="backward")
+            m_li = m["__li"].to_numpy()
+            ri_raw = m["__ri"].to_numpy()  # float64 + NaN when unmatched
+            if ri_raw.dtype.kind == "f":
+                miss = np.isnan(ri_raw)
+                ri = pa.array(np.where(miss, 0, ri_raw).astype(np.int64),
+                              mask=miss)
+            else:
+                ri = pa.array(ri_raw)
+        ordered = lg.take(pa.array(m_li))
+        cols = {n: ordered[n] for n in l_names}
+        for src, dst in attached:
+            cols[dst] = rg[src].take(ri) if rg.num_rows else \
+                pa.nulls(lg.num_rows, type=r_types[src])
+        return pa.table(cols)
 
     return tagged.groupby("__bucket").map_groups(merge_bucket,
                                                  batch_format="pyarrow")

@@ -206,15 +206,16 @@ def q_top_parts(sf_dir: str):
 
 
 def q_exact_dedup(sf_dir: str):
-    """Exact dedup with hash-key shuffle discipline: the groupby key is a
-    60-bit content hash (md5 prefix — reproducible in DuckDB), so the
-    all-to-all moves 8 bytes per row instead of the full document text."""
+    """Exact dedup with hash-key shuffle discipline: the groupby key is the
+    FULL 128-bit md5 of the text (hex string — reproducible in DuckDB), so
+    the all-to-all moves 32 bytes per row instead of the document text and
+    there is no birthday-bound truncation hazard at large corpus scale."""
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def h(t: pa.Table) -> pa.Table:
-        hashes = [int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+        hashes = [hashlib.md5(s.encode()).hexdigest()
                   for s in t["text"].to_pylist()]
-        return pa.table({"content_hash": pa.array(hashes, type=pa.int64()),
+        return pa.table({"content_hash": pa.array(hashes, type=pa.string()),
                          "doc_id": t["doc_id"]})
 
     return docs.map_batches(h, batch_format="pyarrow").groupby(

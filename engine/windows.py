@@ -41,7 +41,6 @@ def sessionize(ds: "ray.data.Dataset", key_col: str = "user_id",
                num_buckets: int = 32) -> "ray.data.Dataset":
     """(key, ts, id[, value]) rows → one row per session:
     (key, session_start, session_end, n_events[, sum_value])."""
-    gap = pd.Timedelta(seconds=gap_s)
     cols = [key_col, ts_col, id_col] + ([value_col] if value_col else [])
 
     def add_bucket(t: pa.Table) -> pa.Table:
@@ -51,8 +50,13 @@ def sessionize(ds: "ray.data.Dataset", key_col: str = "user_id",
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         # vectorized across every key in the bucket: a session starts at a
-        # key change OR a strict gap within the key
+        # key change OR a strict gap within the key. The gap comparand
+        # matches the ts dtype — Timedelta for datetime64 columns, raw
+        # float seconds for numeric (epoch) columns.
         g = g.sort_values([key_col, ts_col, id_col], kind="mergesort")
+        gap = (pd.Timedelta(seconds=gap_s)
+               if pd.api.types.is_datetime64_any_dtype(g[ts_col])
+               else gap_s)
         new_session = (g[key_col] != g[key_col].shift()) | \
             (g[ts_col].diff() > gap)
         sid = new_session.cumsum()

@@ -97,7 +97,11 @@ def test_asof_join_semantics(ray_session):
                ts("2024-01-01 10:30")],
         "rv": [100, 200, 300],
     }))
-    out = asof_join(left, right, by="k", on="t", right_on="rt").to_pandas()
+    out_ds = asof_join(left, right, by="k", on="t", right_on="rt")
+    # int stays ARROW int64 end-to-end (payloads never visit pandas)
+    sch = out_ds.schema()
+    assert dict(zip(sch.names, sch.types))["rv"] == pa.int64()
+    out = out_ds.to_pandas()
     got = {r.lid: (None if pd.isna(r.rv) else int(r.rv))
            for r in out.itertuples()}
     assert got == {
@@ -107,7 +111,54 @@ def test_asof_join_semantics(ray_session):
         4: 300,   # equal timestamps match (backward includes ties)
         5: None,  # key 3 has no right rows
     }
-    assert out["rv"].dtype == "Int64"  # nullable int survives the bucket
+
+
+def test_asof_join_right_only_bucket_schema(ray_session):
+    """A bucket whose rows ALL come from the right side must emit the full
+    output schema (typed, zero rows), so a pyarrow consumer indexing a right
+    column never KeyErrors on a left-only-schema block."""
+    import pandas as pd
+    import ray.data as rd
+
+    from engine.joins import asof_join
+
+    # many distinct right-only keys → some bucket is right-only w.h.p.
+    left = rd.from_arrow(pa.table({"k": [1], "t": [10], "lid": [1]}))
+    right = rd.from_arrow(pa.table({
+        "k": [1] + list(range(100, 140)),
+        "rt": [5] + [1] * 40,
+        "rv": [7] + list(range(40)),
+    }))
+    out_ds = asof_join(left, right, by="k", on="t", right_on="rt",
+                       num_buckets=8)
+
+    def touch_right_col(t: pa.Table) -> pa.Table:
+        # raises KeyError on any block lacking the right columns
+        return t.select(["lid", "rt", "rv"])
+
+    out = out_ds.map_batches(touch_right_col,
+                             batch_format="pyarrow").to_pandas()
+    assert out[["lid", "rv"]].values.tolist() == [[1, 7]]
+
+
+def test_sessionize_numeric_ts(ray_session):
+    """Epoch-seconds (numeric) timestamp columns sessionize with gap_s
+    compared directly — no Timedelta/number TypeError."""
+    import ray.data as rd
+
+    from engine.windows import sessionize
+
+    ds = rd.from_arrow(pa.table({
+        "user_id": [1, 1, 1, 2],
+        "ts": [0.0, 1800.0, 7200.0, 50.0],   # gap 5400 s > 3600 → break
+        "event_id": [1, 2, 3, 4],
+        "value": [1.0, 2.0, 4.0, 8.0],
+    }))
+    out = sessionize(ds, gap_s=3600.0).to_pandas().sort_values(
+        ["user_id", "session_start"]).reset_index(drop=True)
+    assert out["n_events"].tolist() == [2, 1, 1]
+    assert out["sum_value"].tolist() == [3.0, 4.0, 8.0]
+    assert out["session_end"].tolist() == [1800.0, 7200.0, 50.0]
 
 
 def test_session_windows_operator(ray_session):

@@ -250,6 +250,60 @@ def lzw_encode(data: bytes, early: int = 1) -> bytes:
     return bytes(out)
 
 
+_PNG_FILTER_IDS = {"none": 0, "sub": 1, "up": 2, "average": 3, "paeth": 4}
+
+
+def png_predict_encode(data: bytes, columns: int,
+                       filters: str = "up") -> bytes:
+    """Forward PNG row filtering (fixtures only; colors=1, bpc=8 → bpp=1):
+    ``filters`` is a comma list cycled per row ("up" or
+    "none,sub,up,average,paeth"). Round-trips with
+    engine.pdfx.objects._png_unpredict (pinned by test)."""
+    if len(data) % columns:
+        raise ValueError("data must be a whole number of rows")
+    cycle = [_PNG_FILTER_IDS[f] for f in filters.split(",")]
+    prev = bytes(columns)
+    out = bytearray()
+    for ri, start in enumerate(range(0, len(data), columns)):
+        row = data[start : start + columns]
+        ft = cycle[ri % len(cycle)]
+        out.append(ft)
+        for i in range(columns):
+            a = row[i - 1] if i >= 1 else 0
+            b = prev[i]
+            c = prev[i - 1] if i >= 1 else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            out.append((row[i] - pred) & 0xFF)
+        prev = row
+    return bytes(out)
+
+
+_PRED_COLUMNS = 16
+
+
+def _flate_predict(stream: bytes, columns: int = _PRED_COLUMNS,
+                   filters: str = "none,sub,up,average,paeth"
+                   ) -> tuple[bytes, bytes]:
+    """Flate + PNG Predictor 12 encoding (newline-padded to whole rows) with
+    the matching /Filter + /DecodeParms dict fragment."""
+    pad = (-len(stream)) % columns
+    enc = zlib.compress(png_predict_encode(stream + b"\n" * pad, columns,
+                                           filters))
+    return enc, (b" /Filter /FlateDecode /DecodeParms "
+                 b"<< /Predictor 12 /Columns %d >>" % columns)
+
+
 def _apply_stream_filter(stream: bytes, flt: str | None) -> tuple[bytes, bytes]:
     """Encode a content stream with a named PDF filter; returns
     (encoded bytes, ' /Filter /Name' dict fragment)."""
@@ -261,6 +315,16 @@ def _apply_stream_filter(stream: bytes, flt: str | None) -> tuple[bytes, bytes]:
         return lzw_encode(stream), b" /Filter /LZWDecode"
     if flt == "ASCIIHexDecode":
         return stream.hex().encode() + b">", b" /Filter /ASCIIHexDecode"
+    if flt == "FlatePredictor":
+        return _flate_predict(stream)
+    if flt == "RunLengthDecode":
+        out = bytearray()
+        for start in range(0, len(stream), 120):
+            chunk = stream[start : start + 120]
+            out.append(len(chunk) - 1)
+            out += chunk
+        out.append(128)
+        return bytes(out), b" /Filter /RunLengthDecode"
     raise ValueError(f"unknown fixture filter {flt}")
 
 
@@ -326,8 +390,10 @@ def build_pdf_objstm(
     title: str | None = None,
 ) -> bytes:
     """PDF 1.5 layout: catalog/pages/font/page dicts (and /Info) packed into
-    a compressed /ObjStm; trailer keys live in a cross-reference STREAM dict
-    (no ``trailer`` keyword at all) — the modern layout pdfminer handles and
+    a compressed /ObjStm whose Flate stream is PNG-Predictor-12 filtered
+    (/DecodeParms — the real-world PDF 1.5 norm), plus a REAL cross-reference
+    STREAM (W [1 4 2], Up-filtered predictor rows carrying true byte offsets;
+    no ``trailer`` keyword at all) — the modern layout pdfminer handles and
     round 1 could not."""
     n_pages = len(pages)
     kids = " ".join(f"{10 + i} 0 R" for i in range(n_pages))
@@ -360,24 +426,49 @@ def build_pdf_objstm(
         body += inner[num] + b"\n"
     header = " ".join(f"{n} {o}" for n, o in pairs).encode() + b"\n"
     payload = header + bytes(body)
-    comp = zlib.compress(payload)
+    comp, filt = _flate_predict(payload)
     objs[5] = (
-        b"<< /Type /ObjStm /N %d /First %d /Length %d /Filter /FlateDecode "
-        b">>\nstream\n" % (len(inner), len(header), len(comp))
+        b"<< /Type /ObjStm /N %d /First %d /Length %d%s "
+        b">>\nstream\n" % (len(inner), len(header), len(comp), filt)
         + comp + b"\nendstream"
     )
     info = b" /Info 4 0 R" if title is not None else b""
-    objs[6] = (
-        b"<< /Type /XRef /Size 200 /W [1 2 1] /Root 1 0 R%s /Length 1 "
-        b">>\nstream\n\x00\nendstream" % info
-    )
     buf = io.BytesIO()
     buf.write(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+    offsets: dict[int, int] = {}
     for num in sorted(objs):
+        offsets[num] = buf.tell()
         buf.write(b"%d 0 obj\n" % num)
         buf.write(objs[num])
         buf.write(b"\nendobj\n")
-    buf.write(b"startxref\n0\n%%EOF\n")
+    # real cross-reference stream, written last so offsets are known:
+    # W [1 4 2] rows (type, offset, gen), Up-filtered PNG predictor 12 —
+    # the near-universal encoding of wild PDF 1.5 xref streams
+    xref_num = 6
+    xref_pos = buf.tell()
+    offsets[xref_num] = xref_pos
+    size = max(max(offsets), max(inner)) + 1
+    rows = bytearray()
+    for num in range(size):
+        if num == 0:
+            typ, off, gen = 0, 0, 0xFFFF
+        elif num in offsets:
+            typ, off, gen = 1, offsets[num], 0
+        elif num in inner:
+            typ, off, gen = 2, 5, sorted(inner).index(num)  # in ObjStm 5
+        else:
+            typ, off, gen = 0, 0, 0
+        rows += bytes([typ]) + off.to_bytes(4, "big") + gen.to_bytes(2, "big")
+    xdata = zlib.compress(png_predict_encode(bytes(rows), 7, "up"))
+    buf.write(b"%d 0 obj\n" % xref_num)
+    buf.write(
+        b"<< /Type /XRef /Size %d /W [1 4 2] /Root 1 0 R%s /Length %d "
+        b"/Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns 7 >> "
+        b">>\nstream\n" % (size, info, len(xdata))
+    )
+    buf.write(xdata)
+    buf.write(b"\nendstream\nendobj\n")
+    buf.write(b"startxref\n%d\n%%%%EOF\n" % xref_pos)
     return buf.getvalue()
 
 

@@ -12,6 +12,8 @@ from __future__ import annotations
 import re
 import zlib
 
+import numpy as np
+
 
 class PdfError(ValueError):
     pass
@@ -133,6 +135,101 @@ def _lzw_decode(data: bytes, limit: int = MAX_DECOMPRESSED,
     return bytes(out)
 
 
+def _runlength_decode(data: bytes, limit: int = MAX_DECOMPRESSED) -> bytes:
+    """RunLengthDecode: length byte L<128 → copy next L+1 bytes literally;
+    L>128 → repeat next byte 257−L times; L=128 → EOD."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        length = data[i]
+        if length == 128:
+            break
+        if length < 128:
+            out += data[i + 1 : i + 2 + length]
+            i += 2 + length
+        else:
+            if i + 1 >= n:
+                raise PdfError("truncated RunLength stream")
+            out += data[i + 1 : i + 2] * (257 - length)
+            i += 2
+        if len(out) > limit:
+            raise PdfError("RunLength output exceeds size cap")
+    return bytes(out)
+
+
+def _tiff_unpredict(data: bytes, columns: int, colors: int,
+                    bpc: int) -> bytes:
+    """TIFF Predictor 2: horizontal differencing — each sample is stored as
+    the delta from the previous sample of the same color channel."""
+    if bpc != 8:
+        raise PdfError("TIFF predictor: only 8-bit components supported")
+    rowlen = colors * columns
+    if rowlen <= 0 or len(data) % rowlen:
+        raise PdfError("TIFF predictor: data not a whole number of rows")
+    arr = np.frombuffer(data, dtype=np.uint8).reshape(-1, columns, colors)
+    # wrapped per-channel cumulative sum undoes the differencing (mod 256)
+    return np.cumsum(arr, axis=1, dtype=np.uint8).tobytes()
+
+
+def _png_unpredict(data: bytes, columns: int, colors: int,
+                   bpc: int) -> bytes:
+    """PNG Predictors 10-15: each row is (filter byte, filtered row) per the
+    PNG spec — None/Sub/Up/Average/Paeth. /Predictor ≥10 only selects PNG
+    framing; the actual algorithm is the per-row filter byte. Up (the xref-
+    stream workhorse) is vectorized; the byte-serial filters run per row,
+    which is fine for the short rows they appear on."""
+    bpp = max(1, (colors * bpc + 7) // 8)
+    rowlen = (colors * bpc * columns + 7) // 8
+    stride = rowlen + 1
+    if rowlen <= 0 or len(data) % stride:
+        raise PdfError("PNG predictor: data not a whole number of rows")
+    prev = np.zeros(rowlen, dtype=np.uint8)
+    rows = []
+    for r in range(0, len(data), stride):
+        ft = data[r]
+        row = np.frombuffer(data[r + 1 : r + stride], dtype=np.uint8).copy()
+        if ft == 0:
+            pass
+        elif ft == 2:  # Up — vectorized (the common case in the wild)
+            row += prev
+        elif ft == 1:  # Sub
+            for i in range(bpp, rowlen):
+                row[i] = (int(row[i]) + int(row[i - bpp])) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(rowlen):
+                left = int(row[i - bpp]) if i >= bpp else 0
+                row[i] = (int(row[i]) + ((left + int(prev[i])) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(rowlen):
+                a = int(row[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                p = a + b - c
+                pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa_ <= pb and pa_ <= pc_) else \
+                    (b if pb <= pc_ else c)
+                row[i] = (int(row[i]) + pr) & 0xFF
+        else:
+            raise PdfError(f"bad PNG predictor filter byte: {ft}")
+        rows.append(row)
+        prev = row
+    return b"".join(r.tobytes() for r in rows)
+
+
+def _apply_predictor(data: bytes, parms: dict) -> bytes:
+    pred = parms.get("Predictor", 1)
+    if not isinstance(pred, int) or pred <= 1:
+        return data
+    colors = parms.get("Colors", 1)
+    bpc = parms.get("BitsPerComponent", 8)
+    columns = parms.get("Columns", 1)
+    if pred == 2:
+        return _tiff_unpredict(data, columns, colors, bpc)
+    if 10 <= pred <= 15:
+        return _png_unpredict(data, columns, colors, bpc)
+    raise PdfError(f"unsupported predictor: {pred}")
+
+
 class Stream:
     __slots__ = ("dict", "raw")
 
@@ -145,16 +242,25 @@ class Stream:
         if filt is None:
             return self.raw
         filters = filt if isinstance(filt, list) else [filt]
+        parms = self.dict.get("DecodeParms", self.dict.get("DP"))
+        plist = parms if isinstance(parms, list) else [parms] * len(filters)
+        if len(plist) < len(filters):
+            plist = plist + [None] * (len(filters) - len(plist))
         data = self.raw
-        for f in filters:
+        for f, p in zip(filters, plist):
+            p = p if isinstance(p, dict) else {}
             if f == "FlateDecode":
                 data = _bounded_inflate(data)
             elif f == "ASCIIHexDecode":
                 data = _asciihex_decode(data)
             elif f == "LZWDecode":
-                data = _lzw_decode(data)
+                data = _lzw_decode(data, early=p.get("EarlyChange", 1))
+            elif f == "RunLengthDecode":
+                data = _runlength_decode(data)
             else:
                 raise PdfError(f"unsupported filter: {f}")
+            if f in ("FlateDecode", "LZWDecode") and p:
+                data = _apply_predictor(data, p)
         return data
 
 
@@ -420,13 +526,17 @@ def parse_objects(data: bytes) -> tuple[dict[int, object], dict]:
         for num, obj in objects.items():
             if isinstance(obj, Stream) and obj.dict.get("Type") == "XRef":
                 trailer = {k: v for k, v in obj.dict.items()
-                           if k in ("Root", "Info", "Size")}
+                           if k in ("Root", "Info", "Size", "Encrypt")}
                 break
     if "Root" not in trailer:
         for num, obj in objects.items():
             if isinstance(obj, dict) and obj.get("Type") == "Catalog":
                 trailer = {"Root": Ref(num)}
                 break
+    if "Encrypt" in trailer:
+        # detection only (reference deployments shell out to qpdf for
+        # decryption); a clear rejection beats silently emitting ciphertext
+        raise PdfError("encrypted PDF: decryption not supported")
     if not objects:
         raise PdfError("no PDF objects found")
     return objects, trailer

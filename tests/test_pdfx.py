@@ -185,3 +185,95 @@ def test_content_tokenizer_nested_and_escaped_strings():
     assert texts[2] == "octal A newline\n"
     # positions advanced by T* (leading 14) per line
     assert [round(r.y) for r in runs] == [720, 706, 692]
+
+
+def test_png_predictor_roundtrip_all_filters():
+    """Every PNG row filter (None/Sub/Up/Average/Paeth) and TIFF predictor 2
+    must un-filter byte-identically (fixture encoder ↔ engine decoder)."""
+    import random as _random
+
+    import numpy as np
+
+    from engine.fixtures import png_predict_encode
+    from engine.pdfx.objects import _png_unpredict, _tiff_unpredict
+
+    rng = _random.Random(7)
+    data = bytes(rng.randrange(256) for _ in range(16 * 40))
+    for filters in ("none", "sub", "up", "average", "paeth",
+                    "none,sub,up,average,paeth"):
+        enc = png_predict_encode(data, 16, filters)
+        assert _png_unpredict(enc, 16, 1, 8) == data
+    # TIFF predictor 2: forward-difference per channel, engine undoes it
+    arr = np.frombuffer(data, dtype=np.uint8).reshape(-1, 16, 2)
+    diff = np.diff(arr, axis=1, prepend=np.zeros((arr.shape[0], 1, 2),
+                                                 dtype=np.uint8))
+    assert _tiff_unpredict(diff.astype(np.uint8).tobytes(), 16, 2, 8) == data
+
+
+def test_runlength_decode():
+    from engine.fixtures import _apply_stream_filter
+    from engine.pdfx.objects import _runlength_decode
+
+    data = b"abcabc" * 100 + b"zzz"
+    enc, frag = _apply_stream_filter(data, "RunLengthDecode")
+    assert frag == b" /Filter /RunLengthDecode"
+    assert _runlength_decode(enc) == data
+    # repeat form: 257-l copies of the next byte
+    assert _runlength_decode(bytes([254]) + b"x" + bytes([128])) == b"xxx"
+
+
+def test_predictor_content_stream_extracts():
+    """A content stream compressed Flate + PNG Predictor 12 (/DecodeParms)
+    extracts identically to the plain version."""
+    from engine.fixtures import build_pdf
+    from engine.pdfx import extract_pdf_text
+
+    pages = [[(72.0, 720.0, ["predictor line one", "line two"]),
+              (72.0, 600.0, ["second block"])]]
+    plain = extract_pdf_text(build_pdf(pages))
+    for flt in ("FlatePredictor", "RunLengthDecode"):
+        assert extract_pdf_text(build_pdf(pages, stream_filter=flt)) == plain
+
+
+def test_objstm_predictor_xref_stream_real_offsets():
+    """The PDF 1.5 fixture now carries a REAL predictor-12 xref stream:
+    decoding it must yield the true byte offsets of every top-level object
+    (the wild-file layout: W [1 4 2], Up-filtered rows)."""
+    import re as _re
+
+    from engine.fixtures import build_pdf_objstm
+    from engine.pdfx.objects import Stream, parse_objects, resolve
+
+    pages = [[(72.0, 720.0, ["alpha beta", "gamma delta"])],
+             [(72.0, 720.0, ["page two"])]]
+    pdf = build_pdf_objstm(pages, title="Pred XRef")
+    objects, trailer = parse_objects(pdf)
+    xref = next(o for o in objects.values()
+                if isinstance(o, Stream) and o.dict.get("Type") == "XRef")
+    rows = xref.data()
+    assert len(rows) % 7 == 0
+    # cross-check decoded type-1 offsets against the actual file bytes
+    checked = 0
+    for num in range(len(rows) // 7):
+        row = rows[num * 7 : num * 7 + 7]
+        if row[0] != 1:
+            continue
+        off = int.from_bytes(row[1:5], "big")
+        m = _re.match(rb"(\d+) 0 obj", pdf[off : off + 32])
+        assert m and int(m.group(1)) == num
+        checked += 1
+    assert checked >= 4
+    assert resolve(objects, trailer["Root"])["Type"] == "Catalog"
+
+
+def test_encrypted_pdf_rejected_clearly():
+    """/Encrypt in the trailer → a clear PdfError (detection, not garbage),
+    and the extraction kernel surfaces it as a rejected row."""
+    from engine.fixtures import build_pdf
+    from engine.pdfx import PdfError, extract_pdf_text
+
+    pdf = build_pdf([[(72.0, 720.0, ["secret text"])]])
+    enc = pdf.replace(b"/Root 1 0 R", b"/Root 1 0 R /Encrypt 99 0 R")
+    assert enc != pdf
+    with pytest.raises(PdfError, match="encrypted"):
+        extract_pdf_text(enc)

@@ -356,6 +356,16 @@ WITH flagged AS (
 SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
        count(*) AS n_events, round(sum(value), 6) AS sum_value
 FROM numbered GROUP BY user_id, sid""",
-        # media_features: intentionally no SQL oracle (the media decode is
-        # stubbed) → rows-only check; plumbing pinned in tests.
+        # media_features: the media table is DERIVED from documents
+        # (payload = UTF-8 text bytes, empty every 17th id), so id/kind/
+        # sha256/status are SQL facts even with the decode kernels stubbed;
+        # the feature vectors themselves stay pinned by pytest only.
+        "media_features": """
+SELECT doc_id AS media_id,
+       CASE CAST(doc_id % 3 AS INTEGER)
+            WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       sha256(CASE WHEN doc_id % 17 = 0 THEN '' ELSE text END) AS sha256,
+       CASE WHEN doc_id % 17 = 0 OR text = '' THEN 'failed'
+            ELSE 'ok' END AS status
+FROM documents""",
     }

@@ -173,7 +173,9 @@ class MediaFeatureActor:
         sha: list[str] = []
         for kind, payload in zip(kinds, payloads):
             payload = payload or b""
-            sha.append(hashlib.sha1(payload).hexdigest())
+            # sha256, not sha1: the content fingerprint doubles as the SQL
+            # oracle hook (DuckDB ships sha256 but no sha1)
+            sha.append(hashlib.sha256(payload).hexdigest())
             try:
                 if kind == "image":
                     f = image_features(_decode_image(payload))
@@ -194,7 +196,7 @@ class MediaFeatureActor:
         return pa.table({
             "media_id": pa.array(ids, type=pa.int64()),
             "kind": pa.array(kinds, type=pa.string()),
-            "sha1": pa.array(sha, type=pa.string()),
+            "sha256": pa.array(sha, type=pa.string()),
             "features": pa.array(feats, type=pa.list_(pa.float64())),
             "status": pa.array(status, type=pa.string()),
             "error": pa.array(error, type=pa.string()),

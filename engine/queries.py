@@ -742,15 +742,33 @@ def q_url_buckets(sf_dir: str):
 
 
 def q_media_features(sf_dir: str):
-    """Multimodal feature stage over a deterministic media fixture (rows-only;
-    decode stubbed — engine/multimodal.py)."""
-    import ray.data as rd
+    """Multimodal feature stage with a REAL SQL oracle: the media table is
+    derived row-for-row from ``documents`` (payload = UTF-8 text bytes,
+    empty every 17th id for error-channel coverage; kind cycles by id), so
+    (media_id, kind, sha256, status) are all SQL-computable facts about the
+    fixture even though the decode kernels are stubbed
+    (engine/multimodal.py). Features stay rows-only, pinned by pytest."""
+    from engine.multimodal import media_features
 
-    from engine.multimodal import gen_media_table, media_features
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    kinds = pa.array(["image", "audio", "video"])
 
-    media = rd.from_arrow(gen_media_table(120, seed=42))
+    def to_media(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].cast(pa.int64())
+        idn = ids.to_numpy(zero_copy_only=False)
+        payload = pa.array(
+            [b"" if i % 17 == 0 else s.encode()
+             for i, s in zip(idn, t["text"].to_pylist())],
+            type=pa.binary())
+        return pa.table({
+            "media_id": ids,
+            "kind": kinds.take(pa.array(idn % 3)),
+            "payload": payload,
+        })
+
+    media = docs.map_batches(to_media, batch_format="pyarrow")
     out = media_features(media, batch_size=16, concurrency=(1, 4))
-    return out.select_columns(["media_id", "kind", "sha1", "status"])
+    return out.select_columns(["media_id", "kind", "sha256", "status"])
 
 
 def q_asof_join(sf_dir: str):

@@ -46,7 +46,7 @@ def test_media_pipeline(ray_session):
     by_id2 = {r["media_id"]: r for r in out2}
     for i in (1, 2, 3):
         assert by_id[i]["features"] == by_id2[i]["features"]
-        assert by_id[i]["sha1"] == by_id2[i]["sha1"]
+        assert by_id[i]["sha256"] == by_id2[i]["sha256"]
 
 
 def test_features_compose_with_similarity(ray_session):

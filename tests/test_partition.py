@@ -88,3 +88,22 @@ def test_stable_split(ray_session):
         pa.table({"doc_id": list(range(4000))}))).to_pandas()
     merged = out.merge(bigger, on="doc_id", suffixes=("_a", "_b"))
     assert (merged["split_a"] == merged["split_b"]).all()
+
+
+def test_fast_hash_path():
+    """method='fast' (vectorized siphash/xxhash): deterministic across
+    calls, roughly uniform buckets, and bucket == url_hash % B — the same
+    layout contract as the md5 oracle path."""
+    import numpy as np
+
+    urls = pa.table({"url": [f"https://e{i % 37}.com/p/{i}" for i in range(4000)]})
+    a = part.add_url_hash_batch(urls, num_buckets=16, method="fast")
+    b = part.add_url_hash_batch(urls, num_buckets=16, method="fast")
+    assert a["url_hash"].to_pylist() == b["url_hash"].to_pylist()
+    bk = np.asarray(a["bucket"].to_pylist())
+    assert (bk == np.asarray(a["url_hash"].to_pylist()) % 16).all()
+    counts = np.bincount(bk, minlength=16)
+    assert counts.min() > 0 and counts.max() < 3 * counts.mean()
+    # differs from md5 (it's a different hash family) but same dtype/shape
+    m = part.add_url_hash_batch(urls, num_buckets=16, method="md5")
+    assert m["url_hash"].type == a["url_hash"].type

@@ -2,10 +2,19 @@
 
 Parses ``word/document.xml`` from the zip container with xml.etree:
 - ``w:p`` paragraphs; ``w:pStyle w:val="HeadingN"`` → <hN>; ``w:numPr`` →
-  list items at ``w:ilvl`` depth (bullet vs ordered decided by ``w:numId``
-  parity — our generator uses numId 1=bullet, 2=ordered; real numbering.xml
-  resolution is out of the fixture subset and documented as such);
+  list items at ``w:ilvl`` depth. Bullet vs ordered is resolved through
+  ``word/numbering.xml`` (numId → abstractNum → per-level ``w:numFmt``;
+  'bullet' → <ul>, any counted format → <ol>, whose markdown rendering
+  emits real ``1.`` counters); when numbering.xml is absent the legacy
+  numId-parity heuristic applies (1=bullet, 2=ordered);
 - ``w:r`` runs with ``w:b``/``w:i`` → <strong>/<em>;
+- ``w:footnoteReference`` → inline ``[^N]`` marker; referenced footnote
+  bodies from ``word/footnotes.xml`` are appended as ``[^N]: …``
+  paragraphs in first-reference order (markdown footnote convention —
+  what mammoth/MarkItDown surface as end-of-document notes);
+- headers/footers (word/headerN.xml / footerN.xml) are SKIPPED by policy:
+  page furniture repeats per page and would pollute the training text —
+  the members are simply never read (pinned by test);
 - ``w:tbl``/``w:tr``/``w:tc`` → <table>/<tr>/<td>;
 - ``w:br`` → <br>, ``w:tab`` → a space.
 
@@ -49,6 +58,10 @@ def _run_to_nodes(run: ET.Element) -> list[Node | str]:
             parts.append(Node("br"))
         elif tag == f"{W}tab":
             parts.append(" ")
+        elif tag == f"{W}footnoteReference":
+            fid = el.get(f"{W}id")
+            if fid is not None:
+                parts.append(f"[^{fid}]")
         elif tag == f"{W}drawing":
             # embedded image → alt text (what mammoth/MarkItDown surfaces,
             # requirements.txt:6 via app/main.py:383): wp:docPr descr, else
@@ -107,6 +120,61 @@ def _para_style(p: ET.Element) -> tuple[str | None, int | None, int | None]:
         ilvl = int(lvl.get(f"{W}val", "0")) if lvl is not None else 0
         numid = int(nid.get(f"{W}val", "1")) if nid is not None else 1
     return heading, ilvl, numid
+
+
+def _parse_numbering(xml_bytes: bytes) -> dict[int, dict[int, str]]:
+    """word/numbering.xml → {numId: {ilvl: numFmt}}: w:num resolves its
+    w:abstractNumId, whose w:lvl entries carry per-level w:numFmt values
+    ('bullet' vs counted formats like 'decimal'/'lowerLetter')."""
+    try:
+        root = ET.fromstring(xml_bytes)
+    except ET.ParseError:
+        return {}
+    abstract: dict[int, dict[int, str]] = {}
+    for an in root.findall(f"{W}abstractNum"):
+        aid = an.get(f"{W}abstractNumId")
+        if aid is None:
+            continue
+        lvls: dict[int, str] = {}
+        for lvl in an.findall(f"{W}lvl"):
+            il = lvl.get(f"{W}ilvl")
+            fmt = lvl.find(f"{W}numFmt")
+            if il is not None and fmt is not None:
+                lvls[int(il)] = fmt.get(f"{W}val", "decimal")
+        abstract[int(aid)] = lvls
+    out: dict[int, dict[int, str]] = {}
+    for num in root.findall(f"{W}num"):
+        nid = num.get(f"{W}numId")
+        ref = num.find(f"{W}abstractNumId")
+        if nid is None or ref is None:
+            continue
+        lvls = abstract.get(int(ref.get(f"{W}val", "-1")))
+        if lvls is not None:
+            out[int(nid)] = lvls
+    return out
+
+
+def _parse_footnotes(xml_bytes: bytes) -> dict[int, list]:
+    """word/footnotes.xml → {id: inline nodes}; the separator /
+    continuation pseudo-footnotes (w:type set) are skipped."""
+    try:
+        root = ET.fromstring(xml_bytes)
+    except ET.ParseError:
+        return {}
+    out: dict[int, list] = {}
+    for fn in root.findall(f"{W}footnote"):
+        if fn.get(f"{W}type"):
+            continue
+        fid = fn.get(f"{W}id")
+        if fid is None:
+            continue
+        inline: list = []
+        for p in fn.findall(f"{W}p"):
+            if inline:
+                inline.append(" ")
+            inline.extend(_para_inline(p))
+        out[int(fid)] = inline
+    return out
 
 
 def _close_lists(stack: list[tuple[Node, int]], to_level: int) -> None:
@@ -179,11 +247,31 @@ def docx_document(data: bytes) -> tuple[Node, dict]:
                 core_xml = _read_member_guarded(zf, "docProps/core.xml")
             except (KeyError, DocxError):
                 core_xml = None
+            numbering, footnotes = _read_optional_parts(zf)
     except (zipfile.BadZipFile, KeyError, OSError) as exc:
         raise DocxError(f"not a DOCX container: {exc}") from exc
     props = _props_from_xml(core_xml) if core_xml is not None else {
         "title": "", "author": "", "modified_by": ""}
-    return _tree_from_xml(doc_xml), props
+    return _tree_from_xml(doc_xml, numbering, footnotes), props
+
+
+def _read_optional_parts(zf: zipfile.ZipFile):
+    """(numbering map, footnote map) from their optional members; any
+    absence/damage degrades to empty — never an error. Headers/footers are
+    deliberately NOT on this list (skip policy, module docstring)."""
+    numbering: dict = {}
+    footnotes: dict = {}
+    try:
+        numbering = _parse_numbering(
+            _read_member_guarded(zf, "word/numbering.xml"))
+    except (KeyError, DocxError):
+        pass
+    try:
+        footnotes = _parse_footnotes(
+            _read_member_guarded(zf, "word/footnotes.xml"))
+    except (KeyError, DocxError):
+        pass
+    return numbering, footnotes
 
 
 def docx_to_tree(data: bytes) -> Node:
@@ -192,12 +280,15 @@ def docx_to_tree(data: bytes) -> Node:
     try:
         with zipfile.ZipFile(io.BytesIO(data)) as zf:
             xml_bytes = _read_member_guarded(zf, "word/document.xml")
+            numbering, footnotes = _read_optional_parts(zf)
     except (zipfile.BadZipFile, KeyError, OSError) as exc:
         raise DocxError(f"not a DOCX container: {exc}") from exc
-    return _tree_from_xml(xml_bytes)
+    return _tree_from_xml(xml_bytes, numbering, footnotes)
 
 
-def _tree_from_xml(xml_bytes: bytes) -> Node:
+def _tree_from_xml(xml_bytes: bytes,
+                   numbering: dict[int, dict[int, str]] | None = None,
+                   footnotes: dict[int, list] | None = None) -> Node:
     try:
         root = ET.fromstring(xml_bytes)
     except ET.ParseError as exc:
@@ -224,7 +315,18 @@ def _tree_from_xml(xml_bytes: bytes) -> Node:
                 h.children = inline
                 append_block(h)
             elif ilvl is not None:
-                tag = "ol" if (numid is not None and numid % 2 == 0) else "ul"
+                fmts = numbering.get(numid) if numbering and \
+                    numid is not None else None
+                if fmts is not None:
+                    fmt = fmts.get(ilvl)
+                    if fmt is None and fmts:
+                        # deeper level than defined → nearest shallower
+                        lower = [k for k in fmts if k <= ilvl]
+                        fmt = fmts[max(lower)] if lower else "decimal"
+                    tag = "ul" if fmt == "bullet" else "ol"
+                else:  # no numbering.xml: legacy parity heuristic
+                    tag = "ol" if (numid is not None and numid % 2 == 0) \
+                        else "ul"
                 # find/open the list container at this level
                 while list_stack and list_stack[-1][1] > ilvl:
                     list_stack.pop()
@@ -263,4 +365,18 @@ def _tree_from_xml(xml_bytes: bytes) -> Node:
                     tr.children.append(td)
                 table.children.append(tr)
             append_block(table)
+
+    if footnotes:
+        # referenced footnotes only, in first-reference order, as
+        # markdown-convention "[^N]: …" paragraphs at the document end
+        seen: list[int] = []
+        for ref in body_el.iter(f"{W}footnoteReference"):
+            fid = ref.get(f"{W}id")
+            if fid is not None and int(fid) in footnotes \
+                    and int(fid) not in seen:
+                seen.append(int(fid))
+        for fid in seen:
+            p = Node("p")
+            p.children = [f"[^{fid}]: "] + list(footnotes[fid])
+            body.children.append(p)
     return body

@@ -628,8 +628,54 @@ def _w_drawing(alt: str) -> str:
     )
 
 
+_W_NS = 'xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main"'
+
+
+def _w_numbering(fmt_of_numid: dict[int, str]) -> str:
+    """word/numbering.xml with one abstractNum per numId: every level gets
+    the given numFmt ('bullet', 'decimal', 'lowerLetter', …)."""
+    parts = [f'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+             f"<w:numbering {_W_NS}>"]
+    for nid, fmt in fmt_of_numid.items():
+        lvls = "".join(
+            f'<w:lvl w:ilvl="{lv}"><w:numFmt w:val="{fmt}"/></w:lvl>'
+            for lv in range(4))
+        parts.append(
+            f'<w:abstractNum w:abstractNumId="{100 + nid}">{lvls}'
+            f"</w:abstractNum>")
+    for nid in fmt_of_numid:
+        parts.append(
+            f'<w:num w:numId="{nid}">'
+            f'<w:abstractNumId w:val="{100 + nid}"/></w:num>')
+    parts.append("</w:numbering>")
+    return "".join(parts)
+
+
+def _w_footnotes(texts: dict[int, str]) -> str:
+    """word/footnotes.xml: the two pseudo-footnotes (separator /
+    continuation) real files carry, plus one footnote per id."""
+    parts = [f'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+             f"<w:footnotes {_W_NS}>",
+             '<w:footnote w:type="separator" w:id="-1"><w:p/></w:footnote>',
+             '<w:footnote w:type="continuationSeparator" w:id="0">'
+             "<w:p/></w:footnote>"]
+    for fid, text in texts.items():
+        parts.append(f'<w:footnote w:id="{fid}">'
+                     + _w_p([(text, False, False)]) + "</w:footnote>")
+    parts.append("</w:footnotes>")
+    return "".join(parts)
+
+
+def _w_footnote_ref(fid: int) -> str:
+    return (f'<w:r><w:rPr><w:vertAlign w:val="superscript"/></w:rPr>'
+            f'<w:footnoteReference w:id="{fid}"/></w:r>')
+
+
 def build_docx(body_xml: str, core_title: str | None = None,
-               core_creator: str | None = None) -> bytes:
+               core_creator: str | None = None,
+               numbering_xml: str | None = None,
+               footnotes_xml: str | None = None,
+               header_xml: str | None = None) -> bytes:
     doc = (
         '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
         '<w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main">'
@@ -640,6 +686,12 @@ def build_docx(body_xml: str, core_title: str | None = None,
         zf.writestr("[Content_Types].xml", _CONTENT_TYPES)
         zf.writestr("_rels/.rels", _RELS)
         zf.writestr("word/document.xml", doc.encode("utf-8"))
+        if numbering_xml is not None:
+            zf.writestr("word/numbering.xml", numbering_xml.encode("utf-8"))
+        if footnotes_xml is not None:
+            zf.writestr("word/footnotes.xml", footnotes_xml.encode("utf-8"))
+        if header_xml is not None:
+            zf.writestr("word/header1.xml", header_xml.encode("utf-8"))
         if core_title is not None or core_creator is not None:
             core = (
                 '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
@@ -674,14 +726,21 @@ def make_docx(rng: random.Random, variant: int, weight: int = 1) -> tuple[bytes,
                        core_creator="Fixture Author"),
             " ".join(texts),
         )
-    if v == 0:  # headings + styled runs
+    numbering_xml = footnotes_xml = header_xml = None
+    if v == 0:  # headings + styled runs + a footnote
         sub = _sentence(rng, 3)[:-1]
         texts.append(sub)
         parts.append(_w_p([(sub, False, False)], style="Heading2"))
         p1, p2, p3 = _sentence(rng, 6), _sentence(rng, 4), _sentence(rng, 5)
-        texts += [p1, p2, p3]
-        parts.append(_w_p([(p1 + " ", False, False), (p2, True, False), (" " + p3, False, True)]))
-    elif v == 1:  # lists: bulleted (numId 1) + ordered (numId 2), nested levels
+        note = _sentence(rng, 4)
+        texts += [p1, p2, p3, note]
+        parts.append(
+            _w_p([(p1 + " ", False, False), (p2, True, False),
+                  (" " + p3, False, True)])[:-6]
+            + _w_footnote_ref(1) + "</w:p>")
+        footnotes_xml = _w_footnotes({1: note})
+    elif v == 1:  # lists resolved through a REAL numbering.xml:
+        # numId 1 → bullet, numId 2 → decimal (counted)
         for lvl in (0, 1, 1, 0):
             s = _sentence(rng, 3)
             texts.append(s)
@@ -690,7 +749,8 @@ def make_docx(rng: random.Random, variant: int, weight: int = 1) -> tuple[bytes,
             s = _sentence(rng, 3)
             texts.append(s)
             parts.append(_w_p([(s, False, False)], numpr=(0, 2)))
-    else:  # 3x3 table + paragraphs
+        numbering_xml = _w_numbering({1: "bullet", 2: "decimal"})
+    else:  # 3x3 table + paragraphs (+ a header/footer member, skipped)
         rows = []
         for r in range(3):
             cells = []
@@ -703,11 +763,18 @@ def make_docx(rng: random.Random, variant: int, weight: int = 1) -> tuple[bytes,
         p = _paragraph(rng, 2)
         texts.append(p)
         parts.append(_w_p([(p, False, False)]))
+        # page furniture: must NOT appear in the extracted text
+        header_xml = (
+            f'<?xml version="1.0"?><w:hdr {_W_NS}>'
+            + _w_p([("CONFIDENTIAL-DRAFT-HEADER", False, False)])
+            + "</w:hdr>")
     for _ in range(weight - 1):
         p = _paragraph(rng, 3)
         texts.append(p)
         parts.append(_w_p([(p, False, False)]))
-    return build_docx("".join(parts)), " ".join(texts)
+    return build_docx("".join(parts), numbering_xml=numbering_xml,
+                      footnotes_xml=footnotes_xml,
+                      header_xml=header_xml), " ".join(texts)
 
 
 # ---------------------------------------------------------------------------

@@ -130,3 +130,54 @@ def test_docx_core_properties_and_image_alt():
     assert r3["status"] == "ok"
     for word in text3.split()[:4]:
         assert word in r3["markdown_text"] or word in r3["title"]
+
+
+def test_numbering_xml_resolution():
+    """numbering.xml decides bullet vs ordered regardless of numId parity:
+    numId 7 (odd — parity would say bullet) maps to decimal → '1.' items;
+    numId 4 (even — parity would say ordered) maps to bullet → '-' items."""
+    from engine.fixtures import build_docx, _w_numbering, _w_p
+
+    body = (
+        _w_p([("first ordered", False, False)], numpr=(0, 7))
+        + _w_p([("second ordered", False, False)], numpr=(0, 7))
+        + _w_p([("a bullet", False, False)], numpr=(0, 4))
+    )
+    payload = build_docx(body, numbering_xml=_w_numbering(
+        {7: "decimal", 4: "bullet"}))
+    md = md_of_docx(payload)
+    assert "1. first ordered" in md
+    assert "2. second ordered" in md
+    assert "- a bullet" in md
+    # without numbering.xml the parity heuristic still applies
+    md2 = md_of_docx(build_docx(body))
+    assert "- first ordered" in md2  # numId 7 odd → bullet under parity
+
+
+def test_footnotes_extracted_in_reference_order():
+    from engine.fixtures import (build_docx, _w_footnote_ref, _w_footnotes,
+                                 _w_p)
+
+    body = (
+        _w_p([("alpha ", False, False)])[:-6] + _w_footnote_ref(2) + "</w:p>"
+        + _w_p([("beta ", False, False)])[:-6] + _w_footnote_ref(1) + "</w:p>"
+    )
+    payload = build_docx(body, footnotes_xml=_w_footnotes(
+        {1: "note one text", 2: "note two text"}))
+    md = md_of_docx(payload)
+    assert "alpha [^2]" in md and "beta [^1]" in md
+    # definitions appended in FIRST-REFERENCE order (2 before 1)
+    assert md.index("[^2]: note two text") < md.index("[^1]: note one text")
+    # unreferenced footnotes and pseudo-footnotes never appear
+    payload2 = build_docx(_w_p([("plain", False, False)]),
+                          footnotes_xml=_w_footnotes({9: "orphan note"}))
+    assert "orphan" not in md_of_docx(payload2)
+
+
+def test_header_footer_members_skipped():
+    import random as _random
+
+    payload, expected = make_docx(_random.Random(2), 2)
+    md = md_of_docx(payload)
+    assert "CONFIDENTIAL-DRAFT-HEADER" not in md
+    assert "r1c1" in md  # body table still extracts

@@ -58,6 +58,20 @@ def ensure_bench_pages(sf: float) -> str:
     return out
 
 
+def calibrate_single_thread() -> float:
+    """Single-threaded kernel seconds over 300 deterministic fixture rows —
+    the ambient-noise yardstick (BASELINE.md): this number depends only on
+    the box's current CPU weather, never on Ray or the pipeline, so the
+    verdict can divide it out to separate noise from regression."""
+    from engine.extract import extract_batch
+    from engine.fixtures import gen_pages_table
+
+    t = gen_pages_table(300, seed=42, weight=PAGE_WEIGHT)
+    t0 = time.time()
+    extract_batch(t)
+    return round(time.time() - t0, 3)
+
+
 def run_bench() -> dict:
     import ray
 
@@ -98,14 +112,29 @@ def run_bench() -> dict:
 
         # best-of-2: the box shows ±20-40 % ambient noise on single samples;
         # the min of two timed passes is the steady-state figure (same
-        # policy as the --scaling legs)
-        headline = float("inf")
+        # policy as the --scaling legs). BOTH samples are reported so a
+        # verdict can see the spread, and the final pass's ds.stats() goes
+        # to BENCH_STATS_last.md for stage-level attribution.
+        samples: list[float] = []
+        stats_text = ""
         for _ in range(2):
             out_dir = f"/tmp/graft_bench_out_{NUM_CPUS}"
             shutil.rmtree(out_dir, ignore_errors=True)
+            ds = extract_from_parquet(pages_dir, cfg)
             t0 = time.time()
-            extract_from_parquet(pages_dir, cfg).write_parquet(out_dir)
-            headline = min(headline, time.time() - t0)
+            ds.write_parquet(out_dir)
+            samples.append(round(time.time() - t0, 3))
+            try:
+                stats_text = ds.stats()
+            except Exception:
+                pass
+        headline = min(samples)
+        if stats_text and not os.environ.get("RAY_GRAFT_SKIP_QUERIES"):
+            with open(os.path.join(REPO, "BENCH_STATS_last.md"), "w") as f:
+                f.write(
+                    "# ds.stats() of the last headline pass "
+                    f"({NUM_CPUS} CPUs, samples {samples})\n\n```\n"
+                    + stats_text + "\n```\n")
 
     # per-query timings over the driver testdata tables (skipped during
     # scaling legs: they add minutes of unrelated variance per leg)
@@ -131,7 +160,7 @@ def run_bench() -> dict:
             print(f"query {name} failed: {exc}", file=sys.stderr)
 
     ray.shutdown()
-    return {
+    out = {
         "metric": "headline_extract_sec",
         "value": round(headline, 3),
         "unit": "sec",
@@ -140,7 +169,11 @@ def run_bench() -> dict:
         "num_cpus": NUM_CPUS,
         "pages": n_pages,
         "pages_per_sec": round(n_pages / headline, 1),
+        "calib_1t_sec": calibrate_single_thread(),
     }
+    if not os.environ.get("RAY_GRAFT_SKIP_HEADLINE"):
+        out["headline_samples"] = samples
+    return out
 
 
 def run_scaling() -> dict:
@@ -180,6 +213,10 @@ def run_scaling() -> dict:
         "sec_hi": r_hi["value"],
         "pages_per_sec_lo": rate_lo,
         "pages_per_sec_hi": rate_hi,
+        # single-thread yardsticks per leg: a leg whose calib is inflated
+        # was measured during ambient noise — read efficiency accordingly
+        "calib_1t_sec_lo": r_lo.get("calib_1t_sec"),
+        "calib_1t_sec_hi": r_hi.get("calib_1t_sec"),
         "pages": r_hi["pages"],
         "sf": r_hi["sf"],
     }

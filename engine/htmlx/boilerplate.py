@@ -64,9 +64,11 @@ def _drop_pass(node: Node) -> None:
         if isinstance(child, Node):
             if child.tag in DROP_ALWAYS:
                 continue
-            cid = _class_id(child)
-            if cid and UNLIKELY_RE.search(cid) and not MAYBE_RE.search(cid):
-                continue
+            if child.attrs:  # most nodes carry no attrs — skip the concat
+                cid = _class_id(child)
+                if cid and UNLIKELY_RE.search(cid) \
+                        and not MAYBE_RE.search(cid):
+                    continue
             _drop_pass(child)
         kept.append(child)
     node.children = kept
@@ -108,12 +110,34 @@ def _prune_pass(node: Node) -> tuple[bool, int, int]:
     return True, tlen, llen
 
 
+_ROOT_TAGS = ("main", "article", "body")
+
+
 def select_content_root(root: Node) -> Node:
-    """First <main>, else first <article>, else <body>, else the tree root."""
-    for tag in ("main", "article", "body"):
-        found = root.find_first(tag) if root.tag != tag else root
-        if found is not None:
-            return found
+    """First <main>, else first <article>, else <body>, else the tree root.
+    ONE DFS records the first document-order occurrence of each candidate
+    (three find_first calls walked the whole tree per absent tag)."""
+    first: dict[str, Node] = {}
+    if root.tag in _ROOT_TAGS:
+        first[root.tag] = root
+
+    def walk(node: Node) -> bool:  # True → <main> found, stop early
+        for c in node.children:
+            if isinstance(c, Node):
+                t = c.tag
+                if t in _ROOT_TAGS and t not in first:
+                    first[t] = c
+                    if t == "main":
+                        return True
+                if walk(c):
+                    return True
+        return False
+
+    if "main" not in first:
+        walk(root)
+    for tag in _ROOT_TAGS:
+        if tag in first:
+            return first[tag]
     return root
 
 

@@ -35,6 +35,8 @@ _RAWTEXT_CLOSE = {
     "script": re.compile(r"</script\s*>", re.IGNORECASE),
     "style": re.compile(r"</style\s*>", re.IGNORECASE),
 }
+_P_ONLY = frozenset({"p"})
+_NO_BARRIER: frozenset = frozenset()
 
 
 def _parse_attrs(attr_str: str) -> dict[str, str]:
@@ -146,7 +148,7 @@ def parse_html_fast(payload: bytes | str) -> Node:
             pos = m.end()
 
             if tag in _P_CLOSERS:
-                close_implicit(frozenset({"p"}), frozenset())
+                close_implicit(_P_ONLY, _NO_BARRIER)
             rule = _IMPLICIT_CLOSE.get(tag)
             if rule:
                 close_implicit(*rule)

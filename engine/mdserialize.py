@@ -59,8 +59,13 @@ def _collapse(s: str) -> str:
 
 
 def _finalize_inline(s: str) -> str:
-    """Collapse whitespace, then turn <br> placeholders into newlines."""
-    return _BR_RE.sub("\n", _collapse(s)).strip()
+    """Collapse whitespace, then turn <br> placeholders into newlines.
+    Most blocks carry no <br> placeholder — skip the regex sub (and its
+    fresh string) entirely for them; _collapse already stripped."""
+    out = _collapse(s)
+    if _BR not in out:
+        return out
+    return _BR_RE.sub("\n", out).strip()
 
 
 def _wrap(marker: str, inner: str) -> str:
@@ -82,7 +87,7 @@ def render_inline(item: Node | str) -> str:
         src = item.attrs.get("src", "")
         alt = item.attrs.get("alt", "")
         return f"![{alt}]({src})" if src else alt
-    inner = "".join(render_inline(c) for c in item.children)
+    inner = "".join([render_inline(c) for c in item.children])
     if tag in ("strong", "b"):
         return _wrap("**", inner)
     if tag in ("em", "i"):

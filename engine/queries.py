@@ -594,8 +594,19 @@ def q_embedding_near_dup(sf_dir: str):
             "embedding": sel["embedding"],
         })
 
+    # (n, dim) from parquet metadata — no Ray pre-passes: count()/take(1)
+    # over the union pipeline would each execute the full plant stage
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    n_base = pq.read_metadata(path).num_rows
+    first = next(pq.ParquetFile(path).iter_batches(
+        batch_size=1, columns=["embedding"]))
+    dim = len(first["embedding"][0])
+
     full = emb.union(emb.map_batches(plant, batch_format="pyarrow"))
-    out = embedding_near_dup_pairs(full, threshold=0.95)
+    out = embedding_near_dup_pairs(full, threshold=0.95,
+                                   n=n_base + min(n_base, PLANT_N), dim=dim)
     out["cosine"] = out["cosine"].round(6)
     out["id_a"] = out["id_a"].astype("int64")
     out["id_b"] = out["id_b"].astype("int64")

@@ -280,22 +280,31 @@ def _binary_to_f64_matrix(col: pa.ChunkedArray | pa.Array,
 
 def _embedding_pairs_plan(ds: "ray.data.Dataset", threshold: float,
                           id_col: str, vec_col: str,
-                          num_planes: int | None, max_bucket: int):
+                          num_planes: int | None, max_bucket: int,
+                          n: int | None = None, dim: int | None = None):
     """Verified embedding near-dup pairs, same plan machinery as
     engine.dedup: NARROW (bucket, id) rows → aggregate candidate discovery
     (zero per-bucket Python for size-2 buckets — the dominant case) →
     cosine verification on co-located vector pairs. Returns None / bounded
-    DataFrame / fully-distributed Dataset."""
+    DataFrame / fully-distributed Dataset.
+
+    ``n``/``dim`` hints skip the count()/take(1) pre-passes — each is a
+    full pipeline execution when ``ds`` carries transforms; callers that
+    know the corpus size (parquet metadata) should pass them."""
     import ray.data as rd
 
     from engine.dedup import (FETCH_DRIVER_MAX, _attach_pair_columns,
                               _candidate_pairs, _fetch_for_ids)
 
-    n = ds.count()
-    first = ds.take(1)
-    if not first:
+    if n is None:
+        n = ds.count()
+    if n == 0:
         return None
-    dim = len(first[0][vec_col])
+    if dim is None:
+        first = ds.take(1)
+        if not first:
+            return None
+        dim = len(first[0][vec_col])
     if num_planes is None:
         num_planes = max(NUM_PLANES,
                          int(np.ceil(np.log2(max(2.0, n / 64.0)))))
@@ -371,7 +380,9 @@ def embedding_near_dup_pairs_ds(ds: "ray.data.Dataset",
                                 id_col: str = "vec_id",
                                 vec_col: str = "embedding",
                                 num_planes: int | None = None,
-                                max_bucket: int = MAX_BUCKET_EMB
+                                max_bucket: int = MAX_BUCKET_EMB,
+                                n: int | None = None,
+                                dim: int | None = None
                                 ) -> "ray.data.Dataset":
     """Verified near-dup pairs as a DATASET (id_a, id_b, cosine) — the
     write_parquet-able scale contract (see engine.dedup)."""
@@ -379,7 +390,7 @@ def embedding_near_dup_pairs_ds(ds: "ray.data.Dataset",
 
     return _plan_to_ds(
         _embedding_pairs_plan(ds, threshold, id_col, vec_col, num_planes,
-                              max_bucket),
+                              max_bucket, n, dim),
         "cosine", pa.float64())
 
 
@@ -387,7 +398,9 @@ def embedding_near_dup_pairs(ds: "ray.data.Dataset", threshold: float = 0.95,
                              id_col: str = "vec_id",
                              vec_col: str = "embedding",
                              num_planes: int | None = None,
-                             max_bucket: int = MAX_BUCKET_EMB) -> pd.DataFrame:
+                             max_bucket: int = MAX_BUCKET_EMB,
+                             n: int | None = None,
+                             dim: int | None = None) -> pd.DataFrame:
     """Embedding-cosine near-dup: bucket by LSH signature, compare within
     buckets only, keep pairs with cosine >= threshold.
 
@@ -409,5 +422,5 @@ def embedding_near_dup_pairs(ds: "ray.data.Dataset", threshold: float = 0.95,
 
     return _plan_to_pandas(
         _embedding_pairs_plan(ds, threshold, id_col, vec_col, num_planes,
-                              max_bucket),
+                              max_bucket, n, dim),
         "cosine")

@@ -778,7 +778,7 @@ def q_media_features(sf_dir: str):
         })
 
     media = docs.map_batches(to_media, batch_format="pyarrow")
-    out = media_features(media, batch_size=16, concurrency=(1, 4))
+    out = media_features(media, batch_size=32, concurrency=(2, 12))
     return out.select_columns(["media_id", "kind", "sha256", "status"])
 
 
@@ -811,6 +811,12 @@ def q_asof_join(sf_dir: str):
                                 "view_event": t["view_event"]}),
             batch_format="pyarrow",
         )
+        # materialize the POST-AGGREGATION side: asof_join needs its schema
+        # up front, and schema() on a pipeline containing a groupby executes
+        # the shuffle — without this the aggregate ran twice (≈4 s of the
+        # query was that hidden re-execution). Post-agg size is bounded by
+        # distinct (user, ts), not the event stream.
+        .materialize()
     )
     joined = asof_join(clicks, views, by="user_id", on="ts", right_on="vts")
 

@@ -356,6 +356,46 @@ WITH flagged AS (
 SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
        count(*) AS n_events, round(sum(value), 6) AS sum_value
 FROM numbered GROUP BY user_id, sid""",
+        "customers_without_orders": """
+SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')""",
+        "top_parts_per_brand": """
+SELECT p_brand, p_partkey, round(p_retailprice, 2) AS p_retailprice
+FROM (
+  SELECT p_brand, p_partkey, p_retailprice,
+         row_number() OVER (PARTITION BY p_brand
+                            ORDER BY p_retailprice DESC, p_partkey) AS rn
+  FROM part
+) WHERE rn <= 3""",
+        "token_df": """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS token
+  FROM documents
+)
+SELECT token, count(DISTINCT doc_id) AS df
+FROM toks WHERE token <> ''
+GROUP BY token ORDER BY df DESC, token LIMIT 50""",
+        "interval_attribution": """
+WITH clicks AS (
+  SELECT event_id, ts, user_id FROM events WHERE event_type = 'click'
+), windows AS (
+  SELECT user_id, ts AS wstart,
+         ts + INTERVAL 30 MINUTE AS wend,
+         max(event_id) AS view_event
+  FROM events WHERE event_type = 'view'
+  GROUP BY user_id, ts
+)
+SELECT c.event_id, c.user_id,
+       coalesce(w.wstart, TIMESTAMP '1970-01-01') AS wstart,
+       coalesce(w.view_event, -1) AS view_event
+FROM clicks c LEFT JOIN LATERAL (
+  SELECT wstart, view_event FROM windows w
+  WHERE w.user_id = c.user_id AND w.wstart <= c.ts AND c.ts < w.wend
+  ORDER BY w.wstart DESC LIMIT 1
+) w ON TRUE""",
         # media_features: the media table is DERIVED from documents
         # (payload = UTF-8 text bytes, empty every 17th id), so id/kind/
         # sha256/status are SQL facts even with the decode kernels stubbed;

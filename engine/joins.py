@@ -44,6 +44,11 @@ _ACERO_HOW = {
     "left": "left outer",
     "right": "right outer",
     "outer": "full outer",
+    # filtering joins: left rows with (semi) / without (anti) a right match;
+    # output carries LEFT columns only — the right side ships nothing but
+    # its key column through the exchange (see hash_join right_keys_only)
+    "semi": "left semi",
+    "anti": "left anti",
 }
 
 
@@ -92,9 +97,17 @@ def hash_join(left: "ray.data.Dataset", right: "ray.data.Dataset", on: str,
     """Partitioned hash join of two Datasets on column ``on``.
 
     Returns a Dataset with pandas-merge column semantics (shared non-key
-    columns get ``suffixes``). ``how`` ∈ inner|left|right|outer.
+    columns get ``suffixes``). ``how`` ∈ inner|left|right|outer|semi|anti —
+    semi/anti are the filtering joins (left rows with / without a match);
+    their output carries left columns only, and the right side is projected
+    to ITS KEY COLUMN before the exchange, so the only right bytes that
+    cross the wire are the key values being tested.
     """
     join_type = _ACERO_HOW[how]
+    filtering = how in ("semi", "anti")
+    if filtering:
+        right = right.map_batches(lambda t: t.select([on]),
+                                  batch_format="pyarrow")
     l_schema = left.schema()
     r_schema = right.schema()
     l_names = list(l_schema.names)
@@ -230,3 +243,48 @@ def asof_join(left: "ray.data.Dataset", right: "ray.data.Dataset", by: str,
 
     return tagged.groupby("__bucket").map_groups(merge_bucket,
                                                  batch_format="pyarrow")
+
+
+def interval_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
+                  by: str, on: str, start_col: str, end_col: str,
+                  num_buckets: int = 32) -> "ray.data.Dataset":
+    """Range/interval join — attach, per ``by`` key, the right interval
+    [start_col, end_col) that CONTAINS the left row's ``on`` value
+    (left-join semantics; no containing interval → attached columns null).
+    The training-data use case: campaign/session/experiment attribution
+    windows.
+
+    Plan: rides :func:`asof_join`'s single narrow exchange (backward as-of
+    on ``start_col``: the latest-starting interval with start ≤ t is the
+    ONLY candidate when per-key intervals don't overlap), then one
+    vectorized containment verify that nulls the attached columns where
+    end ≤ t. Partitioning assumption (custom-operator rule): per-key
+    intervals are non-overlapping — overlapping inputs deterministically
+    resolve to the latest-starting candidate, never an error.
+    """
+    l_names = list(left.schema().names)
+    r_names = list(right.schema().names)
+    attached = []
+    for name in r_names:
+        if name == by or (name == start_col and start_col == on):
+            continue
+        attached.append(f"{name}_r" if name in l_names else name)
+    end_out = f"{end_col}_r" if end_col in l_names else end_col
+
+    j = asof_join(left, right, by=by, on=on, right_on=start_col,
+                  num_buckets=num_buckets)
+
+    def verify(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        contains = pc.fill_null(
+            pc.and_kleene(pc.is_valid(t[end_out]),
+                          pc.greater(t[end_out], t[on])),
+            False)
+        cols = {n: t[n] for n in t.column_names}
+        for name in attached:
+            cols[name] = pc.if_else(
+                contains, t[name], pa.scalar(None, type=t[name].type))
+        return pa.table(cols)
+
+    return j.map_batches(verify, batch_format="pyarrow")

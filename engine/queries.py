@@ -835,6 +835,112 @@ def q_asof_join(sf_dir: str):
     return joined.map_batches(finish, batch_format="pyarrow")
 
 
+def q_customers_without_orders(sf_dir: str):
+    """Distributed ANTI join (engine.joins.hash_join how='anti'): customers
+    with no URGENT order — the filtering-join primitive; only the right KEY
+    column crosses the exchange (the priority filter runs read-side).
+    DuckDB twin: NOT EXISTS."""
+    from engine.joins import hash_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
+    okeys = _read(sf_dir, "orders",
+                  ["o_custkey", "o_orderpriority"]).map_batches(
+        lambda t: pa.table({
+            "c_custkey": t.filter(
+                pc.equal(t["o_orderpriority"], "1-URGENT"))["o_custkey"],
+        }),
+        batch_format="pyarrow",
+    )
+    out = hash_join(cust, okeys, on="c_custkey", how="anti")
+    return out.map_batches(
+        lambda t: pa.table({
+            "c_custkey": t["c_custkey"], "c_name": t["c_name"],
+            "c_acctbal": pc.round(t["c_acctbal"], ndigits=2),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+def q_top_parts_per_brand(sf_dir: str):
+    """Group-wise top-k (engine.stats.top_k_per_group): the 3 priciest
+    parts per brand, ties broken by part key. DuckDB twin: row_number()
+    OVER (PARTITION BY ...)."""
+    from engine.stats import top_k_per_group
+
+    parts = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_retailprice"])
+    out = top_k_per_group(parts, "p_brand", "p_retailprice", 3,
+                          descending=True, tiebreak_col="p_partkey")
+    return out.map_batches(
+        lambda t: pa.table({
+            "p_brand": t["p_brand"], "p_partkey": t["p_partkey"],
+            "p_retailprice": pc.round(t["p_retailprice"], ndigits=2),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+def q_token_df(sf_dir: str):
+    """Corpus document frequency (engine.textstats.doc_frequency — the
+    partial-aggregation pattern: per-batch distinct-token Counters combine
+    BEFORE the shuffle): top 50 tokens by (df desc, token)."""
+    from engine.textstats import doc_frequency
+
+    docs = _read(sf_dir, "documents", ["text"])
+    return doc_frequency(docs).sort(
+        ["df", "token"], descending=[True, False]
+    ).limit(50)
+
+
+def q_interval_attribution(sf_dir: str):
+    """Range/interval join (engine.joins.interval_join): each 'click' event
+    attributed to the 30-minute window opened by the user's latest 'view'
+    at-or-before it (window = [view_ts, view_ts + 30 min); latest-start rule
+    on overlap). DuckDB twin: LEFT JOIN LATERAL ... ORDER BY s DESC LIMIT 1."""
+    from engine.joins import interval_join
+
+    events = _read(sf_dir, "events",
+                   ["event_id", "ts", "user_id", "event_type"])
+    clicks = events.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "click"))
+        .select(["event_id", "ts", "user_id"]),
+        batch_format="pyarrow",
+    )
+
+    def windows(t: pa.Table) -> pa.Table:
+        v = t.filter(pc.equal(t["event_type"], "view"))
+        starts = pc.cast(v["ts"], pa.timestamp("us"))
+        return pa.table({
+            "user_id": v["user_id"],
+            "wstart": starts,
+            "wend": pc.add(starts, pa.scalar(1_800_000_000, pa.duration("us"))),
+            "view_event": v["event_id"],
+        })
+
+    # dedupe ties: one window per (user, start) — latest view event wins
+    views = (
+        events.map_batches(windows, batch_format="pyarrow")
+        .groupby(["user_id", "wstart"])
+        .aggregate(Max("wend", alias_name="wend"),
+                   Max("view_event", alias_name="view_event"))
+        .materialize()  # post-agg side; see q_asof_join
+    )
+    joined = interval_join(clicks, views, by="user_id", on="ts",
+                           start_col="wstart", end_col="wend")
+
+    def finish(t: pa.Table) -> pa.Table:
+        epoch = pa.scalar(0, type=pa.timestamp("us"))
+        return pa.table({
+            "event_id": t["event_id"],
+            "user_id": t["user_id"],
+            "wstart": pc.fill_null(pc.cast(t["wstart"], pa.timestamp("us")),
+                                   epoch),
+            "view_event": pc.fill_null(pc.cast(t["view_event"], pa.int64()),
+                                       -1),
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
 def q_session_windows(sf_dir: str):
     """Gap-based session windows per user (engine.windows.sessionize;
     1-hour gap). DuckDB twin is the gaps-and-islands window idiom."""
@@ -910,4 +1016,8 @@ QUERIES = {
     "asof_join": q_asof_join,
     "session_windows": q_session_windows,
     "stable_split": q_stable_split,
+    "customers_without_orders": q_customers_without_orders,
+    "top_parts_per_brand": q_top_parts_per_brand,
+    "token_df": q_token_df,
+    "interval_attribution": q_interval_attribution,
 }

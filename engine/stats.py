@@ -80,3 +80,47 @@ def content_length_rollup(extracted: "ray.data.Dataset") -> dict:
                               Mean("n_chars", alias_name="mean_chars"),
                               Count(alias_name="rows"))
     return dict(res)
+
+
+def top_k_per_group(ds: "ray.data.Dataset", key_col: str, sort_col: str,
+                    k: int, *, descending: bool = True,
+                    tiebreak_col: str | None = None,
+                    num_buckets: int = 32) -> "ray.data.Dataset":
+    """Top-k rows PER KEY (the per-group selection of SURVEY.md §2.7 K1,
+    group-wise — e.g. "3 priciest parts per brand"), an operator Ray Data
+    has no primitive for.
+
+    Plan: ONE hash exchange on a key-hash bucket, then a vectorized pandas
+    pass per bucket that ranks EVERY key in the bucket at once (sort +
+    groupby(key).cumcount() < k) — the bucket discipline of
+    engine/windows.py: Python-call count is capped at ``num_buckets``, never
+    the key cardinality. A local per-batch prune (same rank test per input
+    block) runs BEFORE the exchange, so at most k rows per (key, block) —
+    not the full table — cross the wire.
+
+    Determinism: ties on ``sort_col`` break by ``tiebreak_col`` (default:
+    the key column — pass an id column when keys repeat).
+    """
+    from engine.joins import _bucket_of_column
+
+    tb = tiebreak_col or key_col
+    by = [key_col, sort_col, tb]
+    asc = [True, not descending, True]
+
+    def rank_prune(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.sort_values(by, ascending=asc, kind="mergesort")
+        return df[df.groupby(key_col, sort=False).cumcount() < k]
+
+    def local_prune(t: pa.Table) -> pa.Table:
+        df = rank_prune(t.to_pandas())
+        out = pa.Table.from_pandas(df, preserve_index=False)
+        return out.append_column(
+            "__bucket", _bucket_of_column(out[key_col], num_buckets))
+
+    pruned = ds.map_batches(local_prune, batch_format="pyarrow")
+
+    def per_bucket(g: "pd.DataFrame") -> "pd.DataFrame":
+        return rank_prune(g.drop(columns="__bucket"))
+
+    return pruned.groupby("__bucket").map_groups(per_bucket,
+                                                 batch_format="pandas")

@@ -214,3 +214,47 @@ class FingerprintStage:
             t.append_column("fingerprint", pa.array(md5s, type=pa.string()))
             .append_column("winnow", pa.array(wins, type=pa.list_(pa.int64())))
         )
+
+
+# ---------------------------------------------------------------------------
+# Corpus document frequency (inverted-index term statistics) — the partial-
+# aggregation pattern: combine INSIDE map_batches, then shuffle only the
+# per-batch distinct (token, df) rows, never one row per occurrence.
+# ---------------------------------------------------------------------------
+
+
+def doc_frequency(ds: "ray.data.Dataset", text_col: str = "text",
+                  ) -> "ray.data.Dataset":
+    """(token, df) — number of documents containing each whitespace token.
+
+    Per batch: one Counter over per-document DISTINCT tokens (a token
+    repeated inside a document counts once), emitting one narrow row per
+    distinct token per batch. The groupby Sum then combines partials — the
+    exchange volume is O(vocabulary x batches), not O(token occurrences),
+    which at web scale is the difference between shuffling gigabytes and
+    shuffling the corpus. Tokenization is str.split() (matches the DuckDB
+    twin's \\s+ regex split on ASCII corpora; engine/textops.py documents
+    the RE2-vs-Python Unicode \\s divergence).
+    """
+    import ray.data  # noqa: F401
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for s in t[text_col].to_pylist():
+            c.update(set((s or "").split()))
+        if not c:
+            return pa.table({"token": pa.array([], type=pa.string()),
+                             "df": pa.array([], type=pa.int64())})
+        toks = list(c.keys())
+        return pa.table({"token": pa.array(toks, type=pa.string()),
+                         "df": pa.array([c[t_] for t_ in toks],
+                                        type=pa.int64())})
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("df", alias_name="df"))
+    )

@@ -189,3 +189,74 @@ def test_session_windows_operator(ray_session):
     assert out["n_events"].tolist() == [2, 1, 2]
     assert out["sum_value"].tolist() == [3.0, 4.0, 2.0]
     assert out.loc[0, "session_end"] == base + pd.Timedelta("30min")
+
+
+def test_semi_anti_join(sides):
+    from engine.joins import hash_join
+
+    left, right = sides
+    semi = hash_join(left, right, on="k", how="semi", num_buckets=4).to_pandas()
+    anti = hash_join(left, right, on="k", how="anti", num_buckets=4).to_pandas()
+    # left columns only, each left row at most once (dup right keys collapse)
+    assert list(semi.columns) == ["k", "lv"]
+    assert sorted(semi["lv"]) == ["b", "b2", "c"]
+    assert sorted(anti["lv"]) == ["a", "d"]
+    # semi + anti partition the left side
+    assert len(semi) + len(anti) == 5
+
+
+def test_interval_join_semantics(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from engine.joins import interval_join
+
+    left = rd.from_arrow(pa.table({
+        "k": [1, 1, 1, 2, 3],
+        "t": [5, 15, 25, 7, 9],
+        "lid": [1, 2, 3, 4, 5],
+    }))
+    right = rd.from_arrow(pa.table({
+        "k": [1, 1, 2],
+        "s": [0, 20, 7],
+        "e": [10, 30, 8],
+        "label": ["w1", "w2", "w3"],
+    }))
+    out = interval_join(left, right, by="k", on="t",
+                        start_col="s", end_col="e").to_pandas()
+    got = {r.lid: (None if pd.isna(r.label) else r.label)
+           for r in out.itertuples()}
+    assert got == {
+        1: "w1",   # t=5 ∈ [0,10)
+        2: None,   # t=15 in the gap between windows
+        3: "w2",   # t=25 ∈ [20,30)
+        4: "w3",   # t=7 ∈ [7,8) — start inclusive
+        5: None,   # key 3 has no windows
+    }
+    # end exclusive: t=8 not in [7,8)
+    left2 = rd.from_arrow(pa.table({"k": [2], "t": [8], "lid": [9]}))
+    out2 = interval_join(left2, right, by="k", on="t",
+                         start_col="s", end_col="e").to_pandas()
+    assert pd.isna(out2["label"]).all()
+
+
+def test_top_k_per_group(ray_session):
+    import ray.data as rd
+
+    from engine.stats import top_k_per_group
+
+    t = pa.table({
+        "g": ["a", "a", "a", "a", "b", "b", "c"],
+        "v": [10, 30, 20, 30, 5, 7, 1],
+        "id": [1, 2, 3, 4, 5, 6, 7],
+    })
+    out = top_k_per_group(rd.from_arrow(t).repartition(3), "g", "v", 2,
+                          tiebreak_col="id").to_pandas()
+    got = sorted(map(tuple, out[["g", "id"]].values.tolist()))
+    # a: v=30 ties -> ids 2,4 (lowest-id tiebreak); b: both; c: its one row
+    assert got == [("a", 2), ("a", 4), ("b", 5), ("b", 6), ("c", 7)]
+    # ascending variant
+    out2 = top_k_per_group(rd.from_arrow(t), "g", "v", 1, descending=False,
+                           tiebreak_col="id").to_pandas()
+    assert sorted(map(tuple, out2[["g", "id"]].values.tolist())) == \
+        [("a", 1), ("b", 5), ("c", 7)]

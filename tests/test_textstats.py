@@ -79,3 +79,19 @@ def test_quality_stage(ray_session):
                          concurrency=1).take_all()[0]
     assert set(out) >= {"n_tokens", "uniq_ratio", "punct_ratio",
                         "stopword_ratio", "mean_token_len", "quality"}
+
+
+def test_doc_frequency(ray_session):
+    import ray.data as rd
+    import pyarrow as pa
+
+    from engine.textstats import doc_frequency
+
+    ds = rd.from_arrow(pa.table({"text": [
+        "apple banana apple",     # apple counts ONCE per doc
+        "banana cherry",
+        "apple",
+        "",
+    ]})).repartition(2)
+    out = doc_frequency(ds).to_pandas().set_index("token")["df"].to_dict()
+    assert out == {"apple": 2, "banana": 2, "cherry": 1}

@@ -396,6 +396,21 @@ FROM clicks c LEFT JOIN LATERAL (
   WHERE w.user_id = c.user_id AND w.wstart <= c.ts AND c.ts < w.wend
   ORDER BY w.wstart DESC LIMIT 1
 ) w ON TRUE""",
+        # quantile_disc only takes constant parameters → list form + unnest
+        "quantity_percentiles": """
+SELECT CAST(u.q AS DOUBLE) AS q, CAST(v[u.i] AS BIGINT) AS value
+FROM (SELECT quantile_disc(l_quantity, [0.1, 0.25, 0.5, 0.75, 0.9]) AS v
+      FROM lineitem),
+     (SELECT unnest([0.1, 0.25, 0.5, 0.75, 0.9]) AS q,
+             unnest(generate_series(1, 5)) AS i) u""",
+        "rolling_spend": """
+SELECT user_id, event_id,
+       CAST(floor(value * 1000) AS BIGINT) AS value_milli,
+       CAST(sum(CAST(floor(value * 1000) AS BIGINT))
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS roll3_sum
+FROM events""",
         # media_features: the media table is DERIVED from documents
         # (payload = UTF-8 text bytes, empty every 17th id), so id/kind/
         # sha256/status are SQL facts even with the decode kernels stubbed;

@@ -941,6 +941,51 @@ def q_interval_attribution(sf_dir: str):
     return joined.map_batches(finish, batch_format="pyarrow")
 
 
+def q_rolling_spend(sf_dir: str):
+    """Per-user rolling-window aggregate (engine.windows.rolling_agg):
+    trailing 3-event sum of value per user, ordered by (ts, event_id).
+    Values are floored to integer milli-units FIRST so the rolling sum is
+    exact integer arithmetic in both engines (pandas' sliding-sum and SQL's
+    frame sum can drift in the last float ulp — CLAUDE.md rounding rule).
+    DuckDB twin: sum() OVER (... ROWS BETWEEN 2 PRECEDING AND CURRENT ROW).
+    """
+    from engine.windows import rolling_agg
+
+    events = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    milli = events.map_batches(
+        lambda t: pa.table({
+            "event_id": t["event_id"], "ts": t["ts"],
+            "user_id": t["user_id"],
+            "value": pc.cast(pc.floor(pc.multiply(t["value"], 1000.0)),
+                             pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+    out = rolling_agg(milli, key_col="user_id", ts_col="ts",
+                      id_col="event_id", value_col="value",
+                      window=3, agg="sum")
+    return out.map_batches(
+        lambda t: pa.table({
+            "user_id": t["user_id"], "event_id": t["event_id"],
+            "value_milli": t["value"],
+            "roll3_sum": pc.cast(t["roll_sum"], pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+def q_quantity_percentiles(sf_dir: str):
+    """Exact distributed percentiles (engine.stats.exact_percentiles,
+    counting-sort pattern over the bounded l_quantity domain). DuckDB twin:
+    quantile_disc — verified to share the ceil(q*n) rank convention."""
+    from engine.stats import exact_percentiles
+
+    li = _read(sf_dir, "lineitem", ["l_quantity"])
+    out = exact_percentiles(li, "l_quantity", qs=(0.1, 0.25, 0.5, 0.75, 0.9))
+    return pa.table({"q": out["q"],
+                     "value": pc.cast(out["value"], pa.int64())})
+
+
 def q_session_windows(sf_dir: str):
     """Gap-based session windows per user (engine.windows.sessionize;
     1-hour gap). DuckDB twin is the gaps-and-islands window idiom."""
@@ -1020,4 +1065,6 @@ QUERIES = {
     "top_parts_per_brand": q_top_parts_per_brand,
     "token_df": q_token_df,
     "interval_attribution": q_interval_attribution,
+    "rolling_spend": q_rolling_spend,
+    "quantity_percentiles": q_quantity_percentiles,
 }

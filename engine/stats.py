@@ -124,3 +124,38 @@ def top_k_per_group(ds: "ray.data.Dataset", key_col: str, sort_col: str,
 
     return pruned.groupby("__bucket").map_groups(per_bucket,
                                                  batch_format="pandas")
+
+
+def exact_percentiles(ds: "ray.data.Dataset", col: str,
+                      qs: tuple = (0.25, 0.5, 0.75)) -> pa.Table:
+    """EXACT percentiles (percentile_disc semantics: the smallest value whose
+    cumulative count reaches ceil(q*n)) for a BOUNDED-CARDINALITY column,
+    via the counting-sort pattern: one narrow (value)->Count groupby (Ray
+    combines partials map-side before the exchange) and the tiny
+    distinct-value table sorts on the driver. Scale contract: driver state is O(distinct
+    values) — right for quantities/sizes/categorical codes; for unbounded
+    doubles use a histogram sketch instead (documented non-goal here).
+
+    Returns a pa.Table (q, value) — a terminal aggregate, not a Dataset.
+    """
+    from ray.data.aggregate import Count
+
+    counts = (
+        ds.select_columns([col])
+        .groupby(col)
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+        .sort_values(col)
+    )
+    import numpy as np
+
+    cum = counts["n"].cumsum().to_numpy()
+    total = int(cum[-1]) if len(cum) else 0
+    out_q, out_v = [], []
+    for q in qs:
+        rank = max(1, int(np.ceil(q * total)))
+        idx = int(np.searchsorted(cum, rank))
+        out_q.append(float(q))
+        out_v.append(counts[col].iloc[idx])
+    return pa.table({"q": pa.array(out_q, type=pa.float64()),
+                     "value": pa.array(out_v)})

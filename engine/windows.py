@@ -76,3 +76,48 @@ def sessionize(ds: "ray.data.Dataset", key_col: str = "user_id",
         .groupby("__bucket")
         .map_groups(per_bucket, batch_format="pandas")
     )
+
+
+def rolling_agg(ds: "ray.data.Dataset", key_col: str = "user_id",
+                ts_col: str = "ts", id_col: str = "event_id",
+                value_col: str = "value", window: int = 3,
+                agg: str = "mean",
+                num_buckets: int = 32) -> "ray.data.Dataset":
+    """Per-key rolling-window aggregate over an ordered event stream — the
+    "windowed aggregate" custom operator: for every event, ``agg`` of the
+    last ``window`` rows (including itself) of the SAME key, ordered by
+    (ts, id). The training-data use case: trailing-behavior features
+    (activity rate, rolling spend) without future leakage.
+
+    Plan: the same ONE key-hash-bucket exchange as :func:`sessionize`; each
+    bucket sorts once and runs pandas' C-implemented
+    ``groupby(key).rolling(window)`` across EVERY key in the bucket — the
+    Python-call count is ``num_buckets``, never the key cardinality.
+
+    Output: (key, id, ts, value, roll) — ``roll`` named by the aggregate.
+    Determinism: total order (key, ts, id); row-count frames (not time
+    ranges) so ties are resolved by id exactly as the SQL window twin's
+    ROWS BETWEEN frame does.
+    """
+    if agg not in ("mean", "sum", "min", "max"):
+        raise ValueError(f"unsupported rolling agg: {agg}")
+    cols = [key_col, ts_col, id_col, value_col]
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        t = t.select(cols)
+        return t.append_column("__bucket",
+                               _bucket_of_column(t[key_col], num_buckets))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__bucket").sort_values(
+            [key_col, ts_col, id_col], kind="mergesort")
+        r = g.groupby(key_col, sort=False)[value_col].rolling(
+            window, min_periods=1)
+        g[f"roll_{agg}"] = getattr(r, agg)().to_numpy()
+        return g
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )

@@ -260,3 +260,24 @@ def test_top_k_per_group(ray_session):
                            tiebreak_col="id").to_pandas()
     assert sorted(map(tuple, out2[["g", "id"]].values.tolist())) == \
         [("a", 1), ("b", 5), ("c", 7)]
+
+
+def test_rolling_agg(ray_session):
+    import ray.data as rd
+
+    from engine.windows import rolling_agg
+
+    ds = rd.from_arrow(pa.table({
+        "user_id": [1, 1, 1, 1, 2, 2],
+        "ts": [10, 20, 30, 40, 5, 6],
+        "event_id": [1, 2, 3, 4, 5, 6],
+        "value": [1.0, 2.0, 4.0, 8.0, 10.0, 20.0],
+    })).repartition(3)
+    out = rolling_agg(ds, window=3, agg="sum").to_pandas().sort_values(
+        ["user_id", "ts"]).reset_index(drop=True)
+    # trailing 3-row sums: [1, 3, 7, 14] for user 1, [10, 30] for user 2 —
+    # and alignment survives the groupby(key).rolling MultiIndex round-trip
+    assert out["roll_sum"].tolist() == [1.0, 3.0, 7.0, 14.0, 10.0, 30.0]
+    out2 = rolling_agg(ds, window=2, agg="max").to_pandas().sort_values(
+        ["user_id", "ts"]).reset_index(drop=True)
+    assert out2["roll_max"].tolist() == [1.0, 2.0, 4.0, 8.0, 10.0, 20.0]

@@ -95,3 +95,16 @@ def test_doc_frequency(ray_session):
     ]})).repartition(2)
     out = doc_frequency(ds).to_pandas().set_index("token")["df"].to_dict()
     assert out == {"apple": 2, "banana": 2, "cherry": 1}
+
+
+def test_exact_percentiles(ray_session):
+    import ray.data as rd
+    import pyarrow as pa
+
+    from engine.stats import exact_percentiles
+
+    ds = rd.from_arrow(pa.table({"v": list(range(1, 11))})).repartition(3)
+    out = exact_percentiles(ds, "v", qs=(0.25, 0.5, 0.75, 0.9))
+    got = dict(zip(out["q"].to_pylist(), out["value"].to_pylist()))
+    # ceil(q*n) rank convention — pinned against DuckDB quantile_disc
+    assert got == {0.25: 3, 0.5: 5, 0.75: 8, 0.9: 9}

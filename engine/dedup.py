@@ -104,14 +104,21 @@ def exact_dedup(ds: "ray.data.Dataset", text_col: str = "text",
     """
     from engine.joins import hash_join
 
+    from engine.joins import _coalesced
+
     hashed = ds.map_batches(
         lambda t: add_content_hash(t, text_col), batch_format="pyarrow"
     )
     keepers = (
-        hashed.select_columns(["content_hash", id_col])
+        _coalesced(hashed.select_columns(["content_hash", id_col]),
+                   32, "auto")  # narrow rows: don't shuffle per tiny block
         .groupby("content_hash")
         .aggregate(Min(id_col, alias_name=id_col))
         .select_columns([id_col])
+        # materialize: hash_join reads the right schema up front, which
+        # executes a lazy pipeline once — without this the whole
+        # read+hash+aggregate ran AGAIN inside the join's union
+        .materialize()
     )
     joined = hash_join(ds, keepers, on=id_col, how="inner")
     return joined
@@ -145,8 +152,11 @@ def first_per_key(ds: "ray.data.Dataset", key_col: str = "url",
         return g.drop_duplicates(key_col, keep="first") \
             .drop(columns="__bucket")
 
+    from engine.joins import _coalesced
+
     return (
-        ds.map_batches(add_bucket, batch_format="pyarrow")
+        _coalesced(ds.map_batches(add_bucket, batch_format="pyarrow"),
+                   num_buckets, "auto")
         .groupby("__bucket")
         .map_groups(pick, batch_format="pandas")
     )

@@ -122,8 +122,10 @@ def top_k_per_group(ds: "ray.data.Dataset", key_col: str, sort_col: str,
     def per_bucket(g: "pd.DataFrame") -> "pd.DataFrame":
         return rank_prune(g.drop(columns="__bucket"))
 
-    return pruned.groupby("__bucket").map_groups(per_bucket,
-                                                 batch_format="pandas")
+    from engine.joins import _coalesced
+
+    return _coalesced(pruned, num_buckets, "auto") \
+        .groupby("__bucket").map_groups(per_bucket, batch_format="pandas")
 
 
 def exact_percentiles(ds: "ray.data.Dataset", col: str,

@@ -71,8 +71,11 @@ def sessionize(ds: "ray.data.Dataset", key_col: str = "user_id",
             out["sum_value"] = grouped[value_col].sum()
         return out.reset_index(drop=True)
 
+    from engine.joins import _coalesced
+
     return (
-        ds.map_batches(add_bucket, batch_format="pyarrow")
+        _coalesced(ds.map_batches(add_bucket, batch_format="pyarrow"),
+                   num_buckets, "auto")
         .groupby("__bucket")
         .map_groups(per_bucket, batch_format="pandas")
     )
@@ -116,8 +119,11 @@ def rolling_agg(ds: "ray.data.Dataset", key_col: str = "user_id",
         g[f"roll_{agg}"] = getattr(r, agg)().to_numpy()
         return g
 
+    from engine.joins import _coalesced
+
     return (
-        ds.map_batches(add_bucket, batch_format="pyarrow")
+        _coalesced(ds.map_batches(add_bucket, batch_format="pyarrow"),
+                   num_buckets, "auto")
         .groupby("__bucket")
         .map_groups(per_bucket, batch_format="pandas")
     )

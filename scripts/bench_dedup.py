@@ -1,0 +1,106 @@
+"""Dedup-at-corpus-scale bench (the BASELINE.md "Dedup at corpus scale"
+numbers, reproducible): exact + MinHash-LSH dedup over the generated pages
+corpus at the bench sf, with ~15 % planted duplicates.
+
+The MinHash path runs the SCALE CONTRACT end-to-end: candidate discovery →
+verification → ``minhash_lsh_pairs_ds`` → ``write_parquet`` — no driver
+DataFrame of the pair set ever exists.
+
+Usage: python scripts/bench_dedup.py   (env GRAFT_SF_DIR / RAY_GRAFT_CPUS
+as bench.py; prints one JSON line)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from bench import NUM_CPUS, SF_DIR, ensure_bench_pages, sf_of  # noqa: E402
+
+DUP_PCT = 15  # plant: every doc with id % 100 < DUP_PCT gets a twin
+
+
+def main() -> None:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from engine.dedup import exact_dedup, minhash_lsh_pairs_ds
+
+    sf = sf_of(SF_DIR)
+    pages_dir = ensure_bench_pages(sf)
+
+    def as_docs(t: pa.Table) -> pa.Table:
+        # deterministic integer ids from the url's trailing digits
+        # (fixture urls end ".../doc<N>")
+        ids = pc.cast(pc.replace_substring_regex(
+            t["url"], r"^.*\D", ""), pa.int64())
+        return pa.table({"doc_id": ids, "text": t["text"]})
+
+    base = rd.read_parquet(pages_dir, columns=["url", "text"]) \
+        .map_batches(as_docs, batch_format="pyarrow")
+
+    def plant(t: pa.Table) -> pa.Table:
+        sel = t.filter(pc.less(pc.bit_wise_and(t["doc_id"], 127), 19))
+        # ~15 % twins at doc_id + 10^9 (id-space disjoint from the corpus)
+        return pa.table({"doc_id": pc.add(sel["doc_id"], 1_000_000_000),
+                         "text": sel["text"]})
+
+    # coalesce before materializing: the 64-file read splits into ~384
+    # blocks; per-block overhead would dominate the narrow shuffles below
+    docs = base.union(base.map_batches(plant, batch_format="pyarrow")) \
+        .repartition(2 * NUM_CPUS).materialize()
+    n_docs = docs.count()
+
+    t0 = time.time()
+    kept = exact_dedup(docs, text_col="text", id_col="doc_id").count()
+    exact_s = time.time() - t0
+
+    out_dir = "/tmp/graft_dedup_pairs"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.time()
+    minhash_lsh_pairs_ds(docs, text_col="text", id_col="doc_id",
+                         threshold=0.7, num_bands=8).write_parquet(out_dir)
+    minhash_s = time.time() - t0
+    import pyarrow.parquet as pq
+
+    n_pairs = sum(
+        pq.read_metadata(os.path.join(out_dir, f)).num_rows
+        for f in os.listdir(out_dir) if f.endswith(".parquet")
+    )
+
+    ray.shutdown()
+    from bench import calibrate_single_thread
+
+    print(json.dumps({
+        "metric": "dedup_corpus_bench",
+        "docs": n_docs,
+        "exact_sec": round(exact_s, 2),
+        "exact_docs_per_sec": round(n_docs / exact_s, 1),
+        "exact_kept": kept,
+        "minhash_pairs_ds_sec": round(minhash_s, 2),
+        "minhash_docs_per_sec": round(n_docs / minhash_s, 1),
+        "verified_pairs": n_pairs,
+        "num_bands": 8,
+        "num_cpus": NUM_CPUS,
+        "sf": sf,
+        "calib_1t_sec": calibrate_single_thread(),
+    }))
+
+
+if __name__ == "__main__":
+    main()

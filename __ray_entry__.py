@@ -403,6 +403,15 @@ FROM (SELECT quantile_disc(l_quantity, [0.1, 0.25, 0.5, 0.75, 0.9]) AS v
       FROM lineitem),
      (SELECT unnest([0.1, 0.25, 0.5, 0.75, 0.9]) AS q,
              unnest(generate_series(1, 5)) AS i) u""",
+        "doc_sample": """
+SELECT doc_id FROM documents
+WHERE CAST('0x' || substr(md5('sample:' || doc_id), 1, 8) AS BIGINT)
+      % 100 < 10""",
+        "user_event_sequences": """
+SELECT user_id, count(*) AS n_events,
+       string_agg(CAST(event_id AS VARCHAR), ','
+                  ORDER BY ts, event_id) AS seq
+FROM events GROUP BY user_id""",
         "rolling_spend": """
 SELECT user_id, event_id,
        CAST(floor(value * 1000) AS BIGINT) AS value_milli,

@@ -137,6 +137,26 @@ def stable_split_batch(t: pa.Table, id_col: str = "doc_id",
     return t.append_column("split", pa.array(split, type=pa.string()))
 
 
+def hash_sample(ds: "ray.data.Dataset", id_col: str = "doc_id",
+                pct: int = 10, salt: str = "sample") -> "ray.data.Dataset":
+    """Deterministic hash sampling (SURVEY §2.7): keep ~pct % of rows by
+    salted-md5 of the id — reproducible across runs/engines (unlike
+    random_sample), stable under corpus growth (a kept id stays kept), and
+    SQL-checkable with the same md5 expression as stable_split. Change
+    ``salt`` to draw an independent sample."""
+    md5 = hashlib.md5
+    frombytes = int.from_bytes
+
+    def keep(t: pa.Table) -> pa.Table:
+        pcts = np.fromiter(
+            (frombytes(md5(f"{salt}:{i}".encode()).digest()[:4], "big") % 100
+             for i in t[id_col].to_pylist()),
+            dtype=np.int64, count=t.num_rows)
+        return t.filter(pa.array(pcts < pct))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 def stable_split(ds: "ray.data.Dataset", id_col: str = "doc_id",
                  train_pct: int = 80, val_pct: int = 10,
                  salt: str = "split") -> "ray.data.Dataset":

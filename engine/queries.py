@@ -986,6 +986,28 @@ def q_quantity_percentiles(sf_dir: str):
                      "value": pc.cast(out["value"], pa.int64())})
 
 
+def q_doc_sample(sf_dir: str):
+    """Deterministic hash sample (engine.partition.hash_sample): ~10 % of
+    documents by salted md5 of doc_id — reproducible across engines, stable
+    under corpus growth. DuckDB twin shares the md5 expression."""
+    from engine.partition import hash_sample
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    return hash_sample(docs, id_col="doc_id", pct=10, salt="sample")
+
+
+def q_user_event_sequences(sf_dir: str):
+    """Ordered per-user event-sequence assembly (engine.windows.
+    collect_per_key — the conversation/episode primitive). DuckDB twin:
+    string_agg(... ORDER BY ts, event_id)."""
+    from engine.windows import collect_per_key
+
+    events = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    return collect_per_key(events, key_col="user_id",
+                           order_cols=("ts", "event_id"),
+                           value_col="event_id")
+
+
 def q_session_windows(sf_dir: str):
     """Gap-based session windows per user (engine.windows.sessionize;
     1-hour gap). DuckDB twin is the gaps-and-islands window idiom."""
@@ -1067,4 +1089,6 @@ QUERIES = {
     "interval_attribution": q_interval_attribution,
     "rolling_spend": q_rolling_spend,
     "quantity_percentiles": q_quantity_percentiles,
+    "doc_sample": q_doc_sample,
+    "user_event_sequences": q_user_event_sequences,
 }

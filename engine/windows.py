@@ -127,3 +127,48 @@ def rolling_agg(ds: "ray.data.Dataset", key_col: str = "user_id",
         .groupby("__bucket")
         .map_groups(per_bucket, batch_format="pandas")
     )
+
+
+def collect_per_key(ds: "ray.data.Dataset", key_col: str = "user_id",
+                    order_cols: tuple = ("ts", "event_id"),
+                    value_col: str = "event_id", sep: str = ",",
+                    num_buckets: int = 32) -> "ray.data.Dataset":
+    """Ordered per-key sequence assembly — the conversation/episode-assembly
+    primitive of a training-data pipeline: one row per key with its values
+    concatenated in (order_cols) order.
+
+    Output: (key, n_events, seq) where ``seq`` joins str(value) with
+    ``sep`` — a string rather than list<...> so the result is directly
+    string_agg-comparable; a production pipeline would emit the list column
+    instead (same plan, skip the join).
+
+    Plan: one key-hash bucket exchange; per bucket, one sort over all keys
+    then a groupby agg whose per-key cost is a single C-level str.join —
+    the one bucketed operator here whose Python-call count is O(keys), not
+    O(buckets), kept because join-per-group has no vectorized form; each
+    call is ~µs and the exchange (the scale limit) is still one.
+    """
+    from engine.joins import _coalesced
+
+    cols = list(dict.fromkeys([key_col, *order_cols, value_col]))
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        t = t.select(cols)
+        return t.append_column("__bucket",
+                               _bucket_of_column(t[key_col], num_buckets))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, *order_cols], kind="mergesort")
+        vals = g[value_col].astype(str)
+        grouped = vals.groupby(g[key_col], sort=False)
+        out = grouped.agg(sep.join).reset_index()
+        out.columns = [key_col, "seq"]
+        out.insert(1, "n_events", grouped.size().to_numpy())
+        return out
+
+    return (
+        _coalesced(ds.map_batches(add_bucket, batch_format="pyarrow"),
+                   num_buckets, "auto")
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )

@@ -281,3 +281,19 @@ def test_rolling_agg(ray_session):
     out2 = rolling_agg(ds, window=2, agg="max").to_pandas().sort_values(
         ["user_id", "ts"]).reset_index(drop=True)
     assert out2["roll_max"].tolist() == [1.0, 2.0, 4.0, 8.0, 10.0, 20.0]
+
+
+def test_collect_per_key(ray_session):
+    import ray.data as rd
+
+    from engine.windows import collect_per_key
+
+    ds = rd.from_arrow(pa.table({
+        "user_id": [2, 1, 1, 1, 2],
+        "ts": [7, 30, 10, 20, 5],
+        "event_id": [50, 13, 11, 12, 51],
+    })).repartition(3)
+    out = collect_per_key(ds).to_pandas().sort_values("user_id") \
+        .reset_index(drop=True)
+    assert out["seq"].tolist() == ["11,12,13", "51,50"]
+    assert out["n_events"].tolist() == [3, 2]

@@ -107,3 +107,20 @@ def test_fast_hash_path():
     # differs from md5 (it's a different hash family) but same dtype/shape
     m = part.add_url_hash_batch(urls, num_buckets=16, method="md5")
     assert m["url_hash"].type == a["url_hash"].type
+
+
+def test_hash_sample(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_arrow(pa.table({"doc_id": list(range(2000))}))
+    a = set(r["doc_id"] for r in part.hash_sample(ds, pct=10).take_all())
+    b = set(r["doc_id"] for r in part.hash_sample(ds, pct=10).take_all())
+    assert a == b                       # deterministic
+    assert 120 < len(a) < 280           # ~10 %
+    # growth-stability: kept ids stay kept when the corpus grows
+    big = rd.from_arrow(pa.table({"doc_id": list(range(4000))}))
+    c = set(r["doc_id"] for r in part.hash_sample(big, pct=10).take_all())
+    assert a <= c
+    # pct=25 superset of pct=10 (same salt)
+    d = set(r["doc_id"] for r in part.hash_sample(ds, pct=25).take_all())
+    assert a <= d

@@ -297,3 +297,63 @@ def test_collect_per_key(ray_session):
         .reset_index(drop=True)
     assert out["seq"].tolist() == ["11,12,13", "51,50"]
     assert out["n_events"].tolist() == [3, 2]
+
+
+def test_new_operators_match_pandas_reference_randomized(ray_session):
+    """Randomized (seeded) equivalence of the round-3 operators against
+    independent pandas references, across parallelism: semi/anti partition
+    the left side; top-k, rolling and collect match groupby references."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from engine.joins import hash_join
+    from engine.stats import top_k_per_group
+    from engine.windows import collect_per_key, rolling_agg
+
+    rng = np.random.RandomState(11)
+    for case in range(3):
+        n = int(rng.randint(50, 400))
+        left = pd.DataFrame({
+            "k": rng.randint(0, 20, n),
+            "v": rng.randint(0, 50, n),
+            "lid": np.arange(n),
+        })
+        right = pd.DataFrame({"k": rng.choice(20, rng.randint(1, 15),
+                                              replace=False)})
+        lds = rd.from_pandas(left).repartition(int(rng.randint(1, 6)))
+        rds = rd.from_pandas(right)
+
+        semi = hash_join(lds, rds, on="k", how="semi").to_pandas()
+        anti = hash_join(lds, rds, on="k", how="anti").to_pandas()
+        in_r = left["k"].isin(set(right["k"]))
+        assert sorted(semi["lid"]) == sorted(left.loc[in_r, "lid"])
+        assert sorted(anti["lid"]) == sorted(left.loc[~in_r, "lid"])
+
+        k = int(rng.randint(1, 4))
+        top = top_k_per_group(lds, "k", "v", k, tiebreak_col="lid").to_pandas()
+        ref = (left.sort_values(["k", "v", "lid"],
+                                ascending=[True, False, True])
+               .groupby("k").head(k))
+        assert sorted(map(tuple, top[["k", "lid"]].values.tolist())) == \
+            sorted(map(tuple, ref[["k", "lid"]].values.tolist()))
+
+        ev = pd.DataFrame({
+            "user_id": rng.randint(0, 10, n),
+            "ts": rng.randint(0, 1000, n),
+            "event_id": np.arange(n),
+            "value": rng.randint(0, 9, n).astype(float),
+        })
+        eds = rd.from_pandas(ev).repartition(int(rng.randint(1, 6)))
+        w = int(rng.randint(1, 5))
+        roll = rolling_agg(eds, window=w, agg="sum").to_pandas() \
+            .sort_values(["user_id", "ts", "event_id"])
+        ref_r = ev.sort_values(["user_id", "ts", "event_id"])
+        ref_roll = ref_r.groupby("user_id")["value"].transform(
+            lambda s: s.rolling(w, min_periods=1).sum())
+        assert np.allclose(roll["roll_sum"].to_numpy(), ref_roll.to_numpy())
+
+        seq = collect_per_key(eds).to_pandas().set_index("user_id")["seq"]
+        ref_seq = ref_r.groupby("user_id")["event_id"].agg(
+            lambda s: ",".join(s.astype(str)))
+        assert seq.sort_index().tolist() == ref_seq.sort_index().tolist()

@@ -348,14 +348,16 @@ def _candidate_pairs(rows: "ray.data.Dataset", id_col: str,
         return None
 
     def hot_rows_ds():
-        # vectorized membership: broadcast the hot-key array once, pc.is_in
-        # per batch (the per-row `k in set` comprehension cost a Python call
-        # per band row inside a full-corpus scan)
-        hot_ref = ray.put(np.asarray(hot_keys))
+        # vectorized membership: broadcast the hot-key array ONCE as a
+        # ready-typed Arrow array (building/casting it per batch would
+        # re-pay the allocation on every block of a full-corpus scan);
+        # pc.is_in per batch replaces the per-row `k in set` comprehension
+        hot_ref = ray.put(pa.array(np.asarray(hot_keys, dtype=np.int64)))
 
         def hot_filter(t: pa.Table) -> pa.Table:
-            keys = get_broadcast(hot_ref)
-            value_set = pa.array(keys).cast(t[key_col].type)
+            value_set = get_broadcast(hot_ref)
+            if value_set.type != t[key_col].type:  # pathological schemas
+                value_set = value_set.cast(t[key_col].type)
             return t.filter(pc.is_in(t[key_col], value_set=value_set))
 
         return rows.map_batches(hot_filter, batch_format="pyarrow")
@@ -412,6 +414,11 @@ def _candidate_pairs(rows: "ray.data.Dataset", id_col: str,
         cand.groupby(["id_a", "id_b"])
         .aggregate(Count(alias_name="__n"))
         .select_columns(["id_a", "id_b"])
+        # materialize: the caller feeds this into hash_join, whose schema
+        # read would otherwise EXECUTE this shuffle (incl. the full-corpus
+        # hot-bucket scan) and the join's union would execute it AGAIN —
+        # the lazy-re-execution cost CLAUDE.md documents
+        .materialize()
     )
 
 
@@ -444,7 +451,13 @@ def _attach_pair_columns(pairs: "ray.data.Dataset", side_ds: "ray.data.Dataset",
         return pa.table({mapping.get(n, n): t[n] for n in t.column_names})
 
     side = side_ds.map_batches(rename, batch_format="pyarrow")
-    return hash_join(pairs, side, on=endpoint, num_buckets=num_buckets)
+    # materialize: callers chain two attaches; hash_join's schema read of a
+    # lazy left side would EXECUTE the first join and the union would
+    # execute it again (lazy-re-execution, CLAUDE.md). Pair+payload volume
+    # is candidate-bounded, so the object store (with spill) is the right
+    # place for it.
+    return hash_join(pairs, side, on=endpoint,
+                     num_buckets=num_buckets).materialize()
 
 
 def _empty_pairs_table(value_col: str,
@@ -953,8 +966,13 @@ def _ngram_pairs_plan(ds: "ray.data.Dataset", candidate_pairs,
             return out[out["jaccard"] >= threshold]
         candidate_pairs = rd.from_arrow(pa.Table.from_pandas(
             candidate_pairs[["id_a", "id_b"]], preserve_index=False))
-    elif set(candidate_pairs.schema().names) - {"id_a", "id_b"}:
-        candidate_pairs = candidate_pairs.select_columns(["id_a", "id_b"])
+    else:
+        # materialize before the schema peek — on a lazy external Dataset
+        # schema() would execute the pipeline once and the join again
+        candidate_pairs = candidate_pairs.materialize()
+        if set(candidate_pairs.schema().names) - {"id_a", "id_b"}:
+            candidate_pairs = candidate_pairs.select_columns(
+                ["id_a", "id_b"])
 
     with_a = _attach_pair_columns(candidate_pairs, texts, id_col, "id_a",
                                   {text_col: "text_a"})

@@ -117,9 +117,21 @@ def _para_style(p: ET.Element) -> tuple[str | None, int | None, int | None]:
     if numpr is not None:
         lvl = numpr.find(f"{W}ilvl")
         nid = numpr.find(f"{W}numId")
-        ilvl = int(lvl.get(f"{W}val", "0")) if lvl is not None else 0
-        numid = int(nid.get(f"{W}val", "1")) if nid is not None else 1
+        ilvl = _to_int(lvl.get(f"{W}val", "0")) if lvl is not None else 0
+        numid = _to_int(nid.get(f"{W}val", "1")) if nid is not None else 1
+        if ilvl is None:  # junk level attr → treat as top level
+            ilvl = 0
     return heading, ilvl, numid
+
+
+def _to_int(s: str | None) -> int | None:
+    """Tolerant id parse — the optional-parts contract is 'damage degrades
+    to empty, never an error', so junk ids skip their entry instead of
+    raising ValueError out of the extraction kernel."""
+    try:
+        return int(s)  # type: ignore[arg-type]
+    except (TypeError, ValueError):
+        return None
 
 
 def _parse_numbering(xml_bytes: bytes) -> dict[int, dict[int, str]]:
@@ -132,25 +144,26 @@ def _parse_numbering(xml_bytes: bytes) -> dict[int, dict[int, str]]:
         return {}
     abstract: dict[int, dict[int, str]] = {}
     for an in root.findall(f"{W}abstractNum"):
-        aid = an.get(f"{W}abstractNumId")
+        aid = _to_int(an.get(f"{W}abstractNumId"))
         if aid is None:
             continue
         lvls: dict[int, str] = {}
         for lvl in an.findall(f"{W}lvl"):
-            il = lvl.get(f"{W}ilvl")
+            il = _to_int(lvl.get(f"{W}ilvl"))
             fmt = lvl.find(f"{W}numFmt")
             if il is not None and fmt is not None:
-                lvls[int(il)] = fmt.get(f"{W}val", "decimal")
-        abstract[int(aid)] = lvls
+                lvls[il] = fmt.get(f"{W}val", "decimal")
+        abstract[aid] = lvls
     out: dict[int, dict[int, str]] = {}
     for num in root.findall(f"{W}num"):
-        nid = num.get(f"{W}numId")
+        nid = _to_int(num.get(f"{W}numId"))
         ref = num.find(f"{W}abstractNumId")
         if nid is None or ref is None:
             continue
-        lvls = abstract.get(int(ref.get(f"{W}val", "-1")))
+        aid = _to_int(ref.get(f"{W}val"))
+        lvls = abstract.get(aid) if aid is not None else None
         if lvls is not None:
-            out[int(nid)] = lvls
+            out[nid] = lvls
     return out
 
 
@@ -165,7 +178,7 @@ def _parse_footnotes(xml_bytes: bytes) -> dict[int, list]:
     for fn in root.findall(f"{W}footnote"):
         if fn.get(f"{W}type"):
             continue
-        fid = fn.get(f"{W}id")
+        fid = _to_int(fn.get(f"{W}id"))
         if fid is None:
             continue
         inline: list = []
@@ -173,7 +186,7 @@ def _parse_footnotes(xml_bytes: bytes) -> dict[int, list]:
             if inline:
                 inline.append(" ")
             inline.extend(_para_inline(p))
-        out[int(fid)] = inline
+        out[fid] = inline
     return out
 
 
@@ -371,10 +384,9 @@ def _tree_from_xml(xml_bytes: bytes,
         # markdown-convention "[^N]: …" paragraphs at the document end
         seen: list[int] = []
         for ref in body_el.iter(f"{W}footnoteReference"):
-            fid = ref.get(f"{W}id")
-            if fid is not None and int(fid) in footnotes \
-                    and int(fid) not in seen:
-                seen.append(int(fid))
+            fid = _to_int(ref.get(f"{W}id"))
+            if fid is not None and fid in footnotes and fid not in seen:
+                seen.append(fid)
         for fid in seen:
             p = Node("p")
             p.children = [f"[^{fid}]: "] + list(footnotes[fid])

@@ -59,14 +59,18 @@ def _hash_array(col: pa.ChunkedArray | pa.Array, method: str) -> np.ndarray:
             col = pa.chunked_array([col])
         try:
             # zero-copy from Arrow + one vectorized xxhash pass (~25× the
-            # md5 loop); deterministic across processes within a polars
-            # version — exactly the partitioning contract, nothing more
+            # md5 loop). Deterministic across processes within a PINNED
+            # polars version — pin polars wherever a fast-partitioned
+            # layout outlives one run. NO silent fallback to a different
+            # hash family: a reader hashing with pandas while the writer
+            # used polars would silently route rows to wrong buckets, so
+            # an absent polars is a hard error steering back to 'md5'.
             import polars as pl
-
-            h = pl.from_arrow(col).hash(seed=0).to_numpy()
-        except ImportError:
-            h = pd.util.hash_array(np.asarray(col.to_pylist(), dtype=object),
-                                   categorize=False)
+        except ImportError as exc:
+            raise RuntimeError(
+                "hash method 'fast' requires polars (the only stable "
+                "implementation); use method='md5' instead") from exc
+        h = pl.from_arrow(col).hash(seed=0).to_numpy()
         return (h & np.uint64(0xFFFFFFFF)).astype(np.int64)
     raise ValueError(f"unknown hash method: {method}")
 

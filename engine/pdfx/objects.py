@@ -145,6 +145,8 @@ def _runlength_decode(data: bytes, limit: int = MAX_DECOMPRESSED) -> bytes:
         if length == 128:
             break
         if length < 128:
+            if i + 2 + length > n:  # same damage policy as the repeat run
+                raise PdfError("truncated RunLength stream")
             out += data[i + 1 : i + 2 + length]
             i += 2 + length
         else:
@@ -243,7 +245,13 @@ class Stream:
             return self.raw
         filters = filt if isinstance(filt, list) else [filt]
         parms = self.dict.get("DecodeParms", self.dict.get("DP"))
-        plist = parms if isinstance(parms, list) else [parms] * len(filters)
+        if isinstance(parms, list):
+            plist = list(parms)
+        else:
+            # a SCALAR DecodeParms pairs with the first filter only (per
+            # spec it is only valid for a single filter; replicating it
+            # would re-apply the predictor after every stage of a chain)
+            plist = [parms]
         if len(plist) < len(filters):
             plist = plist + [None] * (len(filters) - len(plist))
         data = self.raw

@@ -147,15 +147,19 @@ def exact_percentiles(ds: "ray.data.Dataset", col: str,
         .groupby(col)
         .aggregate(Count(alias_name="n"))
         .to_pandas()
-        .sort_values(col)
     )
     import numpy as np
 
+    # empty input → typed empty result (an empty aggregate's frame has no
+    # columns at all, so guard before the sort)
+    if len(counts) == 0 or col not in counts.columns:
+        return pa.table({"q": pa.array([], type=pa.float64()),
+                         "value": pa.array([], type=pa.float64())})
+    counts = counts.sort_values(col)
     cum = counts["n"].cumsum().to_numpy()
-    total = int(cum[-1]) if len(cum) else 0
     out_q, out_v = [], []
     for q in qs:
-        rank = max(1, int(np.ceil(q * total)))
+        rank = max(1, int(np.ceil(q * int(cum[-1]))))
         idx = int(np.searchsorted(cum, rank))
         out_q.append(float(q))
         out_v.append(counts[col].iloc[idx])

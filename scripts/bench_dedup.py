@@ -23,7 +23,7 @@ sys.path.insert(0, REPO)
 
 from bench import NUM_CPUS, SF_DIR, ensure_bench_pages, sf_of  # noqa: E402
 
-DUP_PCT = 15  # plant: every doc with id % 100 < DUP_PCT gets a twin
+DUP_PCT = 15  # target duplicate rate; realized via a power-of-two modulus
 
 
 def main() -> None:
@@ -54,9 +54,13 @@ def main() -> None:
     base = rd.read_parquet(pages_dir, columns=["url", "text"]) \
         .map_batches(as_docs, batch_format="pyarrow")
 
+    # DUP_PCT as a power-of-two modulus: id & 127 < round(128 * pct/100)
+    dup_threshold = round(128 * DUP_PCT / 100)  # 19 → ~14.8 % realized
+
     def plant(t: pa.Table) -> pa.Table:
-        sel = t.filter(pc.less(pc.bit_wise_and(t["doc_id"], 127), 19))
-        # ~15 % twins at doc_id + 10^9 (id-space disjoint from the corpus)
+        sel = t.filter(pc.less(pc.bit_wise_and(t["doc_id"], 127),
+                               dup_threshold))
+        # twins at doc_id + 10^9 (id-space disjoint from the corpus)
         return pa.table({"doc_id": pc.add(sel["doc_id"], 1_000_000_000),
                          "text": sel["text"]})
 

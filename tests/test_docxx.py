@@ -181,3 +181,27 @@ def test_header_footer_members_skipped():
     md = md_of_docx(payload)
     assert "CONFIDENTIAL-DRAFT-HEADER" not in md
     assert "r1c1" in md  # body table still extracts
+
+
+def test_docx_junk_ids_degrade_not_raise():
+    """Non-numeric ids in numbering/footnotes must degrade (parity
+    heuristic / skipped entry), never raise out of the kernel."""
+    from engine.fixtures import build_docx, _w_p
+
+    bad_numbering = (
+        '<?xml version="1.0"?><w:numbering xmlns:w="http://schemas.'
+        'openxmlformats.org/wordprocessingml/2006/main">'
+        '<w:abstractNum w:abstractNumId="x7"><w:lvl w:ilvl="zero">'
+        '<w:numFmt w:val="decimal"/></w:lvl></w:abstractNum>'
+        '<w:num w:numId="junk"><w:abstractNumId w:val="x7"/></w:num>'
+        "</w:numbering>")
+    bad_footnotes = (
+        '<?xml version="1.0"?><w:footnotes xmlns:w="http://schemas.'
+        'openxmlformats.org/wordprocessingml/2006/main">'
+        '<w:footnote w:id="NaN">' + _w_p([("orphan", False, False)])
+        + "</w:footnote></w:footnotes>")
+    payload = build_docx(_w_p([("list item", False, False)], numpr=(0, 1)),
+                         numbering_xml=bad_numbering,
+                         footnotes_xml=bad_footnotes)
+    md = md_of_docx(payload)
+    assert "- list item" in md  # parity fallback (numId 1 odd → bullet)

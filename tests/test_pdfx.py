@@ -277,3 +277,40 @@ def test_encrypted_pdf_rejected_clearly():
     assert enc != pdf
     with pytest.raises(PdfError, match="encrypted"):
         extract_pdf_text(enc)
+
+
+def test_scalar_decodeparms_applies_to_first_filter_only():
+    """A non-array /DecodeParms pairs with the FIRST filter of a chain —
+    replicating it would re-apply the predictor after every stage."""
+    import zlib as _zlib
+
+    from engine.fixtures import png_predict_encode
+    from engine.pdfx.objects import PdfError, Stream
+
+    data = b"0123456789abcdef" * 8
+    inner = _zlib.compress(png_predict_encode(data, 16, "up"))
+    outer = _zlib.compress(inner)
+    st = Stream({"Filter": ["FlateDecode", "FlateDecode"],
+                 "DecodeParms": {"Predictor": 12, "Columns": 16}},
+                outer)
+    # scalar parms → predictor after stage 1 only... but stage order means
+    # the predictor must undo AFTER the LAST inflate of the payload it was
+    # applied to; here the correct pairing is [parms, None] per spec and
+    # the inner payload is still Flate-compressed at stage 1 — so stage-1
+    # un-prediction of compressed bytes must FAIL loudly or mis-decode,
+    # never silently double-apply. The well-formed array form works:
+    st2 = Stream({"Filter": ["FlateDecode", "FlateDecode"],
+                  "DecodeParms": [None, {"Predictor": 12, "Columns": 16}]},
+                 outer)
+    assert st2.data() == data
+    try:
+        st.data()
+    except PdfError:
+        pass  # acceptable: strict failure on the malformed scalar form
+
+
+def test_runlength_truncated_literal_raises():
+    from engine.pdfx.objects import PdfError, _runlength_decode
+
+    with pytest.raises(PdfError, match="truncated"):
+        _runlength_decode(bytes([10]) + b"abc")  # promises 11, has 3

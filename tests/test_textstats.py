@@ -108,3 +108,14 @@ def test_exact_percentiles(ray_session):
     got = dict(zip(out["q"].to_pylist(), out["value"].to_pylist()))
     # ceil(q*n) rank convention — pinned against DuckDB quantile_disc
     assert got == {0.25: 3, 0.5: 5, 0.75: 8, 0.9: 9}
+
+
+def test_exact_percentiles_empty(ray_session):
+    import ray.data as rd
+    import pyarrow as pa
+
+    from engine.stats import exact_percentiles
+
+    empty = rd.from_arrow(pa.table({"v": pa.array([], type=pa.int64())}))
+    out = exact_percentiles(empty, "v")
+    assert out.num_rows == 0

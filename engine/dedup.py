@@ -377,6 +377,11 @@ def _candidate_pairs(rows: "ray.data.Dataset", id_col: str,
         if hot_keys:
             df = hot_rows_ds().to_pandas().sort_values(
                 [key_col, id_col], kind="mergesort")
+            # duplicate ids inside one bucket (duplicate-id inputs) must
+            # not consume cap slots or yield self-pairs — both expansion
+            # paths dedupe (key, id) BEFORE capping, keeping the plans
+            # identical on that edge
+            df = df.drop_duplicates([key_col, id_col])
             df = df[df.groupby(key_col).cumcount() < max_bucket]
             m = df.merge(df, on=key_col)
             a, b = f"{id_col}_x", f"{id_col}_y"
@@ -395,7 +400,10 @@ def _candidate_pairs(rows: "ray.data.Dataset", id_col: str,
     if hot_keys:
 
         def expand(g: pd.DataFrame) -> pd.DataFrame:
-            ids = sorted(g[id_col].tolist())[:max_bucket]
+            # set(): duplicate ids in a bucket would emit (x, x) self-pairs
+            # from distinct positions — the driver plan's strict < merge
+            # filters those, so dedupe here to keep the plans identical
+            ids = sorted(set(g[id_col].tolist()))[:max_bucket]
             out_a, out_b = [], []
             for i, va in enumerate(ids):
                 for vb in ids[i + 1 :]:
@@ -410,7 +418,7 @@ def _candidate_pairs(rows: "ray.data.Dataset", id_col: str,
         )
 
     cand = parts[0] if len(parts) == 1 else parts[0].union(parts[1])
-    return (
+    out = (
         cand.groupby(["id_a", "id_b"])
         .aggregate(Count(alias_name="__n"))
         .select_columns(["id_a", "id_b"])
@@ -420,6 +428,9 @@ def _candidate_pairs(rows: "ray.data.Dataset", id_col: str,
         # the lazy-re-execution cost CLAUDE.md documents
         .materialize()
     )
+    # all candidates may have been degenerate self-pairs (duplicate-id
+    # inputs); an empty Dataset has no schema for the verify join to read
+    return out if out.count() else None
 
 
 def _fetch_for_ids(ds: "ray.data.Dataset", id_col: str,
@@ -434,6 +445,15 @@ def _fetch_for_ids(ds: "ray.data.Dataset", id_col: str,
         return t.filter(pc.is_in(t[id_col], value_set=value_set))
 
     return ds.map_batches(keep, batch_format="pyarrow").to_pandas()
+
+
+def _unique_by_id(ds: "ray.data.Dataset", id_col: str) -> "ray.data.Dataset":
+    """Defensive unique-id enforcement for pair-attach side tables:
+    duplicate ids (duplicate input rows) would FAN OUT the verify join,
+    duplicating output pairs — the join-plan twin of the driver plan's
+    ``drop_duplicates``. One deterministic winner per id (first_per_key's
+    bucketed exchange; Python-call count stays O(buckets))."""
+    return first_per_key(ds, key_col=id_col)
 
 
 def _attach_pair_columns(pairs: "ray.data.Dataset", side_ds: "ray.data.Dataset",
@@ -538,6 +558,7 @@ def _minhash_pairs_plan(ds: "ray.data.Dataset", text_col: str,
                             "sig": _list_u64_to_binary(t["sig"], NUM_PERM)}),
         batch_format="pyarrow",
     )
+    sigs_bin = _unique_by_id(sigs_bin, id_col).materialize()
     with_a = _attach_pair_columns(pairs, sigs_bin, id_col, "id_a",
                                   {"sig": "sig_a"})
     with_ab = _attach_pair_columns(with_a, sigs_bin, id_col, "id_b",
@@ -884,9 +905,11 @@ def _simhash_pairs_plan(ds: "ray.data.Dataset", text_col: str,
                 np.bitwise_xor(a, b)).astype(np.int64)
             return out[out["hamming"] <= max_hamming]
 
-    with_a = _attach_pair_columns(pairs, sigs, id_col, "id_a",
+    sig_side = _unique_by_id(sigs.select_columns([id_col, "simhash"]),
+                             id_col).materialize()
+    with_a = _attach_pair_columns(pairs, sig_side, id_col, "id_a",
                                   {"simhash": "sim_a"})
-    with_ab = _attach_pair_columns(with_a, sigs, id_col, "id_b",
+    with_ab = _attach_pair_columns(with_a, sig_side, id_col, "id_b",
                                    {"simhash": "sim_b"})
 
     def verify(t: pa.Table) -> pa.Table:
@@ -974,6 +997,7 @@ def _ngram_pairs_plan(ds: "ray.data.Dataset", candidate_pairs,
             candidate_pairs = candidate_pairs.select_columns(
                 ["id_a", "id_b"])
 
+    texts = _unique_by_id(texts, id_col).materialize()
     with_a = _attach_pair_columns(candidate_pairs, texts, id_col, "id_a",
                                   {text_col: "text_a"})
     with_ab = _attach_pair_columns(with_a, texts, id_col, "id_b",

@@ -346,13 +346,15 @@ def _embedding_pairs_plan(ds: "ray.data.Dataset", threshold: float,
 
     # distributed join plan: pre-normalized vectors ride the pair join as
     # binary blobs (once per endpoint), cosine is a per-batch row-wise dot
-    vecs_bin = ds.map_batches(
+    from engine.dedup import _unique_by_id
+
+    vecs_bin = _unique_by_id(ds.map_batches(
         lambda t: pa.table({
             id_col: t[id_col],
             "vec": _f64_rows_to_binary(_normalize(_to_matrix(t[vec_col]))),
         }),
         batch_format="pyarrow",
-    )
+    ), id_col).materialize()
     with_a = _attach_pair_columns(pairs, vecs_bin, id_col, "id_a",
                                   {"vec": "vec_a"})
     with_ab = _attach_pair_columns(with_a, vecs_bin, id_col, "id_b",

@@ -44,12 +44,21 @@ def main() -> None:
     sf = sf_of(SF_DIR)
     pages_dir = ensure_bench_pages(sf)
 
+    import hashlib
+
+    import numpy as np
+
     def as_docs(t: pa.Table) -> pa.Table:
-        # deterministic integer ids from the url's trailing digits
-        # (fixture urls end ".../doc<N>")
-        ids = pc.cast(pc.replace_substring_regex(
-            t["url"], r"^.*\D", ""), pa.int64())
-        return pa.table({"doc_id": ids, "text": t["text"]})
+        # collision-free deterministic ids: 63-bit blake2b of the url
+        # (trailing-digit extraction collided across url variants, planting
+        # accidental duplicate ids — dedup documents unique ids as its
+        # input precondition)
+        ids = np.fromiter(
+            (int.from_bytes(hashlib.blake2b(u.encode(), digest_size=8)
+                            .digest(), "big") >> 1
+             for u in t["url"].to_pylist()),
+            dtype=np.int64, count=t.num_rows)
+        return pa.table({"doc_id": pa.array(ids), "text": t["text"]})
 
     base = rd.read_parquet(pages_dir, columns=["url", "text"]) \
         .map_batches(as_docs, batch_format="pyarrow")
@@ -60,9 +69,13 @@ def main() -> None:
     def plant(t: pa.Table) -> pa.Table:
         sel = t.filter(pc.less(pc.bit_wise_and(t["doc_id"], 127),
                                dup_threshold))
-        # twins at doc_id + 10^9 (id-space disjoint from the corpus)
-        return pa.table({"doc_id": pc.add(sel["doc_id"], 1_000_000_000),
-                         "text": sel["text"]})
+        # twin ids in a disjoint id space: flip bit 62 (base ids are 63-bit
+        # hashes with bit 62 ~uniform, so xor keeps them unique w.h.p.
+        # while staying positive int64)
+        return pa.table({
+            "doc_id": pc.bit_wise_xor(sel["doc_id"],
+                                      pa.scalar(1 << 62, pa.int64())),
+            "text": sel["text"]})
 
     # coalesce before materializing: the 64-file read splits into ~384
     # blocks; per-block overhead would dominate the narrow shuffles below
@@ -73,6 +86,16 @@ def main() -> None:
     t0 = time.time()
     kept = exact_dedup(docs, text_col="text", id_col="doc_id").count()
     exact_s = time.time() - t0
+
+    plan = "auto"
+    if os.environ.get("RAY_GRAFT_FORCE_JOIN_PLAN"):
+        # force the fully-distributed verification plan (what a 10^9-doc
+        # corpus would run) regardless of candidate volume
+        from engine import dedup as _dedup
+
+        _dedup.VERIFY_DRIVER_MAX = -1
+        _dedup.FETCH_DRIVER_MAX = -1
+        plan = "forced-join"
 
     out_dir = "/tmp/graft_dedup_pairs"
     shutil.rmtree(out_dir, ignore_errors=True)
@@ -99,6 +122,7 @@ def main() -> None:
         "minhash_pairs_ds_sec": round(minhash_s, 2),
         "minhash_docs_per_sec": round(n_docs / minhash_s, 1),
         "verified_pairs": n_pairs,
+        "minhash_plan": plan,
         "num_bands": 8,
         "num_cpus": NUM_CPUS,
         "sf": sf,

@@ -168,18 +168,23 @@ def test_pairs_ds_write_parquet_no_driver_frame(docs, monkeypatch, tmp_path):
     assert {(0, 1), (4, 5)} <= set(zip(got2["id_a"], got2["id_b"]))
 
 
-def test_candidate_pairs_no_self_pairs(ray_session):
+def test_candidate_pairs_no_self_pairs(ray_session, monkeypatch):
     """Duplicate ids in the input must not produce id_a == id_b pairs on
-    either expansion path (size-2 aggregate vs ≥3 self-merge)."""
+    ANY expansion path: size-2 aggregate, ≥3 driver self-merge, and the
+    forced fully-distributed expand (which once emitted (x, x) from
+    distinct positions of a duplicated id)."""
     import ray.data as rd
 
     ds = rd.from_arrow(pa.table({
         "doc_id": [7, 7, 8, 8, 8],
         "text": [BASE] * 2 + [TEXTS[4]] * 3,
     }))
-    pairs = dedup.minhash_lsh_pairs(ds, threshold=0.5)
-    assert (pairs["id_a"] < pairs["id_b"]).all() if len(pairs) else True
-    assert not ((pairs["id_a"] == pairs["id_b"]).any() if len(pairs) else False)
+    for cap in (dedup.VERIFY_DRIVER_MAX, -1):
+        monkeypatch.setattr(dedup, "VERIFY_DRIVER_MAX", cap)
+        pairs = dedup.minhash_lsh_pairs(ds, threshold=0.5)
+        if len(pairs):
+            assert (pairs["id_a"] < pairs["id_b"]).all()
+            assert not (pairs["id_a"] == pairs["id_b"]).any()
 
 
 def test_join_plan_matches_driver_plan(docs, monkeypatch):

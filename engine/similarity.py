@@ -14,15 +14,30 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
 
 
 def _to_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
-    """list<float> column → float64 matrix (copy, but batch-sized only)."""
-    pylist = col.to_pylist()
-    return np.asarray(pylist, dtype=np.float64)
+    """list<float> column → float64 matrix.
+
+    Fast path: flatten the Arrow list values buffer straight into numpy
+    (one vectorized copy) when the lists are null-free and uniform-length —
+    the embedding-column norm. to_pylist() boxed every float through a
+    Python object (6.4M boxes per 100k×64 full scan) and was the hidden
+    constant of every ANN batch. Ragged/null columns fall back."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if col.null_count == 0 and pa.types.is_list(col.type):
+        lens = pc.unique(pc.list_value_length(col))
+        if len(lens) == 1:
+            dim = lens[0].as_py()
+            flat = col.flatten().to_numpy(zero_copy_only=False)
+            return np.ascontiguousarray(flat, dtype=np.float64) \
+                .reshape(len(col), dim)
+    return np.asarray(col.to_pylist(), dtype=np.float64)
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -47,7 +62,7 @@ def knn_brute(ds: "ray.data.Dataset", queries: np.ndarray, k: int = 10,
 
         q = get_broadcast(q_ref)  # one plasma fetch per worker process
         vecs = _normalize(_to_matrix(t[vec_col]))
-        ids = np.asarray(t[id_col].to_pylist())
+        ids = t[id_col].to_numpy(zero_copy_only=False)
         cos = vecs @ q.T  # (batch, q)
         kk = min(k, len(ids))
         out_q, out_id, out_cos = [], [], []

@@ -403,6 +403,15 @@ FROM (SELECT quantile_disc(l_quantity, [0.1, 0.25, 0.5, 0.75, 0.9]) AS v
       FROM lineitem),
      (SELECT unnest([0.1, 0.25, 0.5, 0.75, 0.9]) AS q,
              unnest(generate_series(1, 5)) AS i) u""",
+        "normalize_text": """
+SELECT doc_id,
+       regexp_replace(nfc_normalize(text),
+                      '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '',
+                      'g') AS text_norm,
+       length(regexp_replace(nfc_normalize(text),
+                             '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '',
+                             'g')) AS n_chars
+FROM documents""",
         "doc_sample": """
 SELECT doc_id FROM documents
 WHERE CAST('0x' || substr(md5('sample:' || doc_id), 1, 8) AS BIGINT)

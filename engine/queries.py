@@ -1008,6 +1008,25 @@ def q_user_event_sequences(sf_dir: str):
                            value_col="event_id")
 
 
+def q_normalize_text(sf_dir: str):
+    """Unicode NFC + control-strip normalization (engine.textops.
+    normalize_text_batch — the standard web-text cleaning stage). DuckDB
+    twin: regexp_replace(nfc_normalize(text), ...)."""
+    from engine.textops import normalize_text_batch
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        out = normalize_text_batch(t)
+        return pa.table({
+            "doc_id": out["doc_id"],
+            "text_norm": out["text_norm"],
+            "n_chars": pc.cast(pc.utf8_length(out["text_norm"]), pa.int64()),
+        })
+
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
 def q_session_windows(sf_dir: str):
     """Gap-based session windows per user (engine.windows.sessionize;
     1-hour gap). DuckDB twin is the gaps-and-islands window idiom."""
@@ -1090,5 +1109,6 @@ QUERIES = {
     "rolling_spend": q_rolling_spend,
     "quantity_percentiles": q_quantity_percentiles,
     "doc_sample": q_doc_sample,
+    "normalize_text": q_normalize_text,
     "user_event_sequences": q_user_event_sequences,
 }

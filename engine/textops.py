@@ -206,7 +206,34 @@ def extension_for_format(output_format: str) -> str:
     return ".md" if output_format == "markdown" else ".txt"
 
 
+# ---------------------------------------------------------------------------
+# Text normalization (training-data cleaning stage): Unicode NFC + control-
+# character strip. SQL twin: regexp_replace(nfc_normalize(text), ...) —
+# both engines implement Unicode NFC (unicodedata / utf8proc) and the
+# control class is pure ASCII, so RE2-vs-Python semantics agree.
+# ---------------------------------------------------------------------------
+
+_CTRL_RE = re.compile(r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]")
+
+
+def normalize_text(s: str) -> str:
+    """NFC-normalize, then strip C0 control chars (keeping \\t \\n \\r)."""
+    import unicodedata
+
+    if not s.isascii():  # ASCII is NFC by definition — skip the pass
+        s = unicodedata.normalize("NFC", s)
+    return _CTRL_RE.sub("", s)
+
+
+def normalize_text_batch(t: pa.Table, text_col: str = "text",
+                         out_col: str = "text_norm") -> pa.Table:
+    out = [normalize_text(s or "") for s in t[text_col].to_pylist()]
+    return t.append_column(out_col, pa.array(out, type=pa.string()))
+
+
 __all__ = [
+    "normalize_text",
+    "normalize_text_batch",
     "chunk_text",
     "chunk_text_gated",
     "explode_chunks_batch",

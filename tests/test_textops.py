@@ -141,3 +141,20 @@ def test_extension_for_format():
     assert t.extension_for_format("markdown") == ".md"
     assert t.extension_for_format("plain_text") == ".txt"
     assert t.extension_for_format("google_docs") == ".txt"
+
+
+def test_normalize_text():
+    import unicodedata
+
+    from engine.textops import normalize_text
+
+    # decomposed é (e + combining acute) → composed; control chars dropped;
+    # \t \n \r kept
+    decomposed = "école"
+    assert normalize_text(decomposed) == "école"
+    assert normalize_text("a\x07b\x1fc\td\ne") == "abc\td\ne"
+    assert normalize_text("plain ascii") == "plain ascii"
+    # agrees with unicodedata on mixed content
+    s = "café \x00über\x7f"
+    assert normalize_text(s) == unicodedata.normalize("NFC", s) \
+        .replace("\x00", "").replace("\x7f", "")

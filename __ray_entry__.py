@@ -421,6 +421,22 @@ SELECT user_id, count(*) AS n_events,
        string_agg(CAST(event_id AS VARCHAR), ','
                   ORDER BY ts, event_id) AS seq
 FROM events GROUP BY user_id""",
+        "event_type_pivot": """
+SELECT user_id,
+       count(*) FILTER (WHERE event_type = 'click')    AS n_click,
+       count(*) FILTER (WHERE event_type = 'error')    AS n_error,
+       count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+       count(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+       count(*) FILTER (WHERE event_type = 'view')     AS n_view
+FROM events GROUP BY user_id""",
+        # ROLLUP emits NULL group keys; the engine uses the 'ALL' sentinel
+        # instead (None-vs-NaN stringification is ambiguous in the gate)
+        "orders_rollup": """
+SELECT coalesce(o_orderstatus, 'ALL')   AS o_orderstatus,
+       coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+       count(*) AS n,
+       CAST(round(sum(o_totalprice) * 100, 0) AS BIGINT) AS sum_cents
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
         "rolling_spend": """
 SELECT user_id, event_id,
        CAST(floor(value * 1000) AS BIGINT) AS value_milli,

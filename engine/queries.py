@@ -1027,6 +1027,43 @@ def q_normalize_text(sf_dir: str):
     return docs.map_batches(f, batch_format="pyarrow")
 
 
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_event_type_pivot(sf_dir: str):
+    """Categorical pivot (engine.stats.pivot_counts): per-user event-type
+    count columns via vectorized 0/1 indicators + map-side-combined Sums.
+    DuckDB twin: count(*) FILTER (WHERE ...) per category."""
+    from engine.stats import pivot_counts
+
+    events = _read(sf_dir, "events", ["user_id", "event_type"])
+    return pivot_counts(events, "user_id", "event_type", EVENT_TYPES)
+
+
+def q_orders_rollup(sf_dir: str):
+    """ROLLUP subtotals (engine.stats.grouping_rollup): order count and
+    total price by (status, priority), by status, and grand total — one
+    distributed groupby, coarser levels re-aggregated from its result.
+    DuckDB twin: GROUP BY ROLLUP."""
+    from engine.stats import grouping_rollup
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderstatus", "o_orderpriority", "o_totalprice"])
+    out = grouping_rollup(orders, ["o_orderstatus", "o_orderpriority"],
+                          "o_totalprice")
+    return pa.table({
+        "o_orderstatus": out["o_orderstatus"],
+        "o_orderpriority": out["o_orderpriority"],
+        "n": out["n"],
+        # 2-decimal prices sum to exact-cent boundaries, where half-even
+        # (Arrow) and half-away (DuckDB) rounding disagree — emit integer
+        # cents (sum*100 is ~integer, never near .5; see CLAUDE.md)
+        "sum_cents": pc.cast(
+            pc.round(pc.multiply(out["sum_value"], 100.0), ndigits=0),
+            pa.int64()),
+    })
+
+
 def q_session_windows(sf_dir: str):
     """Gap-based session windows per user (engine.windows.sessionize;
     1-hour gap). DuckDB twin is the gaps-and-islands window idiom."""
@@ -1111,4 +1148,6 @@ QUERIES = {
     "doc_sample": q_doc_sample,
     "normalize_text": q_normalize_text,
     "user_event_sequences": q_user_event_sequences,
+    "event_type_pivot": q_event_type_pivot,
+    "orders_rollup": q_orders_rollup,
 }

@@ -128,6 +128,70 @@ def top_k_per_group(ds: "ray.data.Dataset", key_col: str, sort_col: str,
         .groupby("__bucket").map_groups(per_bucket, batch_format="pandas")
 
 
+def pivot_counts(ds: "ray.data.Dataset", key_col: str, cat_col: str,
+                 categories: list[str], prefix: str = "n_"
+                 ) -> "ray.data.Dataset":
+    """Pivot a categorical column into one count column per category
+    (the reshape step of per-entity feature tables — e.g. events/user by
+    event_type), an operator Ray Data has no primitive for.
+
+    Plan: per-batch 0/1 indicator columns (vectorized ``pc.equal`` — no
+    Python per row), then ONE ``groupby(key)`` with a ``Sum`` per category.
+    Ray combines the Sum partials map-side, so the exchange carries one
+    (key, k small ints) row per key per block — never the raw events.
+    ``categories`` is an explicit closed list (the schema must be static;
+    discovering it would need a separate distinct pass)."""
+    from ray.data.aggregate import Sum
+
+    cats = list(categories)
+
+    def indicators(t: pa.Table) -> pa.Table:
+        cols = {key_col: t[key_col]}
+        for c in cats:
+            cols[f"{prefix}{c}"] = pc.cast(
+                pc.equal(t[cat_col], c), pa.int64())
+        return pa.table(cols)
+
+    aggs = [Sum(f"{prefix}{c}", alias_name=f"{prefix}{c}") for c in cats]
+    return (ds.map_batches(indicators, batch_format="pyarrow")
+            .groupby(key_col).aggregate(*aggs))
+
+
+def grouping_rollup(ds: "ray.data.Dataset", keys: list[str], value_col: str,
+                    all_label: str = "ALL") -> pa.Table:
+    """ROLLUP aggregate (count + sum at every prefix level of ``keys``,
+    coarser levels labeled ``all_label`` — the OLAP subtotal primitive,
+    GROUP BY ROLLUP in SQL).
+
+    Plan: ONE distributed groupby at the finest level (partial-agg
+    exchange); every coarser level then re-aggregates the finest RESULT
+    (count→sum, sum→sum are decomposable), which is O(distinct key
+    combinations) — driver state matches any aggregate terminal, and the
+    raw table is scanned exactly once. Returns a pa.Table (terminal)."""
+    from ray.data.aggregate import Count, Sum
+    import pandas as pd
+
+    keys = list(keys)
+    finest = ds.groupby(keys).aggregate(
+        Count(alias_name="n"), Sum(value_col, alias_name="sum_value")
+    ).to_pandas()
+    out_cols = keys + ["n", "sum_value"]
+    frames = [finest[out_cols].copy()]
+    for lvl in range(len(keys) - 1, -1, -1):
+        gb = keys[:lvl]
+        if gb:
+            agg = finest.groupby(gb, as_index=False).agg(
+                n=("n", "sum"), sum_value=("sum_value", "sum"))
+        else:
+            agg = pd.DataFrame({"n": [int(finest["n"].sum())],
+                                "sum_value": [float(finest["sum_value"].sum())]})
+        for k in keys[lvl:]:
+            agg[k] = all_label
+        frames.append(agg[out_cols])
+    merged = pd.concat(frames, ignore_index=True)
+    return pa.Table.from_pandas(merged, preserve_index=False)
+
+
 def exact_percentiles(ds: "ray.data.Dataset", col: str,
                       qs: tuple = (0.25, 0.5, 0.75)) -> pa.Table:
     """EXACT percentiles (percentile_disc semantics: the smallest value whose

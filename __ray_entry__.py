@@ -421,6 +421,32 @@ SELECT user_id, count(*) AS n_events,
        string_agg(CAST(event_id AS VARCHAR), ','
                   ORDER BY ts, event_id) AS seq
 FROM events GROUP BY user_id""",
+        # toks-mode counts: ties don't matter (every mode shares the max
+        # count); n<2 tokens ⇒ empty bigram list ⇒ mode NULL ⇒ filter 0
+        "doc_repetition": """
+WITH d AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS ts FROM documents
+), b AS (
+  SELECT doc_id, ts,
+         list_transform(generate_series(1, length(ts) - 1),
+                        i -> ts[i] || ' ' || ts[i + 1]) AS bs
+  FROM d
+)
+SELECT doc_id,
+       CAST(length(ts) AS BIGINT) AS n_tokens,
+       CAST(length(list_distinct(ts)) AS BIGINT) AS n_uniq,
+       CAST(length(list_filter(ts, x -> x = list_aggregate(ts, 'mode')))
+            AS BIGINT) AS top_token_count,
+       CAST(coalesce(length(list_filter(bs,
+                x -> x = list_aggregate(bs, 'mode'))), 0)
+            AS BIGINT) AS top_bigram_count
+FROM b""",
+        "domain_counts": """
+SELECT regexp_extract('https://site' || CAST(doc_id % 97 AS VARCHAR)
+                      || '.example.com/page/' || CAST(doc_id AS VARCHAR),
+                      '^https?://([^/]+)', 1) AS domain,
+       count(*) AS n
+FROM documents GROUP BY domain""",
         "event_type_pivot": """
 SELECT user_id,
        count(*) FILTER (WHERE event_type = 'click')    AS n_click,

@@ -1027,6 +1027,44 @@ def q_normalize_text(sf_dir: str):
     return docs.map_batches(f, batch_format="pyarrow")
 
 
+def q_doc_repetition(sf_dir: str):
+    """Gopher-style within-document repetition signals
+    (engine.textstats.repetition_stats_batch): token/2-gram mode counts as
+    integers. DuckDB twin: list_aggregate(toks, 'mode') + list_filter."""
+    from engine.textstats import repetition_stats_batch
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return docs.map_batches(repetition_stats_batch, batch_format="pyarrow")
+
+
+def q_domain_counts(sf_dir: str):
+    """URL-domain extraction + count rollup (engine.textops.url_domain,
+    vectorized RE2 extract) over a planted URL column derived from doc_id
+    (testdata documents carry no URL; the derivation is SQL-reproducible,
+    the pdf_roundtrip trick). DuckDB twin: regexp_extract + GROUP BY."""
+    from ray.data.aggregate import Count
+    from engine.textops import url_domain
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def plant_and_extract(t: pa.Table) -> pa.Table:
+        urls = pc.binary_join_element_wise(
+            "https://site",
+            # doc_id % 97 via integer divide (Arrow int division truncates;
+            # doc_id >= 0 so trunc == floor)
+            pc.cast(pc.subtract(
+                t["doc_id"],
+                pc.multiply(pc.divide(t["doc_id"], 97), 97)), pa.string()),
+            ".example.com/page/",
+            pc.cast(t["doc_id"], pa.string()),
+            "",
+        )
+        return pa.table({"domain": url_domain(urls)})
+
+    return (docs.map_batches(plant_and_extract, batch_format="pyarrow")
+            .groupby("domain").aggregate(Count(alias_name="n")))
+
+
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -1150,4 +1188,6 @@ QUERIES = {
     "user_event_sequences": q_user_event_sequences,
     "event_type_pivot": q_event_type_pivot,
     "orders_rollup": q_orders_rollup,
+    "doc_repetition": q_doc_repetition,
+    "domain_counts": q_domain_counts,
 }

@@ -231,9 +231,24 @@ def normalize_text_batch(t: pa.Table, text_col: str = "text",
     return t.append_column(out_col, pa.array(out, type=pa.string()))
 
 
+# ---------------------------------------------------------------------------
+# URL parsing (web-corpus provenance stage): domain extraction, fully
+# vectorized via Arrow's RE2 extract — no Python per row.
+# ---------------------------------------------------------------------------
+
+
+def url_domain(col: "pa.ChunkedArray | pa.Array") -> "pa.ChunkedArray":
+    """Extract the host from an absolute http(s) URL column (empty string
+    when the pattern misses — scheme-less or malformed URLs)."""
+    # Arrow's extract_regex requires NAMED capture groups
+    ex = pc.extract_regex(col, pattern=r"^https?://(?P<host>[^/]+)")
+    return pc.coalesce(pc.struct_field(ex, "host"), "")
+
+
 __all__ = [
     "normalize_text",
     "normalize_text_batch",
+    "url_domain",
     "chunk_text",
     "chunk_text_gated",
     "explode_chunks_batch",

@@ -159,6 +159,49 @@ def token_count_batch(t: pa.Table, text_col: str = "text") -> pa.Table:
 
 
 # ---------------------------------------------------------------------------
+# Repetition signals (Gopher-style, Rae et al. 2021 §A1.1): within-document
+# token/2-gram repetition — the "most common word fraction" family, emitted
+# as integer counts so the SQL twin needs no float rounding convention.
+# ---------------------------------------------------------------------------
+
+
+def repetition_stats_batch(t: pa.Table, text_col: str = "text",
+                           id_col: str = "doc_id") -> pa.Table:
+    """Per-document repetition counts over whitespace tokens:
+    n_tokens, n_uniq, top_token_count (occurrences of the most frequent
+    token), top_bigram_count (most frequent adjacent pair). Counting runs
+    through np.unique per row (C-speed sort-and-count); the quality-filter
+    ratios (top_token_count/n_tokens > θ ⇒ drop) are left to the caller so
+    the thresholds stay policy, not kernel."""
+    n_tok, n_uniq, top_tok, top_bi = [], [], [], []
+    for s in t[text_col].to_pylist():
+        toks = (s or "").split()
+        if not toks:
+            n_tok.append(0); n_uniq.append(0)
+            top_tok.append(0); top_bi.append(0)
+            continue
+        arr = np.asarray(toks, dtype=object)
+        _, counts = np.unique(arr, return_counts=True)
+        n_tok.append(len(toks))
+        n_uniq.append(len(counts))
+        top_tok.append(int(counts.max()))
+        if len(toks) < 2:
+            top_bi.append(0)
+        else:
+            bi = np.char.add(np.char.add(arr[:-1].astype(str), " "),
+                             arr[1:].astype(str))
+            _, bc = np.unique(bi, return_counts=True)
+            top_bi.append(int(bc.max()))
+    return pa.table({
+        id_col: t[id_col],
+        "n_tokens": pa.array(n_tok, type=pa.int64()),
+        "n_uniq": pa.array(n_uniq, type=pa.int64()),
+        "top_token_count": pa.array(top_tok, type=pa.int64()),
+        "top_bigram_count": pa.array(top_bi, type=pa.int64()),
+    })
+
+
+# ---------------------------------------------------------------------------
 # Fingerprinting: md5 (exact) + winnowed rolling-hash fingerprints
 # ---------------------------------------------------------------------------
 

@@ -421,6 +421,11 @@ SELECT user_id, count(*) AS n_events,
        string_agg(CAST(event_id AS VARCHAR), ','
                   ORDER BY ts, event_id) AS seq
 FROM events GROUP BY user_id""",
+        "bloom_semi_join": """
+SELECT l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT) AS l_quantity
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                     WHERE o_orderpriority = '1-URGENT')""",
         # toks-mode counts: ties don't matter (every mode shares the max
         # count); n<2 tokens ⇒ empty bigram list ⇒ mode NULL ⇒ filter 0
         "doc_repetition": """

@@ -309,3 +309,98 @@ def interval_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
         return pa.table(cols)
 
     return j.map_batches(verify, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Bloom-pruned semi join: the shuffle-volume reducer for selective filtering
+# joins. EXACT output (the bloom only prunes; survivors go through the real
+# semi join to kill false positives) — at a 1% match rate the all-to-all
+# exchange carries ~1% of probe rows + false positives instead of the full
+# probe table.
+# ---------------------------------------------------------------------------
+
+_BLOOM_MIX1 = 0xFF51AFD7ED558CCD  # murmur3 fmix64 constants
+_BLOOM_MIX2 = 0xC4CEB9FE1A85EC53
+
+
+def _bloom_hashes(keys: np.ndarray, num_bits: int, num_hashes: int
+                  ) -> np.ndarray:
+    """(n, num_hashes) bit positions via double hashing of a 64-bit mix.
+    uint64 arithmetic wraps (mod 2^64) by construction — that IS the mix."""
+    with np.errstate(over="ignore"):
+        x = keys.astype(np.uint64, copy=True)
+        x ^= x >> np.uint64(33)
+        x *= np.uint64(_BLOOM_MIX1)
+        x ^= x >> np.uint64(33)
+        h2 = x * np.uint64(_BLOOM_MIX2)
+        h2 ^= h2 >> np.uint64(29)
+        idx = np.empty((len(keys), num_hashes), dtype=np.uint64)
+        for i in range(num_hashes):
+            idx[:, i] = (x + np.uint64(i) * h2) % np.uint64(num_bits)
+    return idx
+
+
+def _key_codes(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """int64 key codes for hashing: integers pass through; strings take
+    pandas' fixed-key siphash (process-stable, like _bucket_of_column)."""
+    if pa.types.is_integer(col.type):
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        return arr.to_numpy(zero_copy_only=False).astype(np.int64)
+    import pandas as pd
+    from pandas.util import hash_array
+    return hash_array(pd.array(col.to_pylist(), dtype=object).to_numpy(),
+                      categorize=False).astype(np.int64)
+
+
+def bloom_semi_join(probe: "ray.data.Dataset", build: "ray.data.Dataset",
+                    on: str, *, num_bits: int = 1 << 23, num_hashes: int = 2,
+                    num_buckets: int = 32) -> "ray.data.Dataset":
+    """Semi join ``probe ⋉ build`` with a broadcast Bloom-filter prefilter.
+
+    Plan: (1) the build side's KEY COLUMN streams through ``map_batches``
+    producing one fixed-size bitmap per block (num_bits/8 bytes, 1 MiB at
+    the default — independent of build row count); the driver ORs the block
+    bitmaps and ``ray.put``s the result ONCE. (2) the probe side filters
+    vectorized against the worker-cached bitmap (engine/broadcast.py) —
+    rows failing any of the ``num_hashes`` bit tests are dropped BEFORE the
+    exchange. (3) survivors run the exact :func:`hash_join` semi join, so
+    false positives never reach the output.
+
+    Scale contract: driver/broadcast state is O(num_bits), NOT O(build
+    rows); size num_bits ≈ 10× the expected distinct build keys for ~1%
+    false-positive rate at num_hashes=2. The build side is scanned twice
+    (bitmap + exact verify) — it is the SMALL side by contract."""
+    import ray
+    from engine.broadcast import get_broadcast
+
+    nbytes = num_bits // 8
+
+    def block_bitmap(t: pa.Table) -> pa.Table:
+        bm = np.zeros(nbytes, dtype=np.uint8)
+        if t.num_rows:
+            idx = _bloom_hashes(_key_codes(t[on]), num_bits, num_hashes)
+            flat = idx.reshape(-1)
+            np.bitwise_or.at(bm, (flat >> np.uint64(3)).astype(np.int64),
+                             (1 << (flat & np.uint64(7))).astype(np.uint8))
+        return pa.table({"bm": pa.array([bm.tobytes()], type=pa.binary())})
+
+    parts = (build.select_columns([on])
+             .map_batches(block_bitmap, batch_format="pyarrow")
+             .take_all())
+    bitmap = np.zeros(nbytes, dtype=np.uint8)
+    for row in parts:
+        bitmap |= np.frombuffer(row["bm"], dtype=np.uint8)
+    bm_ref = ray.put(bitmap)
+
+    def prefilter(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        bm = get_broadcast(bm_ref)
+        idx = _bloom_hashes(_key_codes(t[on]), num_bits, num_hashes)
+        bits = (bm[(idx >> np.uint64(3)).astype(np.int64)]
+                >> (idx & np.uint64(7)).astype(np.uint8)) & 1
+        return t.filter(pa.array(bits.all(axis=1)))
+
+    survivors = probe.map_batches(prefilter, batch_format="pyarrow")
+    return hash_join(survivors, build, on=on, how="semi",
+                     num_buckets=num_buckets)

@@ -1027,6 +1027,34 @@ def q_normalize_text(sf_dir: str):
     return docs.map_batches(f, batch_format="pyarrow")
 
 
+def q_bloom_semi_join(sf_dir: str):
+    """Bloom-pruned EXACT semi join (engine.joins.bloom_semi_join):
+    lineitems of URGENT orders — probe rows failing the broadcast bitmap
+    test never reach the exchange; survivors are exactly verified. DuckDB
+    twin: IN subquery."""
+    from engine.joins import bloom_semi_join
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_quantity"])
+    urgent = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderpriority"]).map_batches(
+        lambda t: pa.table({
+            "l_orderkey": t.filter(
+                pc.equal(t["o_orderpriority"], "1-URGENT"))["o_orderkey"],
+        }),
+        batch_format="pyarrow",
+    )
+    out = bloom_semi_join(li, urgent, on="l_orderkey")
+    return out.map_batches(
+        lambda t: pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "l_linenumber": t["l_linenumber"],
+            "l_quantity": pc.cast(t["l_quantity"], pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+
+
 def q_doc_repetition(sf_dir: str):
     """Gopher-style within-document repetition signals
     (engine.textstats.repetition_stats_batch): token/2-gram mode counts as
@@ -1190,4 +1218,5 @@ QUERIES = {
     "orders_rollup": q_orders_rollup,
     "doc_repetition": q_doc_repetition,
     "domain_counts": q_domain_counts,
+    "bloom_semi_join": q_bloom_semi_join,
 }

@@ -421,6 +421,18 @@ SELECT user_id, count(*) AS n_events,
        string_agg(CAST(event_id AS VARCHAR), ','
                   ORDER BY ts, event_id) AS seq
 FROM events GROUP BY user_id""",
+        # utf8_slice_codeunits is codepoint-based like substr; the corpus
+        # is ASCII so both equal the byte slice
+        "decontaminate": """
+WITH bench AS (
+  SELECT substr(text, 11, 30) AS snip FROM documents
+  WHERE doc_id % 50 = 0 AND length(text) >= 40
+)
+SELECT d.doc_id,
+       CAST(EXISTS (SELECT 1 FROM bench b
+                    WHERE contains(d.text, b.snip)) AS BIGINT)
+         AS contaminated
+FROM documents d""",
         "bloom_semi_join": """
 SELECT l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT) AS l_quantity
 FROM lineitem

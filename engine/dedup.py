@@ -1039,3 +1039,52 @@ def ngram_jaccard_pairs(ds: "ray.data.Dataset", candidate_pairs,
         _ngram_pairs_plan(ds, candidate_pairs, text_col, id_col, n, threshold),
         "jaccard")
     return out[["id_a", "id_b", "jaccard"]]
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination: flag corpus documents that contain any snippet
+# of a (small) evaluation/benchmark set — the standard pre-training hygiene
+# pass (e.g. GPT-3 §C / PaLM-style 13-gram overlap, here as exact substring
+# containment so the oracle is a correlated EXISTS).
+# ---------------------------------------------------------------------------
+
+_CONTAM_CHUNK = 512  # snippets per compiled alternation (bounds RE2 size)
+
+
+def mark_contaminated(ds: "ray.data.Dataset", snippets: list[str],
+                      text_col: str = "text", id_col: str = "doc_id",
+                      out_col: str = "contaminated") -> "ray.data.Dataset":
+    """Add ``out_col`` (int64 0/1): 1 iff the document contains ANY snippet
+    as a substring.
+
+    Plan: the benchmark side is SMALL by contract (it is an eval set, not a
+    corpus) — its snippets compile into escaped RE2 alternations of at most
+    _CONTAM_CHUNK literals each, and the corpus streams through ONE
+    vectorized ``pc.match_substring_regex`` pass per chunk (RE2 builds a
+    single DFA per alternation; a per-snippet scan would be m passes).
+    The pattern strings ride the task closure (a few KiB); no shuffle, no
+    driver materialization of the corpus."""
+    import re as _re
+
+    snips = [s for s in snippets if s]
+    patterns = [
+        "|".join(_re.escape(s) for s in snips[i:i + _CONTAM_CHUNK])
+        for i in range(0, len(snips), _CONTAM_CHUNK)
+    ]
+
+    def flag(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not patterns:
+            hit = pa.array(np.zeros(t.num_rows, dtype=bool))
+        else:
+            acc = np.zeros(t.num_rows, dtype=bool)
+            for p in patterns:
+                m = pc.match_substring_regex(t[text_col], p)
+                acc |= pc.fill_null(m, False).combine_chunks() \
+                    .to_numpy(zero_copy_only=False)
+            hit = pa.array(acc)
+        return pa.table({
+            id_col: t[id_col],
+            out_col: pc.cast(hit, pa.int64()),
+        })
+
+    return ds.map_batches(flag, batch_format="pyarrow")

@@ -1027,6 +1027,33 @@ def q_normalize_text(sf_dir: str):
     return docs.map_batches(f, batch_format="pyarrow")
 
 
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination (engine.dedup.mark_contaminated): flag
+    documents containing any 'benchmark' snippet — snippets are chars
+    10..40 of every 50th document, so the set is SQL-derivable. The corpus
+    streams through one vectorized RE2 alternation pass; only the tiny
+    benchmark side is collected. DuckDB twin: correlated EXISTS(contains)."""
+    from engine.dedup import mark_contaminated
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def bench_side(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.equal(pc.subtract(
+                t["doc_id"],
+                pc.multiply(pc.divide(t["doc_id"], 50), 50)), 0),
+            pc.greater_equal(pc.utf8_length(t["text"]), 40))
+        return pa.table({
+            "snip": pc.utf8_slice_codeunits(
+                t.filter(keep)["text"], start=10, stop=40),
+        })
+
+    snippets = [r["snip"] for r in
+                docs.map_batches(bench_side, batch_format="pyarrow")
+                .take_all()]
+    return mark_contaminated(docs, snippets)
+
+
 def q_bloom_semi_join(sf_dir: str):
     """Bloom-pruned EXACT semi join (engine.joins.bloom_semi_join):
     lineitems of URGENT orders — probe rows failing the broadcast bitmap
@@ -1219,4 +1246,5 @@ QUERIES = {
     "doc_repetition": q_doc_repetition,
     "domain_counts": q_domain_counts,
     "bloom_semi_join": q_bloom_semi_join,
+    "decontaminate": q_decontaminate,
 }

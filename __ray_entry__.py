@@ -421,6 +421,28 @@ SELECT user_id, count(*) AS n_events,
        string_agg(CAST(event_id AS VARCHAR), ','
                   ORDER BY ts, event_id) AS seq
 FROM events GROUP BY user_id""",
+        "value_histogram": """
+SELECT CAST(floor(value / 25.0) AS BIGINT) AS bin, count(*) AS n
+FROM events GROUP BY bin""",
+        "distinct_users": """
+SELECT event_type, count(DISTINCT user_id) AS n_distinct
+FROM events GROUP BY event_type""",
+        # sum(BIGINT) is HUGEINT in DuckDB (fetchdf would floatify) — CAST
+        "token_freq_score": """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS token
+  FROM documents
+), tf AS (
+  SELECT token, count(*) AS c FROM toks GROUP BY token
+), scores AS (
+  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(tf.c) AS BIGINT) AS freq_score
+  FROM toks t JOIN tf USING (token) GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+       coalesce(s.n_tokens, 0) AS n_tokens,
+       coalesce(s.freq_score, 0) AS freq_score
+FROM documents d LEFT JOIN scores s USING (doc_id)""",
         # utf8_slice_codeunits is codepoint-based like substr; the corpus
         # is ASCII so both equal the byte slice
         "decontaminate": """

@@ -1027,6 +1027,35 @@ def q_normalize_text(sf_dir: str):
     return docs.map_batches(f, batch_format="pyarrow")
 
 
+def q_value_histogram(sf_dir: str):
+    """Fixed-width distribution histogram (engine.stats.value_histogram):
+    events.value in width-25 bins. DuckDB twin: floor(value/25) GROUP BY."""
+    from engine.stats import value_histogram
+
+    events = _read(sf_dir, "events", ["value"])
+    return value_histogram(events, "value", 25.0)
+
+
+def q_distinct_users(sf_dir: str):
+    """Exact count(DISTINCT) per key (engine.stats.distinct_count_per_key):
+    distinct users per event type, via local (key,value) de-dup before the
+    exchange. DuckDB twin: count(DISTINCT user_id)."""
+    from engine.stats import distinct_count_per_key
+
+    events = _read(sf_dir, "events", ["event_type", "user_id"])
+    return distinct_count_per_key(events, "event_type", "user_id")
+
+
+def q_token_freq_score(sf_dir: str):
+    """Unigram-LM scoring shape (engine.textstats.token_freq_score):
+    corpus term frequencies broadcast once, per-doc vectorized lookup-sum.
+    DuckDB twin: tokens JOIN tf GROUP BY doc."""
+    from engine.textstats import token_freq_score
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return token_freq_score(docs)
+
+
 def q_decontaminate(sf_dir: str):
     """Benchmark decontamination (engine.dedup.mark_contaminated): flag
     documents containing any 'benchmark' snippet — snippets are chars
@@ -1247,4 +1276,7 @@ QUERIES = {
     "domain_counts": q_domain_counts,
     "bloom_semi_join": q_bloom_semi_join,
     "decontaminate": q_decontaminate,
+    "value_histogram": q_value_histogram,
+    "distinct_users": q_distinct_users,
+    "token_freq_score": q_token_freq_score,
 }

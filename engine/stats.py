@@ -128,6 +128,41 @@ def top_k_per_group(ds: "ray.data.Dataset", key_col: str, sort_col: str,
         .groupby("__bucket").map_groups(per_bucket, batch_format="pandas")
 
 
+def value_histogram(ds: "ray.data.Dataset", col: str, width: float
+                    ) -> "ray.data.Dataset":
+    """Fixed-width histogram: (bin, count) with bin = floor(col/width) —
+    the distribution-profiling primitive. One vectorized binning pass +
+    one Count groupby whose partials combine map-side; exchange volume is
+    O(bins × blocks), never the raw rows."""
+    from ray.data.aggregate import Count
+
+    def binned(t: pa.Table) -> pa.Table:
+        b = pc.cast(pc.floor(pc.divide(pc.cast(t[col], pa.float64()),
+                                       width)), pa.int64())
+        return pa.table({"bin": b})
+
+    return (ds.map_batches(binned, batch_format="pyarrow")
+            .groupby("bin").aggregate(Count(alias_name="n")))
+
+
+def distinct_count_per_key(ds: "ray.data.Dataset", key_col: str,
+                           value_col: str) -> "ray.data.Dataset":
+    """Exact count(DISTINCT value) per key. Plan: per-batch (key, value)
+    de-dup (vectorized Acero group_by — drops within-block repeats before
+    the wire), ONE exchange to distinct (key, value), then a tiny second
+    groupby counts per key. Exchange volume is O(distinct pairs), not rows."""
+    from ray.data.aggregate import Count
+
+    def local_distinct(t: pa.Table) -> pa.Table:
+        return t.select([key_col, value_col]).group_by(
+            [key_col, value_col]).aggregate([])
+
+    pairs = ds.map_batches(local_distinct, batch_format="pyarrow")
+    return (pairs.groupby([key_col, value_col]).aggregate(Count(alias_name="__c"))
+            .map_batches(lambda t: t.select([key_col]), batch_format="pyarrow")
+            .groupby(key_col).aggregate(Count(alias_name="n_distinct")))
+
+
 def pivot_counts(ds: "ray.data.Dataset", key_col: str, cat_col: str,
                  categories: list[str], prefix: str = "n_"
                  ) -> "ray.data.Dataset":

@@ -301,3 +301,82 @@ def doc_frequency(ds: "ray.data.Dataset", text_col: str = "text",
         .groupby("token")
         .aggregate(Sum("df", alias_name="df"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM scoring shape: corpus term frequencies (the "model") broadcast
+# once, then a vectorized per-document lookup-sum (the "scorer"). The score
+# here is Σ_occurrences tf(token) — integer, so the SQL twin needs no float
+# or log rounding convention; a real LM score swaps the broadcast values
+# for log-probs without touching the plan.
+# ---------------------------------------------------------------------------
+
+
+def term_frequencies(ds: "ray.data.Dataset", text_col: str = "text",
+                     ) -> "ray.data.Dataset":
+    """(token, tf) — corpus-wide OCCURRENCE counts (cf. doc_frequency's
+    distinct-per-doc df). Same partial-aggregation discipline: one Counter
+    per batch, Sum combine map-side; exchange is O(vocab × blocks)."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for s in t[text_col].to_pylist():
+            c.update((s or "").split())
+        toks = list(c.keys())
+        return pa.table({"token": pa.array(toks, type=pa.string()),
+                         "tf": pa.array([c[t_] for t_ in toks],
+                                        type=pa.int64())})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("token").aggregate(Sum("tf", alias_name="tf")))
+
+
+def token_freq_score(ds: "ray.data.Dataset", text_col: str = "text",
+                     id_col: str = "doc_id", min_count: int = 1,
+                     ) -> "ray.data.Dataset":
+    """Per-document frequency score: (id, n_tokens, freq_score) where
+    freq_score = Σ over token occurrences of the corpus tf of that token
+    (tokens below ``min_count`` contribute 0 — the broadcast-size bound at
+    open-vocabulary scale; the long tail is exactly what a real LM prunes).
+
+    Plan: term_frequencies (partial-agg exchange) → the vocab dict is
+    ``ray.put`` ONCE and worker-cached (engine/broadcast.py); scoring is a
+    flat reindex + segmented reduce per batch (np.add.reduceat), no Python
+    per token."""
+    import pandas as pd
+    import ray
+
+    from engine.broadcast import get_broadcast
+
+    tf = term_frequencies(ds, text_col).to_pandas()
+    if min_count > 1:
+        tf = tf[tf["tf"] >= min_count]
+    vocab = pd.Series(tf["tf"].to_numpy(np.int64),
+                      index=tf["token"].to_numpy())
+    vocab_ref = ray.put(vocab)
+
+    def score(t: pa.Table) -> pa.Table:
+        v: pd.Series = get_broadcast(vocab_ref)
+        tok_lists = [(s or "").split() for s in t[text_col].to_pylist()]
+        lens = np.fromiter((len(x) for x in tok_lists), dtype=np.int64,
+                           count=len(tok_lists))
+        flat = [tok for toks in tok_lists for tok in toks]
+        if flat:
+            vals = v.reindex(flat).fillna(0).to_numpy(np.int64)
+            offsets = np.zeros(len(lens), dtype=np.int64)
+            np.cumsum(lens[:-1], out=offsets[1:])
+            # reduceat yields wrong values at empty segments — patch them to 0
+            sums = np.add.reduceat(np.append(vals, 0), offsets)
+            sums[lens == 0] = 0
+        else:
+            sums = np.zeros(len(lens), dtype=np.int64)
+        return pa.table({
+            id_col: t[id_col],
+            "n_tokens": pa.array(lens, type=pa.int64()),
+            "freq_score": pa.array(sums, type=pa.int64()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")

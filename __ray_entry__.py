@@ -421,6 +421,9 @@ SELECT user_id, count(*) AS n_events,
        string_agg(CAST(event_id AS VARCHAR), ','
                   ORDER BY ts, event_id) AS seq
 FROM events GROUP BY user_id""",
+        # planted groups are 3 consecutive ids; canonical = min member
+        "dedup_canonical": """
+SELECT doc_id FROM documents WHERE doc_id % 3 = 0""",
         "value_histogram": """
 SELECT CAST(floor(value / 25.0) AS BIGINT) AS bin, count(*) AS n
 FROM events GROUP BY bin""",

@@ -1027,6 +1027,23 @@ def q_normalize_text(sf_dir: str):
     return docs.map_batches(f, batch_format="pyarrow")
 
 
+def q_dedup_canonical(sf_dir: str):
+    """END-TO-END near-dup kill path: MinHash-LSH clustering over the
+    planted-variant corpus, then keep ONE canonical doc per cluster
+    (cluster_id is the min member id by construction, so the survivor set
+    is SQL-derivable: doc_id % 3 == 0 under the groups-of-3 plant)."""
+    from engine.dedup import minhash_dedup_clusters
+
+    clustered = minhash_dedup_clusters(_planted_docs(sf_dir), threshold=0.7)
+    return clustered.map_batches(
+        lambda t: pa.table({
+            "doc_id": t.filter(
+                pc.equal(t["doc_id"], t["cluster_id"]))["doc_id"],
+        }),
+        batch_format="pyarrow",
+    )
+
+
 def q_value_histogram(sf_dir: str):
     """Fixed-width distribution histogram (engine.stats.value_histogram):
     events.value in width-25 bins. DuckDB twin: floor(value/25) GROUP BY."""
@@ -1277,6 +1294,7 @@ QUERIES = {
     "bloom_semi_join": q_bloom_semi_join,
     "decontaminate": q_decontaminate,
     "value_histogram": q_value_histogram,
+    "dedup_canonical": q_dedup_canonical,
     "distinct_users": q_distinct_users,
     "token_freq_score": q_token_freq_score,
 }

@@ -118,6 +118,35 @@ SELECT query_id, CAST(rnk AS BIGINT) AS rank, vec_id FROM (
   FROM scored) WHERE rnk <= 10"""
 
 
+def _pii_redact_sql() -> str:
+    """pii_redact oracle: the planted email/phone are pure doc_id string
+    derivations; redaction regexes come from engine.textops.PII_PATTERNS
+    (RE2 on both sides — Arrow replace_substring_regex and DuckDB
+    regexp_replace are both RE2 GlobalReplace), counts on the planted text,
+    replacements nested in PII_PATTERNS order exactly as the engine
+    applies them."""
+    from engine.textops import PII_PATTERNS
+
+    planted = (
+        "text || ' Contact user' || CAST(doc_id AS VARCHAR) || '@mail' || "
+        "CAST(doc_id % 7 AS VARCHAR) || '.example.com or +1-' || "
+        "lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-555-' || "
+        "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '.'"
+    )
+    counts = ",\n       ".join(
+        f"CAST(length(regexp_extract_all(t, '{pat}')) AS BIGINT) AS n_{name}"
+        for name, pat, _ in PII_PATTERNS)
+    clean = "t"
+    for _, pat, repl in PII_PATTERNS:
+        clean = f"regexp_replace({clean}, '{pat}', '{repl}', 'g')"
+    return f"""
+WITH p AS (SELECT doc_id, {planted} AS t FROM documents)
+SELECT doc_id,
+       {counts},
+       {clean} AS text_clean
+FROM p"""
+
+
 def oracle_sql() -> dict[str, str]:
     from engine.textstats import _ALL_STOP
 
@@ -517,6 +546,52 @@ FROM events""",
         # (payload = UTF-8 text bytes, empty every 17th id), so id/kind/
         # sha256/status are SQL facts even with the decode kernels stubbed;
         # the feature vectors themselves stay pinned by pytest only.
+        "pii_redact": _pii_redact_sql(),
+        # value is a picked data element (not a sum) quantized to integer
+        # milli on BOTH sides — no float rounding convention needed
+        "value_percentiles_by_type": """
+WITH m AS (SELECT event_type,
+                  CAST(floor(value * 1000) AS BIGINT) AS v FROM events),
+g AS (SELECT event_type, quantile_disc(v, [0.25, 0.5, 0.75]) AS vs
+      FROM m GROUP BY event_type)
+SELECT event_type, CAST(u.q AS DOUBLE) AS q, CAST(vs[u.i] AS BIGINT) AS value
+FROM g, (SELECT unnest([0.25, 0.5, 0.75]) AS q,
+                unnest(generate_series(1, 3)) AS i) u""",
+        "latest_event_per_user": """
+SELECT user_id, ts, event_id,
+       CAST(floor(value * 1000) AS BIGINT) AS value_milli
+FROM (
+  SELECT user_id, ts, event_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events) WHERE rn = 1""",
+        "top_bigrams": """
+WITH d AS (SELECT regexp_extract_all(text, '\\S+') AS ts FROM documents),
+b AS (SELECT unnest(list_transform(generate_series(1, length(ts) - 1),
+                                   i -> ts[i] || ' ' || ts[i + 1]))
+               AS bigram FROM d)
+SELECT bigram, count(*) AS n
+FROM b GROUP BY bigram ORDER BY n DESC, bigram LIMIT 50""",
+        "event_gaps": """
+SELECT user_id, ts, event_id,
+       coalesce(epoch_us(ts) - lag(epoch_us(ts))
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                -1) AS gap_us
+FROM events""",
+        "region_revenue": """
+SELECT r_name, count(*) AS n_orders,
+       CAST(round(sum(o_totalprice) * 100, 0) AS BIGINT) AS sum_cents
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name""",
+        "stratified_sample": """
+SELECT event_id, user_id, event_type FROM events
+WHERE CAST('0x' || substr(md5('strat:' || event_type || ':' ||
+             CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT) % 100
+      < CASE event_type WHEN 'click' THEN 50
+                        WHEN 'view' THEN 10 ELSE 25 END""",
         "media_features": """
 SELECT doc_id AS media_id,
        CASE CAST(doc_id % 3 AS INTEGER)

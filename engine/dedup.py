@@ -126,10 +126,13 @@ def exact_dedup(ds: "ray.data.Dataset", text_col: str = "text",
 
 def first_per_key(ds: "ray.data.Dataset", key_col: str = "url",
                   order_col: str | None = None,
-                  num_buckets: int = 32) -> "ray.data.Dataset":
+                  num_buckets: int = 32,
+                  keep: str = "first") -> "ray.data.Dataset":
     """A6 — exact dedup by key: one deterministic winner per key value
     ('first' = min ``order_col``, else min of the remaining columns' tuple,
-    so the result is stable under any parallelism).
+    so the result is stable under any parallelism). ``keep='last'`` picks
+    the MAX of the order tuple instead — the latest-state-per-key primitive
+    (CDC compaction / last-event snapshot); same single exchange.
 
     One hash exchange on a KEY-HASH BUCKET, then a vectorized
     sort + drop_duplicates per bucket — grouping by the key itself would pay
@@ -145,11 +148,14 @@ def first_per_key(ds: "ray.data.Dataset", key_col: str = "url",
         return t.append_column("__bucket",
                                _bucket_of_column(t[key_col], num_buckets))
 
+    if keep not in ("first", "last"):
+        raise ValueError(f"keep must be 'first' or 'last', got {keep!r}")
+
     def pick(g: pd.DataFrame) -> pd.DataFrame:
         cols = [order_col] if order_col else \
             [c for c in g.columns if c not in (key_col, "__bucket")]
         g = g.sort_values([key_col] + cols, kind="mergesort")
-        return g.drop_duplicates(key_col, keep="first") \
+        return g.drop_duplicates(key_col, keep=keep) \
             .drop(columns="__bucket")
 
     from engine.joins import _coalesced

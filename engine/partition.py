@@ -161,6 +161,41 @@ def hash_sample(ds: "ray.data.Dataset", id_col: str = "doc_id",
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def stratified_sample(ds: "ray.data.Dataset", strata_col: str,
+                      id_col: str, rates: dict[str, int],
+                      default_pct: int = 0,
+                      salt: str = "strat") -> "ray.data.Dataset":
+    """Deterministic per-stratum hash sampling — the domain/language
+    rebalancing primitive of a training-data pipeline: each stratum value
+    gets its own keep-percentage (e.g. downsample boilerplate-heavy domains,
+    keep all rare-language docs), with the same salted-md5 membership rule
+    as :func:`hash_sample` so draws are reproducible and stable under
+    corpus growth. Hash input is ``salt:stratum:id`` — strata draw
+    INDEPENDENT samples (the same id can be kept in one stratum and dropped
+    in another). Strata absent from ``rates`` keep ``default_pct`` %.
+
+    No shuffle: one vectorized-filter map_batches pass; the rates dict rides
+    the task closure (tiny — it is per-stratum config, not per-row state).
+    """
+    md5 = hashlib.md5
+    frombytes = int.from_bytes
+
+    def keep(t: pa.Table) -> pa.Table:
+        strata = t[strata_col].to_pylist()
+        ids = t[id_col].to_pylist()
+        pcts = np.fromiter(
+            (frombytes(md5(f"{salt}:{s}:{i}".encode()).digest()[:4],
+                       "big") % 100
+             for s, i in zip(strata, ids)),
+            dtype=np.int64, count=t.num_rows)
+        limits = np.fromiter(
+            (rates.get(s, default_pct) for s in strata),
+            dtype=np.int64, count=t.num_rows)
+        return t.filter(pa.array(pcts < limits))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 def stable_split(ds: "ray.data.Dataset", id_col: str = "doc_id",
                  train_pct: int = 80, val_pct: int = 10,
                  salt: str = "split") -> "ray.data.Dataset":

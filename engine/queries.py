@@ -1234,6 +1234,175 @@ def q_stable_split(sf_dir: str):
     return stable_split(docs).select_columns(["doc_id", "split"])
 
 
+def _mod_i64(arr, m: int):
+    """Arrow int modulo (no pc.mod kernel): a - (a // m) * m; inputs >= 0 so
+    truncating divide == floor divide."""
+    return pc.subtract(arr, pc.multiply(pc.divide(arr, m), m))
+
+
+def q_pii_redact(sf_dir: str):
+    """PII scrubbing (engine.textops.redact_pii_batch — vectorized RE2
+    mask + count, no Python per row) over documents with a deterministic
+    doc_id-derived email+phone planted per row (testdata carries no natural
+    PII; the plant is SQL-reproducible, the pdf_roundtrip trick).
+    Output: (doc_id, n_email, n_phone, text_clean)."""
+    from engine.textops import redact_pii_batch
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def plant_and_redact(t: pa.Table) -> pa.Table:
+        sid = pc.cast(t["doc_id"], pa.string())
+        mail = pc.binary_join_element_wise(
+            "user", sid, "@mail",
+            pc.cast(_mod_i64(t["doc_id"], 7), pa.string()),
+            ".example.com", "")
+        phone = pc.binary_join_element_wise(
+            "+1-",
+            pc.utf8_lpad(pc.cast(_mod_i64(t["doc_id"], 1000), pa.string()),
+                         width=3, padding="0"),
+            "-555-",
+            pc.utf8_lpad(pc.cast(_mod_i64(t["doc_id"], 10000), pa.string()),
+                         width=4, padding="0"),
+            "")
+        planted = pc.binary_join_element_wise(
+            t["text"], " Contact ", mail, " or ", phone, ".", "")
+        out = redact_pii_batch(
+            pa.table({"doc_id": t["doc_id"], "text": planted}))
+        return out.select(["doc_id", "n_email", "n_phone", "text_clean"])
+
+    return docs.map_batches(plant_and_redact, batch_format="pyarrow")
+
+
+def q_value_percentiles_by_type(sf_dir: str):
+    """Per-group exact percentiles (engine.stats.group_percentiles — one
+    (key, value)->Count partial-agg exchange, counting-sort ranks): p25/50/75
+    of integer-milli event value per event_type. DuckDB twin: grouped
+    quantile_disc (list form — quantile params must be constants)."""
+    from engine.stats import group_percentiles
+
+    events = _read(sf_dir, "events", ["event_type", "value"])
+    milli = events.map_batches(
+        lambda t: pa.table({
+            "event_type": t["event_type"],
+            "v": pc.cast(pc.floor(pc.multiply(t["value"], 1000.0)),
+                         pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+    return group_percentiles(milli, "event_type", "v", qs=(0.25, 0.5, 0.75))
+
+
+def q_latest_event_per_user(sf_dir: str):
+    """Latest-state-per-key snapshot (engine.dedup.first_per_key with
+    keep='last' — the CDC-compaction primitive, same single key-hash-bucket
+    exchange): each user's max-(ts, event_id) event. DuckDB twin:
+    row_number() OVER (... ORDER BY ts DESC, event_id DESC) = 1."""
+    from engine.dedup import first_per_key
+
+    events = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+    milli = events.map_batches(
+        lambda t: pa.table({
+            "user_id": t["user_id"], "ts": t["ts"],
+            "event_id": t["event_id"],
+            "value_milli": pc.cast(pc.floor(pc.multiply(t["value"], 1000.0)),
+                                   pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+    return first_per_key(milli, key_col="user_id", keep="last")
+
+
+def q_top_bigrams(sf_dir: str):
+    """Corpus bigram counts (engine.textstats.bigram_counts — vectorized
+    Arrow pair construction + in-batch count, partials combined map-side):
+    top 50 by (n desc, bigram). DuckDB twin: list_transform adjacent pairs
+    from regexp_extract_all('\\S+')."""
+    from engine.textstats import bigram_counts
+
+    docs = _read(sf_dir, "documents", ["text"])
+    return bigram_counts(docs).sort(
+        ["n", "bigram"], descending=[True, False]).limit(50)
+
+
+def q_event_gaps(sf_dir: str):
+    """Per-user inter-event gap in integer microseconds
+    (engine.windows.lag_delta — one key-hash-bucket exchange, one
+    vectorized diff per bucket; -1 marks each user's first event).
+    DuckDB twin: epoch_us(ts) - lag(epoch_us(ts)) OVER (...)."""
+    from engine.windows import lag_delta
+
+    events = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+    return lag_delta(events, key_col="user_id", ts_col="ts",
+                     id_col="event_id")
+
+
+def q_region_revenue(sf_dir: str):
+    """Star-schema join chain orders ⋈ customer ⋈ nation ⋈ region → revenue
+    per region: the dimension chain (region→nation, 5 x 25 rows) folds
+    driver-side into one custkey→region broadcast attach (zero shuffles for
+    the small sides), then ONE narrow all-to-all joins orders against the
+    tagged customers (engine.joins.hash_join) and a partial-agg groupby
+    finishes. Integer cents sidestep the half-even/half-away divergence."""
+    import pyarrow.parquet as pq
+
+    from engine.broadcast import get_broadcast
+    from engine.joins import hash_join
+
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                           columns=["n_nationkey", "n_regionkey"])
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet"),
+                           columns=["r_regionkey", "r_name"])
+    idx = pc.index_in(nation["n_regionkey"], value_set=region["r_regionkey"])
+    nat_region = pa.table({
+        "n_nationkey": nation["n_nationkey"].combine_chunks(),
+        "r_name": pc.take(region["r_name"].combine_chunks(), idx),
+    })
+    lookup_ref = ray.put((nat_region["n_nationkey"].combine_chunks(),
+                          nat_region["r_name"].combine_chunks()))
+
+    def attach_region(t: pa.Table) -> pa.Table:
+        keys, names = get_broadcast(lookup_ref)
+        i = pc.index_in(t["c_nationkey"], value_set=keys)
+        return pa.table({"ckey": t["c_custkey"],
+                         "r_name": pc.take(names, i)})
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]) \
+        .map_batches(attach_region, batch_format="pyarrow")
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]) \
+        .map_batches(
+            lambda t: pa.table({"ckey": t["o_custkey"],
+                                "o_totalprice": t["o_totalprice"]}),
+            batch_format="pyarrow")
+    joined = hash_join(orders, cust, on="ckey", num_buckets=32)
+    agg = joined.groupby("r_name").aggregate(
+        Count(alias_name="n_orders"),
+        Sum("o_totalprice", alias_name="sum_price"))
+    t = agg.to_pandas()
+    out = pa.table({
+        "r_name": t["r_name"],
+        "n_orders": t["n_orders"].astype("int64"),
+        "sum_cents": (t["sum_price"] * 100.0).round(0).astype("int64"),
+    })
+    return out
+
+
+STRAT_RATES = {"click": 50, "view": 10}
+
+
+def q_stratified_sample(sf_dir: str):
+    """Per-stratum deterministic sampling (engine.partition.
+    stratified_sample — domain/language rebalancing, no shuffle): keep 50%
+    of clicks, 10% of views, 25% of everything else by salted md5 of
+    (stratum, id). SQL twin: the same md5 expression + CASE rate."""
+    from engine.partition import stratified_sample
+
+    events = _read(sf_dir, "events", ["event_id", "user_id", "event_type"])
+    return stratified_sample(events, strata_col="event_type",
+                             id_col="event_id", rates=STRAT_RATES,
+                             default_pct=25) \
+        .select_columns(["event_id", "user_id", "event_type"])
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1297,4 +1466,11 @@ QUERIES = {
     "dedup_canonical": q_dedup_canonical,
     "distinct_users": q_distinct_users,
     "token_freq_score": q_token_freq_score,
+    "pii_redact": q_pii_redact,
+    "value_percentiles_by_type": q_value_percentiles_by_type,
+    "latest_event_per_user": q_latest_event_per_user,
+    "top_bigrams": q_top_bigrams,
+    "event_gaps": q_event_gaps,
+    "region_revenue": q_region_revenue,
+    "stratified_sample": q_stratified_sample,
 }

@@ -227,6 +227,46 @@ def grouping_rollup(ds: "ray.data.Dataset", keys: list[str], value_col: str,
     return pa.Table.from_pandas(merged, preserve_index=False)
 
 
+def group_percentiles(ds: "ray.data.Dataset", key_col: str, col: str,
+                      qs: tuple = (0.25, 0.5, 0.75)) -> pa.Table:
+    """Per-key EXACT percentiles (percentile_disc semantics, same rank rule
+    as :func:`exact_percentiles`) via the grouped counting-sort pattern: one
+    narrow (key, value)->Count groupby — Ray combines partials map-side
+    before the exchange — then per-key cumulative ranks on the driver.
+
+    Scale contract: driver state is O(keys x distinct values per key) —
+    right for bounded-cardinality value columns (quantized amounts, sizes,
+    codes); for unbounded doubles quantize first (the caller's floor/1000
+    pattern) or use a sketch. Returns a pa.Table (key, q, value)."""
+    from ray.data.aggregate import Count
+    import numpy as np
+
+    counts = (
+        ds.select_columns([key_col, col])
+        .groupby([key_col, col])
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    if len(counts) == 0 or col not in counts.columns:
+        return pa.table({key_col: pa.array([], type=pa.string()),
+                         "q": pa.array([], type=pa.float64()),
+                         "value": pa.array([], type=pa.float64())})
+    counts = counts.sort_values([key_col, col], kind="mergesort")
+    out_k, out_q, out_v = [], [], []
+    for key, g in counts.groupby(key_col, sort=False):
+        cum = g["n"].cumsum().to_numpy()
+        vals = g[col].to_numpy()
+        total = int(cum[-1])
+        for q in qs:
+            rank = max(1, int(np.ceil(q * total)))
+            out_k.append(key)
+            out_q.append(float(q))
+            out_v.append(vals[int(np.searchsorted(cum, rank))])
+    return pa.table({key_col: pa.array(out_k),
+                     "q": pa.array(out_q, type=pa.float64()),
+                     "value": pa.array(out_v)})
+
+
 def exact_percentiles(ds: "ray.data.Dataset", col: str,
                       qs: tuple = (0.25, 0.5, 0.75)) -> pa.Table:
     """EXACT percentiles (percentile_disc semantics: the smallest value whose

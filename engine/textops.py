@@ -245,10 +245,47 @@ def url_domain(col: "pa.ChunkedArray | pa.Array") -> "pa.ChunkedArray":
     return pc.coalesce(pc.struct_field(ex, "host"), "")
 
 
+# ---------------------------------------------------------------------------
+# PII redaction (training-data scrubbing stage): email / phone masking, fully
+# vectorized via Arrow's RE2 kernels — no Python per row. Patterns are kept
+# RE2-compatible AND ASCII-explicit so the DuckDB regexp_replace twin (also
+# RE2) is byte-identical; Python-re Unicode classes are deliberately avoided
+# (the \s/\w divergence documented at the top of this module).
+# ---------------------------------------------------------------------------
+
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}", "<PHONE>"),
+]
+
+
+def redact_pii_batch(t: pa.Table, text_col: str = "text",
+                     out_col: str = "text_clean") -> pa.Table:
+    """Mask every PII_PATTERNS match in ``text_col`` and count matches per
+    kind (counted on the ORIGINAL text, each kind independently; replacement
+    applied sequentially in PII_PATTERNS order — the email pattern cannot
+    produce new phone matches or vice versa, but the order is still part of
+    the contract and mirrored by the SQL twin's nesting)."""
+    cleaned = t[text_col]
+    counts = {}
+    for name, pattern, repl in PII_PATTERNS:
+        counts[f"n_{name}"] = pc.cast(
+            pc.count_substring_regex(t[text_col], pattern=pattern),
+            pa.int64())
+        cleaned = pc.replace_substring_regex(
+            cleaned, pattern=pattern, replacement=repl)
+    out = t.append_column(out_col, cleaned)
+    for cname, arr in counts.items():
+        out = out.append_column(cname, arr)
+    return out
+
+
 __all__ = [
     "normalize_text",
     "normalize_text_batch",
     "url_domain",
+    "redact_pii_batch",
+    "PII_PATTERNS",
     "chunk_text",
     "chunk_text_gated",
     "explode_chunks_batch",

@@ -303,6 +303,63 @@ def doc_frequency(ds: "ray.data.Dataset", text_col: str = "text",
     )
 
 
+def bigram_counts(ds: "ray.data.Dataset", text_col: str = "text",
+                  ) -> "ray.data.Dataset":
+    """(bigram, n) — corpus-wide adjacent-token-pair occurrence counts, the
+    n-gram statistics stage of a training-data pipeline (contamination
+    n-grams, collocation mining, LM vocab prep).
+
+    Tokenization is RE2 ``\\s+`` split with empty edge tokens dropped —
+    exactly DuckDB's ``regexp_extract_all(text, '\\S+')`` (the twin), and
+    deliberately NOT Python str.split (Unicode \\s divergence; see
+    engine/textops.py).
+
+    Per batch the pair construction is fully vectorized: one Arrow regex
+    split → flat token values + list offsets → a numpy row-boundary mask
+    kills cross-document pairs → one ``binary_join_element_wise`` builds all
+    bigram strings → an in-batch Arrow group_by counts them. The groupby Sum
+    then combines partials map-side, so the exchange is O(bigram vocab x
+    blocks), never O(token occurrences).
+    """
+    from ray.data.aggregate import Sum
+
+    empty = pa.table({"bigram": pa.array([], type=pa.string()),
+                      "n": pa.array([], type=pa.int64())})
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lists = pc.split_pattern_regex(col, pattern=r"\s+")
+        off = lists.offsets.to_numpy().astype(np.int64)
+        vals = lists.values
+        if len(vals) == 0:
+            return empty
+        nonempty = pc.not_equal(vals, "").to_numpy(zero_copy_only=False)
+        cum = np.concatenate(([0], np.cumsum(nonempty.astype(np.int64))))
+        new_lens = cum[off[1:]] - cum[off[:-1]]  # nonempty tokens per row
+        toks = vals.filter(pa.array(nonempty))
+        n = len(toks)
+        if n < 2:
+            return empty
+        ends = np.cumsum(new_lens)          # row end positions in token space
+        pair_ok = np.ones(n - 1, dtype=bool)
+        inner = ends[:-1]                   # every row boundary except the last
+        inner = inner[(inner >= 1) & (inner <= n - 1)]
+        pair_ok[inner - 1] = False          # pair (j, j+1) straddles two rows
+        sel = pa.array(pair_ok)
+        bigrams = pc.binary_join_element_wise(
+            toks.slice(0, n - 1).filter(sel),
+            toks.slice(1, n - 1).filter(sel), " ")
+        counted = pa.table({"bigram": bigrams}).group_by("bigram") \
+            .aggregate([("bigram", "count")])
+        return pa.table({"bigram": counted["bigram"],
+                         "n": pc.cast(counted["bigram_count"], pa.int64())})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("bigram").aggregate(Sum("n", alias_name="n")))
+
+
 # ---------------------------------------------------------------------------
 # Unigram-LM scoring shape: corpus term frequencies (the "model") broadcast
 # once, then a vectorized per-document lookup-sum (the "scorer"). The score

@@ -129,6 +129,51 @@ def rolling_agg(ds: "ray.data.Dataset", key_col: str = "user_id",
     )
 
 
+def lag_delta(ds: "ray.data.Dataset", key_col: str = "user_id",
+              ts_col: str = "ts", id_col: str = "event_id",
+              missing: int = -1,
+              num_buckets: int = 32) -> "ray.data.Dataset":
+    """Per-key inter-event gap — for every event, microseconds since the
+    SAME key's previous event in (ts, id) order (``missing`` for the key's
+    first event). The lag/lead window primitive of a training-data pipeline
+    (burst detection, bot filtering, session features) without a per-key
+    Python call.
+
+    Plan: the same ONE key-hash-bucket exchange as :func:`sessionize`; each
+    bucket sorts once and computes one vectorized diff across EVERY key in
+    the bucket, with the key-change mask resetting the first row per key.
+    Output: (key, id, ts, gap_us) — gap in integer microseconds (exact;
+    datetime64[us] difference, no float seconds round-trip).
+    """
+    cols = [key_col, ts_col, id_col]
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        t = t.select(cols)
+        return t.append_column("__bucket",
+                               _bucket_of_column(t[key_col], num_buckets))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__bucket").sort_values(
+            [key_col, ts_col, id_col], kind="mergesort")
+        ts = g[ts_col]
+        if pd.api.types.is_datetime64_any_dtype(ts):
+            delta = ts.diff().dt.total_seconds() * 1_000_000
+        else:  # numeric epoch-seconds column
+            delta = ts.diff() * 1_000_000
+        first = g[key_col] != g[key_col].shift()
+        g["gap_us"] = delta.round().where(~first, missing).astype("int64")
+        return g
+
+    from engine.joins import _coalesced
+
+    return (
+        _coalesced(ds.map_batches(add_bucket, batch_format="pyarrow"),
+                   num_buckets, "auto")
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
 def collect_per_key(ds: "ray.data.Dataset", key_col: str = "user_id",
                     order_cols: tuple = ("ts", "event_id"),
                     value_col: str = "event_id", sep: str = ",",

@@ -238,13 +238,22 @@ def group_percentiles(ds: "ray.data.Dataset", key_col: str, col: str,
     right for bounded-cardinality value columns (quantized amounts, sizes,
     codes); for unbounded doubles quantize first (the caller's floor/1000
     pattern) or use a sketch. Returns a pa.Table (key, q, value)."""
-    from ray.data.aggregate import Count
+    from ray.data.aggregate import Sum
     import numpy as np
 
+    from engine.joins import _coalesced
+
+    def local_counts(t: pa.Table) -> pa.Table:
+        # Acero pre-agg: within-block repeats collapse before the wire
+        g = t.select([key_col, col]).group_by([key_col, col]) \
+            .aggregate([([], "count_all")])
+        return g.rename_columns([key_col, col, "n"])
+
     counts = (
-        ds.select_columns([key_col, col])
+        _coalesced(ds.map_batches(local_counts, batch_format="pyarrow"),
+                   32, "auto")  # shuffle cost scales with input block count
         .groupby([key_col, col])
-        .aggregate(Count(alias_name="n"))
+        .aggregate(Sum("n", alias_name="n"))
         .to_pandas()
     )
     if len(counts) == 0 or col not in counts.columns:

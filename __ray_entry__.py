@@ -600,4 +600,40 @@ SELECT doc_id AS media_id,
        CASE WHEN doc_id % 17 = 0 OR text = '' THEN 'failed'
             ELSE 'ok' END AS status
 FROM documents""",
+        "hopping_window": """
+SELECT event_type,
+       CAST(floor(epoch(ts) / 900) * 900 - u.i * 900 AS BIGINT)
+         AS window_start_s,
+       count(*) AS n,
+       round(sum(value), 6) AS sum_value
+FROM events, (SELECT unnest(generate_series(0, 3)) AS i) u
+GROUP BY 1, 2""",
+        # length(bin(x)) is the exact integer bit length — the Ray side's
+        # np.frexp exponent; no float log convention needed
+        "tfidf_terms": """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS token
+  FROM documents
+), tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2
+), df AS (
+  SELECT token, count(*) AS df FROM tf GROUP BY 1
+), scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+         tf.tf * ((SELECT length(bin(count(*))) FROM documents)
+                  - length(bin(df.df)) + 1) AS score
+  FROM tf JOIN df USING (token)
+)
+SELECT doc_id, token, tf, df, score FROM (
+  SELECT scored.*, row_number() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, token) AS rn
+  FROM scored) WHERE rn <= 3""",
+        "value_outliers": """
+WITH m AS (SELECT event_id, event_type,
+                  CAST(floor(value * 1000) AS BIGINT) AS v FROM events),
+g AS (SELECT event_type, quantile_disc(v, [0.25, 0.75]) AS vs
+      FROM m GROUP BY 1)
+SELECT m.event_id, m.event_type, m.v
+FROM m JOIN g USING (event_type)
+WHERE m.v > vs[2] + (3 * (vs[2] - vs[1])) // 2""",
     }

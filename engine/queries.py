@@ -1403,6 +1403,57 @@ def q_stratified_sample(sf_dir: str):
         .select_columns(["event_id", "user_id", "event_type"])
 
 
+def q_hopping_window(sf_dir: str):
+    """Hopping-window aggregate (engine.windows.hopping_window): 1-hour
+    windows every 15 min per event_type — each event in 4 overlapping
+    windows, expansion collapsed by per-block Acero pre-agg before the
+    exchange. DuckDB twin: generate_series(0, 3) cross join."""
+    from engine.windows import hopping_window
+
+    events = _read(sf_dir, "events", ["event_type", "ts", "value"])
+    out = hopping_window(events, key_col="event_type", ts_col="ts",
+                         value_col="value", size_s=3600, hop_s=900)
+    df = out.to_pandas()
+    df["sum_value"] = df["sum_value"].round(6)
+    return df
+
+
+def q_tfidf_terms(sf_dir: str):
+    """Integer-scored tf-idf keyword extraction
+    (engine.textstats.tfidf_top_terms): top-3 terms per document by
+    tf * (bitlen(n_docs) - bitlen(df) + 1), ties by token. DuckDB twin:
+    the same tf/df CTEs with length(bin(x)) as the exact bit length."""
+    import pyarrow.parquet as pq
+
+    from engine.textstats import tfidf_top_terms
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")).num_rows
+    return tfidf_top_terms(docs, n_docs=n_docs, k=3) \
+        .select_columns(["doc_id", "token", "tf", "df", "score"])
+
+
+def q_value_outliers(sf_dir: str):
+    """Per-group Tukey-fence outlier filter (engine.stats.iqr_outliers):
+    events whose integer-milli value exceeds q3 + (3*(q3-q1))//2 for their
+    event_type. DuckDB twin: grouped quantile_disc + integer fence join."""
+    from engine.stats import iqr_outliers
+
+    events = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    milli = events.map_batches(
+        lambda t: pa.table({
+            "event_id": t["event_id"],
+            "event_type": t["event_type"],
+            "v": pc.cast(pc.floor(pc.multiply(t["value"], 1000.0)),
+                         pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+    return iqr_outliers(milli, "event_type", "v") \
+        .select_columns(["event_id", "event_type", "v"])
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1473,4 +1524,7 @@ QUERIES = {
     "event_gaps": q_event_gaps,
     "region_revenue": q_region_revenue,
     "stratified_sample": q_stratified_sample,
+    "hopping_window": q_hopping_window,
+    "tfidf_terms": q_tfidf_terms,
+    "value_outliers": q_value_outliers,
 }

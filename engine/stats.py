@@ -313,3 +313,44 @@ def exact_percentiles(ds: "ray.data.Dataset", col: str,
         out_v.append(counts[col].iloc[idx])
     return pa.table({"q": pa.array(out_q, type=pa.float64()),
                      "value": pa.array(out_v)})
+
+
+def iqr_outliers(ds: "ray.data.Dataset", key_col: str, col: str,
+                 mult_num: int = 3, mult_den: int = 2) -> "ray.data.Dataset":
+    """Per-group Tukey-fence outlier rows — the distribution-aware quality
+    filter of a training-data pipeline (drop/flag records whose metric is
+    extreme FOR ITS GROUP, not globally): keep rows where
+    ``value > q3 + (mult_num * (q3 - q1)) // mult_den`` with q1/q3 the
+    exact per-key percentile_disc quartiles. The fence is INTEGER
+    arithmetic (floor division, default 3//2 = Tukey 1.5) so the SQL twin
+    needs no float rounding convention — ``col`` must be an integer column
+    (quantize first, the caller's floor(value*1000) pattern).
+
+    Plan: two passes over the input, both narrow. Pass 1 is
+    :func:`group_percentiles`' counting-sort exchange (partial-agg
+    map-side; driver state O(keys × distinct values)); the resulting
+    per-key fence table is TINY (one int per key) and is broadcast via
+    ``ray.put`` + the worker-cached get of engine/broadcast.py. Pass 2 is
+    one vectorized ``pc.index_in`` lookup-filter over the stream — no
+    second exchange, no per-row Python.
+    """
+    import numpy as np
+
+    import ray
+
+    from engine.broadcast import get_broadcast
+
+    qt = group_percentiles(ds, key_col, col, qs=(0.25, 0.75)).to_pandas()
+    piv = qt.pivot(index=key_col, columns="q", values="value")
+    hi = piv[0.75] + (mult_num * (piv[0.75] - piv[0.25])) // mult_den
+    keys = pa.array(hi.index.to_numpy())
+    fences = pa.array(hi.to_numpy().astype(np.int64), type=pa.int64())
+    ref = ray.put((keys, fences))
+
+    def flag(t: pa.Table) -> pa.Table:
+        k_arr, f_arr = get_broadcast(ref)
+        idx = pc.index_in(t[key_col], value_set=k_arr)
+        fence = pc.take(f_arr, idx)
+        return t.filter(pc.greater(t[col], fence))
+
+    return ds.map_batches(flag, batch_format="pyarrow")

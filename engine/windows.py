@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
@@ -171,6 +172,67 @@ def lag_delta(ds: "ray.data.Dataset", key_col: str = "user_id",
                    num_buckets, "auto")
         .groupby("__bucket")
         .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+def hopping_window(ds: "ray.data.Dataset", key_col: str = "event_type",
+                   ts_col: str = "ts", value_col: str = "value",
+                   size_s: int = 3600, hop_s: int = 900,
+                   ) -> "ray.data.Dataset":
+    """Hopping (overlapping sliding) window aggregate — the streaming
+    window family's second member next to the tumbling window of
+    engine/queries.py: every event lands in ``size_s / hop_s`` consecutive
+    windows whose starts are multiples of ``hop_s`` (trailing-rate
+    features, burst detection at finer grain than the window span).
+
+    Plan: the k-fold window expansion is fully vectorized inside
+    ``map_batches`` (numpy broadcast of the k window starts + one
+    ``np.repeat`` of keys/values — no per-row Python) and is IMMEDIATELY
+    collapsed by a per-block Acero pre-agg, so what crosses the wire is
+    O(keys × windows) partial rows per block — the k× row expansion never
+    leaves the worker. Global combine is one groupby Sum over the
+    coalesced partials.
+
+    Output: (key, window_start_s, n, sum_value) — epoch-second window
+    starts, floor(ts / hop) * hop - i * hop arithmetic reproduced exactly
+    by the DuckDB generate_series twin.
+    """
+    if size_s % hop_s:
+        raise ValueError("size_s must be a multiple of hop_s")
+    k = size_s // hop_s
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    from engine.joins import _coalesced
+
+    def expand(t: pa.Table) -> pa.Table:
+        n = len(t)
+        e = pc.cast(pc.cast(t[ts_col], pa.timestamp("us")),
+                    pa.int64()).to_numpy() // 1_000_000
+        smax = (e // hop_s) * hop_s
+        starts = (smax[:, None]
+                  - hop_s * np.arange(k, dtype=np.int64)[None, :]).ravel()
+        rep = np.repeat(np.arange(n, dtype=np.int64), k)
+        g = pa.table({
+            key_col: t[key_col].take(pa.array(rep)),
+            "window_start_s": pa.array(starts, type=pa.int64()),
+            value_col: pa.array(np.repeat(
+                t[value_col].to_numpy(zero_copy_only=False), k)),
+        }).group_by([key_col, "window_start_s"]).aggregate(
+            [(value_col, "sum"), ([], "count_all")])
+        return pa.table({
+            key_col: g[key_col],
+            "window_start_s": g["window_start_s"],
+            "sum_value": g[f"{value_col}_sum"],
+            "n": pc.cast(g["count_all"], pa.int64()),
+        })
+
+    return (
+        _coalesced(ds.map_batches(expand, batch_format="pyarrow"),
+                   32, "auto")
+        .groupby([key_col, "window_start_s"])
+        .aggregate(Sum("n", alias_name="n"),
+                   Sum("sum_value", alias_name="sum_value"))
     )
 
 

@@ -1,0 +1,137 @@
+"""Round-3 continuation operators, batch 3: hopping windows, integer tf-idf
+top-k terms, per-group IQR outlier filtering — each checked against an
+independent pandas/numpy brute-force reference (the oracle gate covers the
+SQL twins; these pin the library API semantics directly)."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def test_hopping_window_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from engine.windows import hopping_window
+
+    rng = np.random.RandomState(7)
+    n = 400
+    base = 1_700_000_000
+    df = pd.DataFrame({
+        "event_type": rng.choice(["a", "b"], n),
+        "ts": pd.to_datetime(
+            base + rng.randint(0, 6 * 3600, n), unit="s"),
+        "value": rng.rand(n).round(3),
+    })
+    out = (
+        hopping_window(rd.from_pandas(df).repartition(5),
+                       key_col="event_type", size_s=3600, hop_s=900)
+        .to_pandas()
+        .set_index(["event_type", "window_start_s"])
+        .sort_index()
+    )
+    # brute force: event at epoch-second t is in window s iff s <= t < s+3600
+    # and s % 900 == 0
+    ref: dict = {}
+    for _, r in df.iterrows():
+        t = int(r["ts"].timestamp())
+        smax = (t // 900) * 900
+        for i in range(4):
+            s = smax - i * 900
+            assert s <= t < s + 3600
+            key = (r["event_type"], s)
+            c, v = ref.get(key, (0, 0.0))
+            ref[key] = (c + 1, v + r["value"])
+    assert len(out) == len(ref)
+    for key, (c, v) in ref.items():
+        assert out.loc[key, "n"] == c
+        assert abs(out.loc[key, "sum_value"] - v) < 1e-9
+
+
+def test_tfidf_top_terms_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from engine.textstats import tfidf_top_terms
+
+    docs = [
+        "apple banana apple cherry",
+        "banana banana date",
+        "apple date date date egg",
+        "cherry egg fig",
+        "",  # empty doc: no terms, no output rows
+        "fig fig fig fig",
+    ]
+    df = pd.DataFrame({"doc_id": range(len(docs)), "text": docs})
+    n_docs = len(docs)
+    out = (
+        tfidf_top_terms(rd.from_pandas(df).repartition(3), n_docs=n_docs,
+                        k=2)
+        .to_pandas()
+        .sort_values(["doc_id", "token"])
+        .reset_index(drop=True)
+    )
+
+    # brute force reference
+    tf = {i: Counter(t.split()) for i, t in enumerate(docs)}
+    dfreq: Counter = Counter()
+    for c in tf.values():
+        dfreq.update(set(c))
+    nbits = n_docs.bit_length()
+    rows = []
+    for i, c in tf.items():
+        scored = sorted(
+            ((tok, n, dfreq[tok],
+              n * (nbits - dfreq[tok].bit_length() + 1))
+             for tok, n in c.items()),
+            key=lambda r: (-r[3], r[0]))[:2]
+        for tok, n, d, s in scored:
+            rows.append((i, tok, n, d, s))
+    ref = pd.DataFrame(
+        rows, columns=["doc_id", "token", "tf", "df", "score"]
+    ).sort_values(["doc_id", "token"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        out[["doc_id", "token", "tf", "df", "score"]].astype(
+            {"doc_id": "int64", "tf": "int64", "df": "int64",
+             "score": "int64"}),
+        ref.astype({"doc_id": "int64", "tf": "int64", "df": "int64",
+                    "score": "int64"}),
+    )
+
+
+def test_tfidf_idf_bit_length_exact():
+    """np.frexp exponent == int.bit_length for every df that matters."""
+    vals = np.array([1, 2, 3, 4, 7, 8, 1023, 1024, 1025, 2**40,
+                     2**40 + 1], dtype=np.float64)
+    _, exp = np.frexp(vals)
+    for v, e in zip(vals.astype(np.int64), exp):
+        assert int(v).bit_length() == int(e), v
+
+
+def test_iqr_outliers_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from engine.stats import iqr_outliers
+
+    rng = np.random.RandomState(11)
+    n = 600
+    df = pd.DataFrame({
+        "id": np.arange(n),
+        "k": rng.choice(["x", "y", "z"], n),
+        "v": (rng.lognormal(3.0, 1.0, n) * 100).astype(np.int64),
+    })
+    out = iqr_outliers(rd.from_pandas(df).repartition(4), "k", "v")
+    got = set(out.to_pandas()["id"])
+
+    ref = set()
+    for k, g in df.groupby("k"):
+        vals = np.sort(g["v"].to_numpy())
+        nn = len(vals)
+        q1 = vals[max(1, math.ceil(0.25 * nn)) - 1]
+        q3 = vals[max(1, math.ceil(0.75 * nn)) - 1]
+        hi = q3 + (3 * (q3 - q1)) // 2
+        ref |= set(g.loc[g["v"] > hi, "id"])
+    assert got == ref and len(ref) > 0

@@ -636,4 +636,31 @@ g AS (SELECT event_type, quantile_disc(v, [0.25, 0.75]) AS vs
 SELECT m.event_id, m.event_type, m.v
 FROM m JOIN g USING (event_type)
 WHERE m.v > vs[2] + (3 * (vs[2] - vs[1])) // 2""",
+        "event_ntile": """
+SELECT event_id, user_id,
+       ntile(4) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ntile
+FROM events""",
+        "inverted_index": """
+WITH toks AS (
+  SELECT DISTINCT doc_id, token FROM (
+    SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS token
+    FROM documents)
+)
+SELECT token, count(*) AS df,
+       array_to_string((list(doc_id ORDER BY doc_id))[1:10], ',') AS posting
+FROM toks GROUP BY token""",
+        "user_drift": """
+WITH m AS (SELECT event_id, user_id,
+                  CAST(floor(value * 1000) AS BIGINT) AS v FROM events),
+a AS (SELECT user_id, count(*) AS n_a, sum(v) AS sum_a
+      FROM m WHERE event_id % 2 = 0 GROUP BY 1),
+b AS (SELECT user_id, count(*) AS n_b, sum(v) AS sum_b
+      FROM m WHERE event_id % 2 = 1 GROUP BY 1)
+SELECT user_id,
+       coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b,
+       CAST(coalesce(sum_a, 0) AS BIGINT) AS sum_a,
+       CAST(coalesce(sum_b, 0) AS BIGINT) AS sum_b,
+       coalesce(n_b, 0) - coalesce(n_a, 0) AS n_delta,
+       CAST(coalesce(sum_b, 0) - coalesce(sum_a, 0) AS BIGINT) AS sum_delta
+FROM a FULL JOIN b USING (user_id)""",
     }

@@ -1454,6 +1454,59 @@ def q_value_outliers(sf_dir: str):
         .select_columns(["event_id", "event_type", "v"])
 
 
+def q_event_ntile(sf_dir: str):
+    """Per-key NTILE(4) rank bucketing (engine.windows.ntile_per_key):
+    which quarter of the user's event history each event falls in —
+    SQL-standard fat-buckets-first semantics, vectorized across all keys
+    per hash bucket. DuckDB twin: ntile(4) OVER (PARTITION BY user_id)."""
+    from engine.windows import ntile_per_key
+
+    events = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    out = ntile_per_key(events, key_col="user_id",
+                        order_cols=("ts", "event_id"), k=4)
+    return out.select_columns(["event_id", "user_id", "ntile"])
+
+
+def q_inverted_index(sf_dir: str):
+    """Posting-list assembly (engine.textstats.inverted_index): per token,
+    document frequency + first-10 ascending doc ids as a ',' string —
+    truncated BEFORE string assembly so hot tokens stay bounded. DuckDB
+    twin: list(doc_id ORDER BY doc_id)[1:10]."""
+    from engine.textstats import inverted_index
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return inverted_index(docs, max_postings=10) \
+        .select_columns(["token", "df", "posting"])
+
+
+def q_user_drift(sf_dir: str):
+    """Two-snapshot per-key drift audit (engine.stats.snapshot_diff): the
+    even-event_id half of events vs the odd half, per-user row counts and
+    integer-milli value sums with deltas — each side collapses to O(keys)
+    map-side before ONE full-outer hash_join. DuckDB twin: FULL JOIN of
+    two filtered aggregates with COALESCE."""
+    from engine.stats import snapshot_diff
+
+    events = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+    milli = events.map_batches(
+        lambda t: pa.table({
+            "event_id": t["event_id"],
+            "user_id": t["user_id"],
+            "v": pc.cast(pc.floor(pc.multiply(t["value"], 1000.0)),
+                         pa.int64()),
+        }),
+        batch_format="pyarrow",
+    ).materialize()  # feeds BOTH snapshot filters — avoid double read
+
+    def parity(p):
+        return lambda t: t.filter(
+            pc.equal(_mod_i64(t["event_id"], 2), p))
+
+    even = milli.map_batches(parity(0), batch_format="pyarrow")
+    odd = milli.map_batches(parity(1), batch_format="pyarrow")
+    return snapshot_diff(even, odd, "user_id", "v")
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1527,4 +1580,7 @@ QUERIES = {
     "hopping_window": q_hopping_window,
     "tfidf_terms": q_tfidf_terms,
     "value_outliers": q_value_outliers,
+    "event_ntile": q_event_ntile,
+    "inverted_index": q_inverted_index,
+    "user_drift": q_user_drift,
 }

@@ -354,3 +354,52 @@ def iqr_outliers(ds: "ray.data.Dataset", key_col: str, col: str,
         return t.filter(pc.greater(t[col], fence))
 
     return ds.map_batches(flag, batch_format="pyarrow")
+
+
+def snapshot_diff(ds_a: "ray.data.Dataset", ds_b: "ray.data.Dataset",
+                  key_col: str, value_col: str,
+                  num_buckets: int = 32) -> "ray.data.Dataset":
+    """Per-key drift between two dataset snapshots — the
+    dataset-versioning / CDC-audit primitive: for every key present in
+    EITHER snapshot, its row count and integer value sum in each, plus the
+    deltas (missing side → 0). The training-data use case: diffing two
+    crawls / two pipeline runs to see what a filter change did per slice.
+
+    Plan: each side collapses to O(keys) rows FIRST (map-side partial
+    Count/Sum groupby — the full snapshots never meet), then ONE
+    distributed full-outer ``engine.joins.hash_join`` on the key aligns
+    the two aggregate tables; the null-fill + delta arithmetic is one
+    vectorized Arrow pass. Aggregation sides are materialized before the
+    join (hash_join reads schemas up front; a lazy side would re-execute
+    — CLAUDE.md).
+
+    Output: (key, n_a, n_b, sum_a, sum_b, n_delta, sum_delta), int64.
+    """
+    from engine.joins import hash_join
+
+    def agg_side(ds, n_name, s_name):
+        out = (ds.select_columns([key_col, value_col])
+               .groupby(key_col)
+               .aggregate(Count(alias_name=n_name),
+                          Sum(value_col, alias_name=s_name)))
+        return out.materialize()
+
+    a = agg_side(ds_a, "n_a", "sum_a")
+    b = agg_side(ds_b, "n_b", "sum_b")
+    joined = hash_join(a, b, on=key_col, how="outer",
+                       num_buckets=num_buckets)
+
+    def finish(t: pa.Table) -> pa.Table:
+        def fill(name):
+            return pc.coalesce(pc.cast(t[name], pa.int64()),
+                               pa.scalar(0, pa.int64()))
+        n_a, n_b = fill("n_a"), fill("n_b")
+        s_a, s_b = fill("sum_a"), fill("sum_b")
+        return pa.table({
+            key_col: t[key_col], "n_a": n_a, "n_b": n_b,
+            "sum_a": s_a, "sum_b": s_b,
+            "n_delta": pc.subtract(n_b, n_a),
+            "sum_delta": pc.subtract(s_b, s_a),
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow")

@@ -522,3 +522,51 @@ def tfidf_top_terms(ds: "ray.data.Dataset", n_docs: int,
     scored = joined.map_batches(score, batch_format="pyarrow")
     return top_k_per_group(scored, id_col, "score", k, descending=True,
                            tiebreak_col="token", num_buckets=num_buckets)
+
+
+def inverted_index(ds: "ray.data.Dataset", text_col: str = "text",
+                   id_col: str = "doc_id", max_postings: int = 10,
+                   num_buckets: int = 32) -> "ray.data.Dataset":
+    """(token, df, posting) — search-index build: per token, its document
+    frequency and the FIRST ``max_postings`` doc ids (ascending) joined
+    with ','. The retrieval-side sibling of :func:`doc_frequency` — the
+    posting-list assembly a corpus search / citation-lookup stage needs.
+
+    Plan: :func:`doc_terms` emits (doc, token) pairs already
+    de-duplicated per document; ONE token-hash-bucket exchange co-locates
+    each token's postings; per bucket one sort + groupby whose per-token
+    cost is a C-level size count + one str.join over an ALREADY-TRUNCATED
+    head slice (``collect_per_key``'s documented O(keys) µs-call shape).
+    The truncation happens before string assembly, so a hot token's
+    posting string is bounded no matter its df.
+    """
+    import pandas as pd
+
+    from engine.joins import _bucket_of_column, _coalesced
+
+    pairs = doc_terms(ds, text_col=text_col, id_col=id_col)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        t = t.select(["token", id_col])
+        return t.append_column("__bucket",
+                               _bucket_of_column(t["token"], num_buckets))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["token", id_col], kind="mergesort")
+        grouped = g.groupby("token", sort=False)
+        df_counts = grouped.size()
+        heads = g[g.groupby("token", sort=False).cumcount() < max_postings]
+        posting = heads[id_col].astype(str).groupby(
+            heads["token"], sort=False).agg(",".join)
+        return pd.DataFrame({
+            "token": df_counts.index,
+            "df": df_counts.to_numpy(np.int64),
+            "posting": posting.reindex(df_counts.index).to_numpy(),
+        })
+
+    return (
+        _coalesced(pairs.map_batches(add_bucket, batch_format="pyarrow"),
+                   num_buckets, "auto")
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )

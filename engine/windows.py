@@ -279,3 +279,53 @@ def collect_per_key(ds: "ray.data.Dataset", key_col: str = "user_id",
         .groupby("__bucket")
         .map_groups(per_bucket, batch_format="pandas")
     )
+
+
+def ntile_per_key(ds: "ray.data.Dataset", key_col: str = "user_id",
+                  order_cols: tuple = ("ts", "event_id"), k: int = 4,
+                  num_buckets: int = 32) -> "ray.data.Dataset":
+    """Per-key NTILE(k) — each key's rows, ordered by ``order_cols``, split
+    into k near-equal rank buckets (SQL-standard semantics: with n = rows
+    and r = n % k, the FIRST r buckets get one extra row). The
+    feature-bucketing / curriculum-phase primitive of a training-data
+    pipeline (e.g. "which quarter of this user's history is this event
+    from"), exactly matching DuckDB's ``ntile(k) OVER (PARTITION BY key
+    ORDER BY ...)``.
+
+    Plan: the one key-hash-bucket exchange of :func:`sessionize`; per
+    bucket one sort + vectorized rank arithmetic across EVERY key at once
+    (groupby sizes via transform, cumcount ranks, closed-form bucket
+    index) — Python calls capped at ``num_buckets``.
+
+    Output: input columns + ``ntile`` (int64, 1-based).
+    """
+    import numpy as np
+
+    from engine.joins import _bucket_of_column, _coalesced
+
+    cols = list(dict.fromkeys([key_col, *order_cols]))
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        t = t.select(cols)
+        return t.append_column("__bucket",
+                               _bucket_of_column(t[key_col], num_buckets))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__bucket").sort_values(
+            [key_col, *order_cols], kind="mergesort")
+        n = g.groupby(key_col, sort=False)[key_col].transform("size") \
+            .to_numpy(np.int64)
+        r0 = g.groupby(key_col, sort=False).cumcount().to_numpy(np.int64)
+        q, r = n // k, n % k
+        thr = r * (q + 1)            # rows covered by the fat buckets
+        q_safe = np.maximum(q, 1)    # q == 0 rows all take the fat branch
+        g["ntile"] = np.where(r0 < thr, r0 // (q + 1),
+                              r + (r0 - thr) // q_safe) + 1
+        return g
+
+    return (
+        _coalesced(ds.map_batches(add_bucket, batch_format="pyarrow"),
+                   num_buckets, "auto")
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )

@@ -135,3 +135,90 @@ def test_iqr_outliers_matches_bruteforce(ray_session):
         hi = q3 + (3 * (q3 - q1)) // 2
         ref |= set(g.loc[g["v"] > hi, "id"])
     assert got == ref and len(ref) > 0
+
+
+def test_ntile_per_key_matches_sql_semantics(ray_session):
+    import ray.data as rd
+
+    from engine.windows import ntile_per_key
+
+    rng = np.random.RandomState(5)
+    n = 300
+    df = pd.DataFrame({
+        "k": rng.choice(["u1", "u2", "u3", "u4"], n),
+        "ts": rng.randint(0, 10_000, n),
+        "id": np.arange(n),
+    })
+    out = (
+        ntile_per_key(rd.from_pandas(df).repartition(4), key_col="k",
+                      order_cols=("ts", "id"), k=4)
+        .to_pandas().set_index("id")["ntile"]
+    )
+
+    # SQL-standard ntile: first (n % k) buckets get one extra row
+    for _, g in df.groupby("k"):
+        g = g.sort_values(["ts", "id"])
+        nn = len(g)
+        q, r = divmod(nn, 4)
+        sizes = [q + 1] * r + [q] * (4 - r)
+        expect = np.repeat(np.arange(1, 5), sizes)[:nn]
+        got = out.loc[g["id"].to_numpy()].to_numpy()
+        assert (got == expect).all()
+
+
+def test_ntile_fewer_rows_than_buckets(ray_session):
+    import ray.data as rd
+
+    from engine.windows import ntile_per_key
+
+    df = pd.DataFrame({"k": ["a", "a", "b"], "ts": [2, 1, 5],
+                       "id": [0, 1, 2]})
+    out = ntile_per_key(rd.from_pandas(df), key_col="k",
+                        order_cols=("ts", "id"), k=4) \
+        .to_pandas().set_index("id")["ntile"]
+    assert out.loc[1] == 1 and out.loc[0] == 2  # a: ts order 1,2
+    assert out.loc[2] == 1
+
+
+def test_inverted_index_truncates_postings(ray_session):
+    import ray.data as rd
+
+    from engine.textstats import inverted_index
+
+    docs = [f"common tok{i % 3}" for i in range(25)]
+    df = pd.DataFrame({"doc_id": range(25), "text": docs})
+    out = inverted_index(rd.from_pandas(df).repartition(3),
+                         max_postings=10).to_pandas() \
+        .set_index("token")
+    assert out.loc["common", "df"] == 25
+    assert out.loc["common", "posting"] == ",".join(map(str, range(10)))
+    assert out.loc["tok1", "df"] == 8  # docs 1,4,...,22
+    assert out.loc["tok1", "posting"] == ",".join(
+        str(i) for i in range(1, 25, 3))
+
+
+def test_snapshot_diff_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from engine.stats import snapshot_diff
+
+    rng = np.random.RandomState(13)
+    a = pd.DataFrame({"k": rng.choice(["x", "y", "only_a"], 80),
+                      "v": rng.randint(0, 50, 80).astype(np.int64)})
+    b = pd.DataFrame({"k": rng.choice(["x", "y", "only_b"], 70),
+                      "v": rng.randint(0, 50, 70).astype(np.int64)})
+    out = snapshot_diff(rd.from_pandas(a).repartition(3),
+                        rd.from_pandas(b).repartition(2), "k", "v") \
+        .to_pandas().set_index("k").sort_index()
+
+    ga = a.groupby("k")["v"].agg(["size", "sum"])
+    gb = b.groupby("k")["v"].agg(["size", "sum"])
+    keys = sorted(set(ga.index) | set(gb.index))
+    assert list(out.index) == keys
+    for k in keys:
+        n_a = int(ga["size"].get(k, 0)); s_a = int(ga["sum"].get(k, 0))
+        n_b = int(gb["size"].get(k, 0)); s_b = int(gb["sum"].get(k, 0))
+        row = out.loc[k]
+        assert (row["n_a"], row["n_b"], row["sum_a"], row["sum_b"],
+                row["n_delta"], row["sum_delta"]) == \
+            (n_a, n_b, s_a, s_b, n_b - n_a, s_b - s_a)

@@ -663,4 +663,12 @@ SELECT user_id,
        coalesce(n_b, 0) - coalesce(n_a, 0) AS n_delta,
        CAST(coalesce(sum_b, 0) - coalesce(sum_a, 0) AS BIGINT) AS sum_delta
 FROM a FULL JOIN b USING (user_id)""",
+        "skew_join": """
+WITH f AS (SELECT l_orderkey, l_linenumber,
+                  CASE WHEN l_orderkey % 3 = 0 THEN 1
+                       ELSE CAST(l_suppkey AS BIGINT) END AS k,
+                  CAST(l_quantity AS BIGINT) AS l_quantity
+           FROM lineitem)
+SELECT f.l_orderkey, f.l_linenumber, f.k, f.l_quantity, s.s_name
+FROM f JOIN supplier s ON s.s_suppkey = f.k""",
     }

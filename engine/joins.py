@@ -404,3 +404,131 @@ def bloom_semi_join(probe: "ray.data.Dataset", build: "ray.data.Dataset",
     survivors = probe.map_batches(prefilter, batch_format="pyarrow")
     return hash_join(survivors, build, on=on, how="semi",
                      num_buckets=num_buckets)
+
+
+# ---------------------------------------------------------------------------
+# Salted join: the hot-key survival kit. hash_join's documented partitioning
+# assumption is "a single bucket's rows fit in one worker's heap"; a key
+# holding 30% of a 100 TB fact table breaks it — every row of that key lands
+# in ONE bucket on ONE worker. Salting splits each hot key's left rows
+# across `salt` sub-buckets and replicates the (by contract much smaller)
+# right rows of that key into all of them, restoring bounded buckets at the
+# cost of salt× replication of ONLY the hot right rows.
+# ---------------------------------------------------------------------------
+
+
+def detect_hot_keys(ds: "ray.data.Dataset", on: str,
+                    frac: float = 0.01, num_buckets: int = 32) -> set:
+    """Keys holding more than ``frac`` of all rows — the salting candidates.
+
+    One narrow (key)->Count partial-agg exchange (per-block Acero pre-agg,
+    map-side combine); driver state is O(distinct keys) — the same scale
+    contract as every counting aggregate here. At open-key-cardinality
+    scale, sample the input first (hot keys by definition survive
+    sampling)."""
+    from ray.data.aggregate import Sum
+
+    def local(t: pa.Table) -> pa.Table:
+        g = t.select([on]).group_by([on]).aggregate([([], "count_all")])
+        return g.rename_columns([on, "n"])
+
+    counts = (
+        _coalesced(ds.map_batches(local, batch_format="pyarrow"),
+                   num_buckets, "auto")
+        .groupby(on).aggregate(Sum("n", alias_name="n")).to_pandas()
+    )
+    total = counts["n"].sum()
+    return set(counts.loc[counts["n"] > frac * total, on])
+
+
+def salted_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
+                on: str, hot_keys, salt: int = 8, num_buckets: int = 32,
+                how: str = "inner", suffixes: tuple[str, str] = ("", "_r"),
+                coalesce="auto") -> "ray.data.Dataset":
+    """:func:`hash_join` for skewed keys: rows whose key is in ``hot_keys``
+    are spread across ``salt`` sub-buckets (left side) / replicated into
+    all of them (right side), so no single worker ever holds a hot key's
+    full row set. Cold keys pay nothing (salt 0, one copy, same plan as
+    hash_join). Output is the exact join multiset — the Acero merge joins
+    on (key, salt), so a replica only ever meets its own sub-bucket.
+
+    ``how`` ∈ inner|left|semi|anti (left-side semantics only: right/outer
+    would emit one row per unmatched REPLICA — a correctness error, so
+    they raise). ``hot_keys`` is the caller's knowledge or
+    :func:`detect_hot_keys`. Scale contract: right-side hot rows are
+    replicated salt× — the right side is the smaller-per-key side by
+    contract (dimension rows, aggregates); left hot sub-buckets hold
+    ~|hot key| / salt rows, so pick salt ≈ hot-key share × num_buckets.
+    """
+    if how not in ("inner", "left", "semi", "anti"):
+        raise ValueError(f"salted_join supports inner|left|semi|anti, "
+                         f"got {how!r}")
+    join_type = _ACERO_HOW[how]
+    filtering = how in ("semi", "anti")
+    if filtering:
+        right = right.map_batches(lambda t: t.select([on]),
+                                  batch_format="pyarrow")
+    l_schema = left.schema()
+    r_schema = right.schema()
+    l_names = list(l_schema.names)
+    r_names = list(r_schema.names)
+    l_types = dict(zip(l_schema.names, l_schema.types))
+    r_types = dict(zip(r_schema.names, r_schema.types))
+    hot_arr = pa.array(sorted(hot_keys), type=l_types[on])
+
+    def _bucket_mix(key_col, s: np.ndarray) -> pa.Array:
+        base = _bucket_of_column(key_col, num_buckets).to_numpy()
+        return pa.array(((base.astype(np.int64) + s.astype(np.int64) * 40503)
+                         % num_buckets).astype(np.int32))
+
+    def prep_left(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        hot = pc.is_in(t[on], value_set=hot_arr) \
+            .to_numpy(zero_copy_only=False)
+        s = np.zeros(n, dtype=np.int8)
+        # any spread works (join output is salt-assignment-independent);
+        # block-local round-robin is free and even
+        s[hot] = np.arange(int(hot.sum()), dtype=np.int64) % salt
+        cols = {name: t[name] for name in t.column_names}
+        cols["__salt"] = pa.array(s)
+        cols["__side"] = pa.array(np.zeros(n, dtype=np.int8))
+        cols["__bucket"] = _bucket_mix(t[on], s)
+        return pa.table(cols)
+
+    def prep_right(t: pa.Table) -> pa.Table:
+        hot = pc.is_in(t[on], value_set=hot_arr) \
+            .to_numpy(zero_copy_only=False)
+        idx_cold = np.nonzero(~hot)[0]
+        idx_hot = np.nonzero(hot)[0]
+        take = np.concatenate([idx_cold, np.repeat(idx_hot, salt)])
+        s = np.concatenate([
+            np.zeros(len(idx_cold), dtype=np.int8),
+            np.tile(np.arange(salt, dtype=np.int8), len(idx_hot)),
+        ])
+        tt = t.take(pa.array(take))
+        cols = {name: tt[name] for name in tt.column_names}
+        cols["__salt"] = pa.array(s)
+        cols["__side"] = pa.array(np.ones(len(take), dtype=np.int8))
+        cols["__bucket"] = _bucket_mix(tt[on], s)
+        return pa.table(cols)
+
+    tagged = _coalesced(
+        left.map_batches(prep_left, batch_format="pyarrow").union(
+            right.map_batches(prep_right, batch_format="pyarrow")
+        ), num_buckets, coalesce)
+
+    le = l_names + ["__salt"]
+    re_ = r_names + ["__salt"]
+    lt = {**l_types, "__salt": pa.int8()}
+    rt = {**r_types, "__salt": pa.int8()}
+
+    def merge_bucket(g: pa.Table) -> pa.Table:
+        side = g["__side"]
+        lg = _ensure_columns(g.filter(pc.equal(side, 0)), le, lt)
+        rg = _ensure_columns(g.filter(pc.equal(side, 1)), re_, rt)
+        out = lg.join(rg, keys=[on, "__salt"], join_type=join_type,
+                      left_suffix=suffixes[0], right_suffix=suffixes[1])
+        return out.drop_columns(["__salt"])
+
+    return tagged.groupby("__bucket").map_groups(merge_bucket,
+                                                 batch_format="pyarrow")

@@ -1507,6 +1507,39 @@ def q_user_drift(sf_dir: str):
     return snapshot_diff(even, odd, "user_id", "v")
 
 
+def q_skew_join(sf_dir: str):
+    """Hot-key salted join (engine.joins.salted_join): lineitem with a
+    deliberately skewed supplier key — every l_orderkey%3==0 row remaps to
+    supplier 1, putting ~1/3 of the fact table on ONE key — joined to
+    supplier. The hot key's fact rows spread across 8 sub-buckets; the one
+    hot supplier row is replicated into each. DuckDB twin: the plain join
+    (salting is plan-only — the output multiset is identical)."""
+    from engine.joins import salted_join
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_suppkey", "l_quantity"])
+
+    def skew(t: pa.Table) -> pa.Table:
+        k = pc.if_else(pc.equal(_mod_i64(t["l_orderkey"], 3), 0),
+                       pa.scalar(1, pa.int64()),
+                       pc.cast(t["l_suppkey"], pa.int64()))
+        return pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "l_linenumber": t["l_linenumber"],
+            "k": k,
+            "l_quantity": pc.cast(t["l_quantity"], pa.int64()),
+        })
+
+    fact = li.map_batches(skew, batch_format="pyarrow")
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_name"]).map_batches(
+        lambda t: pa.table({"k": pc.cast(t["s_suppkey"], pa.int64()),
+                            "s_name": t["s_name"]}),
+        batch_format="pyarrow")
+    out = salted_join(fact, sup, on="k", hot_keys={1}, salt=8)
+    return out.select_columns(
+        ["l_orderkey", "l_linenumber", "k", "l_quantity", "s_name"])
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1583,4 +1616,5 @@ QUERIES = {
     "event_ntile": q_event_ntile,
     "inverted_index": q_inverted_index,
     "user_drift": q_user_drift,
+    "skew_join": q_skew_join,
 }

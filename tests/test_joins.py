@@ -411,3 +411,60 @@ def test_new_operators_match_pandas_reference_randomized(ray_session):
         ref_seq = ref_r.groupby("user_id")["event_id"].agg(
             lambda s: ",".join(s.astype(str)))
         assert seq.sort_index().tolist() == ref_seq.sort_index().tolist()
+
+
+def test_salted_join_equivalence_all_hows(ray_session):
+    """salted_join == hash_join (multiset) with a dominant hot key, for
+    every supported join type, at several salt values."""
+    import numpy as np
+    import ray.data as rd
+
+    from engine.joins import hash_join, salted_join
+
+    rng = np.random.RandomState(17)
+    n = 2000
+    # key 7 holds ~40% of the left side
+    keys = np.where(rng.rand(n) < 0.4, 7, rng.randint(0, 50, n)).astype(
+        np.int64)
+    left = rd.from_arrow(pa.table({
+        "k": keys, "lv": np.arange(n, dtype=np.int64)})).repartition(6)
+    right = rd.from_arrow(pa.table({
+        "k": np.arange(0, 40, dtype=np.int64),
+        "rv": np.arange(100, 140, dtype=np.int64)})).repartition(3)
+
+    for how in ("inner", "left", "semi", "anti"):
+        ref = hash_join(left, right, on="k", num_buckets=8, how=how) \
+            .to_pandas()
+        ref_rows = sorted(map(tuple, ref.fillna(-1).values.tolist()))
+        for salt in (2, 5):
+            got = salted_join(left, right, on="k", hot_keys={7},
+                              salt=salt, num_buckets=8, how=how).to_pandas()
+            got_rows = sorted(map(tuple, got[ref.columns].fillna(-1)
+                                  .values.tolist()))
+            assert got_rows == ref_rows, (how, salt)
+
+
+def test_salted_join_spreads_hot_key_buckets():
+    """The plan property salting exists for: a hot key's left rows land in
+    `salt` DISTINCT buckets, not one."""
+    import numpy as np
+
+    from engine.joins import _bucket_of_column
+
+    key_col = pa.array(np.full(100, 7, dtype=np.int64))
+    base = _bucket_of_column(key_col, 16).to_numpy()
+    assert len(set(base)) == 1  # unsalted: all in one bucket
+    s = (np.arange(100) % 4).astype(np.int8)
+    mixed = (base.astype(np.int64) + s.astype(np.int64) * 40503) % 16
+    assert len(set(mixed)) == 4  # salted: spread across `salt` buckets
+
+
+def test_detect_hot_keys(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from engine.joins import detect_hot_keys
+
+    keys = np.concatenate([np.full(500, 3), np.arange(100)]).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"k": keys})).repartition(4)
+    assert detect_hot_keys(ds, "k", frac=0.1) == {3}

@@ -671,4 +671,28 @@ WITH f AS (SELECT l_orderkey, l_linenumber,
            FROM lineitem)
 SELECT f.l_orderkey, f.l_linenumber, f.k, f.l_quantity, s.s_name
 FROM f JOIN supplier s ON s.s_suppkey = f.k""",
+        "user_top_event": """
+SELECT user_id, event_type, n FROM (
+  SELECT user_id, event_type, count(*) AS n,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY count(*) DESC, event_type) AS rn
+  FROM events GROUP BY 1, 2) WHERE rn = 1""",
+        "funnel": """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+v AS (SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY 1),
+c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts >= v.t1 GROUP BY e.user_id),
+p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts >= c.t2 GROUP BY e.user_id)
+SELECT u.user_id,
+       coalesce(v.t1, TIMESTAMP '1970-01-01') AS t_view,
+       coalesce(c.t2, TIMESTAMP '1970-01-01') AS t_click,
+       coalesce(p.t3, TIMESTAMP '1970-01-01') AS t_purchase,
+       CAST(CASE WHEN p.t3 IS NOT NULL THEN 3
+                 WHEN c.t2 IS NOT NULL THEN 2
+                 WHEN v.t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+         AS n_steps
+FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+       LEFT JOIN p USING (user_id)""",
     }

@@ -1540,6 +1540,40 @@ def q_skew_join(sf_dir: str):
         ["l_orderkey", "l_linenumber", "k", "l_quantity", "s_name"])
 
 
+def q_user_top_event(sf_dir: str):
+    """Per-key modal value (engine.stats.mode_per_key): each user's most
+    frequent event_type, ties to the lexicographically smallest. DuckDB
+    twin: row_number() OVER (ORDER BY count(*) DESC, event_type) = 1."""
+    from engine.stats import mode_per_key
+
+    events = _read(sf_dir, "events", ["user_id", "event_type"])
+    return mode_per_key(events, "user_id", "event_type") \
+        .select_columns(["user_id", "event_type", "n"])
+
+
+def q_funnel(sf_dir: str):
+    """Ordered funnel completion (engine.windows.funnel): per user the
+    earliest view → click → purchase chain (each step at-or-after the
+    previous; missing step nulls the rest). DuckDB twin: chained
+    filtered-min CTEs; nulls sentinel to epoch for hashability."""
+    from engine.windows import funnel
+
+    events = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    out = funnel(events, steps=("view", "click", "purchase"))
+
+    epoch = pa.scalar(0, pa.timestamp("us"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        cols = {"user_id": t["user_id"]}
+        for s in ("view", "click", "purchase"):
+            cols[f"t_{s}"] = pc.coalesce(
+                pc.cast(t[f"t_{s}"], pa.timestamp("us")), epoch)
+        cols["n_steps"] = pc.cast(t["n_steps"], pa.int64())
+        return pa.table(cols)
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1617,4 +1651,6 @@ QUERIES = {
     "inverted_index": q_inverted_index,
     "user_drift": q_user_drift,
     "skew_join": q_skew_join,
+    "user_top_event": q_user_top_event,
+    "funnel": q_funnel,
 }

@@ -403,3 +403,32 @@ def snapshot_diff(ds_a: "ray.data.Dataset", ds_b: "ray.data.Dataset",
         })
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def mode_per_key(ds: "ray.data.Dataset", key_col: str, val_col: str,
+                 num_buckets: int = 32) -> "ray.data.Dataset":
+    """Per-key modal value — each key's most frequent ``val_col`` (ties →
+    the smallest value), the categorical-summary primitive (dominant
+    language per domain, top event per user, majority label per cluster).
+
+    Plan: one narrow (key, value)->Count exchange with per-block Acero
+    pre-agg (repeats collapse map-side — the wire carries distinct pairs
+    per block, not rows), then :func:`top_k_per_group` k=1 over the count
+    table ranks every key in a bucket with ONE vectorized pandas pass.
+    Output: (key, value, n).
+    """
+    from engine.joins import _coalesced
+
+    def local_counts(t: pa.Table) -> pa.Table:
+        g = t.select([key_col, val_col]).group_by([key_col, val_col]) \
+            .aggregate([([], "count_all")])
+        return g.rename_columns([key_col, val_col, "n"])
+
+    counts = (
+        _coalesced(ds.map_batches(local_counts, batch_format="pyarrow"),
+                   num_buckets, "auto")
+        .groupby([key_col, val_col])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    return top_k_per_group(counts, key_col, "n", 1, descending=True,
+                           tiebreak_col=val_col, num_buckets=num_buckets)

@@ -329,3 +329,57 @@ def ntile_per_key(ds: "ray.data.Dataset", key_col: str = "user_id",
         .groupby("__bucket")
         .map_groups(per_bucket, batch_format="pandas")
     )
+
+
+def funnel(ds: "ray.data.Dataset", key_col: str = "user_id",
+           ts_col: str = "ts", type_col: str = "event_type",
+           steps: tuple = ("view", "click", "purchase"),
+           num_buckets: int = 32) -> "ray.data.Dataset":
+    """Ordered funnel completion — per key, the earliest chain
+    t_1 ≤ t_2 ≤ … through ``steps``: t_1 is the key's first step-1 event,
+    t_i the first step-i event AT OR AFTER t_{i-1} (a step missing →
+    null, and every later step is null too). The product-analytics /
+    curriculum-progression primitive, per-key sequential logic Ray Data
+    has no primitive for.
+
+    Plan: one key-hash-bucket exchange; per bucket the chain is computed
+    for EVERY key at once — len(steps) vectorized passes (filter to the
+    step's rows, attach the key's previous-step time via a C-level map,
+    drop too-early rows, groupby min). Python-call count is
+    num_buckets × len(steps), never the key cardinality.
+
+    Output: (key, t_<step> per step, n_steps) — n_steps = completed
+    prefix length; every key in the input appears exactly once.
+    """
+    cols = [key_col, ts_col, type_col]
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        t = t.select(cols)
+        return t.append_column("__bucket",
+                               _bucket_of_column(t[key_col], num_buckets))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        keys = pd.Index(g[key_col].unique(), name=key_col)
+        out = pd.DataFrame(index=keys)
+        prev = None  # Series key -> time of previous step (NaT = dead)
+        for step in steps:
+            rows = g[g[type_col] == step]
+            if prev is not None:
+                gate = rows[key_col].map(prev)
+                rows = rows[rows[ts_col] >= gate]  # NaT gate drops the row
+            t_step = rows.groupby(key_col, sort=False)[ts_col].min() \
+                .reindex(keys)
+            out[f"t_{step}"] = t_step
+            prev = t_step
+        out["n_steps"] = out.notna().cumprod(axis=1).sum(axis=1) \
+            .astype("int64")
+        return out.reset_index()
+
+    from engine.joins import _coalesced
+
+    return (
+        _coalesced(ds.map_batches(add_bucket, batch_format="pyarrow"),
+                   num_buckets, "auto")
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )

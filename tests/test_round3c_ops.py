@@ -222,3 +222,100 @@ def test_snapshot_diff_matches_bruteforce(ray_session):
         assert (row["n_a"], row["n_b"], row["sum_a"], row["sum_b"],
                 row["n_delta"], row["sum_delta"]) == \
             (n_a, n_b, s_a, s_b, n_b - n_a, s_b - s_a)
+
+
+def test_mode_per_key_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from engine.stats import mode_per_key
+
+    rng = np.random.RandomState(11)
+    n = 600
+    df = pd.DataFrame({
+        "user_id": rng.randint(0, 40, n),
+        "event_type": rng.choice(["view", "click", "purchase", "scroll"], n),
+    })
+    out = (
+        mode_per_key(rd.from_pandas(df).repartition(7),
+                     "user_id", "event_type")
+        .to_pandas().set_index("user_id").sort_index()
+    )
+    # brute force: highest count wins, ties to the smallest value
+    for uid, g in df.groupby("user_id"):
+        counts = Counter(g["event_type"])
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        assert out.loc[uid, "event_type"] == best[0]
+        assert out.loc[uid, "n"] == best[1]
+    assert len(out) == df["user_id"].nunique()
+
+
+def test_funnel_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from engine.windows import funnel
+
+    rng = np.random.RandomState(13)
+    n = 800
+    base = 1_700_000_000
+    df = pd.DataFrame({
+        "user_id": rng.randint(0, 60, n),
+        "ts": pd.to_datetime(base + rng.randint(0, 86400, n), unit="s"),
+        "event_type": rng.choice(
+            ["view", "click", "purchase", "other"], n,
+            p=[0.4, 0.3, 0.1, 0.2]),
+    })
+    out = (
+        funnel(rd.from_pandas(df).repartition(9),
+               steps=("view", "click", "purchase"))
+        .to_pandas().set_index("user_id").sort_index()
+    )
+    assert len(out) == df["user_id"].nunique()
+    for uid, g in df.groupby("user_id"):
+        prev = None
+        expect = {}
+        steps_done = 0
+        alive = True
+        for step in ("view", "click", "purchase"):
+            t = None
+            if alive:
+                rows = g[g["event_type"] == step]
+                if prev is not None:
+                    rows = rows[rows["ts"] >= prev]
+                if len(rows):
+                    t = rows["ts"].min()
+            expect[step] = t
+            if t is None:
+                alive = False
+            else:
+                steps_done += 1
+                prev = t
+        row = out.loc[uid]
+        for step, t in expect.items():
+            got = row[f"t_{step}"]
+            if t is None:
+                assert pd.isna(got)
+            else:
+                assert got == t
+        assert row["n_steps"] == steps_done
+
+
+def test_funnel_gate_is_at_or_after(ray_session):
+    # a click at exactly the view time counts (>= gate, not >)
+    import ray.data as rd
+
+    from engine.windows import funnel
+
+    ts = pd.to_datetime([1000, 1000, 999], unit="s")
+    df = pd.DataFrame({
+        "user_id": [1, 1, 2],
+        "ts": ts,
+        "event_type": ["view", "click", "click"],
+    })
+    out = funnel(rd.from_pandas(df), steps=("view", "click")) \
+        .to_pandas().set_index("user_id")
+    assert out.loc[1, "n_steps"] == 2
+    assert out.loc[1, "t_click"] == pd.Timestamp("1970-01-01") + \
+        pd.Timedelta(seconds=1000)
+    # user 2 never viewed: click must be null even though a click exists
+    assert out.loc[2, "n_steps"] == 0
+    assert pd.isna(out.loc[2, "t_click"])

@@ -695,4 +695,29 @@ SELECT u.user_id,
          AS n_steps
 FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
        LEFT JOIN p USING (user_id)""",
+        "hll_events": """
+WITH h AS (SELECT CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15)
+                       AS BIGINT) AS hv FROM events),
+r AS (SELECT hv // 4503599627370496 AS register,
+             hv % 4503599627370496 AS low FROM h)
+SELECT register,
+       max(52 - (CASE WHEN low = 0 THEN 0 ELSE length(bin(low)) END) + 1)
+         AS rho_max
+FROM r GROUP BY register""",
+        "components": """
+WITH RECURSIVE e0 AS (
+  SELECT DISTINCT user_id AS src, user_id + 1 AS dst
+  FROM events WHERE user_id % 10 != 9),
+sym AS (SELECT src AS u, dst AS v FROM e0
+        UNION SELECT dst, src FROM e0),
+nodes AS (SELECT DISTINCT u AS n FROM sym),
+reach(node, r) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT sym.v, reach.r FROM reach JOIN sym ON sym.u = reach.node)
+SELECT node, min(r) AS component FROM reach GROUP BY node""",
+        "global_rank": """
+SELECT event_id, value,
+       CAST(rank() OVER (ORDER BY value) AS BIGINT) AS rnk
+FROM events""",
     }

@@ -1574,6 +1574,50 @@ def q_funnel(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def q_hll_events(sf_dir: str):
+    """HyperLogLog register table (engine.stats.hll_registers) over
+    event_id — the approximate-distinct sketch whose exchange carries ≤ m
+    integers per block. Integer-exact DuckDB twin: 60-bit md5 slice, top 8
+    bits = register, rho via length(bin(low)) (both sides exact)."""
+    from engine.stats import hll_registers
+
+    events = _read(sf_dir, "events", ["event_id"])
+    return hll_registers(events, "event_id", m=256)
+
+
+def q_components(sf_dir: str):
+    """Connected components (engine.graph.connected_components) over a
+    deterministic user graph: edges (u, u+1) for u % 10 != 9 chain users
+    into blocks of ten — propagation must walk diameter ~9, a real
+    multi-round fixpoint. DuckDB twin: WITH RECURSIVE reachability + min
+    label."""
+    from engine.graph import connected_components
+
+    events = _read(sf_dir, "events", ["user_id"])
+
+    def mk_edges(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u = u[u % 10 != 9]
+        return pa.table({"src": u, "dst": u + 1})
+
+    edges = events.map_batches(mk_edges, batch_format="pyarrow")
+    return connected_components(edges)
+
+
+def q_global_rank(sf_dir: str):
+    """Global rank (engine.stats.global_rank): rank() OVER (ORDER BY value)
+    attached to every event WITHOUT a full-table sort — only the compressed
+    (value, count) domain is exchanged. DuckDB twin: the window function
+    itself."""
+    from engine.stats import global_rank
+
+    events = _read(sf_dir, "events", ["event_id", "value"])
+    return global_rank(events, "value") \
+        .select_columns(["event_id", "value", "rnk"])
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1653,4 +1697,7 @@ QUERIES = {
     "skew_join": q_skew_join,
     "user_top_event": q_user_top_event,
     "funnel": q_funnel,
+    "hll_events": q_hll_events,
+    "components": q_components,
+    "global_rank": q_global_rank,
 }

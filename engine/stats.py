@@ -432,3 +432,189 @@ def mode_per_key(ds: "ray.data.Dataset", key_col: str, val_col: str,
     )
     return top_k_per_group(counts, key_col, "n", 1, descending=True,
                            tiebreak_col=val_col, num_buckets=num_buckets)
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog registers — approximate distinct-count sketch
+# ---------------------------------------------------------------------------
+
+HLL_HASH_BITS = 60  # md5 hex[:15] — the SQL-checkable 60-bit hash family
+
+
+def _hll_hash60(col: pa.ChunkedArray | pa.Array, method: str) -> "np.ndarray":
+    """60-bit hash per row. 'md5' = the SQL-checkable definition
+    (md5(str(v)) hex[:15] == DuckDB CAST('0x'||substr(md5(CAST(v AS
+    VARCHAR)),1,15) AS BIGINT)); 'fast' = polars xxhash masked to 60 bits
+    (one vectorized C pass, not SQL-reproducible — the 100-TB path)."""
+    import numpy as np
+
+    if method == "md5":
+        import hashlib
+        md5 = hashlib.md5  # local binds: this loop runs per corpus row
+        return np.fromiter(
+            (int(md5(str(v).encode()).hexdigest()[:15], 16)
+             for v in col.to_pylist()),
+            dtype=np.int64, count=len(col))
+    if method == "fast":
+        from engine.partition import _hash_array  # raises without polars
+        import polars as pl
+
+        if isinstance(col, pa.Array):
+            col = pa.chunked_array([col])
+        h = pl.from_arrow(col).hash(seed=0).to_numpy()
+        return (h & np.uint64((1 << HLL_HASH_BITS) - 1)).astype(np.int64)
+    raise ValueError(f"unknown hash method: {method}")
+
+
+def hll_registers(ds: "ray.data.Dataset", col: str, m: int = 256,
+                  method: str = "md5", num_buckets: int = 32
+                  ) -> "ray.data.Dataset":
+    """HyperLogLog register table — the approximate-distinct sketch that
+    replaces an all-to-all `unique` at 100 TB: the exchange carries at most
+    ``m`` integers PER BLOCK no matter how many rows flow in.
+
+    Per block (vectorized): hash → top log2(m) bits pick the register, the
+    low bits' leading-zero run gives rho (np.frexp exponent — exact, the
+    same integer ladder the tfidf idf uses), np.maximum.at collapses the
+    block to ≤ m (register, rho_max) rows map-side. One coalesced
+    groupby(register).Max merges blocks. Output: (register, rho_max) for
+    every register hit by ≥1 row (absent register ≡ rho 0 — the estimator
+    supplies them); feed to :func:`hll_estimate`.
+    """
+    import numpy as np
+
+    from engine.joins import _coalesced
+
+    r_bits = m.bit_length() - 1
+    if 1 << r_bits != m:
+        raise ValueError("m must be a power of two")
+    low_bits = HLL_HASH_BITS - r_bits
+    low_mask = (1 << low_bits) - 1
+
+    def partial(t: pa.Table) -> pa.Table:
+        h = _hll_hash60(t[col], method)
+        reg = (h >> low_bits).astype(np.int64)
+        low = (h & low_mask).astype(np.float64)  # < 2^52: float64-exact
+        _, exp = np.frexp(low)                   # bit length; frexp(0) -> 0
+        rho = (low_bits - exp + 1).astype(np.int64)
+        best = np.full(m, -1, dtype=np.int64)
+        np.maximum.at(best, reg, rho)
+        hit = np.nonzero(best >= 0)[0]
+        return pa.table({"register": hit.astype(np.int64),
+                         "rho_max": best[hit]})
+
+    from ray.data.aggregate import Max
+
+    return (
+        _coalesced(ds.map_batches(partial, batch_format="pyarrow"),
+                   num_buckets, "auto")
+        .groupby("register")
+        .aggregate(Max("rho_max", alias_name="rho_max"))
+    )
+
+
+def hll_estimate(registers, m: int = 256) -> float:
+    """Distinct-count estimate from an :func:`hll_registers` table (driver
+    side — the table is ≤ m rows). Standard HLL with the small-range
+    (linear-counting) correction; ~1.04/sqrt(m) relative error."""
+    import math
+
+    import numpy as np
+
+    if hasattr(registers, "to_pandas"):        # Dataset or pa.Table
+        registers = registers.to_pandas()
+    rho = np.zeros(m, dtype=np.int64)
+    rho[registers["register"].to_numpy()] = registers["rho_max"].to_numpy()
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
+    est = alpha * m * m / np.sum(np.exp2(-rho.astype(np.float64)))
+    zeros = int(np.count_nonzero(rho == 0))
+    if est <= 2.5 * m and zeros:
+        est = m * math.log(m / zeros)          # linear counting
+    return float(est)
+
+
+# ---------------------------------------------------------------------------
+# global rank — rank() OVER (ORDER BY value) without a global sort
+# ---------------------------------------------------------------------------
+
+
+def global_rank(ds: "ray.data.Dataset", val_col: str,
+                num_buckets: int = 32, rank_col: str = "rnk"
+                ) -> "ray.data.Dataset":
+    """Attach ``rank_col`` = SQL rank() OVER (ORDER BY val_col) to every
+    row — global order WITHOUT a full-table sort: only the compressed
+    (value, count) domain is exchanged; the wide rows take one
+    co-partitioned join.
+
+    Plan: (1) distinct-value counts — per-block Acero count pre-agg, one
+    narrow exchange, groupby sum; (2) uniform value-range buckets over
+    [min, max] (deterministic — a quantile sketch would replace the uniform
+    cut at heavy skew), per-bucket totals exclusive-prefix-summed on the
+    driver (num_buckets scalars); (3) per bucket ONE vectorized pandas pass:
+    sorted cumulative counts + bucket offset → (value, rank); (4) one
+    hash_join on the float64 BIT PATTERN (int64 view; -0.0 normalized to
+    +0.0 so the key family matches float equality) re-attaches ranks to the
+    full rows. Precondition: no null/NaN values.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from engine.joins import _coalesced, hash_join
+    from ray.data.aggregate import Max, Min
+
+    def _key(arr: "np.ndarray") -> "np.ndarray":
+        return (arr + 0.0).view(np.int64)      # -0.0 -> +0.0, then bitcast
+
+    def local_counts(t: pa.Table) -> pa.Table:
+        g = t.select([val_col]).group_by([val_col]) \
+            .aggregate([([], "count_all")])
+        return g.rename_columns([val_col, "n"])
+
+    counts = (
+        _coalesced(ds.map_batches(local_counts, batch_format="pyarrow"),
+                   num_buckets, "auto")
+        .groupby(val_col)
+        .aggregate(Sum("n", alias_name="n"))
+        .materialize()                          # used by 3 consumers below
+    )
+    lohi = counts.aggregate(Min(val_col, alias_name="lo"),
+                            Max(val_col, alias_name="hi"))
+    lo, hi = float(lohi["lo"]), float(lohi["hi"])
+    span = (hi - lo) or 1.0
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        v = t[val_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        b = np.clip(((v - lo) / span * num_buckets).astype(np.int64),
+                    0, num_buckets - 1)
+        return t.append_column("__bucket", pa.array(b, type=pa.int32()))
+
+    bucketed = counts.map_batches(add_bucket,
+                                  batch_format="pyarrow").materialize()
+    totals = {r["__bucket"]: r["n"] for r in
+              bucketed.groupby("__bucket")
+              .aggregate(Sum("n", alias_name="n")).take_all()}
+    offsets, acc = {}, 0
+    for b in range(num_buckets):               # exclusive prefix sum
+        offsets[b] = acc
+        acc += totals.get(b, 0)
+
+    def per_bucket(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values(val_col, kind="mergesort")
+        n = g["n"].to_numpy()
+        start = offsets[int(g["__bucket"].iloc[0])]
+        rnk = start + np.concatenate(([0], np.cumsum(n[:-1]))) + 1
+        out = pd.DataFrame({val_col: g[val_col].to_numpy(), rank_col: rnk})
+        out["__rk"] = _key(out[val_col].to_numpy())
+        return out.drop(columns=[val_col])
+
+    ranks = bucketed.groupby("__bucket") \
+        .map_groups(per_bucket, batch_format="pandas")
+
+    def add_key(t: pa.Table) -> pa.Table:
+        v = t[val_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        return t.append_column("__rk", pa.array(_key(v), type=pa.int64()))
+
+    joined = hash_join(ds.map_batches(add_key, batch_format="pyarrow"),
+                       ranks, on="__rk", num_buckets=num_buckets)
+    return joined.map_batches(lambda t: t.drop_columns(["__rk"]),
+                              batch_format="pyarrow")

@@ -319,3 +319,96 @@ def test_funnel_gate_is_at_or_after(ray_session):
     # user 2 never viewed: click must be null even though a click exists
     assert out.loc[2, "n_steps"] == 0
     assert pd.isna(out.loc[2, "t_click"])
+
+
+def test_hll_registers_and_estimate(ray_session):
+    import ray.data as rd
+
+    from engine.stats import hll_estimate, hll_registers
+
+    n = 20000
+    df = pd.DataFrame({"k": np.arange(n) % 7919})  # 7919 distinct
+    regs = hll_registers(rd.from_pandas(df).repartition(6), "k", m=256) \
+        .to_pandas()
+    assert regs["register"].between(0, 255).all()
+    assert regs["register"].is_unique
+    est = hll_estimate(regs, m=256)
+    assert abs(est - 7919) / 7919 < 0.15  # ~1.04/sqrt(256) = 6.5% expected
+
+    # merge property: registers of a split corpus == registers of the whole
+    a = hll_registers(rd.from_pandas(df.iloc[:9000]), "k", m=256).to_pandas()
+    b = hll_registers(rd.from_pandas(df.iloc[9000:]), "k", m=256).to_pandas()
+    merged = pd.concat([a, b]).groupby("register")["rho_max"].max()
+    whole = regs.set_index("register")["rho_max"].sort_index()
+    assert merged.sort_index().equals(whole)
+
+
+def test_hll_registers_match_reference_def(ray_session):
+    import hashlib
+
+    import ray.data as rd
+
+    from engine.stats import hll_registers
+
+    vals = [f"v{i}" for i in range(300)]
+    regs = hll_registers(rd.from_pandas(pd.DataFrame({"k": vals})), "k",
+                         m=256).to_pandas().set_index("register")["rho_max"]
+    ref: dict = {}
+    for v in vals:
+        h = int(hashlib.md5(v.encode()).hexdigest()[:15], 16)
+        reg, low = h >> 52, h & ((1 << 52) - 1)
+        rho = 52 - low.bit_length() + 1
+        ref[reg] = max(ref.get(reg, 0), rho)
+    assert dict(regs) == ref
+
+
+def test_connected_components_chain_and_islands(ray_session):
+    import ray.data as rd
+
+    from engine.graph import connected_components
+
+    # two chains (0-1-2-3-4, 10-11), one triangle with a dup edge, one
+    # self-loop island
+    edges = pd.DataFrame({
+        "src": [0, 1, 2, 3, 10, 20, 21, 22, 22, 30],
+        "dst": [1, 2, 3, 4, 11, 21, 22, 20, 20, 30],
+    })
+    out = connected_components(rd.from_pandas(edges).repartition(4)) \
+        .to_pandas().set_index("node")["component"].sort_index()
+    expect = {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 10: 10, 11: 10,
+              20: 20, 21: 20, 22: 20, 30: 30}
+    assert dict(out) == expect
+    # propagation plan (driver gate forced off) must agree exactly
+    prop = connected_components(rd.from_pandas(edges).repartition(4),
+                                driver_edge_max=0) \
+        .to_pandas().set_index("node")["component"].sort_index()
+    assert dict(prop) == expect
+
+
+def test_global_rank_matches_pandas(ray_session):
+    import ray.data as rd
+
+    from engine.stats import global_rank
+
+    rng = np.random.RandomState(17)
+    df = pd.DataFrame({
+        "event_id": np.arange(500),
+        "value": rng.randint(0, 120, 500) / 8.0,  # heavy ties
+    })
+    out = global_rank(rd.from_pandas(df).repartition(7), "value") \
+        .to_pandas().set_index("event_id").sort_index()
+    ref = df.set_index("event_id")["value"].rank(method="min").astype("int64")
+    assert out["rnk"].equals(ref)
+    assert out["value"].equals(df.set_index("event_id")["value"])
+
+
+def test_global_rank_negative_zero(ray_session):
+    import ray.data as rd
+
+    from engine.stats import global_rank
+
+    df = pd.DataFrame({"event_id": [0, 1, 2], "value": [-0.0, 0.0, 1.0]})
+    out = global_rank(rd.from_pandas(df), "value") \
+        .to_pandas().set_index("event_id").sort_index()
+    # -0.0 == 0.0 must share rank 1
+    assert list(out["rnk"]) == [1, 1, 3]

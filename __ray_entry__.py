@@ -720,4 +720,20 @@ SELECT node, min(r) AS component FROM reach GROUP BY node""",
 SELECT event_id, value,
        CAST(rank() OVER (ORDER BY value) AS BIGINT) AS rnk
 FROM events""",
+        "transitions": """
+WITH x AS (
+  SELECT event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events)
+SELECT prev, event_type AS curr, count(*) AS n
+FROM x WHERE prev IS NOT NULL GROUP BY 1, 2""",
+        "cms_users": """
+WITH j AS (SELECT unnest(generate_series(0, 3)) AS r),
+h AS (SELECT j.r,
+             CAST('0x' || substr(md5(CAST(j.r AS VARCHAR) || ':' ||
+                                     CAST(e.user_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) % 1024 AS cell
+      FROM events e CROSS JOIN j)
+SELECT r, cell, count(*) AS n FROM h GROUP BY 1, 2""",
     }

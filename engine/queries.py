@@ -1606,6 +1606,28 @@ def q_components(sf_dir: str):
     return connected_components(edges)
 
 
+def q_transitions(sf_dir: str):
+    """Per-user Markov transition counts (engine.windows.transition_counts):
+    (prev, curr, n) over each user's (ts, event_id)-ordered event stream.
+    DuckDB twin: lag() OVER (PARTITION BY user ORDER BY ts, event_id)."""
+    from engine.windows import transition_counts
+
+    events = _read(sf_dir, "events",
+                   ["user_id", "ts", "event_id", "event_type"])
+    return transition_counts(events)
+
+
+def q_cms_users(sf_dir: str):
+    """Count-min sketch (engine.stats.cms_counts) of user_id frequencies —
+    the bounded-exchange frequency sketch (d=4 rows × w=1024 cells).
+    Integer-exact DuckDB twin: row j's cell is md5(j || ':' || user_id)
+    60-bit slice mod w, counted per (row, cell)."""
+    from engine.stats import cms_counts
+
+    events = _read(sf_dir, "events", ["user_id"])
+    return cms_counts(events, "user_id", d=4, w=1024)
+
+
 def q_global_rank(sf_dir: str):
     """Global rank (engine.stats.global_rank): rank() OVER (ORDER BY value)
     attached to every event WITHOUT a full-table sort — only the compressed
@@ -1700,4 +1722,6 @@ QUERIES = {
     "hll_events": q_hll_events,
     "components": q_components,
     "global_rank": q_global_rank,
+    "transitions": q_transitions,
+    "cms_users": q_cms_users,
 }

@@ -618,3 +618,93 @@ def global_rank(ds: "ray.data.Dataset", val_col: str,
                        ranks, on="__rk", num_buckets=num_buckets)
     return joined.map_batches(lambda t: t.drop_columns(["__rk"]),
                               batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch — bounded-size frequency summary / heavy hitters
+# ---------------------------------------------------------------------------
+
+
+def cms_counts(ds: "ray.data.Dataset", col: str, d: int = 4, w: int = 1024,
+               method: str = "md5", num_buckets: int = 32
+               ) -> "ray.data.Dataset":
+    """Count-min sketch of ``col``'s value frequencies — like
+    :func:`hll_registers`, a sketch whose exchange carries at most d×w
+    integers per block regardless of row count: the heavy-hitter /
+    frequency-estimation primitive when the value domain is too large to
+    groupby (url hosts, n-grams, user ids at 10^12 events).
+
+    Per block (one np.add.at pass per hash row): row j's cell for value v
+    is a 60-bit md5 of ``f"{j}:{v}"`` mod w — SQL-checkable ('md5') — or a
+    seeded polars xxhash ('fast', the 100-TB path). Blocks collapse to
+    present cells map-side; one coalesced groupby sums partials. Output:
+    (r, cell, n) for every non-zero cell; feed to :func:`cms_query`.
+    Sketches merge by cell-wise addition (the groupby already is that
+    merge), so shards/days can be sketched independently and combined.
+    """
+    import numpy as np
+
+    from engine.joins import _coalesced
+
+    def partial(t: pa.Table) -> pa.Table:
+        n_rows = len(t[col])
+        arr = np.zeros(d * w, dtype=np.int64)
+        if method == "md5":
+            import hashlib
+            md5 = hashlib.md5
+            vals = [str(v) for v in t[col].to_pylist()]
+            for j in range(d):
+                pre = f"{j}:"
+                idx = np.fromiter(
+                    (int(md5((pre + v).encode()).hexdigest()[:15], 16) % w
+                     for v in vals),
+                    dtype=np.int64, count=n_rows)
+                np.add.at(arr, j * w + idx, 1)
+        elif method == "fast":
+            import polars as pl
+            c = t[col]
+            if isinstance(c, pa.Array):
+                c = pa.chunked_array([c])
+            s = pl.from_arrow(c)
+            for j in range(d):
+                idx = (s.hash(seed=j).to_numpy() % np.uint64(w)) \
+                    .astype(np.int64)
+                np.add.at(arr, j * w + idx, 1)
+        else:
+            raise ValueError(f"unknown hash method: {method}")
+        hit = np.nonzero(arr)[0]
+        return pa.table({"r": (hit // w).astype(np.int64),
+                         "cell": (hit % w).astype(np.int64),
+                         "n": arr[hit]})
+
+    return (
+        _coalesced(ds.map_batches(partial, batch_format="pyarrow"),
+                   num_buckets, "auto")
+        .groupby(["r", "cell"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+def cms_query(cms, value, d: int = 4, w: int = 1024,
+              method: str = "md5") -> int:
+    """Frequency upper-bound estimate for ``value`` from a
+    :func:`cms_counts` table (driver side — the table is ≤ d×w rows).
+    Never under-counts; over-counts by at most the collision mass
+    (≤ e·N/w with probability 1−e^−d)."""
+    import numpy as np
+
+    if hasattr(cms, "to_pandas"):
+        cms = cms.to_pandas()
+    grid = np.zeros((d, w), dtype=np.int64)
+    grid[cms["r"].to_numpy(), cms["cell"].to_numpy()] = cms["n"].to_numpy()
+    if method == "md5":
+        import hashlib
+        cells = [int(hashlib.md5(f"{j}:{value}".encode()).hexdigest()[:15],
+                     16) % w for j in range(d)]
+    elif method == "fast":
+        import polars as pl
+        cells = [int(pl.Series([value]).hash(seed=j)[0] % w)
+                 for j in range(d)]
+    else:
+        raise ValueError(f"unknown hash method: {method}")
+    return int(min(grid[j, c] for j, c in enumerate(cells)))

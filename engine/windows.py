@@ -383,3 +383,47 @@ def funnel(ds: "ray.data.Dataset", key_col: str = "user_id",
         .groupby("__bucket")
         .map_groups(per_bucket, batch_format="pandas")
     )
+
+
+def transition_counts(ds: "ray.data.Dataset", key_col: str = "user_id",
+                      val_col: str = "event_type",
+                      order_cols: tuple = ("ts", "event_id"),
+                      num_buckets: int = 32) -> "ray.data.Dataset":
+    """Per-key transition (Markov bigram) counts — (prev, curr, n) over each
+    key's event sequence ordered by ``order_cols``: the sequence-model /
+    next-event-prediction primitive (state-transition matrices, curriculum
+    graphs). Keys' first events have no prev and are dropped.
+
+    Plan: one key-hash-bucket exchange, per bucket ONE vectorized pandas
+    pass for every key at once (sort → groupby shift → pair value_counts),
+    emitting a ≤ |states|² partial per bucket; a final tiny groupby sums
+    partials. Exchange volume is the (key, order, value) rows once; the
+    second exchange carries only per-bucket state-pair partials.
+    """
+    cols = [key_col, val_col, *order_cols]
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        t = t.select(cols)
+        return t.append_column("__bucket",
+                               _bucket_of_column(t[key_col], num_buckets))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, *order_cols], kind="mergesort")
+        prev = g.groupby(key_col, sort=False)[val_col].shift(1)
+        mask = prev.notna()
+        pairs = pd.DataFrame({"prev": prev[mask],
+                              "curr": g.loc[mask, val_col]})
+        out = pairs.value_counts(["prev", "curr"]).reset_index(name="n")
+        return out
+
+    from engine.joins import _coalesced
+    from ray.data.aggregate import Sum
+
+    partials = (
+        _coalesced(ds.map_batches(add_bucket, batch_format="pyarrow"),
+                   num_buckets, "auto")
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+    return partials.groupby(["prev", "curr"]) \
+        .aggregate(Sum("n", alias_name="n"))

@@ -412,3 +412,61 @@ def test_global_rank_negative_zero(ray_session):
         .to_pandas().set_index("event_id").sort_index()
     # -0.0 == 0.0 must share rank 1
     assert list(out["rnk"]) == [1, 1, 3]
+
+
+def test_transition_counts_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from engine.windows import transition_counts
+
+    rng = np.random.RandomState(23)
+    n = 700
+    df = pd.DataFrame({
+        "user_id": rng.randint(0, 30, n),
+        "ts": pd.to_datetime(1_700_000_000 + rng.randint(0, 500, n),
+                             unit="s"),  # deliberate ts ties
+        "event_id": np.arange(n),
+        "event_type": rng.choice(["a", "b", "c"], n),
+    })
+    out = transition_counts(rd.from_pandas(df).repartition(6)) \
+        .to_pandas().set_index(["prev", "curr"])["n"].sort_index()
+    ref: Counter = Counter()
+    for _, g in df.groupby("user_id"):
+        seq = g.sort_values(["ts", "event_id"])["event_type"].tolist()
+        for p, c in zip(seq, seq[1:]):
+            ref[(p, c)] += 1
+    assert dict(out) == dict(ref)
+    assert out.sum() == n - df["user_id"].nunique()
+
+
+def test_cms_counts_reference_def_and_query(ray_session):
+    import hashlib
+
+    import ray.data as rd
+
+    from engine.stats import cms_counts, cms_query
+
+    d, w = 4, 256
+    rng = np.random.RandomState(29)
+    # heavy hitter planted: value 7 appears 500 times among 1000 others
+    vals = np.concatenate([np.full(500, 7), rng.randint(100, 600, 1000)])
+    df = pd.DataFrame({"k": vals})
+    cms = cms_counts(rd.from_pandas(df).repartition(5), "k", d=d, w=w) \
+        .to_pandas()
+    # exact reference sketch
+    grid = np.zeros((d, w), dtype=np.int64)
+    for v in vals:
+        for j in range(d):
+            c = int(hashlib.md5(f"{j}:{v}".encode()).hexdigest()[:15],
+                    16) % w
+            grid[j, c] += 1
+    got = np.zeros((d, w), dtype=np.int64)
+    got[cms["r"], cms["cell"]] = cms["n"]
+    assert (got == grid).all()
+    # query: never under-counts, heavy hitter well-estimated
+    true = pd.Series(vals).value_counts()
+    for v in [7, int(vals[600]), int(vals[900])]:
+        est = cms_query(cms, v, d=d, w=w)
+        assert est >= true[v]
+        assert est <= true[v] + 3 * len(vals) // w  # loose collision bound
+    assert cms_query(cms, 7, d=d, w=w) >= 500

@@ -1633,10 +1633,22 @@ def q_global_rank(sf_dir: str):
     attached to every event WITHOUT a full-table sort — only the compressed
     (value, count) domain is exchanged. DuckDB twin: the window function
     itself."""
+    import pyarrow.parquet as pq
+
     from engine.stats import global_rank
 
+    # (min, max) from parquet row-group statistics — no Ray pre-pass
+    # (the embedding_near_dup metadata-hint discipline); covering values
+    # only move bucket cuts, never correctness.
+    md = pq.read_metadata(os.path.join(sf_dir, "events.parquet"))
+    idx = md.schema.names.index("value")
+    stats = [md.row_group(i).column(idx).statistics
+             for i in range(md.num_row_groups)]
+    lo_hi = ((min(s.min for s in stats), max(s.max for s in stats))
+             if all(s is not None for s in stats) else None)
+
     events = _read(sf_dir, "events", ["event_id", "value"])
-    return global_rank(events, "value") \
+    return global_rank(events, "value", lo_hi=lo_hi) \
         .select_columns(["event_id", "value", "rnk"])
 
 

@@ -539,7 +539,8 @@ def hll_estimate(registers, m: int = 256) -> float:
 
 
 def global_rank(ds: "ray.data.Dataset", val_col: str,
-                num_buckets: int = 32, rank_col: str = "rnk"
+                num_buckets: int = 32, rank_col: str = "rnk",
+                lo_hi: "tuple[float, float] | None" = None
                 ) -> "ray.data.Dataset":
     """Attach ``rank_col`` = SQL rank() OVER (ORDER BY val_col) to every
     row — global order WITHOUT a full-table sort: only the compressed
@@ -555,6 +556,12 @@ def global_rank(ds: "ray.data.Dataset", val_col: str,
     hash_join on the float64 BIT PATTERN (int64 view; -0.0 normalized to
     +0.0 so the key family matches float equality) re-attaches ranks to the
     full rows. Precondition: no null/NaN values.
+
+    ``lo_hi``: optional (min, max) hint — e.g. from parquet row-group
+    statistics (the embedding_near_dup n/dim-hint discipline). Any values
+    that COVER the true range are correct (bucket cuts only move); passing
+    it folds bucket assignment into the counts pass and removes two
+    pipeline barriers (a lo/hi aggregate + a re-bucketing materialize).
     """
     import numpy as np
     import pandas as pd
@@ -565,31 +572,46 @@ def global_rank(ds: "ray.data.Dataset", val_col: str,
     def _key(arr: "np.ndarray") -> "np.ndarray":
         return (arr + 0.0).view(np.int64)      # -0.0 -> +0.0, then bitcast
 
+    def _bucket_fn(lo: float, hi: float):
+        span = (hi - lo) or 1.0
+
+        def add_bucket(t: pa.Table) -> pa.Table:
+            v = t[val_col].to_numpy(zero_copy_only=False).astype(np.float64)
+            b = np.clip(((v - lo) / span * num_buckets).astype(np.int64),
+                        0, num_buckets - 1)
+            return t.append_column("__bucket", pa.array(b, type=pa.int32()))
+
+        return add_bucket
+
     def local_counts(t: pa.Table) -> pa.Table:
         g = t.select([val_col]).group_by([val_col]) \
             .aggregate([([], "count_all")])
         return g.rename_columns([val_col, "n"])
 
-    counts = (
-        _coalesced(ds.map_batches(local_counts, batch_format="pyarrow"),
-                   num_buckets, "auto")
-        .groupby(val_col)
-        .aggregate(Sum("n", alias_name="n"))
-        .materialize()                          # used by 3 consumers below
-    )
-    lohi = counts.aggregate(Min(val_col, alias_name="lo"),
-                            Max(val_col, alias_name="hi"))
-    lo, hi = float(lohi["lo"]), float(lohi["hi"])
-    span = (hi - lo) or 1.0
-
-    def add_bucket(t: pa.Table) -> pa.Table:
-        v = t[val_col].to_numpy(zero_copy_only=False).astype(np.float64)
-        b = np.clip(((v - lo) / span * num_buckets).astype(np.int64),
-                    0, num_buckets - 1)
-        return t.append_column("__bucket", pa.array(b, type=pa.int32()))
-
-    bucketed = counts.map_batches(add_bucket,
-                                  batch_format="pyarrow").materialize()
+    if lo_hi is not None:
+        add_bucket = _bucket_fn(float(lo_hi[0]), float(lo_hi[1]))
+        bucketed = (
+            _coalesced(ds.map_batches(
+                lambda t: add_bucket(local_counts(t)),
+                batch_format="pyarrow"), num_buckets, "auto")
+            .groupby([val_col])                # __bucket is val-determined
+            .aggregate(Sum("n", alias_name="n"), Max("__bucket",
+                                                     alias_name="__bucket"))
+            .materialize()
+        )
+    else:
+        counts = (
+            _coalesced(ds.map_batches(local_counts, batch_format="pyarrow"),
+                       num_buckets, "auto")
+            .groupby(val_col)
+            .aggregate(Sum("n", alias_name="n"))
+            .materialize()                      # used by 2 consumers below
+        )
+        lohi = counts.aggregate(Min(val_col, alias_name="lo"),
+                                Max(val_col, alias_name="hi"))
+        add_bucket = _bucket_fn(float(lohi["lo"]), float(lohi["hi"]))
+        bucketed = counts.map_batches(add_bucket,
+                                      batch_format="pyarrow").materialize()
     totals = {r["__bucket"]: r["n"] for r in
               bucketed.groupby("__bucket")
               .aggregate(Sum("n", alias_name="n")).take_all()}

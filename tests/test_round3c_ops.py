@@ -470,3 +470,21 @@ def test_cms_counts_reference_def_and_query(ray_session):
         assert est >= true[v]
         assert est <= true[v] + 3 * len(vals) // w  # loose collision bound
     assert cms_query(cms, 7, d=d, w=w) >= 500
+
+
+def test_global_rank_lo_hi_hint_equivalent(ray_session):
+    import ray.data as rd
+
+    from engine.stats import global_rank
+
+    rng = np.random.RandomState(31)
+    df = pd.DataFrame({"event_id": np.arange(300),
+                       "value": rng.randint(0, 40, 300) / 4.0})
+    base = global_rank(rd.from_pandas(df).repartition(5), "value") \
+        .to_pandas().set_index("event_id")["rnk"].sort_index()
+    # a merely-COVERING hint (wider than the true range) must not change
+    # ranks — cuts move, membership doesn't
+    hinted = global_rank(rd.from_pandas(df).repartition(5), "value",
+                         lo_hi=(-100.0, 100.0)) \
+        .to_pandas().set_index("event_id")["rnk"].sort_index()
+    assert hinted.equals(base)

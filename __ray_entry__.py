@@ -736,4 +736,32 @@ h AS (SELECT j.r,
                   AS BIGINT) % 1024 AS cell
       FROM events e CROSS JOIN j)
 SELECT r, cell, count(*) AS n FROM h GROUP BY 1, 2""",
+        "vocab": r"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(text, '\S+')) AS token FROM documents),
+c AS (SELECT token, count(*) AS n FROM toks GROUP BY token)
+SELECT token, n,
+       CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT)
+         AS vocab_id
+FROM c""",
+        "corpus_prep": r"""
+WITH tc AS (
+  SELECT doc_id, text,
+         CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT)
+           AS n_tokens
+  FROM documents),
+q AS (SELECT * FROM tc WHERE n_tokens >= 5),
+k AS (SELECT md5(text) AS h, min(doc_id) AS keep FROM q GROUP BY 1),
+d AS (SELECT q.* FROM q JOIN k ON q.doc_id = k.keep),
+s AS (SELECT d.*,
+             CASE WHEN pct < 80 THEN 'train'
+                  WHEN pct < 90 THEN 'val' ELSE 'test' END AS split
+      FROM (SELECT d.*,
+                   CAST('0x' || substr(md5('split:' ||
+                                           CAST(doc_id AS VARCHAR)), 1, 8)
+                        AS BIGINT) % 100 AS pct
+            FROM d) d)
+SELECT split, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+FROM s GROUP BY split""",
     }

@@ -81,14 +81,20 @@ _PACK_SHIFTS = (np.arange(SHINGLE_K - 1, -1, -1, dtype=np.uint64) * np.uint64(8)
 
 
 def content_hash64(s: str) -> int:
-    """Deterministic 64-bit content hash (process-independent, unlike hash())."""
-    return int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big")
+    """Deterministic 64-bit content hash (process-independent, unlike
+    hash()). SIGNED int64 (bytes read signed-big-endian) so the value
+    rides Arrow int64 columns and Ray groupby blocks natively — an
+    unsigned top-bit-set hash overflows C long in the aggregate reduce
+    and silently degrades keeper blocks to pickled Python objects."""
+    return int.from_bytes(
+        hashlib.blake2b(s.encode(), digest_size=8).digest(), "big",
+        signed=True)
 
 
 def add_content_hash(batch: pa.Table, text_col: str = "text",
                      out_col: str = "content_hash") -> pa.Table:
     hashes = [content_hash64(s or "") for s in batch[text_col].to_pylist()]
-    return batch.append_column(out_col, pa.array(hashes, type=pa.uint64()))
+    return batch.append_column(out_col, pa.array(hashes, type=pa.int64()))
 
 
 def exact_dedup(ds: "ray.data.Dataset", text_col: str = "text",

@@ -1606,6 +1606,44 @@ def q_components(sf_dir: str):
     return connected_components(edges)
 
 
+def q_corpus_prep(sf_dir: str):
+    """End-to-end training-corpus prep — the flagship composition:
+    token-count → quality gate (n_tokens ≥ 5) → exact dedup (keep min
+    doc_id per content hash, distributed semi-join) → stable train/val/
+    test split (salted md5) → per-split rollup. Every stage is an
+    existing oracle-green operator; the chain stays one lazy streaming
+    pipeline (the semi-join's keeper side is the only materialize).
+    DuckDB twin: the same CTE chain."""
+    from engine.dedup import exact_dedup
+    from engine.partition import stable_split_batch
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def tokens_and_gate(t: pa.Table) -> pa.Table:
+        n = pc.cast(pc.count_substring_regex(t["text"], pattern=r"\S+"),
+                    pa.int64())
+        t = t.append_column("n_tokens", n)
+        return t.filter(pc.greater_equal(t["n_tokens"], 5))
+
+    gated = docs.map_batches(tokens_and_gate, batch_format="pyarrow")
+    deduped = exact_dedup(gated)
+    tagged = deduped.map_batches(stable_split_batch, batch_format="pyarrow")
+    return tagged.groupby("split").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_tokens", alias_name="total_tokens"))
+
+
+def q_vocab(sf_dir: str):
+    """Vocabulary construction (engine.textstats.build_vocab): contiguous
+    ids 1..V by (count DESC, token ASC) with no global sort — per-count
+    enumeration over driver-prefix-summed count-of-counts. DuckDB twin:
+    row_number() OVER the same two-key order."""
+    from engine.textstats import build_vocab
+
+    docs = _read(sf_dir, "documents", ["text"])
+    return build_vocab(docs)
+
+
 def q_transitions(sf_dir: str):
     """Per-user Markov transition counts (engine.windows.transition_counts):
     (prev, curr, n) over each user's (ts, event_id)-ordered event stream.
@@ -1736,4 +1774,6 @@ QUERIES = {
     "global_rank": q_global_rank,
     "transitions": q_transitions,
     "cms_users": q_cms_users,
+    "vocab": q_vocab,
+    "corpus_prep": q_corpus_prep,
 }

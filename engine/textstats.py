@@ -570,3 +570,68 @@ def inverted_index(ds: "ray.data.Dataset", text_col: str = "text",
         .groupby("__bucket")
         .map_groups(per_bucket, batch_format="pandas")
     )
+
+
+def build_vocab(ds: "ray.data.Dataset", text_col: str = "text",
+                num_buckets: int = 32) -> "ray.data.Dataset":
+    """(token, n, vocab_id) — vocabulary construction: contiguous ids
+    1..V ordered by (occurrence count DESC, token ASC), the id-assignment
+    step of a tokenizer / embedding-table build.
+
+    A global two-key enumeration with NO global sort. Plan: (1) map-side
+    token occurrence counts (one Arrow regex split + in-batch Acero count
+    per block — the wire carries O(block vocab) rows), groupby-summed into
+    (token, n); (2) count-of-counts — a SECOND map-side pre-agg over n
+    whose exchange is O(distinct counts × blocks) — exclusive-prefix-
+    summed on the driver over distinct counts descending (Zipf makes that
+    table ~O(√N): thousands of scalars at web scale); (3) per distinct
+    count value, ONE vectorized pandas sort+arange pass assigns
+    offset + position (ties of a given n can't straddle groups, so ids
+    are exact). Python-call count = distinct count values; the fattest
+    group (n=1, roughly half the vocab under Zipf) is one task's sort —
+    bounded by |vocab|, never by corpus rows.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lists = pc.split_pattern_regex(col, pattern=r"\s+")
+        vals = lists.values
+        nonempty = pc.not_equal(vals, "")
+        toks = vals.filter(nonempty)
+        if len(toks) == 0:
+            return pa.table({"token": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64())})
+        g = pa.table({"token": toks}).group_by(["token"]) \
+            .aggregate([([], "count_all")])
+        return pa.table({"token": g["token"],
+                         "n": pc.cast(g["count_all"], pa.int64())})
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+        .materialize()  # feeds count-of-counts AND the enumeration pass
+    )
+
+    def cc_partial(t: pa.Table) -> pa.Table:
+        g = t.select(["n"]).group_by(["n"]).aggregate([([], "count_all")])
+        return pa.table({"n": g["n"],
+                         "c": pc.cast(g["count_all"], pa.int64())})
+
+    cc = counts.map_batches(cc_partial, batch_format="pyarrow") \
+        .groupby("n").aggregate(Sum("c", alias_name="c")).take_all()
+    offsets, acc = {}, 0
+    for row in sorted(cc, key=lambda r: -r["n"]):  # counts descending
+        offsets[row["n"]] = acc
+        acc += row["c"]
+
+    def per_count(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values("token", kind="mergesort")
+        start = offsets[int(g["n"].iloc[0])]
+        g["vocab_id"] = start + np.arange(1, len(g) + 1)
+        return g
+
+    return counts.groupby("n").map_groups(per_count, batch_format="pandas")

@@ -488,3 +488,38 @@ def test_global_rank_lo_hi_hint_equivalent(ray_session):
                          lo_hi=(-100.0, 100.0)) \
         .to_pandas().set_index("event_id")["rnk"].sort_index()
     assert hinted.equals(base)
+
+
+def test_build_vocab_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from engine.textstats import build_vocab
+
+    rng = np.random.RandomState(37)
+    words = [f"w{i:03d}" for i in range(120)]
+    docs = [" ".join(rng.choice(words, rng.randint(3, 40)))
+            for _ in range(150)] + ["", "   "]
+    df = pd.DataFrame({"text": docs})
+    out = build_vocab(rd.from_pandas(df).repartition(6)).to_pandas() \
+        .sort_values("vocab_id").reset_index(drop=True)
+
+    cnt: Counter = Counter()
+    for d in docs:
+        cnt.update(d.split())
+    ref = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert list(out["token"]) == [t for t, _ in ref]
+    assert list(out["n"]) == [n for _, n in ref]
+    assert list(out["vocab_id"]) == list(range(1, len(ref) + 1))
+
+
+def test_corpus_prep_invariants(ray_session):
+    from engine.queries import QUERIES
+
+    out = QUERIES["corpus_prep"]("/root/testdata/sf0.001") \
+        .to_pandas().set_index("split")
+    assert set(out.index) <= {"train", "val", "test"}
+    # the fixture has 500 docs; gate + dedup keep a nonzero majority, and
+    # the 80/10/10 salted split puts most kept docs in train
+    assert out["n_docs"].sum() > 100
+    assert out.loc["train", "n_docs"] > out["n_docs"].sum() // 2
+    assert (out["total_tokens"] >= out["n_docs"] * 5).all()

@@ -764,4 +764,11 @@ s AS (SELECT d.*,
 SELECT split, count(*) AS n_docs,
        CAST(sum(n_tokens) AS BIGINT) AS total_tokens
 FROM s GROUP BY split""",
+        "cap_per_source": """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5('cap:' || CAST(doc_id AS VARCHAR)),
+                                     doc_id) AS rn
+  FROM documents) WHERE rn <= 10""",
     }

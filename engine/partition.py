@@ -203,3 +203,34 @@ def stable_split(ds: "ray.data.Dataset", id_col: str = "doc_id",
         lambda t: stable_split_batch(t, id_col, train_pct, val_pct, salt),
         batch_format="pyarrow",
     )
+
+
+def cap_per_key(ds: "ray.data.Dataset", key_col: str, k: int,
+                id_col: str = "doc_id", salt: str = "cap",
+                num_buckets: int = DEFAULT_BUCKETS) -> "ray.data.Dataset":
+    """Deterministic per-key downsampling cap — keep at most ``k`` rows per
+    key, chosen by salted-md5 rank of the id: the "cap documents per
+    domain/source" primitive of a web-corpus pipeline. Membership depends
+    only on (salt, id, the key's id set), so reruns reproduce the sample
+    and adding rows to OTHER keys never changes a key's picks.
+
+    Plan: one vectorized md5-rank column per batch, then
+    :func:`engine.stats.top_k_per_group` ascending on the rank (per-batch
+    rank prune before the exchange, Python calls capped at num_buckets).
+    SQL twin: row_number() OVER (PARTITION BY key ORDER BY
+    md5(salt||':'||id), id) <= k.
+    """
+    from engine.stats import top_k_per_group
+
+    md5 = hashlib.md5
+
+    def add_rank(t: pa.Table) -> pa.Table:
+        h = [md5(f"{salt}:{i}".encode()).hexdigest()
+             for i in t[id_col].to_pylist()]
+        return t.append_column("__h", pa.array(h, type=pa.string()))
+
+    ranked = ds.map_batches(add_rank, batch_format="pyarrow")
+    kept = top_k_per_group(ranked, key_col, "__h", k, descending=False,
+                           tiebreak_col=id_col, num_buckets=num_buckets)
+    return kept.map_batches(lambda t: t.drop_columns(["__h"]),
+                            batch_format="pyarrow")

@@ -1606,6 +1606,18 @@ def q_components(sf_dir: str):
     return connected_components(edges)
 
 
+def q_cap_per_source(sf_dir: str):
+    """Per-key downsampling cap (engine.partition.cap_per_key): at most 10
+    docs per source, picked by salted-md5 rank of doc_id — deterministic,
+    growth-stable. DuckDB twin: row_number() OVER (PARTITION BY source
+    ORDER BY md5, id) <= k."""
+    from engine.partition import cap_per_key
+
+    docs = _read(sf_dir, "documents", ["doc_id", "source"])
+    return cap_per_key(docs, "source", 10) \
+        .select_columns(["doc_id", "source"])
+
+
 def q_corpus_prep(sf_dir: str):
     """End-to-end training-corpus prep — the flagship composition:
     token-count → quality gate (n_tokens ≥ 5) → exact dedup (keep min
@@ -1776,4 +1788,5 @@ QUERIES = {
     "cms_users": q_cms_users,
     "vocab": q_vocab,
     "corpus_prep": q_corpus_prep,
+    "cap_per_source": q_cap_per_source,
 }

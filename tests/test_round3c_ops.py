@@ -523,3 +523,31 @@ def test_corpus_prep_invariants(ray_session):
     assert out["n_docs"].sum() > 100
     assert out.loc["train", "n_docs"] > out["n_docs"].sum() // 2
     assert (out["total_tokens"] >= out["n_docs"] * 5).all()
+
+
+def test_cap_per_key_deterministic_and_growth_stable(ray_session):
+    import hashlib
+
+    import ray.data as rd
+
+    from engine.partition import cap_per_key
+
+    rng = np.random.RandomState(41)
+    df = pd.DataFrame({"doc_id": np.arange(200),
+                       "source": rng.choice(["a", "b", "c"], 200)})
+    out = cap_per_key(rd.from_pandas(df).repartition(5), "source", 5) \
+        .to_pandas()
+    # exactly 5 per key, matching the salted-md5 reference pick
+    for key, g in df.groupby("source"):
+        ref = sorted(g["doc_id"],
+                     key=lambda i: (hashlib.md5(f"cap:{i}".encode())
+                                    .hexdigest(), i))[:5]
+        got = sorted(out.loc[out["source"] == key, "doc_id"])
+        assert got == sorted(ref)
+    # growth stability: adding rows to OTHER keys never changes a's picks
+    extra = pd.concat([df, pd.DataFrame({
+        "doc_id": np.arange(200, 260), "source": ["b"] * 60})])
+    out2 = cap_per_key(rd.from_pandas(extra).repartition(5), "source", 5) \
+        .to_pandas()
+    assert sorted(out2.loc[out2["source"] == "a", "doc_id"]) == \
+        sorted(out.loc[out["source"] == "a", "doc_id"])

@@ -771,4 +771,35 @@ SELECT doc_id, source FROM (
                             ORDER BY md5('cap:' || CAST(doc_id AS VARCHAR)),
                                      doc_id) AS rn
   FROM documents) WHERE rn <= 10""",
+        "normalize_urls": r"""
+WITH raw AS (
+  SELECT doc_id,
+         CASE doc_id % 3
+           WHEN 0 THEN 'HTTPS://WWW.Ex' || CAST(doc_id % 5 AS VARCHAR) ||
+                       '.COM:443/a/' || CAST(doc_id AS VARCHAR) ||
+                       '?utm_source=x&id=' || CAST(doc_id AS VARCHAR) ||
+                       '#top'
+           WHEN 1 THEN 'http://ex' || CAST(doc_id % 5 AS VARCHAR) ||
+                       '.org:80/b/' || CAST(doc_id AS VARCHAR) ||
+                       '?utm_a=1&utm_b=2&utm_c=3&q=' ||
+                       CAST(doc_id AS VARCHAR)
+           ELSE 'https://Sub.Ex' || CAST(doc_id % 5 AS VARCHAR) ||
+                '.net/c/' || CAST(doc_id AS VARCHAR)
+         END AS u
+  FROM documents),
+s1 AS (SELECT doc_id, regexp_replace(u, '#.*$', '', 'g') AS u FROM raw),
+s2 AS (SELECT doc_id, regexp_replace(u, '([?&])utm_[^&]*&', '\1', 'g') AS u
+       FROM s1),
+s3 AS (SELECT doc_id, regexp_replace(u, '([?&])utm_[^&]*&', '\1', 'g') AS u
+       FROM s2),
+s4 AS (SELECT doc_id, regexp_replace(u, '[?&]utm_[^&]*$', '', 'g') AS u
+       FROM s3),
+s5 AS (SELECT doc_id, regexp_replace(u, '\?$', '', 'g') AS u FROM s4),
+s6 AS (SELECT doc_id, regexp_replace(u, ':(?:80|443)(/|\?|$)', '\1', 'g')
+         AS u FROM s5)
+SELECT doc_id,
+       lower(coalesce(regexp_extract(u, '^((?i:https?)://[^/?#]*)', 1),
+                      '')) ||
+       regexp_replace(u, '^(?i:https?)://[^/?#]*', '') AS url
+FROM s6""",
     }

@@ -1606,6 +1606,40 @@ def q_components(sf_dir: str):
     return connected_components(edges)
 
 
+def q_normalize_urls(sf_dir: str):
+    """URL canonicalization (engine.textops.normalize_url): fragment strip,
+    utm_* removal, default-port strip, scheme+host lowercase — over a
+    planted messy-URL column derived from doc_id (testdata carries no URL;
+    the pdf_roundtrip/domain_counts derivation trick). DuckDB twin: the
+    same RE2 replace chain, pass for pass."""
+    from engine.textops import normalize_url
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        d = t["doc_id"]
+        ds_ = pc.cast(d, pa.string())
+
+        def mod(k: int):
+            return pc.subtract(d, pc.multiply(pc.divide(d, k), k))
+
+        m5 = pc.cast(mod(5), pa.string())
+        v0 = pc.binary_join_element_wise(
+            "HTTPS://WWW.Ex", m5, ".COM:443/a/", ds_,
+            "?utm_source=x&id=", ds_, "#top", "")
+        v1 = pc.binary_join_element_wise(
+            "http://ex", m5, ".org:80/b/", ds_,
+            "?utm_a=1&utm_b=2&utm_c=3&q=", ds_, "")
+        v2 = pc.binary_join_element_wise(
+            "https://Sub.Ex", m5, ".net/c/", ds_, "")
+        m3 = mod(3)
+        url = pc.if_else(pc.equal(m3, 0), v0,
+                         pc.if_else(pc.equal(m3, 1), v1, v2))
+        return pa.table({"doc_id": d, "url": normalize_url(url)})
+
+    return docs.map_batches(plant, batch_format="pyarrow")
+
+
 def q_cap_per_source(sf_dir: str):
     """Per-key downsampling cap (engine.partition.cap_per_key): at most 10
     docs per source, picked by salted-md5 rank of doc_id — deterministic,
@@ -1789,4 +1823,5 @@ QUERIES = {
     "vocab": q_vocab,
     "corpus_prep": q_corpus_prep,
     "cap_per_source": q_cap_per_source,
+    "normalize_urls": q_normalize_urls,
 }

@@ -302,3 +302,36 @@ __all__ = [
     "estimated_time_batch",
     "extension_for_format",
 ]
+
+
+def normalize_url(col: "pa.ChunkedArray | pa.Array") -> "pa.ChunkedArray":
+    """Canonical URL form — the pre-dedup URL normalization of a web
+    pipeline: strip fragment, remove utm_* tracking params, strip default
+    ports (:80/:443), lowercase scheme+host (path/query case preserved).
+    Scheme-less/malformed rows pass through unchanged.
+
+    Every step is ONE RE2 GlobalReplace whose single-pass non-overlap
+    semantics the DuckDB twin reproduces verbatim (same engine, same
+    pattern, same pass count — the interior utm pass runs twice so up to
+    ~4 consecutive tracking params clear; more survive identically on
+    both sides).
+    """
+    u = col
+    # 1. fragment
+    u = pc.replace_substring_regex(u, pattern=r"#.*$", replacement="")
+    # 2. utm params: interior passes + trailing + dangling '?'
+    for _ in range(2):
+        u = pc.replace_substring_regex(u, pattern=r"([?&])utm_[^&]*&",
+                                       replacement="\\1")
+    u = pc.replace_substring_regex(u, pattern=r"[?&]utm_[^&]*$",
+                                   replacement="")
+    u = pc.replace_substring_regex(u, pattern=r"\?$", replacement="")
+    # 3. default ports
+    u = pc.replace_substring_regex(u, pattern=r":(?:80|443)(/|\?|$)",
+                                   replacement="\\1")
+    # 4. lowercase scheme://host
+    head = pc.extract_regex(u, pattern=r"^(?P<head>(?i:https?)://[^/?#]*)")
+    head_s = pc.coalesce(pc.struct_field(head, "head"), "")
+    rest = pc.replace_substring_regex(u, pattern=r"^(?i:https?)://[^/?#]*",
+                                      replacement="")
+    return pc.binary_join_element_wise(pc.utf8_lower(head_s), rest, "")

@@ -551,3 +551,23 @@ def test_cap_per_key_deterministic_and_growth_stable(ray_session):
         .to_pandas()
     assert sorted(out2.loc[out2["source"] == "a", "doc_id"]) == \
         sorted(out.loc[out["source"] == "a", "doc_id"])
+
+
+def test_normalize_url_cases():
+    import pyarrow as pa_
+
+    from engine.textops import normalize_url
+
+    cases = {
+        "HTTPS://WWW.Ex.COM:443/a/1?utm_source=x&id=5#top":
+            "https://www.ex.com/a/1?id=5",
+        "http://ex.org:80/b?utm_a=1&utm_b=2&utm_c=3&q=7":
+            "http://ex.org/b?q=7",
+        "https://Sub.Ex.net/c/9": "https://sub.ex.net/c/9",
+        "not-a-url": "not-a-url",                 # malformed: pass-through
+        "https://H.io/?utm_only=1": "https://h.io/",
+        "http://a.b:8080/x": "http://a.b:8080/x",  # non-default port kept
+        "https://A.b/p?q=1#frag#frag2": "https://a.b/p?q=1",
+    }
+    got = normalize_url(pa_.array(list(cases))).to_pylist()
+    assert got == list(cases.values())

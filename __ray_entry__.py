@@ -802,4 +802,21 @@ SELECT doc_id,
                       '')) ||
        regexp_replace(u, '^(?i:https?)://[^/?#]*', '') AS url
 FROM s6""",
+        "strip_lines": """
+WITH raw AS (
+  SELECT doc_id,
+         'shared header' || chr(10) ||
+         'sec ' || CAST(doc_id % 7 AS VARCHAR) || chr(10) ||
+         'uniq ' || CAST(doc_id AS VARCHAR) || chr(10) ||
+         'pair ' || CAST(doc_id // 2 AS VARCHAR) || chr(10) ||
+         'shared footer' AS text
+  FROM documents),
+l AS (
+  SELECT doc_id, i AS line_no, lines[i] AS line
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS lines FROM raw),
+       LATERAL (SELECT unnest(generate_series(1, len(lines))) AS i)),
+f AS (SELECT line FROM l GROUP BY line HAVING count(*) > 2),
+kept AS (SELECT * FROM l WHERE line NOT IN (SELECT line FROM f))
+SELECT doc_id, string_agg(line, chr(10) ORDER BY line_no) AS text
+FROM kept GROUP BY doc_id""",
     }

@@ -1606,6 +1606,36 @@ def q_components(sf_dir: str):
     return connected_components(edges)
 
 
+def q_strip_lines(sf_dir: str):
+    """C4-style repeated-line removal (engine.textstats.
+    strip_repeated_lines) over planted multi-line docs derived from doc_id:
+    a corpus-wide header/footer and hot 'sec k' lines (> 2 occurrences)
+    are dropped; the unique and exactly-paired lines survive, reassembled
+    in order. DuckDB twin: the same explode → HAVING > 2 → NOT IN →
+    ordered string_agg chain."""
+    from engine.textstats import strip_repeated_lines
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        d = t["doc_id"]
+        ds_ = pc.cast(d, pa.string())
+        m7 = pc.cast(pc.subtract(d, pc.multiply(pc.divide(d, 7), 7)),
+                     pa.string())
+        half = pc.cast(pc.divide(d, 2), pa.string())
+        text = pc.binary_join_element_wise(
+            "shared header",
+            pc.binary_join_element_wise("sec ", m7, ""),
+            pc.binary_join_element_wise("uniq ", ds_, ""),
+            pc.binary_join_element_wise("pair ", half, ""),
+            "shared footer",
+            "\n")
+        return pa.table({"doc_id": d, "text": text})
+
+    planted = docs.map_batches(plant, batch_format="pyarrow")
+    return strip_repeated_lines(planted, max_occurrences=2)
+
+
 def q_normalize_urls(sf_dir: str):
     """URL canonicalization (engine.textops.normalize_url): fragment strip,
     utm_* removal, default-port strip, scheme+host lowercase — over a
@@ -1824,4 +1854,5 @@ QUERIES = {
     "corpus_prep": q_corpus_prep,
     "cap_per_source": q_cap_per_source,
     "normalize_urls": q_normalize_urls,
+    "strip_lines": q_strip_lines,
 }

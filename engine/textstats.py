@@ -635,3 +635,85 @@ def build_vocab(ds: "ray.data.Dataset", text_col: str = "text",
         return g
 
     return counts.groupby("n").map_groups(per_count, batch_format="pandas")
+
+
+def explode_lines(ds: "ray.data.Dataset", text_col: str = "text",
+                  id_col: str = "doc_id") -> "ray.data.Dataset":
+    """(doc_id, line_no, line) — one row per newline-split line, order
+    preserved via line_no (1-based). Fully vectorized: one Arrow literal
+    split → flat values + list offsets → np.repeat ids + a single arange
+    for the per-doc positions."""
+    def partial(t: pa.Table) -> pa.Table:
+        col = t[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lists = pc.split_pattern(col, pattern="\n")
+        off = lists.offsets.to_numpy().astype(np.int64)
+        counts = np.diff(off)
+        ids = np.repeat(t[id_col].to_numpy(zero_copy_only=False), counts)
+        # per-doc 1..k positions: global arange minus each doc's start
+        pos = np.arange(off[-1] - off[0]) - np.repeat(
+            off[:-1] - off[0], counts) + 1
+        return pa.table({id_col: ids,
+                         "line_no": pos.astype(np.int64),
+                         "line": lists.values})
+
+    return ds.map_batches(partial, batch_format="pyarrow")
+
+
+def strip_repeated_lines(ds: "ray.data.Dataset", text_col: str = "text",
+                         id_col: str = "doc_id", max_occurrences: int = 2,
+                         num_buckets: int = 32) -> "ray.data.Dataset":
+    """Corpus-wide repeated-line removal — the C4/RefinedWeb boilerplate
+    pass: drop every line whose EXACT text occurs more than
+    ``max_occurrences`` times across the corpus (nav menus, cookie
+    banners, footers), reassemble each document from its surviving lines
+    in order. Documents left with zero lines are dropped (boilerplate-only
+    pages).
+
+    Plan: vectorized line explode; line counts via per-block Acero
+    pre-agg + one narrow (line, n) groupby; frequent lines filtered and
+    ANTI-joined against the line table (distributed — no broadcast-set
+    size assumption on the blocklist); reassembly is the
+    :func:`engine.windows.collect_per_key` bucket discipline (one
+    exchange, per-doc cost one C-level str.join). Output: (doc_id, text).
+    """
+    from ray.data.aggregate import Sum
+
+    from engine.joins import _bucket_of_column, _coalesced, hash_join
+
+    lines = explode_lines(ds, text_col, id_col).materialize()  # 2 consumers
+
+    def local_counts(t: pa.Table) -> pa.Table:
+        g = t.select(["line"]).group_by(["line"]) \
+            .aggregate([([], "count_all")])
+        return pa.table({"line": g["line"],
+                         "n": pc.cast(g["count_all"], pa.int64())})
+
+    frequent = (
+        lines.map_batches(local_counts, batch_format="pyarrow")
+        .groupby("line").aggregate(Sum("n", alias_name="n"))
+        .map_batches(
+            lambda t: t.filter(pc.greater(t["n"], max_occurrences))
+            .select(["line"]),
+            batch_format="pyarrow")
+        .materialize()  # hash_join reads schemas up front (CLAUDE.md)
+    )
+    kept = hash_join(lines, frequent, on="line", how="anti",
+                     num_buckets=num_buckets)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column("__bucket",
+                               _bucket_of_column(t[id_col], num_buckets))
+
+    def per_bucket(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values([id_col, "line_no"], kind="mergesort")
+        agg = g.groupby(id_col, sort=False)["line"].agg("\n".join)
+        return agg.rename(text_col).reset_index()
+
+    return (
+        _coalesced(kept.map_batches(add_bucket, batch_format="pyarrow"),
+                   num_buckets, "auto")
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )

@@ -571,3 +571,49 @@ def test_normalize_url_cases():
     }
     got = normalize_url(pa_.array(list(cases))).to_pylist()
     assert got == list(cases.values())
+
+
+def test_explode_lines_positions(ray_session):
+    import ray.data as rd
+
+    from engine.textstats import explode_lines
+
+    df = pd.DataFrame({"doc_id": [1, 2, 3],
+                       "text": ["a\nb\nc", "", "x\n\ny"]})
+    out = explode_lines(rd.from_pandas(df)).to_pandas() \
+        .sort_values(["doc_id", "line_no"]).reset_index(drop=True)
+    assert list(out.itertuples(index=False, name=None)) == [
+        (1, 1, "a"), (1, 2, "b"), (1, 3, "c"),
+        (2, 1, ""),
+        (3, 1, "x"), (3, 2, ""), (3, 3, "y")]
+
+
+def test_strip_repeated_lines_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from engine.textstats import strip_repeated_lines
+
+    rng = np.random.RandomState(43)
+    boiler = ["COOKIE BANNER", "nav | home | about", "(c) footer"]
+    docs = []
+    for i in range(60):
+        lines = [boiler[j] for j in range(3) if rng.rand() < 0.8]
+        lines.insert(rng.randint(0, len(lines) + 1), f"content {i}")
+        if rng.rand() < 0.3:
+            lines.append(f"shared {i % 20}")  # ~3 repeats: some > 2
+        docs.append("\n".join(lines))
+    df = pd.DataFrame({"doc_id": range(60), "text": docs})
+    out = strip_repeated_lines(rd.from_pandas(df).repartition(5),
+                               max_occurrences=2).to_pandas() \
+        .set_index("doc_id")["text"]
+
+    cnt: Counter = Counter()
+    for t in docs:
+        cnt.update(t.split("\n"))
+    ref = {}
+    for i, t in enumerate(docs):
+        kept = [ln for ln in t.split("\n") if cnt[ln] <= 2]
+        if kept:
+            ref[i] = "\n".join(kept)
+    assert dict(out) == ref
+    assert len(ref) < 60 or all("COOKIE" not in v for v in ref.values())

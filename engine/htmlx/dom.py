@@ -8,12 +8,15 @@ pointers (O(1) GC), __slots__, and plain strings for text.
 from __future__ import annotations
 
 
+_EMPTY_ATTRS: dict = {}  # shared: no code path mutates node.attrs in place
+
+
 class Node:
     __slots__ = ("tag", "attrs", "children")
 
     def __init__(self, tag: str, attrs: dict[str, str] | None = None):
         self.tag = tag
-        self.attrs = attrs or {}
+        self.attrs = attrs or _EMPTY_ATTRS
         self.children: list[Node | str] = []
 
     def __repr__(self) -> str:  # debug only

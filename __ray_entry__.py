@@ -795,8 +795,9 @@ s3 AS (SELECT doc_id, regexp_replace(u, '([?&])utm_[^&]*&', '\1', 'g') AS u
 s4 AS (SELECT doc_id, regexp_replace(u, '[?&]utm_[^&]*$', '', 'g') AS u
        FROM s3),
 s5 AS (SELECT doc_id, regexp_replace(u, '\?$', '', 'g') AS u FROM s4),
-s6 AS (SELECT doc_id, regexp_replace(u, ':(?:80|443)(/|\?|$)', '\1', 'g')
-         AS u FROM s5)
+s6 AS (SELECT doc_id,
+              regexp_replace(u, '^((?i:https?)://[^/?#:]*):(?:80|443)(/|\?|$)',
+                             '\1\2', 'g') AS u FROM s5)
 SELECT doc_id,
        lower(coalesce(regexp_extract(u, '^((?i:https?)://[^/?#]*)', 1),
                       '')) ||

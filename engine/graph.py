@@ -53,9 +53,12 @@ def connected_components(edges: "ray.data.Dataset", src: str = "src",
             "peer": pa.chunked_array([*b.chunks, *a.chunks], type=pa.int64()),
         })
 
+    from engine.joins import _coalesced
+
     sym = (
-        edges.map_batches(symmetrize, batch_format="pyarrow")
-        .groupby(["node", "peer"])
+        _coalesced(edges.map_batches(symmetrize, batch_format="pyarrow"),
+                   num_buckets, "auto")  # shuffle cost scales with block
+        .groupby(["node", "peer"])       # count, not bytes (CLAUDE.md)
         .aggregate(Count(alias_name="__n"))
         .map_batches(lambda t: t.drop_columns(["__n"]),
                      batch_format="pyarrow")

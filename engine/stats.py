@@ -419,14 +419,10 @@ def mode_per_key(ds: "ray.data.Dataset", key_col: str, val_col: str,
     """
     from engine.joins import _coalesced
 
-    def local_counts(t: pa.Table) -> pa.Table:
-        g = t.select([key_col, val_col]).group_by([key_col, val_col]) \
-            .aggregate([([], "count_all")])
-        return g.rename_columns([key_col, val_col, "n"])
-
     counts = (
-        _coalesced(ds.map_batches(local_counts, batch_format="pyarrow"),
-                   num_buckets, "auto")
+        _coalesced(ds.map_batches(
+            lambda t: acero_counts(t, [key_col, val_col]),
+            batch_format="pyarrow"), num_buckets, "auto")
         .groupby([key_col, val_col])
         .aggregate(Sum("n", alias_name="n"))
     )
@@ -456,14 +452,29 @@ def _hll_hash60(col: pa.ChunkedArray | pa.Array, method: str) -> "np.ndarray":
              for v in col.to_pylist()),
             dtype=np.int64, count=len(col))
     if method == "fast":
-        from engine.partition import _hash_array  # raises without polars
-        import polars as pl
+        try:
+            import polars as pl
+        except ImportError as exc:  # same steering as partition._hash_array
+            raise RuntimeError(
+                "hash method 'fast' requires polars; use method='md5' "
+                "instead") from exc
 
         if isinstance(col, pa.Array):
             col = pa.chunked_array([col])
         h = pl.from_arrow(col).hash(seed=0).to_numpy()
         return (h & np.uint64((1 << HLL_HASH_BITS) - 1)).astype(np.int64)
     raise ValueError(f"unknown hash method: {method}")
+
+
+def acero_counts(t: pa.Table, key_cols: "list[str]", out_col: str = "n"
+                 ) -> pa.Table:
+    """Per-block Acero count pre-agg — the map-side combiner every narrow
+    count exchange here starts with: repeats collapse before the wire, the
+    block leaves as distinct (keys..., n:int64) rows. pyarrow group_by
+    returns key columns first, count last (pinned by the callers' tests)."""
+    g = t.select(key_cols).group_by(key_cols).aggregate([([], "count_all")])
+    return g.rename_columns([*key_cols, out_col]).set_column(
+        len(key_cols), out_col, pc.cast(g.column(len(key_cols)), pa.int64()))
 
 
 def hll_registers(ds: "ray.data.Dataset", col: str, m: int = 256,
@@ -489,12 +500,17 @@ def hll_registers(ds: "ray.data.Dataset", col: str, m: int = 256,
     if 1 << r_bits != m:
         raise ValueError("m must be a power of two")
     low_bits = HLL_HASH_BITS - r_bits
+    if low_bits > 52:
+        # rho comes from np.frexp over float64(low); exactness needs
+        # low < 2^53. m >= 256 keeps low_bits <= 52 (and m < 256 is a
+        # >6.5%-error sketch nobody should want).
+        raise ValueError("m must be >= 256 (60-bit hash, float64-exact rho)")
     low_mask = (1 << low_bits) - 1
 
     def partial(t: pa.Table) -> pa.Table:
         h = _hll_hash60(t[col], method)
         reg = (h >> low_bits).astype(np.int64)
-        low = (h & low_mask).astype(np.float64)  # < 2^52: float64-exact
+        low = (h & low_mask).astype(np.float64)  # < 2^53: float64-exact
         _, exp = np.frexp(low)                   # bit length; frexp(0) -> 0
         rho = (low_bits - exp + 1).astype(np.int64)
         # per-register max WITHOUT np.maximum.at (scalar-dispatch, ~0.7 s/M):
@@ -558,9 +574,10 @@ def global_rank(ds: "ray.data.Dataset", val_col: str,
     cut at heavy skew), per-bucket totals exclusive-prefix-summed on the
     driver (num_buckets scalars); (3) per bucket ONE vectorized pandas pass:
     sorted cumulative counts + bucket offset → (value, rank); (4) one
-    hash_join on the float64 BIT PATTERN (int64 view; -0.0 normalized to
-    +0.0 so the key family matches float equality) re-attaches ranks to the
-    full rows. Precondition: no null/NaN values.
+    hash_join re-attaches ranks to the full rows — integer columns join on
+    the value itself (bitcast would collide above 2^53), float columns on
+    the float64 BIT PATTERN (int64 view; -0.0 normalized to +0.0 so the
+    key family matches float equality). Precondition: no null/NaN values.
 
     ``lo_hi``: optional (min, max) hint — e.g. from parquet row-group
     statistics (the embedding_near_dup n/dim-hint discipline). Any values
@@ -575,6 +592,9 @@ def global_rank(ds: "ray.data.Dataset", val_col: str,
     from ray.data.aggregate import Max, Min
 
     def _key(arr: "np.ndarray") -> "np.ndarray":
+        if arr.dtype.kind in "iu":             # exact: no float round-trip
+            return arr.astype(np.int64, copy=False)
+        arr = arr.astype(np.float64, copy=False)
         return (arr + 0.0).view(np.int64)      # -0.0 -> +0.0, then bitcast
 
     def _bucket_fn(lo: float, hi: float):
@@ -588,16 +608,11 @@ def global_rank(ds: "ray.data.Dataset", val_col: str,
 
         return add_bucket
 
-    def local_counts(t: pa.Table) -> pa.Table:
-        g = t.select([val_col]).group_by([val_col]) \
-            .aggregate([([], "count_all")])
-        return g.rename_columns([val_col, "n"])
-
     if lo_hi is not None:
         add_bucket = _bucket_fn(float(lo_hi[0]), float(lo_hi[1]))
         bucketed = (
             _coalesced(ds.map_batches(
-                lambda t: add_bucket(local_counts(t)),
+                lambda t: add_bucket(acero_counts(t, [val_col])),
                 batch_format="pyarrow"), num_buckets, "auto")
             .groupby([val_col])                # __bucket is val-determined
             .aggregate(Sum("n", alias_name="n"), Max("__bucket",
@@ -606,8 +621,9 @@ def global_rank(ds: "ray.data.Dataset", val_col: str,
         )
     else:
         counts = (
-            _coalesced(ds.map_batches(local_counts, batch_format="pyarrow"),
-                       num_buckets, "auto")
+            _coalesced(ds.map_batches(
+                lambda t: acero_counts(t, [val_col]),
+                batch_format="pyarrow"), num_buckets, "auto")
             .groupby(val_col)
             .aggregate(Sum("n", alias_name="n"))
             .materialize()                      # used by 2 consumers below
@@ -635,10 +651,12 @@ def global_rank(ds: "ray.data.Dataset", val_col: str,
         return out.drop(columns=[val_col])
 
     ranks = bucketed.groupby("__bucket") \
-        .map_groups(per_bucket, batch_format="pandas")
+        .map_groups(per_bucket, batch_format="pandas") \
+        .materialize()  # hash_join reads schemas up front — without this
+    # the rank shuffle runs twice (schema probe + join union, CLAUDE.md)
 
     def add_key(t: pa.Table) -> pa.Table:
-        v = t[val_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = t[val_col].to_numpy(zero_copy_only=False)
         return t.append_column("__rk", pa.array(_key(v), type=pa.int64()))
 
     joined = hash_join(ds.map_batches(add_key, batch_format="pyarrow"),

@@ -326,9 +326,11 @@ def normalize_url(col: "pa.ChunkedArray | pa.Array") -> "pa.ChunkedArray":
     u = pc.replace_substring_regex(u, pattern=r"[?&]utm_[^&]*$",
                                    replacement="")
     u = pc.replace_substring_regex(u, pattern=r"\?$", replacement="")
-    # 3. default ports
-    u = pc.replace_substring_regex(u, pattern=r":(?:80|443)(/|\?|$)",
-                                   replacement="\\1")
+    # 3. default ports — anchored to the authority so ':80/'-like
+    # sequences in the path or query are never touched
+    u = pc.replace_substring_regex(
+        u, pattern=r"^((?i:https?)://[^/?#:]*):(?:80|443)(/|\?|$)",
+        replacement="\\1\\2")
     # 4. lowercase scheme://host
     head = pc.extract_regex(u, pattern=r"^(?P<head>(?i:https?)://[^/?#]*)")
     head_s = pc.coalesce(pc.struct_field(head, "head"), "")

@@ -604,10 +604,8 @@ def build_vocab(ds: "ray.data.Dataset", text_col: str = "text",
         if len(toks) == 0:
             return pa.table({"token": pa.array([], type=pa.string()),
                              "n": pa.array([], type=pa.int64())})
-        g = pa.table({"token": toks}).group_by(["token"]) \
-            .aggregate([([], "count_all")])
-        return pa.table({"token": g["token"],
-                         "n": pc.cast(g["count_all"], pa.int64())})
+        from engine.stats import acero_counts
+        return acero_counts(pa.table({"token": toks}), ["token"])
 
     counts = (
         ds.map_batches(partial, batch_format="pyarrow")
@@ -616,12 +614,10 @@ def build_vocab(ds: "ray.data.Dataset", text_col: str = "text",
         .materialize()  # feeds count-of-counts AND the enumeration pass
     )
 
-    def cc_partial(t: pa.Table) -> pa.Table:
-        g = t.select(["n"]).group_by(["n"]).aggregate([([], "count_all")])
-        return pa.table({"n": g["n"],
-                         "c": pc.cast(g["count_all"], pa.int64())})
+    from engine.stats import acero_counts as _ac
 
-    cc = counts.map_batches(cc_partial, batch_format="pyarrow") \
+    cc = counts.map_batches(lambda t: _ac(t, ["n"], "c"),
+                            batch_format="pyarrow") \
         .groupby("n").aggregate(Sum("c", alias_name="c")).take_all()
     offsets, acc = {}, 0
     for row in sorted(cc, key=lambda r: -r["n"]):  # counts descending
@@ -684,14 +680,11 @@ def strip_repeated_lines(ds: "ray.data.Dataset", text_col: str = "text",
 
     lines = explode_lines(ds, text_col, id_col).materialize()  # 2 consumers
 
-    def local_counts(t: pa.Table) -> pa.Table:
-        g = t.select(["line"]).group_by(["line"]) \
-            .aggregate([([], "count_all")])
-        return pa.table({"line": g["line"],
-                         "n": pc.cast(g["count_all"], pa.int64())})
+    from engine.stats import acero_counts
 
     frequent = (
-        lines.map_batches(local_counts, batch_format="pyarrow")
+        lines.map_batches(lambda t: acero_counts(t, ["line"]),
+                          batch_format="pyarrow")
         .groupby("line").aggregate(Sum("n", alias_name="n"))
         .map_batches(
             lambda t: t.filter(pc.greater(t["n"], max_occurrences))

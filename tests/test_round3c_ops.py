@@ -568,6 +568,9 @@ def test_normalize_url_cases():
         "https://H.io/?utm_only=1": "https://h.io/",
         "http://a.b:8080/x": "http://a.b:8080/x",  # non-default port kept
         "https://A.b/p?q=1#frag#frag2": "https://a.b/p?q=1",
+        # ':80' in the PATH must never be touched (authority-anchored)
+        "https://ex.com/a:80/b": "https://ex.com/a:80/b",
+        "https://a.com/r?next=http://b.c:443/": "https://a.com/r?next=http://b.c:443/",
     }
     got = normalize_url(pa_.array(list(cases))).to_pylist()
     assert got == list(cases.values())
@@ -617,3 +620,19 @@ def test_strip_repeated_lines_matches_bruteforce(ray_session):
             ref[i] = "\n".join(kept)
     assert dict(out) == ref
     assert len(ref) < 60 or all("COOKIE" not in v for v in ref.values())
+
+
+def test_global_rank_int64_above_2_53(ray_session):
+    import ray.data as rd
+
+    from engine.stats import global_rank
+
+    # adjacent int64 values above 2^53 are indistinguishable in float64;
+    # the integer join-key path must still rank them separately
+    base = 2 ** 53
+    df = pd.DataFrame({"event_id": [0, 1, 2, 3],
+                       "value": [base, base + 1, base + 1, 5]})
+    out = global_rank(rd.from_pandas(df), "value") \
+        .to_pandas().set_index("event_id").sort_index()
+    assert len(out) == 4
+    assert list(out["rnk"]) == [2, 3, 3, 1]

@@ -720,6 +720,10 @@ SELECT node, min(r) AS component FROM reach GROUP BY node""",
 SELECT event_id, value,
        CAST(rank() OVER (ORDER BY value) AS BIGINT) AS rnk
 FROM events""",
+        "dense_rank": """
+SELECT event_id, value,
+       CAST(dense_rank() OVER (ORDER BY value) AS BIGINT) AS rnk
+FROM events""",
         "transitions": """
 WITH x AS (
   SELECT event_type,

@@ -1766,6 +1766,17 @@ def q_global_rank(sf_dir: str):
         .select_columns(["event_id", "value", "rnk"])
 
 
+def q_dense_rank(sf_dir: str):
+    """dense_rank() OVER (ORDER BY value) — global_rank's dense mode:
+    offsets count distinct values below the bucket instead of rows.
+    DuckDB twin: the window function itself."""
+    from engine.stats import global_rank
+
+    events = _read(sf_dir, "events", ["event_id", "value"])
+    return global_rank(events, "value", dense=True) \
+        .select_columns(["event_id", "value", "rnk"])
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1855,4 +1866,5 @@ QUERIES = {
     "cap_per_source": q_cap_per_source,
     "normalize_urls": q_normalize_urls,
     "strip_lines": q_strip_lines,
+    "dense_rank": q_dense_rank,
 }

@@ -561,10 +561,11 @@ def hll_estimate(registers, m: int = 256) -> float:
 
 def global_rank(ds: "ray.data.Dataset", val_col: str,
                 num_buckets: int = 32, rank_col: str = "rnk",
-                lo_hi: "tuple[float, float] | None" = None
-                ) -> "ray.data.Dataset":
-    """Attach ``rank_col`` = SQL rank() OVER (ORDER BY val_col) to every
-    row — global order WITHOUT a full-table sort: only the compressed
+                lo_hi: "tuple[float, float] | None" = None,
+                dense: bool = False) -> "ray.data.Dataset":
+    """Attach ``rank_col`` = SQL rank() OVER (ORDER BY val_col) — or
+    dense_rank() with ``dense=True`` (consecutive ranks, ties collapse:
+    the value-to-ordinal encoding step) — to every row — global order WITHOUT a full-table sort: only the compressed
     (value, count) domain is exchanged; the wide rows take one
     co-partitioned join.
 
@@ -633,9 +634,12 @@ def global_rank(ds: "ray.data.Dataset", val_col: str,
         add_bucket = _bucket_fn(float(lohi["lo"]), float(lohi["hi"]))
         bucketed = counts.map_batches(add_bucket,
                                       batch_format="pyarrow").materialize()
-    totals = {r["__bucket"]: r["n"] for r in
-              bucketed.groupby("__bucket")
-              .aggregate(Sum("n", alias_name="n")).take_all()}
+    # rank(): offsets count ROWS below the bucket; dense_rank(): they
+    # count DISTINCT VALUES below it (Count over the same value table)
+    agg = (Count(alias_name="__t") if dense
+           else Sum("n", alias_name="__t"))
+    totals = {r["__bucket"]: r["__t"] for r in
+              bucketed.groupby("__bucket").aggregate(agg).take_all()}
     offsets, acc = {}, 0
     for b in range(num_buckets):               # exclusive prefix sum
         offsets[b] = acc
@@ -643,9 +647,12 @@ def global_rank(ds: "ray.data.Dataset", val_col: str,
 
     def per_bucket(g: "pd.DataFrame") -> "pd.DataFrame":
         g = g.sort_values(val_col, kind="mergesort")
-        n = g["n"].to_numpy()
         start = offsets[int(g["__bucket"].iloc[0])]
-        rnk = start + np.concatenate(([0], np.cumsum(n[:-1]))) + 1
+        if dense:
+            rnk = start + np.arange(1, len(g) + 1)
+        else:
+            n = g["n"].to_numpy()
+            rnk = start + np.concatenate(([0], np.cumsum(n[:-1]))) + 1
         out = pd.DataFrame({val_col: g[val_col].to_numpy(), rank_col: rnk})
         out["__rk"] = _key(out[val_col].to_numpy())
         return out.drop(columns=[val_col])

@@ -636,3 +636,19 @@ def test_global_rank_int64_above_2_53(ray_session):
         .to_pandas().set_index("event_id").sort_index()
     assert len(out) == 4
     assert list(out["rnk"]) == [2, 3, 3, 1]
+
+
+def test_global_rank_dense_matches_pandas(ray_session):
+    import ray.data as rd
+
+    from engine.stats import global_rank
+
+    rng = np.random.RandomState(47)
+    df = pd.DataFrame({"event_id": np.arange(400),
+                       "value": rng.randint(0, 60, 400) / 4.0})
+    out = global_rank(rd.from_pandas(df).repartition(6), "value",
+                      dense=True) \
+        .to_pandas().set_index("event_id").sort_index()
+    ref = df.set_index("event_id")["value"].rank(method="dense") \
+        .astype("int64")
+    assert out["rnk"].equals(ref)

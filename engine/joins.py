@@ -532,3 +532,40 @@ def salted_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
 
     return tagged.groupby("__bucket").map_groups(merge_bucket,
                                                  batch_format="pyarrow")
+
+
+def bucketed_map_groups(ds: "ray.data.Dataset", key_col: str, fn,
+                        num_buckets: int = 32, cols: "list[str] | None" = None,
+                        batch_format: str = "pandas") -> "ray.data.Dataset":
+    """The bucket discipline as a public operator: run ``fn`` once per
+    KEY-HASH BUCKET (not per key) with every row of every key in that
+    bucket co-located — the building block behind sessionize / funnel /
+    transitions / ntile / top-k here. ``fn`` must handle ALL keys in its
+    frame vectorized; Python-call count is capped at ``num_buckets``
+    regardless of key cardinality (groupby(key).map_groups pays one call
+    per key — minutes at web-scale key counts, CLAUDE.md).
+
+    ``cols``: optional projection before the exchange (ship only what fn
+    needs). The ``__bucket`` column is added for the exchange and dropped
+    from ``fn``'s view. Partitioning assumption: one bucket's rows fit a
+    worker's heap — size num_buckets to the corpus like any shuffle.
+    """
+    def add_bucket(t: pa.Table) -> pa.Table:
+        if cols is not None:
+            t = t.select(cols)
+        return t.append_column("__bucket",
+                               _bucket_of_column(t[key_col], num_buckets))
+
+    if batch_format == "pandas":
+        def run(g):
+            return fn(g.drop(columns="__bucket"))
+    else:
+        def run(g):
+            return fn(g.drop_columns(["__bucket"]))
+
+    return (
+        _coalesced(ds.map_batches(add_bucket, batch_format="pyarrow"),
+                   num_buckets, "auto")
+        .groupby("__bucket")
+        .map_groups(run, batch_format=batch_format)
+    )

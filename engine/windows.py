@@ -353,11 +353,6 @@ def funnel(ds: "ray.data.Dataset", key_col: str = "user_id",
     """
     cols = [key_col, ts_col, type_col]
 
-    def add_bucket(t: pa.Table) -> pa.Table:
-        t = t.select(cols)
-        return t.append_column("__bucket",
-                               _bucket_of_column(t[key_col], num_buckets))
-
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         keys = pd.Index(g[key_col].unique(), name=key_col)
         out = pd.DataFrame(index=keys)
@@ -375,14 +370,10 @@ def funnel(ds: "ray.data.Dataset", key_col: str = "user_id",
             .astype("int64")
         return out.reset_index()
 
-    from engine.joins import _coalesced
+    from engine.joins import bucketed_map_groups
 
-    return (
-        _coalesced(ds.map_batches(add_bucket, batch_format="pyarrow"),
-                   num_buckets, "auto")
-        .groupby("__bucket")
-        .map_groups(per_bucket, batch_format="pandas")
-    )
+    return bucketed_map_groups(ds, key_col, per_bucket, num_buckets,
+                               cols=cols)
 
 
 def transition_counts(ds: "ray.data.Dataset", key_col: str = "user_id",
@@ -402,28 +393,18 @@ def transition_counts(ds: "ray.data.Dataset", key_col: str = "user_id",
     """
     cols = [key_col, val_col, *order_cols]
 
-    def add_bucket(t: pa.Table) -> pa.Table:
-        t = t.select(cols)
-        return t.append_column("__bucket",
-                               _bucket_of_column(t[key_col], num_buckets))
-
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([key_col, *order_cols], kind="mergesort")
         prev = g.groupby(key_col, sort=False)[val_col].shift(1)
         mask = prev.notna()
         pairs = pd.DataFrame({"prev": prev[mask],
                               "curr": g.loc[mask, val_col]})
-        out = pairs.value_counts(["prev", "curr"]).reset_index(name="n")
-        return out
+        return pairs.value_counts(["prev", "curr"]).reset_index(name="n")
 
-    from engine.joins import _coalesced
+    from engine.joins import bucketed_map_groups
     from ray.data.aggregate import Sum
 
-    partials = (
-        _coalesced(ds.map_batches(add_bucket, batch_format="pyarrow"),
-                   num_buckets, "auto")
-        .groupby("__bucket")
-        .map_groups(per_bucket, batch_format="pandas")
-    )
+    partials = bucketed_map_groups(ds, key_col, per_bucket, num_buckets,
+                                   cols=cols)
     return partials.groupby(["prev", "curr"]) \
         .aggregate(Sum("n", alias_name="n"))

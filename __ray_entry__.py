@@ -724,6 +724,13 @@ FROM events""",
 SELECT event_id, value,
        CAST(dense_rank() OVER (ORDER BY value) AS BIGINT) AS rnk
 FROM events""",
+        "bloom_users": """
+WITH j AS (SELECT unnest(generate_series(0, 2)) AS r)
+SELECT DISTINCT
+       CAST('0x' || substr(md5(CAST(j.r AS VARCHAR) || ':' ||
+                               CAST(e.user_id AS VARCHAR)), 1, 15)
+            AS BIGINT) % 4096 AS bit
+FROM events e CROSS JOIN j""",
         "transitions": """
 WITH x AS (
   SELECT event_type,

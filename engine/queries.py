@@ -1766,6 +1766,17 @@ def q_global_rank(sf_dir: str):
         .select_columns(["event_id", "value", "rnk"])
 
 
+def q_bloom_users(sf_dir: str):
+    """Distributed Bloom-filter build (engine.stats.bloom_bits) over
+    user_id — the membership sketch of the trio (HLL cardinality, CMS
+    frequency). Integer-exact DuckDB twin: DISTINCT md5-slice bit
+    positions over CROSS JOIN seeds."""
+    from engine.stats import bloom_bits
+
+    events = _read(sf_dir, "events", ["user_id"])
+    return bloom_bits(events, "user_id", m=4096, k=3)
+
+
 def q_dense_rank(sf_dir: str):
     """dense_rank() OVER (ORDER BY value) — global_rank's dense mode:
     offsets count distinct values below the bucket instead of rows.
@@ -1867,4 +1878,5 @@ QUERIES = {
     "normalize_urls": q_normalize_urls,
     "strip_lines": q_strip_lines,
     "dense_rank": q_dense_rank,
+    "bloom_users": q_bloom_users,
 }

@@ -760,3 +760,82 @@ def cms_query(cms, value, d: int = 4, w: int = 1024,
     else:
         raise ValueError(f"unknown hash method: {method}")
     return int(min(grid[j, c] for j, c in enumerate(cells)))
+
+
+def bloom_bits(ds: "ray.data.Dataset", col: str, m: int = 4096, k: int = 3,
+               method: str = "md5", num_buckets: int = 32
+               ) -> "ray.data.Dataset":
+    """Bloom filter of ``col``'s value set as a SET-BIT table — the
+    membership sketch completing the trio (:func:`hll_registers`
+    cardinality, :func:`cms_counts` frequency): build once over a huge key
+    set, persist ≤ m rows, use for cheap "definitely absent" pruning
+    (the broadcast side of engine.joins bloom_semi_join, but buildable
+    DISTRIBUTED and mergeable — shard filters union by bit-set union,
+    which the distinct groupby already is).
+
+    Bit j(v) = 60-bit md5 of ``f"{j}:{v}"`` mod m per seed j < k ('md5',
+    SQL-checkable) or seeded polars xxhash ('fast'). Per block one
+    bincount collapses to ≤ m distinct bits map-side. Output: (bit) rows,
+    sorted semantics-free; feed to :func:`bloom_contains`.
+    """
+    import numpy as np
+
+    from engine.joins import _coalesced
+
+    def partial(t: pa.Table) -> pa.Table:
+        n_rows = len(t[col])
+        hit = np.zeros(m, dtype=bool)
+        if method == "md5":
+            import hashlib
+            md5 = hashlib.md5
+            vals = [str(v) for v in t[col].to_pylist()]
+            for j in range(k):
+                pre = f"{j}:"
+                idx = np.fromiter(
+                    (int(md5((pre + v).encode()).hexdigest()[:15], 16) % m
+                     for v in vals),
+                    dtype=np.int64, count=n_rows)
+                hit |= np.bincount(idx, minlength=m) > 0
+        elif method == "fast":
+            import polars as pl
+            c = t[col]
+            if isinstance(c, pa.Array):
+                c = pa.chunked_array([c])
+            s = pl.from_arrow(c)
+            for j in range(k):
+                idx = (s.hash(seed=j).to_numpy() % np.uint64(m)) \
+                    .astype(np.int64)
+                hit |= np.bincount(idx, minlength=m) > 0
+        else:
+            raise ValueError(f"unknown hash method: {method}")
+        return pa.table({"bit": np.nonzero(hit)[0].astype(np.int64)})
+
+    return (
+        _coalesced(ds.map_batches(partial, batch_format="pyarrow"),
+                   num_buckets, "auto")
+        .groupby("bit").aggregate(Count(alias_name="__c"))
+        .map_batches(lambda t: t.select(["bit"]), batch_format="pyarrow")
+    )
+
+
+def bloom_contains(bits, value, m: int = 4096, k: int = 3,
+                   method: str = "md5") -> bool:
+    """Membership probe against a :func:`bloom_bits` table (driver side —
+    ≤ m rows). False = DEFINITELY absent; True = present or a false
+    positive (rate ≈ (1 - e^{-kn/m})^k)."""
+    import numpy as np
+
+    if hasattr(bits, "to_pandas"):
+        bits = bits.to_pandas()
+    have = set(int(b) for b in np.asarray(bits["bit"]))
+    if method == "md5":
+        import hashlib
+        probes = [int(hashlib.md5(f"{j}:{value}".encode()).hexdigest()[:15],
+                      16) % m for j in range(k)]
+    elif method == "fast":
+        import polars as pl
+        probes = [int(pl.Series([value]).hash(seed=j)[0] % m)
+                  for j in range(k)]
+    else:
+        raise ValueError(f"unknown hash method: {method}")
+    return all(p in have for p in probes)

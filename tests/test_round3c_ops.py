@@ -652,3 +652,33 @@ def test_global_rank_dense_matches_pandas(ray_session):
     ref = df.set_index("event_id")["value"].rank(method="dense") \
         .astype("int64")
     assert out["rnk"].equals(ref)
+
+
+def test_bloom_bits_reference_def_and_probe(ray_session):
+    import hashlib
+
+    import ray.data as rd
+
+    from engine.stats import bloom_bits, bloom_contains
+
+    m, k = 512, 3
+    vals = list(range(0, 400, 3))  # present: multiples of 3 under 400
+    df = pd.DataFrame({"u": vals})
+    bits = bloom_bits(rd.from_pandas(df).repartition(4), "u", m=m, k=k) \
+        .to_pandas()
+    ref = set()
+    for v in vals:
+        for j in range(k):
+            ref.add(int(hashlib.md5(f"{j}:{v}".encode()).hexdigest()[:15],
+                        16) % m)
+    assert set(bits["bit"]) == ref
+    # no false negatives ever
+    assert all(bloom_contains(bits, v, m=m, k=k) for v in vals)
+    # merge = bit union: shard filters equal the whole
+    a = bloom_bits(rd.from_pandas(df.iloc[:70]), "u", m=m, k=k).to_pandas()
+    b = bloom_bits(rd.from_pandas(df.iloc[70:]), "u", m=m, k=k).to_pandas()
+    assert set(a["bit"]) | set(b["bit"]) == ref
+    # absent values: mostly definite misses at this fill rate
+    misses = sum(not bloom_contains(bits, v, m=m, k=k)
+                 for v in range(1, 400, 3))
+    assert misses > 60

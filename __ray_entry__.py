@@ -731,6 +731,10 @@ SELECT DISTINCT
                                CAST(e.user_id AS VARCHAR)), 1, 15)
             AS BIGINT) % 4096 AS bit
 FROM events e CROSS JOIN j""",
+        "fuzzy_decontam": """
+SELECT d.doc_id, b.doc_id AS bench_id
+FROM documents d JOIN documents b ON d.doc_id // 3 = b.doc_id // 3
+WHERE b.doc_id % 25 = 0""",
         "transitions": """
 WITH x AS (
   SELECT event_type,

@@ -1100,3 +1100,55 @@ def mark_contaminated(ds: "ray.data.Dataset", snippets: list[str],
         })
 
     return ds.map_batches(flag, batch_format="pyarrow")
+
+
+CROSS_TAG = 1 << 40  # id offset tagging the benchmark side in cross pairs
+
+
+def minhash_cross_pairs_ds(corpus: "ray.data.Dataset",
+                           bench: "ray.data.Dataset",
+                           text_col: str = "text", id_col: str = "doc_id",
+                           threshold: float = 0.7,
+                           num_bands: int = NUM_BANDS
+                           ) -> "ray.data.Dataset":
+    """Fuzzy cross-corpus decontamination — near-dup pairs BETWEEN two
+    corpora (training docs vs benchmark items): the MinHash complement of
+    the exact-snippet pass (mark_contaminated), catching paraphrased /
+    lightly-edited benchmark leakage.
+
+    Plan: tag benchmark ids by CROSS_TAG (ids must be < 2^40 — asserted
+    map-side), union the two narrow (id, text) streams, run the standard
+    LSH pairs plan once over the union, and keep only pairs whose sides
+    differ — same-side dups are the intra-corpus dedup problem, not
+    contamination. Output Dataset: (doc_id, bench_id, similarity),
+    streaming like :func:`minhash_lsh_pairs_ds`.
+    """
+    def tag(offset: int):
+        def f(t: pa.Table) -> pa.Table:
+            ids = pc.cast(t[id_col], pa.int64())
+            if len(ids) and pc.max(ids).as_py() >= CROSS_TAG:
+                raise ValueError("ids must be < 2^40 for cross tagging")
+            return pa.table({id_col: pc.add(ids, offset),
+                             text_col: t[text_col]})
+        return f
+
+    union = corpus.map_batches(tag(0), batch_format="pyarrow").union(
+        bench.map_batches(tag(CROSS_TAG), batch_format="pyarrow"))
+    pairs = _plan_to_ds(
+        _minhash_pairs_plan(union, text_col, id_col, threshold, num_bands),
+        "similarity", pa.float64())
+
+    def cross_only(t: pa.Table) -> pa.Table:
+        a = t["id_a"].to_numpy(zero_copy_only=False)
+        b = t["id_b"].to_numpy(zero_copy_only=False)
+        a_tag, b_tag = a >= CROSS_TAG, b >= CROSS_TAG
+        keep = a_tag != b_tag
+        a, b = a[keep], b[keep]
+        doc = np.where(a < CROSS_TAG, a, b)
+        ben = np.where(a >= CROSS_TAG, a, b) - CROSS_TAG
+        return pa.table({"doc_id": doc.astype(np.int64),
+                         "bench_id": ben.astype(np.int64),
+                         "similarity": t["similarity"].to_numpy(
+                             zero_copy_only=False)[keep]})
+
+    return pairs.map_batches(cross_only, batch_format="pyarrow")

@@ -1766,6 +1766,34 @@ def q_global_rank(sf_dir: str):
         .select_columns(["event_id", "value", "rnk"])
 
 
+def q_fuzzy_decontam(sf_dir: str):
+    """Fuzzy cross-corpus decontamination (engine.dedup.
+    minhash_cross_pairs_ds): MinHash near-dup pairs between the planted-
+    variant corpus and a benchmark of every 25th group base — catches
+    paraphrased benchmark leakage the exact-snippet pass misses. The
+    oracle knows the pairs by construction: (doc, bench) iff
+    doc_id // 3 == bench_id // 3 (group variants vs their base are
+    far above threshold; cross-group sims far below — the
+    minhash_clusters planting argument)."""
+    from engine.dedup import minhash_cross_pairs_ds
+
+    corpus = _planted_docs(sf_dir)
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def build_bench(t: pa.Table) -> pa.Table:
+        ids = [i for i in t["doc_id"].to_pylist() if i % 25 == 0]
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "text": pa.array([_planted_base(i // PLANT_GROUP)
+                              for i in ids], type=pa.string()),
+        })
+
+    bench = docs.map_batches(build_bench, batch_format="pyarrow")
+    pairs = minhash_cross_pairs_ds(corpus, bench, threshold=0.7)
+    return pairs.map_batches(lambda t: t.select(["doc_id", "bench_id"]),
+                             batch_format="pyarrow")
+
+
 def q_bloom_users(sf_dir: str):
     """Distributed Bloom-filter build (engine.stats.bloom_bits) over
     user_id — the membership sketch of the trio (HLL cardinality, CMS
@@ -1879,4 +1907,5 @@ QUERIES = {
     "strip_lines": q_strip_lines,
     "dense_rank": q_dense_rank,
     "bloom_users": q_bloom_users,
+    "fuzzy_decontam": q_fuzzy_decontam,
 }

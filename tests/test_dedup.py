@@ -209,3 +209,41 @@ def test_join_plan_matches_driver_plan(docs, monkeypatch):
         assert a.reset_index(drop=True).astype(str).values.tolist() == \
             b.reset_index(drop=True).astype(str).values.tolist()
     assert a_cl.values.tolist() == b_cl.values.tolist()
+
+
+def test_minhash_cross_pairs_sides_and_tagging(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from engine import dedup
+
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 8
+    corpus = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": [base + "v0", base + "v1",
+                 "totally different content " * 12],
+    })
+    bench = pd.DataFrame({"doc_id": [7], "text": [base + "v9"]})
+    out = dedup.minhash_cross_pairs_ds(
+        rd.from_pandas(corpus).repartition(2), rd.from_pandas(bench),
+        threshold=0.7).to_pandas()
+    # only CROSS pairs survive (0-1 intra-corpus dup is filtered out);
+    # bench id is de-tagged back to its original value
+    assert sorted(map(tuple, out[["doc_id", "bench_id"]].values.tolist())) \
+        == [(0, 7), (1, 7)]
+    assert (out["similarity"] >= 0.7).all()
+
+
+def test_minhash_cross_pairs_rejects_huge_ids(ray_session):
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from engine import dedup
+
+    corpus = pd.DataFrame({"doc_id": [dedup.CROSS_TAG + 1],
+                           "text": ["abc def " * 10]})
+    bench = pd.DataFrame({"doc_id": [1], "text": ["abc def " * 10]})
+    with pytest.raises(Exception, match="2\\^40|RayTaskError|ids must"):
+        dedup.minhash_cross_pairs_ds(
+            rd.from_pandas(corpus), rd.from_pandas(bench)).to_pandas()

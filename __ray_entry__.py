@@ -735,6 +735,37 @@ FROM events e CROSS JOIN j""",
 SELECT d.doc_id, b.doc_id AS bench_id
 FROM documents d JOIN documents b ON d.doc_id // 3 = b.doc_id // 3
 WHERE b.doc_id % 25 = 0""",
+        "strip_spans": """
+WITH raw AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0
+              THEN 'extra ' || CAST(doc_id AS VARCHAR) || '. '
+              ELSE '' END ||
+         'b zero. b one. b two. uniq ' || CAST(doc_id AS VARCHAR) ||
+         '. pair' || CAST(doc_id // 2 AS VARCHAR) || ' a. pair' ||
+         CAST(doc_id // 2 AS VARCHAR) || ' b' AS text
+  FROM documents),
+sents AS (
+  SELECT doc_id, i AS pos, parts[i] AS sent
+  FROM (SELECT doc_id, string_split(text, '. ') AS parts FROM raw),
+       LATERAL (SELECT unnest(generate_series(1, len(parts))) AS i)),
+spans AS (
+  SELECT doc_id, pos, sent || '. ' || l1 || '. ' || l2 AS span
+  FROM (SELECT doc_id, pos, sent,
+               lead(sent, 1) OVER w AS l1, lead(sent, 2) OVER w AS l2
+        FROM sents WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
+  WHERE l2 IS NOT NULL),
+hot AS (SELECT span FROM spans GROUP BY span HAVING count(*) > 1),
+dropped AS (
+  SELECT DISTINCT s.doc_id, s.pos + o AS dpos
+  FROM spans s JOIN hot USING (span),
+       LATERAL (SELECT unnest(generate_series(0, 2)) AS o)),
+kept AS (
+  SELECT * FROM sents t WHERE NOT EXISTS (
+    SELECT 1 FROM dropped x
+    WHERE x.doc_id = t.doc_id AND x.dpos = t.pos))
+SELECT doc_id, string_agg(sent, '. ' ORDER BY pos) AS text
+FROM kept GROUP BY doc_id""",
         "transitions": """
 WITH x AS (
   SELECT event_type,

@@ -1766,6 +1766,32 @@ def q_global_rank(sf_dir: str):
         .select_columns(["event_id", "value", "rnk"])
 
 
+def q_strip_spans(sf_dir: str):
+    """C4 three-sentence-span dedup (engine.textstats.strip_repeated_spans)
+    over planted docs: a corpus-wide boilerplate 3-sentence block (hot
+    span, position-shifted in every 5th doc) is dropped everywhere;
+    unique and pair-shared sentences (no repeated 3-run) survive.
+    DuckDB twin: lead() spans → HAVING > 1 → position-window NOT EXISTS →
+    ordered string_agg."""
+    from engine.textstats import strip_repeated_spans
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        texts = []
+        for d in ids:
+            sents = (["extra %d" % d] if d % 5 == 0 else []) + \
+                ["b zero", "b one", "b two", "uniq %d" % d,
+                 "pair%d a" % (d // 2), "pair%d b" % (d // 2)]
+            texts.append(". ".join(sents))
+        return pa.table({"doc_id": t["doc_id"],
+                         "text": pa.array(texts, type=pa.string())})
+
+    planted = docs.map_batches(plant, batch_format="pyarrow")
+    return strip_repeated_spans(planted, span=3, max_occurrences=1)
+
+
 def q_fuzzy_decontam(sf_dir: str):
     """Fuzzy cross-corpus decontamination (engine.dedup.
     minhash_cross_pairs_ds): MinHash near-dup pairs between the planted-
@@ -1908,4 +1934,5 @@ QUERIES = {
     "dense_rank": q_dense_rank,
     "bloom_users": q_bloom_users,
     "fuzzy_decontam": q_fuzzy_decontam,
+    "strip_spans": q_strip_spans,
 }

@@ -710,3 +710,116 @@ def strip_repeated_lines(ds: "ray.data.Dataset", text_col: str = "text",
         .groupby("__bucket")
         .map_groups(per_bucket, batch_format="pandas")
     )
+
+
+MAX_SENT_POS = 1 << 20  # composite (doc, pos) key bound for span dedup
+
+
+def strip_repeated_spans(ds: "ray.data.Dataset", text_col: str = "text",
+                         id_col: str = "doc_id", span: int = 3,
+                         sep: str = ". ", max_occurrences: int = 1,
+                         num_buckets: int = 32) -> "ray.data.Dataset":
+    """C4's repeated-span removal: drop every sentence that falls inside
+    any ``span``-sentence window whose exact text occurs more than
+    ``max_occurrences`` times corpus-wide (the three-sentence dedup of
+    Raffel et al. 2020 §2.2, applied symmetrically — all occurrences go),
+    then reassemble documents from surviving sentences in order. Docs
+    left empty are dropped.
+
+    Plan: sentences explode WITH spans built in the same map partial
+    (consecutive-position windows via shifted object arrays — doc
+    locality is guaranteed inside the partial, before any exchange);
+    narrow (span, n) count exchange; hot-span occurrences located by a
+    distributed semi hash_join; their position windows expand vectorized
+    to a distinct (doc, pos) drop set; sentences ANTI-join the drop set
+    on a composite int64 key (pos < 2^20 asserted); bucketed ordered
+    reassembly. Exchange volume: sentences once, spans once, drop keys
+    once — never the documents.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    from engine.joins import bucketed_map_groups, hash_join
+    from engine.stats import acero_counts
+
+    def explode(t: pa.Table) -> pa.Table:
+        col = t[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lists = pc.split_pattern(col, pattern=sep)
+        off = lists.offsets.to_numpy().astype(np.int64)
+        counts = np.diff(off)
+        if counts.max(initial=0) >= MAX_SENT_POS:
+            raise ValueError("document exceeds 2^20 sentences")
+        ids = np.repeat(t[id_col].to_numpy(zero_copy_only=False), counts)
+        pos = np.arange(off[-1] - off[0]) - np.repeat(
+            off[:-1] - off[0], counts) + 1
+        return pa.table({id_col: ids, "pos": pos.astype(np.int64),
+                         "sent": lists.values})
+
+    def with_spans(t: pa.Table) -> pa.Table:
+        t = explode(t)
+        s = t["sent"].to_numpy(zero_copy_only=False).astype(object)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        n = len(s)
+        if n < span:
+            return t.append_column(
+                "span", pa.array([None] * n, type=pa.string()))
+        win = s.copy()
+        ok = np.ones(n, dtype=bool)
+        for k in range(1, span):
+            shifted = np.roll(s, -k)
+            win = win + sep + shifted
+            ok &= np.roll(ids, -k) == ids  # window stays inside one doc
+        ok[n - span + 1:] = False
+        win = np.where(ok, win, None)
+        return t.append_column("span", pa.array(win, type=pa.string()))
+
+    sents = ds.map_batches(with_spans, batch_format="pyarrow") \
+        .materialize()  # consumed by counts, locate AND reassembly
+
+    spans_only = sents.map_batches(
+        lambda t: t.filter(pc.is_valid(t["span"])).select(
+            [id_col, "pos", "span"]), batch_format="pyarrow")
+    hot = (
+        spans_only.map_batches(lambda t: acero_counts(t, ["span"]),
+                               batch_format="pyarrow")
+        .groupby("span").aggregate(Sum("n", alias_name="n"))
+        .map_batches(
+            lambda t: t.filter(pc.greater(t["n"], max_occurrences))
+            .select(["span"]), batch_format="pyarrow")
+        .materialize()
+    )
+    occurrences = hash_join(spans_only, hot, on="span", how="semi",
+                            num_buckets=num_buckets)
+
+    def expand_drops(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        pos = t["pos"].to_numpy(zero_copy_only=False)
+        keys = np.concatenate([(ids * MAX_SENT_POS) + pos + k
+                               for k in range(span)]) if len(ids) else \
+            np.array([], dtype=np.int64)
+        return pa.table({"__dk": np.unique(keys).astype(np.int64)})
+
+    drops = occurrences.map_batches(expand_drops, batch_format="pyarrow") \
+        .groupby("__dk").aggregate(Count(alias_name="__c")) \
+        .map_batches(lambda t: t.select(["__dk"]), batch_format="pyarrow") \
+        .materialize()
+
+    def add_key(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        pos = t["pos"].to_numpy(zero_copy_only=False)
+        return pa.table({id_col: ids, "pos": pos,
+                         "sent": t["sent"],
+                         "__dk": (ids * MAX_SENT_POS + pos)
+                         .astype(np.int64)})
+
+    kept = hash_join(sents.map_batches(add_key, batch_format="pyarrow"),
+                     drops, on="__dk", how="anti", num_buckets=num_buckets)
+
+    def per_bucket(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values([id_col, "pos"], kind="mergesort")
+        agg = g.groupby(id_col, sort=False)["sent"].agg(sep.join)
+        return agg.rename(text_col).reset_index()
+
+    return bucketed_map_groups(kept, id_col, per_bucket, num_buckets,
+                               cols=[id_col, "pos", "sent"])

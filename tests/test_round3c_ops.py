@@ -682,3 +682,42 @@ def test_bloom_bits_reference_def_and_probe(ray_session):
     misses = sum(not bloom_contains(bits, v, m=m, k=k)
                  for v in range(1, 400, 3))
     assert misses > 60
+
+
+def test_strip_repeated_spans_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from engine.textstats import strip_repeated_spans
+
+    rng = np.random.RandomState(53)
+    boiler = ["the cookie notice", "accept all cookies", "or manage prefs"]
+    docs = []
+    for i in range(40):
+        sents = [f"s{i} {j} {rng.randint(0, 5)}" for j in range(4)]
+        at = rng.randint(0, len(sents) + 1)
+        if rng.rand() < 0.7:
+            sents[at:at] = boiler  # hot block at a random position
+        docs.append(". ".join(sents))
+    df = pd.DataFrame({"doc_id": range(40), "text": docs})
+    out = strip_repeated_spans(rd.from_pandas(df).repartition(5), span=3,
+                               max_occurrences=1).to_pandas() \
+        .set_index("doc_id")["text"]
+
+    # brute force
+    span_counts: Counter = Counter()
+    exploded = {}
+    for i, t in enumerate(docs):
+        ss = t.split(". ")
+        exploded[i] = ss
+        for j in range(len(ss) - 2):
+            span_counts[". ".join(ss[j:j + 3])] += 1
+    ref = {}
+    for i, ss in exploded.items():
+        drop = set()
+        for j in range(len(ss) - 2):
+            if span_counts[". ".join(ss[j:j + 3])] > 1:
+                drop |= {j, j + 1, j + 2}
+        kept = [s for j, s in enumerate(ss) if j not in drop]
+        if kept:
+            ref[i] = ". ".join(kept)
+    assert dict(out) == ref

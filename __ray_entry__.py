@@ -704,6 +704,16 @@ SELECT register,
        max(52 - (CASE WHEN low = 0 THEN 0 ELSE length(bin(low)) END) + 1)
          AS rho_max
 FROM r GROUP BY register""",
+        "hll_by_type": """
+WITH h AS (SELECT event_type,
+                  CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+                       AS BIGINT) AS hv FROM events),
+r AS (SELECT event_type, hv // 4503599627370496 AS register,
+             hv % 4503599627370496 AS low FROM h)
+SELECT event_type, register,
+       max(52 - (CASE WHEN low = 0 THEN 0 ELSE length(bin(low)) END) + 1)
+         AS rho_max
+FROM r GROUP BY event_type, register""",
         "components": """
 WITH RECURSIVE e0 AS (
   SELECT DISTINCT user_id AS src, user_id + 1 AS dst

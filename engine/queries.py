@@ -1766,6 +1766,17 @@ def q_global_rank(sf_dir: str):
         .select_columns(["event_id", "value", "rnk"])
 
 
+def q_hll_by_type(sf_dir: str):
+    """Per-key HLL registers (engine.stats.hll_registers_by_key): distinct
+    users per event_type at an exchange bounded by m integers per key —
+    the scale path of distinct_count_per_key. Same integer md5/bin twin
+    as hll_events, GROUP BY (key, register)."""
+    from engine.stats import hll_registers_by_key
+
+    events = _read(sf_dir, "events", ["event_type", "user_id"])
+    return hll_registers_by_key(events, "event_type", "user_id", m=256)
+
+
 def q_strip_spans(sf_dir: str):
     """C4 three-sentence-span dedup (engine.textstats.strip_repeated_spans)
     over planted docs: a corpus-wide boilerplate 3-sentence block (hot
@@ -1935,4 +1946,5 @@ QUERIES = {
     "bloom_users": q_bloom_users,
     "fuzzy_decontam": q_fuzzy_decontam,
     "strip_spans": q_strip_spans,
+    "hll_by_type": q_hll_by_type,
 }

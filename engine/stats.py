@@ -839,3 +839,54 @@ def bloom_contains(bits, value, m: int = 4096, k: int = 3,
     else:
         raise ValueError(f"unknown hash method: {method}")
     return all(p in have for p in probes)
+
+
+def hll_registers_by_key(ds: "ray.data.Dataset", key_col: str, col: str,
+                         m: int = 256, method: str = "md5",
+                         num_buckets: int = 32) -> "ray.data.Dataset":
+    """PER-KEY HyperLogLog registers — approximate count(DISTINCT col)
+    GROUP BY key whose exchange is bounded by m integers PER KEY per
+    block, regardless of row count: the scale path where
+    :func:`distinct_count_per_key`'s exact (key, value) distinct exchange
+    (O(distinct pairs)) outgrows the wire — distinct URLs per domain at
+    10^12 rows.
+
+    Per block: one hash pass + one vectorized pandas (key, register) max
+    fold; one narrow groupby(key, register).Max merges blocks. Output:
+    (key, register, rho_max); estimate per key by feeding each key's
+    slice to :func:`hll_estimate` (absent registers ≡ rho 0, as there).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from engine.joins import _coalesced
+    from ray.data.aggregate import Max
+
+    r_bits = m.bit_length() - 1
+    if 1 << r_bits != m:
+        raise ValueError("m must be a power of two")
+    low_bits = HLL_HASH_BITS - r_bits
+    if low_bits > 52:
+        raise ValueError("m must be >= 256 (60-bit hash, float64-exact rho)")
+    low_mask = (1 << low_bits) - 1
+
+    def partial(t: pa.Table) -> pa.Table:
+        h = _hll_hash60(t[col], method)
+        reg = (h >> low_bits).astype(np.int64)
+        low = (h & low_mask).astype(np.float64)
+        _, exp = np.frexp(low)
+        rho = (low_bits - exp + 1).astype(np.int64)
+        df = pd.DataFrame({
+            key_col: t[key_col].to_numpy(zero_copy_only=False),
+            "register": reg, "rho_max": rho,
+        })
+        out = df.groupby([key_col, "register"], sort=False)["rho_max"] \
+            .max().reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return (
+        _coalesced(ds.map_batches(partial, batch_format="pyarrow"),
+                   num_buckets, "auto")
+        .groupby([key_col, "register"])
+        .aggregate(Max("rho_max", alias_name="rho_max"))
+    )

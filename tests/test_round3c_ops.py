@@ -721,3 +721,26 @@ def test_strip_repeated_spans_matches_bruteforce(ray_session):
         if kept:
             ref[i] = ". ".join(kept)
     assert dict(out) == ref
+
+
+def test_hll_registers_by_key_slices_equal_global(ray_session):
+    import ray.data as rd
+
+    from engine.stats import hll_estimate, hll_registers, hll_registers_by_key
+
+    rng = np.random.RandomState(59)
+    df = pd.DataFrame({
+        "k": rng.choice(["a", "b"], 5000),
+        "v": rng.randint(0, 900, 5000),
+    })
+    per = hll_registers_by_key(rd.from_pandas(df).repartition(6),
+                               "k", "v").to_pandas()
+    for key, g in df.groupby("k"):
+        whole = hll_registers(rd.from_pandas(g[["v"]]), "v").to_pandas() \
+            .set_index("register")["rho_max"].sort_index()
+        mine = per[per["k"] == key].set_index("register")["rho_max"] \
+            .sort_index()
+        assert mine.equals(whole)  # per-key slice == that key's own sketch
+        est = hll_estimate(per[per["k"] == key], m=256)
+        true = g["v"].nunique()
+        assert abs(est - true) / true < 0.2

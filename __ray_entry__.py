@@ -714,6 +714,12 @@ SELECT event_type, register,
        max(52 - (CASE WHEN low = 0 THEN 0 ELSE length(bin(low)) END) + 1)
          AS rho_max
 FROM r GROUP BY event_type, register""",
+        "running_total": """
+SELECT user_id, event_id,
+       CAST(sum(CAST(floor(value * 1000.0) AS BIGINT))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_sum
+FROM events""",
         "components": """
 WITH RECURSIVE e0 AS (
   SELECT DISTINCT user_id AS src, user_id + 1 AS dst

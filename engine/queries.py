@@ -1766,6 +1766,35 @@ def q_global_rank(sf_dir: str):
         .select_columns(["event_id", "value", "rnk"])
 
 
+def q_running_total(sf_dir: str):
+    """Per-user cumulative running total (engine.windows.rolling_agg with
+    window=None — the expanding frame): integer milli-unit cumsum per user
+    ordered by (ts, event_id). DuckDB twin: sum() OVER (... ROWS UNBOUNDED
+    PRECEDING), CAST BIGINT (HUGEINT floatify rule)."""
+    from engine.windows import rolling_agg
+
+    events = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    milli = events.map_batches(
+        lambda t: pa.table({
+            "event_id": t["event_id"], "ts": t["ts"],
+            "user_id": t["user_id"],
+            "value": pc.cast(pc.floor(pc.multiply(t["value"], 1000.0)),
+                             pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+    out = rolling_agg(milli, key_col="user_id", ts_col="ts",
+                      id_col="event_id", value_col="value",
+                      window=None, agg="sum")
+    return out.map_batches(
+        lambda t: pa.table({
+            "user_id": t["user_id"], "event_id": t["event_id"],
+            "running_sum": pc.cast(t["roll_sum"], pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+
+
 def q_hll_by_type(sf_dir: str):
     """Per-key HLL registers (engine.stats.hll_registers_by_key): distinct
     users per event_type at an exchange bounded by m integers per key —
@@ -1947,4 +1976,5 @@ QUERIES = {
     "fuzzy_decontam": q_fuzzy_decontam,
     "strip_spans": q_strip_spans,
     "hll_by_type": q_hll_by_type,
+    "running_total": q_running_total,
 }

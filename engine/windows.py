@@ -101,7 +101,8 @@ def rolling_agg(ds: "ray.data.Dataset", key_col: str = "user_id",
     Output: (key, id, ts, value, roll) — ``roll`` named by the aggregate.
     Determinism: total order (key, ts, id); row-count frames (not time
     ranges) so ties are resolved by id exactly as the SQL window twin's
-    ROWS BETWEEN frame does.
+    ROWS BETWEEN frame does. ``window=None`` = the EXPANDING (cumulative /
+    running-total) frame — SQL's ROWS UNBOUNDED PRECEDING.
     """
     if agg not in ("mean", "sum", "min", "max"):
         raise ValueError(f"unsupported rolling agg: {agg}")
@@ -115,8 +116,9 @@ def rolling_agg(ds: "ray.data.Dataset", key_col: str = "user_id",
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop(columns="__bucket").sort_values(
             [key_col, ts_col, id_col], kind="mergesort")
-        r = g.groupby(key_col, sort=False)[value_col].rolling(
-            window, min_periods=1)
+        gb = g.groupby(key_col, sort=False)[value_col]
+        r = gb.expanding(min_periods=1) if window is None \
+            else gb.rolling(window, min_periods=1)
         g[f"roll_{agg}"] = getattr(r, agg)().to_numpy()
         return g
 

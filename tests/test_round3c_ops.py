@@ -744,3 +744,24 @@ def test_hll_registers_by_key_slices_equal_global(ray_session):
         est = hll_estimate(per[per["k"] == key], m=256)
         true = g["v"].nunique()
         assert abs(est - true) / true < 0.2
+
+
+def test_rolling_agg_expanding_matches_cumsum(ray_session):
+    import ray.data as rd
+
+    from engine.windows import rolling_agg
+
+    rng = np.random.RandomState(61)
+    df = pd.DataFrame({
+        "user_id": rng.randint(0, 8, 200),
+        "ts": pd.to_datetime(rng.randint(0, 10_000, 200), unit="s"),
+        "event_id": np.arange(200),
+        "value": rng.randint(0, 100, 200),
+    })
+    out = rolling_agg(rd.from_pandas(df).repartition(4), window=None,
+                      agg="sum").to_pandas() \
+        .set_index("event_id")["roll_sum"].sort_index()
+    ref = df.sort_values(["user_id", "ts", "event_id"]) \
+        .groupby("user_id")["value"].cumsum()
+    ref.index = df.sort_values(["user_id", "ts", "event_id"])["event_id"]
+    assert out.astype("int64").equals(ref.sort_index().astype("int64"))

@@ -720,6 +720,13 @@ SELECT user_id, event_id,
             OVER (PARTITION BY user_id ORDER BY ts, event_id
                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_sum
 FROM events""",
+        "audience_overlap": """
+WITH d AS (SELECT DISTINCT event_type, user_id FROM events)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       count(*) AS n_shared
+FROM d a JOIN d b ON a.user_id = b.user_id
+                 AND a.event_type < b.event_type
+GROUP BY 1, 2""",
         "components": """
 WITH RECURSIVE e0 AS (
   SELECT DISTINCT user_id AS src, user_id + 1 AS dst

@@ -1766,6 +1766,43 @@ def q_global_rank(sf_dir: str):
         .select_columns(["event_id", "value", "rnk"])
 
 
+def q_audience_overlap(sf_dir: str):
+    """Pairwise audience-overlap matrix: |users(A) ∩ users(B)| for every
+    event-type pair A < B — the co-occurrence / audience-intersection
+    primitive, composed from existing operators: per-block Acero distinct
+    (type, user) + groupby, one self hash_join on user (m:n per user —
+    Acero cartesian within key), vectorized pair filter, Count groupby.
+    DuckDB twin: DISTINCT self-join."""
+    from engine.joins import hash_join
+    from engine.stats import acero_counts
+
+    events = _read(sf_dir, "events", ["event_type", "user_id"])
+    distinct = (
+        events.map_batches(
+            lambda t: acero_counts(t, ["event_type", "user_id"])
+            .select(["event_type", "user_id"]),
+            batch_format="pyarrow")
+        .groupby(["event_type", "user_id"])
+        .aggregate(Count(alias_name="__c"))
+        .map_batches(lambda t: t.select(["event_type", "user_id"]),
+                     batch_format="pyarrow")
+        .materialize()  # joined against itself: avoid double execution
+    )
+    joined = hash_join(distinct, distinct, on="user_id",
+                       suffixes=("", "_r"))
+    pairs = joined.map_batches(
+        lambda t: t.filter(pc.less(t["event_type"], t["event_type_r"])),
+        batch_format="pyarrow")
+    return (
+        pairs.map_batches(
+            lambda t: pa.table({"type_a": t["event_type"],
+                                "type_b": t["event_type_r"]}),
+            batch_format="pyarrow")
+        .groupby(["type_a", "type_b"])
+        .aggregate(Count(alias_name="n_shared"))
+    )
+
+
 def q_running_total(sf_dir: str):
     """Per-user cumulative running total (engine.windows.rolling_agg with
     window=None — the expanding frame): integer milli-unit cumsum per user
@@ -1977,4 +2014,5 @@ QUERIES = {
     "strip_spans": q_strip_spans,
     "hll_by_type": q_hll_by_type,
     "running_total": q_running_total,
+    "audience_overlap": q_audience_overlap,
 }

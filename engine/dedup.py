@@ -1126,8 +1126,10 @@ def minhash_cross_pairs_ds(corpus: "ray.data.Dataset",
     def tag(offset: int):
         def f(t: pa.Table) -> pa.Table:
             ids = pc.cast(t[id_col], pa.int64())
-            if len(ids) and pc.max(ids).as_py() >= CROSS_TAG:
-                raise ValueError("ids must be < 2^40 for cross tagging")
+            if len(ids) and (pc.max(ids).as_py() >= CROSS_TAG
+                             or pc.min(ids).as_py() < 0):
+                raise ValueError(
+                    "ids must be in [0, 2^40) for cross tagging")
             return pa.table({id_col: pc.add(ids, offset),
                              text_col: t[text_col]})
         return f

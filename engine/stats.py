@@ -677,6 +677,49 @@ def global_rank(ds: "ray.data.Dataset", val_col: str,
 # ---------------------------------------------------------------------------
 
 
+def _seeded_cells(col: "pa.ChunkedArray | pa.Array", seed: int, mod: int,
+                  method: str) -> "np.ndarray":
+    """Per-row cell index for the seeded sketch family (CMS rows, Bloom
+    bits): 60-bit md5 of f"{seed}:{v}" mod ``mod`` ('md5', the
+    SQL-checkable definition) or polars xxhash(seed) mod ``mod``
+    ('fast'). ONE definition shared by build and probe sides."""
+    import numpy as np
+
+    if method == "md5":
+        import hashlib
+        md5 = hashlib.md5
+        pre = f"{seed}:"
+        return np.fromiter(
+            (int(md5((pre + str(v)).encode()).hexdigest()[:15], 16) % mod
+             for v in col.to_pylist()),
+            dtype=np.int64, count=len(col))
+    if method == "fast":
+        try:
+            import polars as pl
+        except ImportError as exc:
+            raise RuntimeError(
+                "hash method 'fast' requires polars; use method='md5' "
+                "instead") from exc
+        if isinstance(col, pa.Array):
+            col = pa.chunked_array([col])
+        return (pl.from_arrow(col).hash(seed=seed).to_numpy()
+                % np.uint64(mod)).astype(np.int64)
+    raise ValueError(f"unknown hash method: {method}")
+
+
+def _seeded_probe(value, seed: int, mod: int, method: str) -> int:
+    """Single-value cell index — the driver-side probe twin of
+    :func:`_seeded_cells`."""
+    if method == "md5":
+        import hashlib
+        return int(hashlib.md5(f"{seed}:{value}".encode())
+                   .hexdigest()[:15], 16) % mod
+    if method == "fast":
+        import polars as pl
+        return int(pl.Series([value]).hash(seed=seed)[0] % mod)
+    raise ValueError(f"unknown hash method: {method}")
+
+
 def cms_counts(ds: "ray.data.Dataset", col: str, d: int = 4, w: int = 1024,
                method: str = "md5", num_buckets: int = 32
                ) -> "ray.data.Dataset":
@@ -699,31 +742,10 @@ def cms_counts(ds: "ray.data.Dataset", col: str, d: int = 4, w: int = 1024,
     from engine.joins import _coalesced
 
     def partial(t: pa.Table) -> pa.Table:
-        n_rows = len(t[col])
         arr = np.zeros(d * w, dtype=np.int64)
-        if method == "md5":
-            import hashlib
-            md5 = hashlib.md5
-            vals = [str(v) for v in t[col].to_pylist()]
-            for j in range(d):
-                pre = f"{j}:"
-                idx = np.fromiter(
-                    (int(md5((pre + v).encode()).hexdigest()[:15], 16) % w
-                     for v in vals),
-                    dtype=np.int64, count=n_rows)
-                arr[j * w:(j + 1) * w] += np.bincount(idx, minlength=w)
-        elif method == "fast":
-            import polars as pl
-            c = t[col]
-            if isinstance(c, pa.Array):
-                c = pa.chunked_array([c])
-            s = pl.from_arrow(c)
-            for j in range(d):
-                idx = (s.hash(seed=j).to_numpy() % np.uint64(w)) \
-                    .astype(np.int64)
-                arr[j * w:(j + 1) * w] += np.bincount(idx, minlength=w)
-        else:
-            raise ValueError(f"unknown hash method: {method}")
+        for j in range(d):
+            idx = _seeded_cells(t[col], j, w, method)
+            arr[j * w:(j + 1) * w] += np.bincount(idx, minlength=w)
         hit = np.nonzero(arr)[0]
         return pa.table({"r": (hit // w).astype(np.int64),
                          "cell": (hit % w).astype(np.int64),
@@ -749,16 +771,7 @@ def cms_query(cms, value, d: int = 4, w: int = 1024,
         cms = cms.to_pandas()
     grid = np.zeros((d, w), dtype=np.int64)
     grid[cms["r"].to_numpy(), cms["cell"].to_numpy()] = cms["n"].to_numpy()
-    if method == "md5":
-        import hashlib
-        cells = [int(hashlib.md5(f"{j}:{value}".encode()).hexdigest()[:15],
-                     16) % w for j in range(d)]
-    elif method == "fast":
-        import polars as pl
-        cells = [int(pl.Series([value]).hash(seed=j)[0] % w)
-                 for j in range(d)]
-    else:
-        raise ValueError(f"unknown hash method: {method}")
+    cells = [_seeded_probe(value, j, w, method) for j in range(d)]
     return int(min(grid[j, c] for j, c in enumerate(cells)))
 
 
@@ -783,31 +796,10 @@ def bloom_bits(ds: "ray.data.Dataset", col: str, m: int = 4096, k: int = 3,
     from engine.joins import _coalesced
 
     def partial(t: pa.Table) -> pa.Table:
-        n_rows = len(t[col])
         hit = np.zeros(m, dtype=bool)
-        if method == "md5":
-            import hashlib
-            md5 = hashlib.md5
-            vals = [str(v) for v in t[col].to_pylist()]
-            for j in range(k):
-                pre = f"{j}:"
-                idx = np.fromiter(
-                    (int(md5((pre + v).encode()).hexdigest()[:15], 16) % m
-                     for v in vals),
-                    dtype=np.int64, count=n_rows)
-                hit |= np.bincount(idx, minlength=m) > 0
-        elif method == "fast":
-            import polars as pl
-            c = t[col]
-            if isinstance(c, pa.Array):
-                c = pa.chunked_array([c])
-            s = pl.from_arrow(c)
-            for j in range(k):
-                idx = (s.hash(seed=j).to_numpy() % np.uint64(m)) \
-                    .astype(np.int64)
-                hit |= np.bincount(idx, minlength=m) > 0
-        else:
-            raise ValueError(f"unknown hash method: {method}")
+        for j in range(k):
+            idx = _seeded_cells(t[col], j, m, method)
+            hit |= np.bincount(idx, minlength=m) > 0
         return pa.table({"bit": np.nonzero(hit)[0].astype(np.int64)})
 
     return (
@@ -828,16 +820,7 @@ def bloom_contains(bits, value, m: int = 4096, k: int = 3,
     if hasattr(bits, "to_pandas"):
         bits = bits.to_pandas()
     have = set(int(b) for b in np.asarray(bits["bit"]))
-    if method == "md5":
-        import hashlib
-        probes = [int(hashlib.md5(f"{j}:{value}".encode()).hexdigest()[:15],
-                      16) % m for j in range(k)]
-    elif method == "fast":
-        import polars as pl
-        probes = [int(pl.Series([value]).hash(seed=j)[0] % m)
-                  for j in range(k)]
-    else:
-        raise ValueError(f"unknown hash method: {method}")
+    probes = [_seeded_probe(value, j, m, method) for j in range(k)]
     return all(p in have for p in probes)
 
 
@@ -880,8 +863,10 @@ def hll_registers_by_key(ds: "ray.data.Dataset", key_col: str, col: str,
             key_col: t[key_col].to_numpy(zero_copy_only=False),
             "register": reg, "rho_max": rho,
         })
-        out = df.groupby([key_col, "register"], sort=False)["rho_max"] \
-            .max().reset_index()
+        out = df.groupby([key_col, "register"], sort=False,
+                         dropna=False)["rho_max"].max().reset_index()
+        # dropna=False: a null key keeps its group (SQL GROUP BY
+        # semantics — the stated twin), instead of silently vanishing
         return pa.Table.from_pandas(out, preserve_index=False)
 
     return (

@@ -633,28 +633,36 @@ def build_vocab(ds: "ray.data.Dataset", text_col: str = "text",
     return counts.groupby("n").map_groups(per_count, batch_format="pandas")
 
 
+def _explode_table(t: pa.Table, text_col: str, id_col: str, pattern: str,
+                   out_pos: str = "line_no", out_val: str = "line",
+                   max_positions: "int | None" = None) -> pa.Table:
+    """Table-level split-explode shared by line and sentence dedup: one
+    Arrow literal split → flat values + list offsets → np.repeat ids + a
+    single arange for the per-doc 1-based positions."""
+    col = t[text_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    lists = pc.split_pattern(col, pattern=pattern)
+    off = lists.offsets.to_numpy().astype(np.int64)
+    counts = np.diff(off)
+    if max_positions is not None and counts.max(initial=0) >= max_positions:
+        raise ValueError(
+            f"document exceeds {max_positions} split segments")
+    ids = np.repeat(t[id_col].to_numpy(zero_copy_only=False), counts)
+    pos = np.arange(off[-1] - off[0]) - np.repeat(
+        off[:-1] - off[0], counts) + 1
+    return pa.table({id_col: ids,
+                     out_pos: pos.astype(np.int64),
+                     out_val: lists.values})
+
+
 def explode_lines(ds: "ray.data.Dataset", text_col: str = "text",
                   id_col: str = "doc_id") -> "ray.data.Dataset":
     """(doc_id, line_no, line) — one row per newline-split line, order
-    preserved via line_no (1-based). Fully vectorized: one Arrow literal
-    split → flat values + list offsets → np.repeat ids + a single arange
-    for the per-doc positions."""
-    def partial(t: pa.Table) -> pa.Table:
-        col = t[text_col]
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        lists = pc.split_pattern(col, pattern="\n")
-        off = lists.offsets.to_numpy().astype(np.int64)
-        counts = np.diff(off)
-        ids = np.repeat(t[id_col].to_numpy(zero_copy_only=False), counts)
-        # per-doc 1..k positions: global arange minus each doc's start
-        pos = np.arange(off[-1] - off[0]) - np.repeat(
-            off[:-1] - off[0], counts) + 1
-        return pa.table({id_col: ids,
-                         "line_no": pos.astype(np.int64),
-                         "line": lists.values})
-
-    return ds.map_batches(partial, batch_format="pyarrow")
+    preserved via line_no (1-based); see :func:`_explode_table`."""
+    return ds.map_batches(
+        lambda t: _explode_table(t, text_col, id_col, "\n"),
+        batch_format="pyarrow")
 
 
 def strip_repeated_lines(ds: "ray.data.Dataset", text_col: str = "text",
@@ -741,23 +749,9 @@ def strip_repeated_spans(ds: "ray.data.Dataset", text_col: str = "text",
     from engine.joins import bucketed_map_groups, hash_join
     from engine.stats import acero_counts
 
-    def explode(t: pa.Table) -> pa.Table:
-        col = t[text_col]
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        lists = pc.split_pattern(col, pattern=sep)
-        off = lists.offsets.to_numpy().astype(np.int64)
-        counts = np.diff(off)
-        if counts.max(initial=0) >= MAX_SENT_POS:
-            raise ValueError("document exceeds 2^20 sentences")
-        ids = np.repeat(t[id_col].to_numpy(zero_copy_only=False), counts)
-        pos = np.arange(off[-1] - off[0]) - np.repeat(
-            off[:-1] - off[0], counts) + 1
-        return pa.table({id_col: ids, "pos": pos.astype(np.int64),
-                         "sent": lists.values})
-
     def with_spans(t: pa.Table) -> pa.Table:
-        t = explode(t)
+        t = _explode_table(t, text_col, id_col, sep, out_pos="pos",
+                           out_val="sent", max_positions=MAX_SENT_POS)
         s = t["sent"].to_numpy(zero_copy_only=False).astype(object)
         ids = t[id_col].to_numpy(zero_copy_only=False)
         n = len(s)
@@ -792,12 +786,21 @@ def strip_repeated_spans(ds: "ray.data.Dataset", text_col: str = "text",
     occurrences = hash_join(spans_only, hot, on="span", how="semi",
                             num_buckets=num_buckets)
 
+    def _ckey(ids: "np.ndarray", pos: "np.ndarray") -> "np.ndarray":
+        # composite int64 key: int64 math FIRST (an int32 id column would
+        # wrap mod 2^32 under value-based promotion), and the id range is
+        # guarded like pos — ids >= 2^43 would overflow int64
+        ids = ids.astype(np.int64, copy=False)
+        if len(ids) and (ids.max() >= (1 << 43) or ids.min() < 0):
+            raise ValueError("doc ids must be in [0, 2^43) for span dedup")
+        return ids * MAX_SENT_POS + pos.astype(np.int64, copy=False)
+
     def expand_drops(t: pa.Table) -> pa.Table:
         ids = t[id_col].to_numpy(zero_copy_only=False)
         pos = t["pos"].to_numpy(zero_copy_only=False)
-        keys = np.concatenate([(ids * MAX_SENT_POS) + pos + k
-                               for k in range(span)]) if len(ids) else \
-            np.array([], dtype=np.int64)
+        base = _ckey(ids, pos)
+        keys = np.concatenate([base + k for k in range(span)]) \
+            if len(ids) else np.array([], dtype=np.int64)
         return pa.table({"__dk": np.unique(keys).astype(np.int64)})
 
     drops = occurrences.map_batches(expand_drops, batch_format="pyarrow") \
@@ -810,8 +813,7 @@ def strip_repeated_spans(ds: "ray.data.Dataset", text_col: str = "text",
         pos = t["pos"].to_numpy(zero_copy_only=False)
         return pa.table({id_col: ids, "pos": pos,
                          "sent": t["sent"],
-                         "__dk": (ids * MAX_SENT_POS + pos)
-                         .astype(np.int64)})
+                         "__dk": _ckey(ids, pos)})
 
     kept = hash_join(sents.map_batches(add_key, batch_format="pyarrow"),
                      drops, on="__dk", how="anti", num_buckets=num_buckets)

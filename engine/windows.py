@@ -108,28 +108,18 @@ def rolling_agg(ds: "ray.data.Dataset", key_col: str = "user_id",
         raise ValueError(f"unsupported rolling agg: {agg}")
     cols = [key_col, ts_col, id_col, value_col]
 
-    def add_bucket(t: pa.Table) -> pa.Table:
-        t = t.select(cols)
-        return t.append_column("__bucket",
-                               _bucket_of_column(t[key_col], num_buckets))
-
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop(columns="__bucket").sort_values(
-            [key_col, ts_col, id_col], kind="mergesort")
+        g = g.sort_values([key_col, ts_col, id_col], kind="mergesort")
         gb = g.groupby(key_col, sort=False)[value_col]
         r = gb.expanding(min_periods=1) if window is None \
             else gb.rolling(window, min_periods=1)
         g[f"roll_{agg}"] = getattr(r, agg)().to_numpy()
         return g
 
-    from engine.joins import _coalesced
+    from engine.joins import bucketed_map_groups
 
-    return (
-        _coalesced(ds.map_batches(add_bucket, batch_format="pyarrow"),
-                   num_buckets, "auto")
-        .groupby("__bucket")
-        .map_groups(per_bucket, batch_format="pandas")
-    )
+    return bucketed_map_groups(ds, key_col, per_bucket, num_buckets,
+                               cols=cols)
 
 
 def lag_delta(ds: "ray.data.Dataset", key_col: str = "user_id",

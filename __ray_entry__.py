@@ -720,6 +720,14 @@ SELECT user_id, event_id,
             OVER (PARTITION BY user_id ORDER BY ts, event_id
                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_sum
 FROM events""",
+        "url_dedup": """
+WITH raw AS (
+  SELECT doc_id,
+         'https://ex' || CAST((doc_id // 2) % 7 AS VARCHAR) ||
+         '.com/p/' || CAST(doc_id // 2 AS VARCHAR) AS url
+  FROM documents)
+SELECT url, min(doc_id) AS doc_id, count(*) AS n_copies
+FROM raw GROUP BY url""",
         "audience_overlap": """
 WITH d AS (SELECT DISTINCT event_type, user_id FROM events)
 SELECT a.event_type AS type_a, b.event_type AS type_b,

@@ -1766,6 +1766,40 @@ def q_global_rank(sf_dir: str):
         .select_columns(["event_id", "value", "rnk"])
 
 
+def q_url_dedup(sf_dir: str):
+    """Canonical-URL dedup — the composition normalize_url feeds: doc
+    pairs carry the SAME url in two messy spellings (uppercase scheme/host
+    + default port + fragment vs clean); canonicalization collapses them,
+    keep min doc_id per canonical. The DuckDB twin constructs the expected
+    CANONICAL form directly from ids — any normalization bug breaks the
+    hash match."""
+    from engine.textops import normalize_url
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def plant_and_normalize(t: pa.Table) -> pa.Table:
+        d = t["doc_id"]
+        base = pc.divide(d, 2)
+        b7 = pc.cast(pc.subtract(base, pc.multiply(pc.divide(base, 7), 7)),
+                     pa.string())
+        bs = pc.cast(base, pa.string())
+        messy = pc.binary_join_element_wise(
+            "HTTPS://Ex", b7, ".COM:443/p/", bs, "#frag", "")
+        clean = pc.binary_join_element_wise(
+            "https://ex", b7, ".com/p/", bs, "")
+        odd = pc.equal(pc.subtract(d, pc.multiply(pc.divide(d, 2), 2)), 1)
+        return pa.table({"doc_id": d,
+                         "url": normalize_url(pc.if_else(odd, clean,
+                                                         messy))})
+
+    return (
+        docs.map_batches(plant_and_normalize, batch_format="pyarrow")
+        .groupby("url")
+        .aggregate(Min("doc_id", alias_name="doc_id"),
+                   Count(alias_name="n_copies"))
+    )
+
+
 def q_audience_overlap(sf_dir: str):
     """Pairwise audience-overlap matrix: |users(A) ∩ users(B)| for every
     event-type pair A < B — the co-occurrence / audience-intersection
@@ -2015,4 +2049,5 @@ QUERIES = {
     "hll_by_type": q_hll_by_type,
     "running_total": q_running_total,
     "audience_overlap": q_audience_overlap,
+    "url_dedup": q_url_dedup,
 }

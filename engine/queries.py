@@ -767,10 +767,10 @@ def q_media_features(sf_dir: str):
     def to_media(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].cast(pa.int64())
         idn = ids.to_numpy(zero_copy_only=False)
-        payload = pa.array(
-            [b"" if i % 17 == 0 else s.encode()
-             for i, s in zip(idn, t["text"].to_pylist())],
-            type=pa.binary())
+        # string→binary cast is zero-copy; empty every 17th id vectorized
+        payload = pc.if_else(pa.array(idn % 17 == 0),
+                             pa.scalar(b"", type=pa.binary()),
+                             t["text"].cast(pa.binary()))
         return pa.table({
             "media_id": ids,
             "kind": kinds.take(pa.array(idn % 3)),
@@ -778,7 +778,7 @@ def q_media_features(sf_dir: str):
         })
 
     media = docs.map_batches(to_media, batch_format="pyarrow")
-    out = media_features(media, batch_size=32, concurrency=(2, 12))
+    out = media_features(media, batch_size=256, concurrency=(2, 12))
     return out.select_columns(["media_id", "kind", "sha256", "status"])
 
 

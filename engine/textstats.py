@@ -53,15 +53,79 @@ def detect_lang(text: str) -> str:
     return best if scores[best] > 0.0 else "und"
 
 
+def _text_column(t: pa.Table, name: str) -> pa.Array:
+    col = t[name]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return pc.fill_null(col, "")
+
+
+def _flat_tokens(col: pa.Array, pattern: str) -> tuple[pa.Array, np.ndarray]:
+    """RE2 split on ``pattern`` with empty edge tokens dropped, flattened:
+    (token values, per-row nonempty-token counts). One Arrow scan + numpy
+    prefix sums — the bigram_counts discipline, shared by the lang-ID and
+    quality kernels below."""
+    lists = pc.split_pattern_regex(col, pattern=pattern)
+    off = lists.offsets.to_numpy().astype(np.int64)
+    vals = lists.values
+    if len(vals) == 0:
+        return vals, np.zeros(len(col), dtype=np.int64)
+    nonempty = pc.not_equal(vals, "").to_numpy(zero_copy_only=False)
+    cum = np.concatenate(([0], np.cumsum(nonempty.astype(np.int64))))
+    row_lens = cum[off[1:]] - cum[off[:-1]]
+    return vals.filter(pa.array(nonempty)), row_lens
+
+
+def _seg_sum(values: np.ndarray, row_lens: np.ndarray) -> np.ndarray:
+    """Per-row sums of a flat per-token array (cumsum trick: safe with
+    empty segments, unlike np.add.reduceat)."""
+    c = np.concatenate(([0], np.cumsum(values, dtype=np.int64)))
+    ends = np.cumsum(row_lens)
+    return c[ends] - c[ends - row_lens]
+
+
 class LangIdStage:
-    """Actor stage: (id, text) → + lang_pred column."""
+    """Batch stage: (id, text) → + lang_pred column.
+
+    Vectorized twin of ``detect_lang``: one Arrow regex scan for CJK/length,
+    one RE2 split into letter runs, ``pc.is_in`` per stopword profile, and a
+    numpy argmax (first-max == the scalar's sorted-name tie-break). RE2's
+    ``\\w`` is ASCII while Python's ``_WORD_RE`` is Unicode, so the batch
+    kernel matches the scalar exactly on ASCII/CJK corpora (tests pin this);
+    exotic-script token boundaries may differ — the engine/textops.py
+    RE2-vs-Python note applies."""
+
+    _LANGS = sorted(_STOPWORDS)  # de en es fr — the scalar's tie-break order
 
     def __init__(self, text_col: str = "text"):
         self.text_col = text_col
+        self._value_sets = [
+            pa.array(sorted(_STOPWORDS[lang])) for lang in self._LANGS
+        ]
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        langs = [detect_lang(s or "") for s in t[self.text_col].to_pylist()]
-        return t.append_column("lang_pred", pa.array(langs, type=pa.string()))
+        col = _text_column(t, self.text_col)
+        n_chars = pc.utf8_length(col).to_numpy().astype(np.int64)
+        cjk = pc.count_substring_regex(col, pattern="[一-鿿]") \
+            .to_numpy().astype(np.int64)
+        toks, row_lens = _flat_tokens(col, r"[\W\d_]+")
+        low = pc.utf8_lower(toks)
+        hits = np.stack([
+            _seg_sum(
+                pc.is_in(low, value_set=vs)
+                .to_numpy(zero_copy_only=False).astype(np.int64),
+                row_lens)
+            for vs in self._value_sets
+        ]) if len(toks) else np.zeros((len(self._LANGS), len(col)), np.int64)
+        # hit-rate comparison == hit-count comparison (same denominator);
+        # argmax returns the FIRST max → the scalar's alphabetical tie-break
+        pred = np.array(self._LANGS)[hits.argmax(axis=0)]
+        pred = np.where(hits.max(axis=0) > 0, pred, "und")
+        pred = np.where(row_lens == 0, "und", pred)
+        is_zh = (cjk > 0) & (cjk / np.maximum(1, n_chars) > 0.05)
+        pred = np.where(is_zh, "zh", pred)
+        pred = np.where(n_chars == 0, "und", pred)
+        return t.append_column("lang_pred", pa.array(pred, type=pa.string()))
 
 
 # ---------------------------------------------------------------------------
@@ -110,24 +174,94 @@ def quality_score(f: dict) -> float:
     return round(score, 4)
 
 
+def _quality_score_lut() -> np.ndarray:
+    """24-entry lookup of every reachable quality_score value, indexed by
+    (length-tier, low-uniq, no-stopword, bad-mean-len). Built BY CALLING the
+    scalar (same float ops, same Python banker's round) so the vectorized
+    stage is bit-identical to it by construction."""
+    reps_ntok = {0: 0, 1: 10, 2: 100}
+    lut = np.empty(24, dtype=np.float64)
+    for i1 in range(3):
+        for b2 in range(2):
+            for b3 in range(2):
+                for b4 in range(2):
+                    f = {
+                        "n_tokens": reps_ntok[i1],
+                        "uniq_ratio": 0.1 if b2 else 0.9,
+                        "stopword_ratio": 0.0 if b3 else 0.5,
+                        "mean_token_len": 20.0 if b4 else 5.0,
+                    }
+                    lut[i1 * 8 + b2 * 4 + b3 * 2 + b4] = quality_score(f)
+    return lut
+
+
+_QSCORE_LUT = _quality_score_lut()
+
+
 class QualityStage:
+    """Batch stage: + token/punct/stopword quality signals + frozen score.
+
+    Vectorized twin of ``quality_features``/``quality_score``: one RE2
+    whitespace split (ASCII ``\\s`` — matches Python str.split() on ASCII
+    corpora, the engine/textops.py note), per-row distinct-token counts via
+    one Arrow hash-group over the flat (row, token) stream, ``pc.is_in``
+    stopword hits, and a score LUT built from the scalar (bit-identical
+    floats). No per-row Python."""
+
     def __init__(self, text_col: str = "text"):
         self.text_col = text_col
+        self._stop_set = pa.array(sorted(_ALL_STOP))
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        feats = [quality_features(s or "") for s in t[self.text_col].to_pylist()]
+        col = _text_column(t, self.text_col)
+        n = len(col)
+        n_chars = pc.utf8_length(col).to_numpy().astype(np.int64)
+        n_punct = pc.count_substring_regex(col, pattern=r"[.,;:!?]") \
+            .to_numpy().astype(np.int64)
+        toks, row_lens = _flat_tokens(col, r"\s+")
+        n_tokens = row_lens
+        if len(toks):
+            rows = np.repeat(np.arange(n, dtype=np.int64), row_lens)
+            distinct = pa.table({"r": rows, "tok": toks}) \
+                .group_by(["r", "tok"]).aggregate([])
+            n_uniq = np.bincount(distinct["r"].to_numpy(), minlength=n) \
+                .astype(np.int64)
+            stop_hits = pc.is_in(pc.utf8_lower(toks),
+                                 value_set=self._stop_set) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            n_stop = _seg_sum(stop_hits, row_lens)
+            sum_len = _seg_sum(
+                pc.utf8_length(toks).to_numpy().astype(np.int64), row_lens)
+        else:
+            n_uniq = np.zeros(n, dtype=np.int64)
+            n_stop = np.zeros(n, dtype=np.int64)
+            sum_len = np.zeros(n, dtype=np.int64)
+        safe_tok = np.maximum(n_tokens, 1).astype(np.float64)
+        has_tok = n_tokens > 0
+        uniq_ratio = np.where(has_tok, n_uniq / safe_tok, 0.0)
+        stop_ratio = np.where(has_tok, n_stop / safe_tok, 0.0)
+        mean_tok = np.where(has_tok, sum_len / safe_tok, 0.0)
+        punct_ratio = np.where(n_chars > 0,
+                               n_punct / np.maximum(n_chars, 1), 0.0)
+        tier = np.where(n_tokens < 5, 0, np.where(n_tokens < 20, 1, 2))
+        idx = (tier * 8
+               + (uniq_ratio < 0.3) * 4
+               + (stop_ratio == 0.0) * 2
+               + ((mean_tok > 15) | ((mean_tok > 0) & (mean_tok < 2))))
+        quality = _QSCORE_LUT[idx]
         out = t
-        for key, typ in (
-            ("n_tokens", pa.int64()), ("n_uniq", pa.int64()),
-            ("n_stop", pa.int64()), ("uniq_ratio", pa.float64()),
-            ("punct_ratio", pa.float64()), ("stopword_ratio", pa.float64()),
-            ("mean_token_len", pa.float64()),
+        for key, arr, typ in (
+            ("n_tokens", n_tokens, pa.int64()),
+            ("n_uniq", n_uniq, pa.int64()),
+            ("n_stop", n_stop, pa.int64()),
+            ("uniq_ratio", uniq_ratio, pa.float64()),
+            ("punct_ratio", punct_ratio, pa.float64()),
+            ("stopword_ratio", stop_ratio, pa.float64()),
+            ("mean_token_len", mean_tok, pa.float64()),
         ):
-            out = out.append_column(key, pa.array([f[key] for f in feats], type=typ))
-        out = out.append_column(
-            "quality", pa.array([quality_score(f) for f in feats], type=pa.float64())
-        )
-        return out
+            out = out.append_column(key, pa.array(arr, type=typ))
+        return out.append_column(
+            "quality", pa.array(quality, type=pa.float64()))
 
 
 # ---------------------------------------------------------------------------

@@ -71,6 +71,40 @@ def test_fingerprints():
     assert ts.winnow_fingerprints("") == []
 
 
+_MIXED_TEXTS = [
+    "the cat and the dog sat in the house of it",
+    "el perro y la casa de los ninos en la calle",
+    "der Hund und die Katze ist in den Haus mit",
+    "le chat et la maison des enfants dans un jardin",
+    "这是一个中文句子，用来测试语言识别功能。",
+    "", "12345 67890 !!!", "x " * 100,
+    "mixed text with, punctuation; and: some? tokens! here.",
+    "word9 the9 a b  c", "  leading and trailing  ",
+    "the and of to a in is that for it",
+    "aaaaaaaaaaaaaaaaaaaaaaaa bbbbbbbbbbbbbbbbbb",
+]
+
+
+def test_langid_stage_matches_scalar():
+    # the vectorized Arrow kernel is pinned to detect_lang row-for-row on
+    # ASCII+CJK corpora (RE2-vs-Python Unicode word classes documented)
+    t = pa.table({"text": _MIXED_TEXTS})
+    out = ts.LangIdStage()(t)["lang_pred"].to_pylist()
+    assert out == [ts.detect_lang(s) for s in _MIXED_TEXTS]
+
+
+def test_quality_stage_matches_scalar():
+    t = pa.table({"text": _MIXED_TEXTS})
+    out = ts.QualityStage()(t)
+    keys = ("n_tokens", "n_uniq", "n_stop", "uniq_ratio", "punct_ratio",
+            "stopword_ratio", "mean_token_len")
+    for i, s in enumerate(_MIXED_TEXTS):
+        f = ts.quality_features(s)
+        for k in keys:
+            assert out[k][i].as_py() == f[k], (i, k)
+        assert out["quality"][i].as_py() == ts.quality_score(f)
+
+
 def test_quality_stage(ray_session):
     import ray.data as rd
 

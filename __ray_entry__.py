@@ -897,4 +897,45 @@ f AS (SELECT line FROM l GROUP BY line HAVING count(*) > 2),
 kept AS (SELECT * FROM l WHERE line NOT IN (SELECT line FROM f))
 SELECT doc_id, string_agg(line, chr(10) ORDER BY line_no) AS text
 FROM kept GROUP BY doc_id""",
+        "encode_tokens": r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS ts FROM documents),
+c AS (SELECT token, count(*) AS n
+      FROM (SELECT unnest(ts) AS token FROM toks) GROUP BY 1),
+v AS (SELECT token, row_number() OVER (ORDER BY n DESC, token) AS vid
+      FROM c),
+flat AS (
+  SELECT doc_id, i, ts[i] AS token
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts))) AS i)),
+enc AS (SELECT f.doc_id, f.i, v.vid FROM flat f JOIN v USING (token)),
+agg AS (SELECT doc_id,
+               string_agg(CAST(vid AS VARCHAR), ',' ORDER BY i) AS s
+        FROM enc GROUP BY doc_id)
+SELECT t.doc_id, CAST(len(t.ts) AS BIGINT) AS n_tokens,
+       coalesce(a.s, '') AS token_ids
+FROM toks t LEFT JOIN agg a USING (doc_id)""",
+        "pack_sequences": r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS ts FROM documents),
+c AS (SELECT token, count(*) AS n
+      FROM (SELECT unnest(ts) AS token FROM toks) GROUP BY 1),
+v AS (SELECT token, row_number() OVER (ORDER BY n DESC, token) AS vid
+      FROM c),
+flat AS (
+  SELECT doc_id, i, ts[i] AS token
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts))) AS i)),
+enc AS (SELECT f.doc_id, f.i, v.vid FROM flat f JOIN v USING (token)),
+g AS (SELECT vid,
+             row_number() OVER (ORDER BY doc_id, i) - 1 AS gpos
+      FROM enc),
+lim AS (SELECT count(*) // 64 * 64 AS cut FROM g)
+SELECT CAST(gpos // 64 AS BIGINT) AS seq_id,
+       string_agg(CAST(vid AS VARCHAR), ',' ORDER BY gpos) AS token_ids
+FROM g, lim WHERE gpos < lim.cut GROUP BY 1""",
+        "global_shuffle": """
+SELECT doc_id,
+       CAST(rank() OVER (ORDER BY
+         CAST('0x' || substr(md5('shuf:' || CAST(doc_id AS VARCHAR)),
+                             1, 15) AS BIGINT)) AS BIGINT) AS shuffle_pos
+FROM documents""",
     }

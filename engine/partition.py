@@ -234,3 +234,38 @@ def cap_per_key(ds: "ray.data.Dataset", key_col: str, k: int,
                            tiebreak_col=id_col, num_buckets=num_buckets)
     return kept.map_batches(lambda t: t.drop_columns(["__h"]),
                             batch_format="pyarrow")
+
+
+def global_shuffle(ds: "ray.data.Dataset", id_col: str = "doc_id",
+                   salt: str = "shuf", num_buckets: int = DEFAULT_BUCKETS,
+                   pos_col: str = "shuffle_pos") -> "ray.data.Dataset":
+    """Reproducible global random shuffle for training order: attach
+    ``pos_col`` = rank of md5(salt:id) — the corpus in ``pos_col`` order is
+    a uniform permutation that is identical across runs/engines (unlike
+    ``Dataset.random_shuffle``), and RELATIVE order is stable under corpus
+    growth (existing keys never change). Change ``salt`` for an independent
+    epoch permutation.
+
+    Plan: one vectorized-batch key pass (same md5 discipline as
+    ``stable_split_batch``; 60-bit hex slice — the engine.stats sketch
+    keying) + :func:`engine.stats.global_rank` with a constant covering
+    ``lo_hi`` — so the exchange carries the compressed key domain, never a
+    full-table sort. SQL twin: rank() OVER (ORDER BY CAST('0x' ||
+    substr(md5(salt||':'||id),1,15) AS BIGINT)).
+    """
+    from engine.stats import global_rank
+
+    md5 = hashlib.md5
+
+    def add_key(t: pa.Table) -> pa.Table:
+        keys = np.fromiter(
+            (int(md5(f"{salt}:{i}".encode()).hexdigest()[:15], 16)
+             for i in t[id_col].to_pylist()),
+            dtype=np.int64, count=t.num_rows)
+        return t.append_column("__shufkey", pa.array(keys, type=pa.int64()))
+
+    keyed = ds.map_batches(add_key, batch_format="pyarrow")
+    ranked = global_rank(keyed, "__shufkey", num_buckets=num_buckets,
+                         rank_col=pos_col, lo_hi=(0.0, float(1 << 60)))
+    return ranked.map_batches(lambda t: t.drop_columns(["__shufkey"]),
+                              batch_format="pyarrow")

@@ -1953,11 +1953,77 @@ def q_dense_rank(sf_dir: str):
         .select_columns(["event_id", "value", "rnk"])
 
 
+def q_encode_tokens(sf_dir: str):
+    """Tokenizer-apply (engine.tokenize.encode_tokens): build_vocab ids
+    broadcast once, documents → per-doc token-id lists (emitted as the
+    comma-joined string so the result is string_agg-comparable). DuckDB
+    twin: vocab row_number join on the position-exploded token stream."""
+    from engine.textstats import build_vocab
+    from engine.tokenize import encode_tokens
+
+    vocab = build_vocab(_read(sf_dir, "documents", ["text"])).to_pandas()
+    enc = encode_tokens(_read(sf_dir, "documents", ["doc_id", "text"]),
+                        vocab)
+
+    def to_str(t: pa.Table) -> pa.Table:
+        lst = t["ids"]
+        if isinstance(lst, pa.ChunkedArray):
+            lst = lst.combine_chunks()
+        strs = pa.ListArray.from_arrays(
+            lst.offsets, pc.cast(lst.values, pa.string()))
+        return pa.table({"doc_id": t["doc_id"], "n_tokens": t["n_tokens"],
+                         "token_ids": pc.binary_join(strs, ",")})
+
+    return enc.map_batches(to_str, batch_format="pyarrow")
+
+
+PACK_SEQ_LEN = 64
+
+
+def q_pack_sequences(sf_dir: str):
+    """Sequence packing (engine.tokenize.pack_sequences): the encoded corpus
+    in doc_id order sliced into PACK_SEQ_LEN-token training rows, partial
+    tail dropped — the corpus-prep endgame (documents → consumable training
+    rows, the reference's document→output purpose at LLM scale). doc_id
+    lo_hi from parquet row-group statistics (the global_rank hint
+    discipline). DuckDB twin: string_agg over a global row_number stream."""
+    import pyarrow.parquet as pq
+
+    from engine.textstats import build_vocab
+    from engine.tokenize import pack_sequences
+
+    md = pq.read_metadata(os.path.join(sf_dir, "documents.parquet"))
+    idx = md.schema.names.index("doc_id")
+    stats = [md.row_group(i).column(idx).statistics
+             for i in range(md.num_row_groups)]
+    lo_hi = ((min(s.min for s in stats), max(s.max for s in stats))
+             if all(s is not None for s in stats) else None)
+
+    vocab = build_vocab(_read(sf_dir, "documents", ["text"])).to_pandas()
+    return pack_sequences(_read(sf_dir, "documents", ["doc_id", "text"]),
+                          vocab, PACK_SEQ_LEN, lo_hi=lo_hi)
+
+
+def q_global_shuffle(sf_dir: str):
+    """Reproducible global shuffle (engine.partition.global_shuffle):
+    training-order permutation by rank of md5('shuf:'||doc_id) — stable
+    relative order under corpus growth. DuckDB twin: rank() over the same
+    md5 60-bit slice."""
+    from engine.partition import global_shuffle
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    return global_shuffle(docs, "doc_id").select_columns(
+        ["doc_id", "shuffle_pos"])
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
 QUERIES = {
+    "encode_tokens": q_encode_tokens,
+    "pack_sequences": q_pack_sequences,
+    "global_shuffle": q_global_shuffle,
     "chunk_explode": q_chunk_explode,
     "sanitize_names": q_sanitize_names,
     "plain_strip": q_plain_strip,

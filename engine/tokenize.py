@@ -1,0 +1,290 @@
+"""Tokenizer-apply + sequence packing — the corpus-prep endgame: cleaned
+documents → fixed-length training rows.
+
+The reference converts documents into consumable text (app/main.py chunking);
+at LLM scale the consumable unit is a PACKED TOKEN SEQUENCE. Two operators:
+
+- :func:`encode_tokens` — broadcast vocab (``build_vocab``'s contiguous ids)
+  → per-document int32 token-id lists. Vocab is broadcast by contract
+  (``ray.put`` once, worker-cached via engine/broadcast.py): real tokenizer
+  vocabularies are 10^4-10^6 entries — megabytes — while the corpus is TBs;
+  the corpus must never shuffle to meet the vocab.
+- :func:`pack_sequences` — the global token stream in doc_id order, sliced
+  into consecutive ``seq_len``-token rows (GPT-style packing, partial tail
+  dropped). Deterministic given (doc order, seq_len), so it has an exact SQL
+  twin (string_agg over a global row_number).
+
+Scale shape of pack_sequences (the 100 TB audit):
+- pass 1 is NARROW: (doc_id, n_tokens) only — token counts come from one
+  Arrow regex scan over the raw text, no vocab lookup; per-doc global
+  offsets use the global_rank discipline (engine/stats.py): doc_id-range
+  buckets, per-bucket totals exclusive-prefix-summed on the driver
+  (num_buckets scalars), one vectorized cumsum per bucket.
+- pass 2 ships each token id exactly ONCE as 4 bytes: encoded docs carry
+  their ids as a packed int32 BINARY blob (Acero joins reject list columns —
+  the dedup._list_u64_to_binary discipline), the offset join is the
+  partitioned hash_join, boundary-straddling docs split into per-sequence
+  segments ZERO-COPY (new offsets into the same Arrow values buffer), and
+  reassembly is one seq_id-bucket exchange + a per-bucket vectorized
+  sort/concat. No stage holds more than a block; nothing is O(corpus) on
+  the driver.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+
+UNK_ID = 0  # tokens absent from the vocab (closed-vocab corpora have none)
+
+
+def _binary_parts(col: "pa.ChunkedArray | pa.Array"):
+    """(byte_offsets int64 view, values buffer) of a binary column —
+    Arrow's offsets vector is gap-free by format spec, so element i spans
+    [off[i], off[i+1]) of the shared values buffer."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    off = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+        arr.offset: arr.offset + len(arr) + 1].astype(np.int64)
+    return arr, off, arr.buffers()[2]
+
+
+def _ids_list_to_blob(lst: pa.ListArray) -> pa.Array:
+    """list<int32> → packed little-endian binary, zero Python loop: the list
+    values buffer IS the payload; the blob offsets are 4× the list offsets."""
+    values = lst.values
+    if values.type != pa.int32():
+        values = values.cast(pa.int32())
+    loff = lst.offsets.to_numpy().astype(np.int64)
+    base = loff[0]
+    boff = ((loff - base) * 4).astype(np.int32)
+    vbuf = values.slice(base, loff[-1] - base)
+    data = pa.py_buffer(vbuf.to_numpy(zero_copy_only=False)
+                        .astype("<i4", copy=False).tobytes())
+    return pa.Array.from_buffers(pa.binary(), len(lst),
+                                 [None, pa.py_buffer(boff.tobytes()), data])
+
+
+def _blob_to_ids_string(blobs: "list[bytes]", seq_len: int) -> pa.Array:
+    """Packed int32 blobs (all exactly seq_len ids) → 'a,b,c' strings in one
+    vectorized pass: one frombuffer, one Arrow int→string cast, one
+    binary_join."""
+    if not blobs:
+        return pa.array([], type=pa.string())
+    flat = np.frombuffer(b"".join(blobs), dtype="<i4").astype(np.int64)
+    strs = pc.cast(pa.array(flat), pa.string())
+    offsets = np.arange(0, len(flat) + 1, seq_len, dtype=np.int32)
+    lst = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), strs)
+    return pc.binary_join(lst, ",")
+
+
+def vocab_series(vocab) -> pd.Series:
+    """(token → vocab_id) lookup from build_vocab output (Dataset / Arrow
+    table / pandas frame)."""
+    if hasattr(vocab, "to_pandas"):
+        vocab = vocab.to_pandas()
+    return pd.Series(vocab["vocab_id"].to_numpy(np.int64),
+                     index=vocab["token"].to_numpy())
+
+
+def encode_tokens(ds: "ray.data.Dataset", vocab, text_col: str = "text",
+                  id_col: str = "doc_id", unk_id: int = UNK_ID,
+                  ) -> "ray.data.Dataset":
+    """(id, n_tokens, ids list<int32>) — apply a vocabulary to a corpus.
+
+    Tokenization is RE2 ``\\s+`` split with empty edge tokens dropped (the
+    doc_terms twin: DuckDB ``regexp_extract_all(text, '\\S+')``). Per batch:
+    one Arrow split → one pandas hash reindex of the FLAT token stream
+    (C-speed; the token_freq_score transport pattern) → one zero-copy list
+    rebuild. Unknown tokens encode to ``unk_id`` and keep their position.
+    """
+    from engine.broadcast import get_broadcast
+
+    vs = vocab_series(vocab)
+    vocab_ref = ray.put(vs)
+
+    def encode(t: pa.Table) -> pa.Table:
+        v: pd.Series = get_broadcast(vocab_ref)
+        col = t[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        col = pc.fill_null(col, "")
+        lists = pc.split_pattern_regex(col, pattern=r"\s+")
+        off = lists.offsets.to_numpy().astype(np.int64)
+        vals = lists.values
+        nonempty = pc.not_equal(vals, "").to_numpy(zero_copy_only=False)
+        cum = np.concatenate(([0], np.cumsum(nonempty.astype(np.int64))))
+        row_lens = cum[off[1:]] - cum[off[:-1]]
+        toks = vals.filter(pa.array(nonempty))
+        ids = v.reindex(toks.to_numpy(zero_copy_only=False)) \
+            .fillna(unk_id).to_numpy(np.int32)
+        new_off = np.concatenate(([0], np.cumsum(row_lens))).astype(np.int32)
+        id_lists = pa.ListArray.from_arrays(
+            pa.array(new_off, type=pa.int32()), pa.array(ids, type=pa.int32()))
+        return pa.table({
+            id_col: t[id_col],
+            "n_tokens": pa.array(row_lens, type=pa.int64()),
+            "ids": id_lists,
+        })
+
+    return ds.map_batches(encode, batch_format="pyarrow")
+
+
+def _doc_token_offsets(ds: "ray.data.Dataset", text_col: str, id_col: str,
+                       num_buckets: int,
+                       lo_hi: "tuple[int, int] | None" = None,
+                       ) -> tuple["ray.data.Dataset", int]:
+    """(doc_id, tok_off) — exclusive prefix sum of per-doc token counts in
+    doc_id order, plus the global total. The global_rank discipline: doc_id
+    RANGE buckets → per-bucket token totals prefix-summed on the driver
+    (num_buckets scalars) → one vectorized cumsum per bucket. The exchange
+    carries 2 ints per document."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    from engine.joins import _coalesced
+
+    def counts(t: pa.Table) -> pa.Table:
+        col = pc.fill_null(t[text_col], "")
+        n = pc.cast(pc.count_substring_regex(col, pattern=r"\S+"), pa.int64())
+        return pa.table({id_col: t[id_col], "n_tokens": n})
+
+    narrow = ds.map_batches(counts, batch_format="pyarrow").materialize()
+    if lo_hi is None:
+        mm = narrow.aggregate(Min(id_col, alias_name="lo"),
+                              Max(id_col, alias_name="hi"))
+        lo, hi = int(mm["lo"]), int(mm["hi"])
+    else:
+        lo, hi = int(lo_hi[0]), int(lo_hi[1])
+    span = (hi - lo + 1) or 1
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        d = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = np.clip((d - lo) * num_buckets // span, 0, num_buckets - 1)
+        return t.append_column("__bucket", pa.array(b.astype(np.int32)))
+
+    bucketed = _coalesced(
+        narrow.map_batches(add_bucket, batch_format="pyarrow"),
+        num_buckets, "auto").materialize()  # feeds totals AND the cumsum pass
+    totals = {r["__bucket"]: r["t"] for r in
+              bucketed.groupby("__bucket")
+              .aggregate(Sum("n_tokens", alias_name="t")).take_all()}
+    bases, acc = {}, 0
+    for b in range(num_buckets):
+        bases[b] = acc
+        acc += totals.get(b, 0)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col, kind="mergesort")
+        n = g["n_tokens"].to_numpy(np.int64)
+        off = bases[int(g["__bucket"].iloc[0])] + np.concatenate(
+            ([0], np.cumsum(n[:-1])))
+        return pd.DataFrame({id_col: g[id_col].to_numpy(),
+                             "tok_off": off})
+
+    offsets = bucketed.groupby("__bucket").map_groups(
+        per_bucket, batch_format="pandas").materialize()  # feeds hash_join
+    return offsets, acc
+
+
+def pack_sequences(ds: "ray.data.Dataset", vocab, seq_len: int,
+                   text_col: str = "text", id_col: str = "doc_id",
+                   num_buckets: int = 32,
+                   lo_hi: "tuple[int, int] | None" = None,
+                   ) -> "ray.data.Dataset":
+    """(seq_id, token_ids) — pack the encoded corpus, in doc_id order, into
+    consecutive ``seq_len``-token training rows; the partial tail sequence
+    is dropped (standard GPT-style packing). ``token_ids`` is the
+    comma-joined id string (string_agg-comparable; a production pipeline
+    would keep the int32 list — same plan, skip the join).
+
+    ``lo_hi``: optional (min_doc_id, max_doc_id) hint — parquet row-group
+    statistics make this free at the call site and remove one narrow
+    aggregate pass.
+    """
+    from engine.joins import _bucket_of_column, _coalesced, hash_join
+
+    offsets, total = _doc_token_offsets(ds, text_col, id_col,
+                                        num_buckets, lo_hi)
+    cut = (total // seq_len) * seq_len  # first token index NOT packed
+
+    encoded = encode_tokens(ds, vocab, text_col, id_col).map_batches(
+        lambda t: pa.table({id_col: t[id_col],
+                            "n_tokens": t["n_tokens"],
+                            "blob": _ids_list_to_blob(
+                                t["ids"].combine_chunks()
+                                if isinstance(t["ids"], pa.ChunkedArray)
+                                else t["ids"])}),
+        batch_format="pyarrow")
+    joined = hash_join(encoded, offsets, on=id_col, num_buckets=num_buckets)
+
+    def segments(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "seq_id": pa.array([], type=pa.int64()),
+            "start": pa.array([], type=pa.int64()),
+            "blob": pa.array([], type=pa.binary()),
+        })
+        if t.num_rows == 0:
+            return empty
+        arr, boff, vbuf = _binary_parts(t["blob"])
+        n = t["n_tokens"].to_numpy(zero_copy_only=False).astype(np.int64)
+        off = t["tok_off"].to_numpy(zero_copy_only=False).astype(np.int64)
+        live = n > 0
+        if not live.any():
+            return empty
+        idx = np.flatnonzero(live)
+        s0 = off[idx] // seq_len
+        s1 = (off[idx] + n[idx] - 1) // seq_len
+        n_seg = s1 - s0 + 1
+        total_segs = int(n_seg.sum())
+        seg_row = np.repeat(idx, n_seg)                  # source row per seg
+        seg_pos = np.arange(total_segs) - np.repeat(
+            np.concatenate(([0], np.cumsum(n_seg[:-1]))), n_seg)
+        seq = np.repeat(s0, n_seg) + seg_pos
+        g_start = np.maximum(off[seg_row], seq * seq_len)
+        g_end = np.minimum(off[seg_row] + n[seg_row], (seq + 1) * seq_len)
+        # zero-copy: new byte offsets into the SAME values buffer — a row's
+        # segments tile it in order, and the Arrow offsets vector is gap-free,
+        # so consecutive segment boundaries coincide
+        b_start = boff[seg_row] + (g_start - off[seg_row]) * 4
+        b_last_end = boff[seg_row[-1]] + (g_end[-1] - off[seg_row[-1]]) * 4
+        new_off = np.concatenate((b_start, [b_last_end])).astype(np.int32)
+        blobs = pa.Array.from_buffers(
+            pa.binary(), total_segs,
+            [None, pa.py_buffer(new_off.tobytes()), vbuf])
+        out = pa.table({
+            "seq_id": pa.array(seq, type=pa.int64()),
+            "start": pa.array(g_start, type=pa.int64()),
+            "blob": blobs,
+        })
+        return out.filter(pa.array(g_start < cut))  # drop the partial tail
+
+    segs = joined.map_batches(segments, batch_format="pyarrow")
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "__bucket", _bucket_of_column(t["seq_id"], num_buckets))
+
+    def assemble(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(g, sort_keys=[("seq_id", "ascending"),
+                                              ("start", "ascending")])
+        g = g.take(order)
+        seq_ids = g["seq_id"].to_numpy(zero_copy_only=False)
+        arr, boff, vbuf = _binary_parts(g["blob"])
+        # after take, blob values are packed in sort order: per-seq blobs are
+        # consecutive slices; seq boundaries from run-length over seq_id
+        uniq, first = np.unique(seq_ids, return_index=True)
+        bounds = np.concatenate((boff[first], [boff[-1]]))
+        whole = np.frombuffer(vbuf, dtype=np.uint8)[
+            int(boff[0]): int(boff[-1])]
+        parts = [whole[int(a - boff[0]): int(b - boff[0])].tobytes()
+                 for a, b in zip(bounds[:-1], bounds[1:])]
+        token_ids = _blob_to_ids_string(parts, seq_len)
+        return pa.table({"seq_id": pa.array(uniq, type=pa.int64()),
+                         "token_ids": token_ids})
+
+    return (_coalesced(segs.map_batches(add_bucket, batch_format="pyarrow"),
+                       num_buckets, "auto")
+            .groupby("__bucket").map_groups(assemble, batch_format="pyarrow"))

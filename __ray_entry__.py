@@ -938,4 +938,12 @@ SELECT doc_id,
          CAST('0x' || substr(md5('shuf:' || CAST(doc_id AS VARCHAR)),
                              1, 15) AS BIGINT)) AS BIGINT) AS shuffle_pos
 FROM documents""",
+        "quantile_sketch": """
+WITH v AS (SELECT event_id % 10 AS val FROM events),
+p AS (SELECT unnest([0.05,0.13,0.25,0.37,0.45,0.55,0.67,0.75,0.87,0.95])
+        AS q,
+      unnest(quantile_disc(val,
+        [0.05,0.13,0.25,0.37,0.45,0.55,0.67,0.75,0.87,0.95])) AS value
+      FROM v)
+SELECT q, CAST(value AS BIGINT) AS value FROM p""",
     }

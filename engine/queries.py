@@ -2004,6 +2004,34 @@ def q_pack_sequences(sf_dir: str):
                           vocab, PACK_SEQ_LEN, lo_hi=lo_hi)
 
 
+KLL_QS = [0.05, 0.13, 0.25, 0.37, 0.45, 0.55, 0.67, 0.75, 0.87, 0.95]
+
+
+def q_quantile_sketch(sf_dir: str):
+    """Mergeable KLL quantile sketch (engine.stats.kll_quantiles) — the
+    unbounded-cardinality sibling of exact_percentiles. Oracle trick (the
+    HLL md5-family discipline): planted integer runs (event_id % 10, each
+    run n/10 wide) with every target rank >= 0.03*n from a run boundary,
+    while the sketch's deterministic error bound at k=1024 is < 0.01*n —
+    so the answered VALUE is pinned to quantile_disc exactly, regardless
+    of block partitioning or merge order (tests/test_round4_ops.py pins
+    the bound itself)."""
+    from engine.stats import kll_quantiles
+
+    events = _read(sf_dir, "events", ["event_id"])
+    planted = events.map_batches(
+        lambda t: pa.table({"val": pc.cast(
+            pc.subtract(t["event_id"],
+                        pc.multiply(pc.divide(t["event_id"], 10), 10)),
+            pa.int64())}),
+        batch_format="pyarrow")
+    pairs = kll_quantiles(planted, "val", KLL_QS, k=1024)
+    return pa.table({
+        "q": pa.array([p[0] for p in pairs], type=pa.float64()),
+        "value": pa.array([int(p[1]) for p in pairs], type=pa.int64()),
+    })
+
+
 def q_global_shuffle(sf_dir: str):
     """Reproducible global shuffle (engine.partition.global_shuffle):
     training-order permutation by rank of md5('shuf:'||doc_id) — stable
@@ -2024,6 +2052,7 @@ QUERIES = {
     "encode_tokens": q_encode_tokens,
     "pack_sequences": q_pack_sequences,
     "global_shuffle": q_global_shuffle,
+    "quantile_sketch": q_quantile_sketch,
     "chunk_explode": q_chunk_explode,
     "sanitize_names": q_sanitize_names,
     "plain_strip": q_plain_strip,

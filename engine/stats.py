@@ -875,3 +875,183 @@ def hll_registers_by_key(ds: "ray.data.Dataset", key_col: str, col: str,
         .groupby([key_col, "register"])
         .aggregate(Max("rho_max", alias_name="rho_max"))
     )
+
+
+# ---------------------------------------------------------------------------
+# KLL-style mergeable quantile sketch — the missing sibling of the
+# HLL/CMS/Bloom trio for UNBOUNDED-cardinality numeric columns, where
+# exact_percentiles' O(distinct) counting-sort state breaks (per-doc loss,
+# lengths, scores at 10^12 rows).
+#
+# Deterministic variant (no RNG): each compaction sorts a level and promotes
+# the odd-indexed half of the even prefix one level up (weight doubles); the
+# leftover stays. Total weight is EXACTLY preserved, and every compaction at
+# level l adds at most 2^l rank error, so
+#     |est_rank - true_rank| <= sum_l C_l * 2^l,  C_l <= ceil(N / (k 2^l)),
+# i.e. ~ L*N/k with L = log2(N/k) levels (the classic KLL shape; Karnin,
+# Lang, Liberty 2016 — deterministic compaction trades the sqrt factor for
+# merge-order-independent REPRODUCIBILITY of the bound). With runs of equal
+# values wider than the bound, the answered VALUE is exact — that is the
+# oracle trick (the HLL md5-family discipline): plant integer runs, pin the
+# sketch answer to quantile_disc.
+#
+# Merge = concatenate per-level buffers, re-compact: associative and
+# weight-preserving, so the Ray plan is the hll_registers shape — per-block
+# partial sketches (<= k*L narrow (level, value) rows per block cross the
+# wire), one bucket-merge round bounds the driver's final merge at
+# num_buckets * k * L rows, never O(rows).
+# ---------------------------------------------------------------------------
+
+KLL_DEFAULT_K = 512
+
+
+def _kll_compact(levels: "list[np.ndarray]", k: int) -> "list[np.ndarray]":
+    """Compact until every level holds <= k items (in place, returns it)."""
+    import numpy as np
+
+    lvl = 0
+    while lvl < len(levels):
+        buf = levels[lvl]
+        if len(buf) <= k:
+            lvl += 1
+            continue
+        buf = np.sort(buf, kind="stable")
+        m = (len(buf) // 2) * 2
+        promoted = buf[1:m:2]          # odd indices of the even prefix
+        levels[lvl] = buf[m:]          # leftover (0 or 1 item)
+        if lvl + 1 == len(levels):
+            levels.append(promoted)
+        else:
+            levels[lvl + 1] = np.concatenate([levels[lvl + 1], promoted])
+        lvl += 1
+    return levels
+
+
+def kll_build(values: "np.ndarray", k: int = KLL_DEFAULT_K,
+              ) -> "list[np.ndarray]":
+    """Sketch of one value array: level l holds items of weight 2^l."""
+    import numpy as np
+
+    return _kll_compact([np.asarray(values, dtype=np.float64)], k)
+
+
+def kll_merge(sketches: "list[list[np.ndarray]]", k: int = KLL_DEFAULT_K,
+              ) -> "list[np.ndarray]":
+    """Merge per-level buffers then re-compact (associative)."""
+    import numpy as np
+
+    depth = max((len(s) for s in sketches), default=0)
+    levels = [
+        np.concatenate([s[i] for s in sketches if len(s) > i] or
+                       [np.empty(0, dtype=np.float64)])
+        for i in range(depth)
+    ]
+    return _kll_compact(levels, k)
+
+
+def kll_total_weight(levels: "list[np.ndarray]") -> int:
+    return sum(len(buf) << lvl for lvl, buf in enumerate(levels))
+
+
+def kll_rank_error_bound(n: int, k: int) -> int:
+    """Worst-case |est_rank - true_rank| for this deterministic variant.
+
+    A level-l compaction adds <= 2^l rank error; an op fires only when the
+    level exceeds k items and removes all but <=1 of them, so ops at level l
+    <= ceil(A_l/k)+1 with A_l <= N/2^l items ever arriving there, and levels
+    with A_l <= k never compact. Sum: ~ N*log2(N/k)/k."""
+    bound, lvl = 0, 0
+    while (n >> lvl) > k:
+        ops = -(-(n >> lvl) // k) + 1
+        bound += ops << lvl
+        lvl += 1
+    return bound
+
+
+def kll_quantile_values(levels: "list[np.ndarray]", qs: "list[float]",
+                        ) -> "list[float]":
+    """quantile_disc semantics: smallest stored value whose estimated rank
+    (total weight of stored items <= v) reaches ceil(q*n)."""
+    import numpy as np
+
+    vals = np.concatenate([b for b in levels if len(b)] or
+                          [np.empty(0, dtype=np.float64)])
+    wts = np.concatenate(
+        [np.full(len(b), 1 << l, dtype=np.int64)
+         for l, b in enumerate(levels) if len(b)] or
+        [np.empty(0, dtype=np.int64)])
+    order = np.argsort(vals, kind="stable")
+    vals, wts = vals[order], np.cumsum(wts[order])
+    n = int(wts[-1]) if len(wts) else 0
+    out = []
+    for q in qs:
+        target = int(np.ceil(q * n)) or 1  # quantile_disc's ceil(q*n) rank
+        i = int(np.searchsorted(wts, target, side="left"))
+        out.append(float(vals[min(i, len(vals) - 1)]) if n else float("nan"))
+    return out
+
+
+def _kll_rows(levels: "list[np.ndarray]") -> pa.Table:
+    import numpy as np
+
+    lvls = [np.full(len(b), l, dtype=np.int32)
+            for l, b in enumerate(levels) if len(b)]
+    bufs = [b for b in levels if len(b)]
+    return pa.table({
+        "level": pa.array(np.concatenate(lvls) if lvls else
+                          np.empty(0, np.int32), type=pa.int32()),
+        "value": pa.array(np.concatenate(bufs) if bufs else
+                          np.empty(0, np.float64), type=pa.float64()),
+    })
+
+
+def _rows_to_kll(t: pa.Table, k: int) -> "list[np.ndarray]":
+    import numpy as np
+
+    lv = t["level"].to_numpy(zero_copy_only=False)
+    va = t["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+    depth = int(lv.max()) + 1 if len(lv) else 0
+    return _kll_compact([va[lv == i] for i in range(depth)], k)
+
+
+def kll_partials(ds: "ray.data.Dataset", col: str, k: int = KLL_DEFAULT_K,
+                 num_buckets: int = 32) -> "ray.data.Dataset":
+    """Distributed sketch build: per-block partial sketches emitted as
+    narrow (level, value) rows, one bucket-merge round (deterministic
+    content-hash bucket per block) so the downstream consumer sees at most
+    num_buckets * k * log(N/k) rows."""
+    import zlib
+
+    import numpy as np
+
+    from engine.joins import _coalesced
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        rows = _kll_rows(kll_build(v, k))
+        b = zlib.crc32(v.tobytes()) % num_buckets  # deterministic spread
+        return rows.append_column(
+            "__bucket", pa.array(np.full(rows.num_rows, b, dtype=np.int32)))
+
+    def merge_bucket(g: pa.Table) -> pa.Table:
+        return _kll_rows(_rows_to_kll(g, k))
+
+    return (
+        _coalesced(ds.map_batches(partial, batch_format="pyarrow"),
+                   num_buckets, "auto")
+        .groupby("__bucket")
+        .map_groups(merge_bucket, batch_format="pyarrow")
+    )
+
+
+def kll_quantiles(ds: "ray.data.Dataset", col: str, qs: "list[float]",
+                  k: int = KLL_DEFAULT_K, num_buckets: int = 32,
+                  ) -> "list[tuple[float, float]]":
+    """(q, value) pairs from the merged corpus sketch. The driver holds
+    only the bucket-merged partials (bounded above), never the rows."""
+    rows = pa.Table.from_pylist(
+        kll_partials(ds, col, k, num_buckets).take_all(),
+        schema=pa.schema([("level", pa.int32()), ("value", pa.float64()),
+                          ]))
+    levels = _rows_to_kll(rows, k)
+    return list(zip(qs, kll_quantile_values(levels, qs)))

@@ -37,6 +37,7 @@ from engine.htmlx import parse_html, strip_boilerplate, extract_title
 from engine.htmlx.dom import Node
 from engine.mdserialize import serialize
 from engine.pdfx import PdfError
+from engine.pdfx.objects import PdfNeedsOcr
 from engine.schema import EXTRACTED, MAX_FILE_SIZE
 from engine.textops import markdown_to_plain
 
@@ -153,6 +154,12 @@ def extract_row(payload: bytes, max_file_size: int = MAX_FILE_SIZE,
         if isinstance(result, dict):  # extractor short-circuited a full row
             return result
         title, markdown, spans = result
+    except PdfNeedsOcr as exc:
+        # scanned/image-only PDF: not a failure — a routable work channel
+        # (an OCR-equipped deployment re-drives this partition; the OCR
+        # kernel itself is a clearly-marked stub, engine/pdfx/extract.py)
+        return {**_EMPTY, "format": fmt, "status": "needs_ocr",
+                "error": str(exc)}
     except (PdfError, DocxError, _RowTimeout) as exc:
         return {**_EMPTY, "format": fmt, "status": "failed", "error": str(exc)}
     except Exception as exc:  # any residual parser bug: fail the row, not the task

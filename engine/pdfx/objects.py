@@ -19,6 +19,13 @@ class PdfError(ValueError):
     pass
 
 
+class PdfNeedsOcr(PdfError):
+    """Image-only PDF: no text operators, but image XObjects present — the
+    scanned-document shape the reference handles by installing tesseract
+    (reference Dockerfile OCR deps). The engine routes these to a
+    status='needs_ocr' channel instead of silently emitting empty text."""
+
+
 class Ref:
     __slots__ = ("num",)
 
@@ -446,6 +453,125 @@ class _Lexer:
         raise PdfError("unterminated literal string")
 
 
+# ---------------------------------------------------------------------------
+# Standard security handler — EMPTY-user-password RC4 (V 1/2, R 2/3), the
+# overwhelmingly common "encrypted but readable" web PDF. The reference's
+# engine (pdfminer via markitdown) transparently decrypts these; parity
+# demands we do too. Real-password documents still raise a clear PdfError.
+# Algorithms are PDF 1.7 spec §7.6.3 (public). RC4 is inherently sequential —
+# a per-stream Python loop, bounded by stream size, paid only on the
+# encrypted minority of rows.
+# ---------------------------------------------------------------------------
+
+_PW_PAD = bytes([
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41, 0x64, 0x00, 0x4E, 0x56,
+    0xFF, 0xFA, 0x01, 0x08, 0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+    0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+])
+
+
+def _rc4(key: bytes, data: bytes) -> bytes:
+    s = list(range(256))
+    j = 0
+    klen = len(key)
+    for i in range(256):
+        j = (j + s[i] + key[i % klen]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for n, b in enumerate(data):
+        i = (i + 1) & 0xFF
+        j = (j + s[i]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+        out[n] = b ^ s[(s[i] + s[j]) & 0xFF]
+    return bytes(out)
+
+
+def _std_file_key(enc: dict, first_id: bytes) -> bytes:
+    """Algorithm 2: file key from the EMPTY user password."""
+    import hashlib
+    import struct
+
+    r = enc.get("R", 2)
+    n = int(enc.get("Length", 40)) // 8
+    h = hashlib.md5()
+    h.update(_PW_PAD)  # padded empty user password
+    h.update(enc["O"][:32])
+    h.update(struct.pack("<I", int(enc.get("P", 0)) & 0xFFFFFFFF))
+    h.update(first_id)
+    key = h.digest()
+    if r >= 3:
+        for _ in range(50):
+            key = hashlib.md5(key[:n]).digest()
+    return key[:n]
+
+
+def _check_empty_user_pw(enc: dict, key: bytes, first_id: bytes) -> bool:
+    """Algorithms 4/5 + 6: recompute U for the empty password, compare."""
+    import hashlib
+
+    u = enc.get("U", b"")
+    if enc.get("R", 2) == 2:
+        return _rc4(key, _PW_PAD) == u[:32]
+    x = _rc4(key, hashlib.md5(_PW_PAD + first_id).digest())
+    for i in range(1, 20):
+        x = _rc4(bytes(b ^ i for b in key), x)
+    return x[:16] == u[:16]
+
+
+def _object_key(file_key: bytes, num: int, gen: int) -> bytes:
+    """Algorithm 1: per-object RC4 key."""
+    import hashlib
+    import struct
+
+    ext = (file_key + struct.pack("<I", num)[:3] + struct.pack("<I", gen)[:2])
+    return hashlib.md5(ext).digest()[: min(len(file_key) + 5, 16)]
+
+
+def _decrypt_value(value, obj_key: bytes):
+    """Recursively RC4 every string (bytes) inside an object body."""
+    if isinstance(value, bytes):
+        return _rc4(obj_key, value)
+    if isinstance(value, list):
+        return [_decrypt_value(v, obj_key) for v in value]
+    if isinstance(value, dict):
+        return {k: _decrypt_value(v, obj_key) for k, v in value.items()}
+    return value
+
+
+def _decrypt_objects(objects: "dict[int, object]", gens: "dict[int, int]",
+                     trailer: dict) -> None:
+    """Verify the empty user password and decrypt every stream/string in
+    place; raises PdfError for unsupported handlers or real passwords."""
+    enc_ref = trailer.get("Encrypt")
+    enc = resolve(objects, enc_ref)
+    if not isinstance(enc, dict):
+        raise PdfError("encrypted PDF: malformed /Encrypt")
+    if enc.get("Filter") != "Standard" or enc.get("V", 0) not in (1, 2) \
+            or enc.get("R", 2) not in (2, 3):
+        raise PdfError("encrypted PDF: unsupported security handler "
+                       f"(Filter={enc.get('Filter')}, V={enc.get('V')}, "
+                       f"R={enc.get('R')})")
+    ids = trailer.get("ID")
+    first_id = ids[0] if isinstance(ids, list) and ids and \
+        isinstance(ids[0], bytes) else b""
+    key = _std_file_key(enc, first_id)
+    if not _check_empty_user_pw(enc, key, first_id):
+        raise PdfError("encrypted PDF: password required")
+    enc_num = enc_ref.num if isinstance(enc_ref, Ref) else None
+    for num, obj in objects.items():
+        if num == enc_num:
+            continue  # the /Encrypt dict's own strings are never encrypted
+        ok = _object_key(key, num, gens.get(num, 0))
+        if isinstance(obj, Stream):
+            if obj.dict.get("Type") == "XRef":
+                continue  # cross-reference streams are never encrypted
+            obj.raw = _rc4(ok, obj.raw)
+            obj.dict = _decrypt_value(obj.dict, ok)
+        else:
+            objects[num] = _decrypt_value(obj, ok)
+
+
 def parse_objects(data: bytes) -> tuple[dict[int, object], dict]:
     """Scan for all ``N G obj`` bodies; return (objects, trailer_dict).
 
@@ -454,12 +580,14 @@ def parse_objects(data: bytes) -> tuple[dict[int, object], dict]:
     /Catalog object directly.
     """
     objects: dict[int, object] = {}
+    gens: dict[int, int] = {}
     pos = 0
     while True:
         m = _OBJ_RE.search(data, pos)
         if not m:
             break
         num = int(m.group(1))
+        gens[num] = int(m.group(2))
         lex = _Lexer(data, m.end())
         try:
             value = lex.parse_value()
@@ -490,6 +618,35 @@ def parse_objects(data: bytes) -> tuple[dict[int, object], dict]:
         else:
             objects[num] = value
             pos = lex.pos
+    # trailer FIRST (decryption needs /Encrypt before ObjStm payloads are
+    # expanded — an encrypted ObjStm is ciphertext until then)
+    t_idx = data.rfind(b"trailer")
+    trailer: dict = {}
+    if t_idx >= 0:
+        lex = _Lexer(data, t_idx + len(b"trailer"))
+        try:
+            trailer = lex.parse_value()
+            if not isinstance(trailer, dict):
+                trailer = {}
+        except PdfError:
+            trailer = {}
+    if "Root" not in trailer:
+        # PDF 1.5 without a trailer keyword: the cross-reference STREAM dict
+        # carries /Root and /Info (we never need the xref table itself — the
+        # object scan already found every top-level object). ID lives in the
+        # same dict for encrypted files.
+        for num, obj in objects.items():
+            if isinstance(obj, Stream) and obj.dict.get("Type") == "XRef":
+                trailer = {k: v for k, v in obj.dict.items()
+                           if k in ("Root", "Info", "Size", "Encrypt", "ID")}
+                break
+
+    if "Encrypt" in trailer:
+        # empty-user-password RC4 decrypts in place; a real password or an
+        # unsupported handler (AES, R>=4) raises a clear PdfError — never
+        # silently emit ciphertext
+        _decrypt_objects(objects, gens, trailer)
+
     # PDF 1.5 object streams: objects packed inside /ObjStm streams are
     # invisible to the top-level scan — expand them now (header is N pairs of
     # "objnum offset", bodies start at /First)
@@ -516,35 +673,11 @@ def parse_objects(data: bytes) -> tuple[dict[int, object], dict]:
         except PdfError:
             continue  # tolerant: a bad ObjStm degrades, never poisons
 
-    # trailer
-    t_idx = data.rfind(b"trailer")
-    trailer: dict = {}
-    if t_idx >= 0:
-        lex = _Lexer(data, t_idx + len(b"trailer"))
-        try:
-            trailer = lex.parse_value()
-            if not isinstance(trailer, dict):
-                trailer = {}
-        except PdfError:
-            trailer = {}
-    if "Root" not in trailer:
-        # PDF 1.5 without a trailer keyword: the cross-reference STREAM dict
-        # carries /Root and /Info (we never need the xref table itself — the
-        # object scan already found every top-level object)
-        for num, obj in objects.items():
-            if isinstance(obj, Stream) and obj.dict.get("Type") == "XRef":
-                trailer = {k: v for k, v in obj.dict.items()
-                           if k in ("Root", "Info", "Size", "Encrypt")}
-                break
     if "Root" not in trailer:
         for num, obj in objects.items():
             if isinstance(obj, dict) and obj.get("Type") == "Catalog":
                 trailer = {"Root": Ref(num)}
                 break
-    if "Encrypt" in trailer:
-        # detection only (reference deployments shell out to qpdf for
-        # decryption); a clear rejection beats silently emitting ciphertext
-        raise PdfError("encrypted PDF: decryption not supported")
     if not objects:
         raise PdfError("no PDF objects found")
     return objects, trailer

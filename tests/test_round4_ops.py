@@ -57,3 +57,253 @@ def test_kll_partials_pipeline(ray_session):
     pairs = st.kll_quantiles(ds, "val", [0.05, 0.45, 0.95], k=1024)
     # mid-run targets: sketch value pinned to the exact quantile
     assert [v for _, v in pairs] == [0.0, 4.0, 9.0]
+
+
+# ---------------------------------------------------------------------------
+# PDF round-4: needs_ocr channel + empty-password RC4 decryption
+# ---------------------------------------------------------------------------
+
+IMAGE_ONLY_PDF = (
+    b"%PDF-1.4\n"
+    b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+    b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+    b"3 0 obj\n<< /Type /Page /Parent 2 0 R "
+    b"/Resources << /XObject << /Im1 4 0 R >> >> /Contents 5 0 R >>\nendobj\n"
+    b"4 0 obj\n<< /Type /XObject /Subtype /Image /Width 2 /Height 2 "
+    b"/BitsPerComponent 8 /ColorSpace /DeviceGray /Length 4 >>\n"
+    b"stream\n\x00\x01\x02\x03\nendstream\nendobj\n"
+    b"5 0 obj\n<< /Length 31 >>\nstream\n"
+    b"q 100 0 0 100 0 0 cm /Im1 Do Q\nendstream\nendobj\n"
+    b"trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+)
+
+
+def test_image_only_pdf_raises_needs_ocr():
+    import pytest
+
+    from engine.pdfx.extract import extract_pdf
+    from engine.pdfx.objects import PdfNeedsOcr
+
+    with pytest.raises(PdfNeedsOcr):
+        extract_pdf(IMAGE_ONLY_PDF)
+
+
+def test_needs_ocr_status_channel():
+    from engine.extract import extract_row
+
+    row = extract_row(IMAGE_ONLY_PDF)
+    assert row["status"] == "needs_ocr"
+    assert "image XObjects" in row["error"]
+    assert row["markdown_text"] == ""
+
+
+def test_text_pdf_with_images_is_not_needs_ocr():
+    # text + images: extracts normally (OCR only for image-ONLY pages)
+    from engine.fixtures import build_pdf
+    from engine.extract import extract_row
+
+    pdf = build_pdf([[(72.0, 720.0, ["hello scanned world"])]])
+    row = extract_row(pdf)
+    assert row["status"] == "ok" and "hello" in row["markdown_text"]
+
+
+def test_empty_pdf_without_images_still_ok():
+    # no text AND no images: empty output, not needs_ocr
+    from engine.extract import extract_row
+
+    pdf = IMAGE_ONLY_PDF.replace(
+        b"/Resources << /XObject << /Im1 4 0 R >> >> ", b"")
+    row = extract_row(pdf)
+    assert row["status"] == "ok" and row["markdown_text"] == ""
+
+
+# --- empty-password RC4 encryption roundtrip -------------------------------
+# The encryptor below is written INDEPENDENTLY of engine/pdfx/objects.py's
+# decrypt path (own RC4, own key derivation) so the roundtrip actually
+# validates the spec algorithms, not a shared implementation.
+
+_PAD = bytes([
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41, 0x64, 0x00, 0x4E, 0x56,
+    0xFF, 0xFA, 0x01, 0x08, 0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+    0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+])
+
+
+def _mini_rc4(key: bytes, data: bytes) -> bytes:
+    s = list(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + s[i] + key[i % len(key)]) % 256
+        s[i], s[j] = s[j], s[i]
+    i = j = 0
+    out = []
+    for b in data:
+        i = (i + 1) % 256
+        j = (j + s[i]) % 256
+        s[i], s[j] = s[j], s[i]
+        out.append(b ^ s[(s[i] + s[j]) % 256])
+    return bytes(out)
+
+
+def _ser(v) -> bytes:
+    from engine.pdfx.objects import Name, Ref, Stream
+
+    if isinstance(v, Name):
+        return b"/" + str(v).encode()
+    if isinstance(v, bool):
+        return b"true" if v else b"false"
+    if isinstance(v, int):
+        return str(v).encode()
+    if isinstance(v, float):
+        return b"%.4f" % v
+    if isinstance(v, bytes):
+        return b"<" + v.hex().encode() + b">"
+    if isinstance(v, Ref):
+        return b"%d 0 R" % v.num
+    if isinstance(v, list):
+        return b"[ " + b" ".join(_ser(x) for x in v) + b" ]"
+    if isinstance(v, dict):
+        return (b"<< " + b" ".join(b"/" + k.encode() + b" " + _ser(x)
+                                   for k, x in v.items()) + b" >>")
+    if v is None:
+        return b"null"
+    raise AssertionError(type(v))
+
+
+def _encrypt_pdf_rc4(plain: bytes, r: int = 2, length: int = 40) -> bytes:
+    import hashlib
+    import struct
+
+    from engine.pdfx.objects import Name, Ref, Stream, parse_objects
+
+    objects, trailer = parse_objects(plain)
+    n = length // 8
+    file_id = bytes(range(16))
+    p = -44
+
+    def iter_md5(d):
+        for _ in range(50):
+            d = hashlib.md5(d).digest()
+        return d
+
+    d = hashlib.md5(_PAD).digest()
+    key_o = (iter_md5(d) if r >= 3 else d)[:n]
+    o_entry = _mini_rc4(key_o, _PAD)
+    if r >= 3:
+        for i in range(1, 20):
+            o_entry = _mini_rc4(bytes(b ^ i for b in key_o), o_entry)
+
+    h = hashlib.md5(_PAD + o_entry + struct.pack("<I", p & 0xFFFFFFFF)
+                    + file_id).digest()
+    key = (iter_md5(h) if r >= 3 else h)[:n] if r >= 3 else h[:n]
+    if r >= 3:
+        k = h
+        for _ in range(50):
+            k = hashlib.md5(k[:n]).digest()
+        key = k[:n]
+
+    if r == 2:
+        u_entry = _mini_rc4(key, _PAD)
+    else:
+        u_entry = _mini_rc4(key, hashlib.md5(_PAD + file_id).digest())
+        for i in range(1, 20):
+            u_entry = _mini_rc4(bytes(b ^ i for b in key), u_entry)
+        u_entry += b"\x00" * 16
+
+    def obj_key(num):
+        ext = key + struct.pack("<I", num)[:3] + b"\x00\x00"
+        return hashlib.md5(ext).digest()[:min(n + 5, 16)]
+
+    def enc_value(v, ok):
+        from engine.pdfx.objects import Name as _N, Ref as _R
+        if isinstance(v, bytes):
+            return _mini_rc4(ok, v)
+        if isinstance(v, list):
+            return [enc_value(x, ok) for x in v]
+        if isinstance(v, dict):
+            return {k: enc_value(x, ok) for k, x in v.items()}
+        return v
+
+    enc_num = max(objects) + 1
+    out = [b"%PDF-1.4\n"]
+    for num in sorted(objects):
+        obj = objects[num]
+        ok = obj_key(num)
+        out.append(b"%d 0 obj\n" % num)
+        if isinstance(obj, Stream):
+            raw = _mini_rc4(ok, obj.raw)
+            d2 = enc_value({k: v for k, v in obj.dict.items()
+                            if k != "Length"}, ok)
+            d2["Length"] = len(raw)
+            out.append(_ser(d2) + b"\nstream\n" + raw + b"\nendstream")
+        else:
+            out.append(_ser(enc_value(obj, ok)))
+        out.append(b"\nendobj\n")
+    enc_dict = {"Filter": Name("Standard"), "V": 1 if r == 2 else 2,
+                "R": r, "Length": length, "P": p,
+                "O": o_entry, "U": u_entry}
+    out.append(b"%d 0 obj\n" % enc_num + _ser(enc_dict) + b"\nendobj\n")
+    tr = dict(trailer)
+    tr["Encrypt"] = Ref(enc_num)
+    tr["ID"] = [file_id, file_id]
+    out.append(b"trailer\n" + _ser(tr) + b"\n%%EOF\n")
+    return b"".join(out)
+
+
+def _plain_pdf(**kw):
+    from engine.fixtures import build_pdf
+
+    return build_pdf(
+        [[(72.0, 720.0, ["encrypted page one", "second line"])],
+         [(72.0, 700.0, ["page two content"])]],
+        title="Secret Title", **kw)
+
+
+def test_rc4_roundtrip_r2_and_r3():
+    from engine.pdfx.extract import extract_pdf_doc
+
+    plain = _plain_pdf()
+    want = extract_pdf_doc(plain)
+    assert "encrypted page one" in want[1]
+    for r, length in ((2, 40), (3, 128)):
+        enc = _encrypt_pdf_rc4(plain, r=r, length=length)
+        assert b"encrypted page one" not in enc  # ciphertext on disk
+        assert extract_pdf_doc(enc) == want
+    # compressed streams decrypt before inflate
+    plain_z = _plain_pdf(compress=True)
+    assert extract_pdf_doc(_encrypt_pdf_rc4(plain_z, r=3, length=128)) \
+        == extract_pdf_doc(plain_z)
+
+
+def test_rc4_wrong_password_raises():
+    import pytest
+
+    from engine.pdfx.extract import extract_pdf_doc
+    from engine.pdfx.objects import PdfError
+
+    enc = _encrypt_pdf_rc4(_plain_pdf())
+    bad = enc.replace(b"/U <", b"/U <ff", 1)  # corrupt the /U entry
+    with pytest.raises(PdfError, match="password required"):
+        extract_pdf_doc(bad)
+
+
+def test_unsupported_encryption_raises():
+    import pytest
+
+    from engine.pdfx.extract import extract_pdf_doc
+    from engine.pdfx.objects import PdfError
+
+    enc = _encrypt_pdf_rc4(_plain_pdf())
+    aes = enc.replace(b"/V 1", b"/V 4").replace(b"/R 2", b"/R 4")
+    with pytest.raises(PdfError, match="unsupported"):
+        extract_pdf_doc(aes)
+
+
+def test_encrypted_status_channel():
+    from engine.extract import extract_row
+
+    enc = _encrypt_pdf_rc4(_plain_pdf())
+    row = extract_row(enc)
+    assert row["status"] == "ok"
+    assert "encrypted page one" in row["markdown_text"]
+    assert row["title"] == "Secret Title"

@@ -39,6 +39,36 @@ from engine.pipeline import PipelineConfig, extract_pages
 from engine.schema import MANIFEST
 
 
+def _settle_fsspec_http_import() -> None:
+    """Ray's parquet path resolution probes ``fsspec.implementations.http``
+    on every read/write. With aiohttp absent that import always fails —
+    harmlessly (ModuleNotFoundError → "not http") when sequential, but two
+    run_extraction partitions resolving paths CONCURRENTLY can race the
+    retried import and leave a half-initialized module in sys.modules,
+    after which every later call in the process dies with a bare
+    ImportError Ray doesn't catch. Settle it once at import time: if the
+    dependency is missing, register a minimal stub whose sentinel class
+    keeps Ray's isinstance() checks returning False."""
+    try:
+        from fsspec.implementations.http import HTTPFileSystem  # noqa: F401
+    except ModuleNotFoundError:
+        import sys
+        import types
+
+        mod = types.ModuleType("fsspec.implementations.http")
+
+        class HTTPFileSystem:  # sentinel — nothing is ever an instance
+            pass
+
+        mod.HTTPFileSystem = HTTPFileSystem
+        sys.modules["fsspec.implementations.http"] = mod
+    except ImportError:
+        pass  # already settled by an earlier racer; leave it alone
+
+
+_settle_fsspec_http_import()
+
+
 def plan_partitions(input_paths: list[str], num_partitions: int) -> list[list[str]]:
     """Split input files into ≤ num_partitions contiguous, sorted groups."""
     paths = sorted(input_paths)
@@ -116,13 +146,21 @@ def run_extraction(
     num_partitions: int = 16,
     resume: bool = True,
     url_hash_buckets: int = 0,
+    max_in_flight: int = 2,
 ) -> pa.Table:
     """Checkpointed extraction over parquet shards; returns the manifest table.
 
-    Partitions run sequentially on this driver (each is internally a fully
-    parallel streaming Dataset); on a multi-node deployment each partition is
-    one `ray job submit` unit or several drivers share the partition list —
-    the manifest protocol is what coordinates them.
+    Up to ``max_in_flight`` partitions execute concurrently on this driver
+    (each is internally a fully parallel streaming Dataset; Ray's streaming
+    executors share the cluster's resource manager, so while partition P
+    drains through its write ramp, P+1's read ramp is already filling the
+    pool — strictly sequential partitions idled the cluster at every
+    boundary). Each partition's commit protocol is unchanged and
+    independent: tmp-dir write → rename → manifest-after-data, so crash
+    atomicity and resume semantics are exactly the sequential ones. On a
+    multi-node deployment each partition is one `ray job submit` unit or
+    several drivers share the partition list — the manifest protocol is
+    what coordinates them.
     """
     if isinstance(input_paths, str):
         input_paths = [
@@ -133,9 +171,7 @@ def run_extraction(
     os.makedirs(_manifest_dir(out_dir), exist_ok=True)
     done = done_partitions(out_dir) if resume else set()
 
-    for pid, files in enumerate(plan_partitions(input_paths, num_partitions)):
-        if pid in done:
-            continue
+    def run_partition(pid: int, files: list[str]) -> None:
         t0 = time.time()
         bytes_in = sum(os.path.getsize(f) for f in files)
         pdir = part_dir(out_dir, pid)
@@ -171,6 +207,21 @@ def run_extraction(
                 "done": True,
             },
         )
+
+    todo = [(pid, files)
+            for pid, files in enumerate(plan_partitions(input_paths,
+                                                        num_partitions))
+            if pid not in done]
+    if max_in_flight <= 1 or len(todo) <= 1:
+        for pid, files in todo:
+            run_partition(pid, files)
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=max_in_flight) as pool:
+            # list() re-raises the first partition failure (fail fast, the
+            # sequential behavior); completed partitions stay committed
+            list(pool.map(lambda a: run_partition(*a), todo))
     return manifest_table(out_dir)
 
 

@@ -2046,6 +2046,14 @@ def q_global_shuffle(sf_dir: str):
 
 # ---------------------------------------------------------------------------
 # registry
+#
+# ORDER MATTERS: the grading driver's correctness gate checks only the FIRST
+# 50 entries. Policy (VERDICT r3 #1): the newest / riskiest operators occupy
+# the gate window — this round that is the 4 round-4 ops, the 4 flagship
+# roundtrips (extraction kernels changed this round), and the 42 round-3 ops
+# the r1-r3 gates never reached. The trailing entries are r1/r2 operators
+# with green driver rows in CORRECTNESS_r0{1,2,3}.json; scripts/
+# check_oracle.py still verifies ALL of them (run it after any change here).
 # ---------------------------------------------------------------------------
 
 QUERIES = {
@@ -2053,56 +2061,10 @@ QUERIES = {
     "pack_sequences": q_pack_sequences,
     "global_shuffle": q_global_shuffle,
     "quantile_sketch": q_quantile_sketch,
-    "chunk_explode": q_chunk_explode,
-    "sanitize_names": q_sanitize_names,
-    "plain_strip": q_plain_strip,
-    "gdocs_strip": q_gdocs_strip,
-    "preview": q_preview,
-    "estimated_minutes": q_estimated_minutes,
-    "status_counts": q_status_counts,
-    "value_rollup": q_value_rollup,
-    "user_value_stats": q_user_value_stats,
-    "recent_events": q_recent_events,
-    "top_parts": q_top_parts,
-    "exact_dedup": q_exact_dedup,
-    "orders_join": q_orders_join,
-    "large_join": q_large_join,
-    "lineitem_pricing": q_lineitem_pricing,
-    "token_count": q_token_count,
-    "fingerprint": q_fingerprint,
-    "json_props": q_json_props,
     "extract_roundtrip": q_extract_roundtrip,
     "pdf_roundtrip": q_pdf_roundtrip,
     "docx_roundtrip": q_docx_roundtrip,
     "minhash_clusters": q_minhash_clusters,
-    "simhash": q_simhash,
-    "ngram_dedup_pairs": q_ngram_dedup_pairs,
-    "knn_cosine": q_knn_cosine,
-    "knn_lsh": q_knn_lsh,
-    "knn_ivf": q_knn_ivf,
-    "embedding_near_dup": q_embedding_near_dup,
-    "lang_id": q_lang_id,
-    "quality": q_quality,
-    "url_buckets": q_url_buckets,
-    "chunk_page": q_chunk_page,
-    "event_dates": q_event_dates,
-    "tumbling_window": q_tumbling_window,
-    "first_per_user": q_first_per_user,
-    "media_features": q_media_features,
-    "asof_join": q_asof_join,
-    "session_windows": q_session_windows,
-    "stable_split": q_stable_split,
-    "customers_without_orders": q_customers_without_orders,
-    "top_parts_per_brand": q_top_parts_per_brand,
-    "token_df": q_token_df,
-    "interval_attribution": q_interval_attribution,
-    "rolling_spend": q_rolling_spend,
-    "quantity_percentiles": q_quantity_percentiles,
-    "doc_sample": q_doc_sample,
-    "normalize_text": q_normalize_text,
-    "user_event_sequences": q_user_event_sequences,
-    "event_type_pivot": q_event_type_pivot,
-    "orders_rollup": q_orders_rollup,
     "doc_repetition": q_doc_repetition,
     "domain_counts": q_domain_counts,
     "bloom_semi_join": q_bloom_semi_join,
@@ -2145,4 +2107,50 @@ QUERIES = {
     "running_total": q_running_total,
     "audience_overlap": q_audience_overlap,
     "url_dedup": q_url_dedup,
+    "chunk_explode": q_chunk_explode,
+    "sanitize_names": q_sanitize_names,
+    "plain_strip": q_plain_strip,
+    "gdocs_strip": q_gdocs_strip,
+    "preview": q_preview,
+    "estimated_minutes": q_estimated_minutes,
+    "status_counts": q_status_counts,
+    "value_rollup": q_value_rollup,
+    "user_value_stats": q_user_value_stats,
+    "recent_events": q_recent_events,
+    "top_parts": q_top_parts,
+    "exact_dedup": q_exact_dedup,
+    "orders_join": q_orders_join,
+    "large_join": q_large_join,
+    "lineitem_pricing": q_lineitem_pricing,
+    "token_count": q_token_count,
+    "fingerprint": q_fingerprint,
+    "json_props": q_json_props,
+    "simhash": q_simhash,
+    "ngram_dedup_pairs": q_ngram_dedup_pairs,
+    "knn_cosine": q_knn_cosine,
+    "knn_lsh": q_knn_lsh,
+    "knn_ivf": q_knn_ivf,
+    "embedding_near_dup": q_embedding_near_dup,
+    "lang_id": q_lang_id,
+    "quality": q_quality,
+    "url_buckets": q_url_buckets,
+    "chunk_page": q_chunk_page,
+    "event_dates": q_event_dates,
+    "tumbling_window": q_tumbling_window,
+    "first_per_user": q_first_per_user,
+    "media_features": q_media_features,
+    "asof_join": q_asof_join,
+    "session_windows": q_session_windows,
+    "stable_split": q_stable_split,
+    "customers_without_orders": q_customers_without_orders,
+    "top_parts_per_brand": q_top_parts_per_brand,
+    "token_df": q_token_df,
+    "interval_attribution": q_interval_attribution,
+    "rolling_spend": q_rolling_spend,
+    "quantity_percentiles": q_quantity_percentiles,
+    "doc_sample": q_doc_sample,
+    "normalize_text": q_normalize_text,
+    "user_event_sequences": q_user_event_sequences,
+    "event_type_pivot": q_event_type_pivot,
+    "orders_rollup": q_orders_rollup,
 }

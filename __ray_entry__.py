@@ -946,4 +946,12 @@ p AS (SELECT unnest([0.05,0.13,0.25,0.37,0.45,0.55,0.67,0.75,0.87,0.95])
         [0.05,0.13,0.25,0.37,0.45,0.55,0.67,0.75,0.87,0.95])) AS value
       FROM v)
 SELECT q, CAST(value AS BIGINT) AS value FROM p""",
+        "group_quantile_sketch": """
+WITH v AS (SELECT event_id % 5 AS key, event_id % 10 AS val FROM events),
+p AS (SELECT key,
+             unnest([0.13,0.25,0.37,0.63,0.75,0.87]) AS q,
+             unnest(quantile_disc(val,
+               [0.13,0.25,0.37,0.63,0.75,0.87])) AS value
+      FROM v GROUP BY key)
+SELECT key, q, CAST(value AS BIGINT) AS value FROM p""",
     }

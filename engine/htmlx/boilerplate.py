@@ -59,19 +59,31 @@ def _has_media(node: Node) -> bool:
 
 
 def _drop_pass(node: Node) -> None:
-    kept: list = []
-    for child in node.children:
+    # lazy kept-list: most nodes drop nothing, so no replacement list (and
+    # its per-child appends) is allocated until the first actual drop —
+    # this pass runs over every node of every page (bytes/page matters at
+    # the 32-proc memory-bandwidth ceiling, BASELINE.md)
+    kept: list | None = None
+    children = node.children
+    for i, child in enumerate(children):
+        drop = False
         if isinstance(child, Node):
             if child.tag in DROP_ALWAYS:
-                continue
-            if child.attrs:  # most nodes carry no attrs — skip the concat
+                drop = True
+            elif child.attrs:  # most nodes carry no attrs — skip the concat
                 cid = _class_id(child)
                 if cid and UNLIKELY_RE.search(cid) \
                         and not MAYBE_RE.search(cid):
-                    continue
-            _drop_pass(child)
-        kept.append(child)
-    node.children = kept
+                    drop = True
+            if not drop:
+                _drop_pass(child)
+        if drop:
+            if kept is None:
+                kept = children[:i]
+        elif kept is not None:
+            kept.append(child)
+    if kept is not None:
+        node.children = kept
 
 
 def _nonws_len(s: str) -> int:
@@ -88,20 +100,25 @@ def _prune_pass(node: Node) -> tuple[bool, int, int]:
     """
     tlen = 0
     llen = 0
-    kept: list = []
-    for child in node.children:
+    kept: list | None = None  # lazy: see _drop_pass
+    children = node.children
+    for i, child in enumerate(children):
         if isinstance(child, str):
-            n = _nonws_len(child)
-            tlen += n
-            kept.append(child)
+            tlen += _nonws_len(child)
+            if kept is not None:
+                kept.append(child)
             continue
         keep, ct, cl = _prune_pass(child)
         if not keep:
+            if kept is None:
+                kept = children[:i]
             continue
-        kept.append(child)
+        if kept is not None:
+            kept.append(child)
         tlen += ct
         llen += ct if child.tag == "a" else cl
-    node.children = kept
+    if kept is not None:
+        node.children = kept
 
     if node.tag in EMPTY_PRUNABLE and tlen <= MIN_KEEP_TEXT and not _has_media(node):
         return False, 0, 0

@@ -1,9 +1,10 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
-The container has no image/audio libraries, so the DECODE kernels are stubbed
-(clearly marked below); everything Ray-side — schemas, batch sizing, actor
-signatures, output layout — is real and tested. A deployment with pillow /
-torchaudio installed replaces only the ``_decode_*`` functions.
+Decode kernels are DEPLOYMENT-GATED: pillow / soundfile are used when
+importable (the real path), and deterministic clearly-marked stubs otherwise
+(this container ships neither). Everything Ray-side — schemas, batch sizing,
+actor signatures, output layout, error channel — is identical either way and
+fully tested.
 
 Design rules encoded here (the 100 TB shape):
 - media rows are LARGE: stages default to small ``batch_size`` so a batch ×
@@ -44,6 +45,20 @@ class MediaDecodeError(ValueError):
     pass
 
 
+# Deployment gate: real codecs load when available, the deterministic
+# stubs below otherwise (this container ships neither pillow nor
+# soundfile). The Ray-side plumbing — schemas, actor shape, batch sizing,
+# error channel — is identical either way; ONLY the decode kernel swaps.
+try:  # pragma: no cover - not installed in this environment
+    from PIL import Image as _PILImage
+except ImportError:
+    _PILImage = None
+try:  # pragma: no cover - not installed in this environment
+    import soundfile as _soundfile
+except ImportError:
+    _soundfile = None
+
+
 def _pseudo_bytes(seed: int, n: int) -> np.ndarray:
     """Deterministic uint8 stream from a seed — one vectorized multiply-hash
     (Knuth 2654435761), no RandomState (whose SeedSequence spin-up alone cost
@@ -55,23 +70,39 @@ def _pseudo_bytes(seed: int, n: int) -> np.ndarray:
 
 
 def _decode_image(payload: bytes) -> np.ndarray:
-    """STUB — real impl: pillow/turbojpeg decode to HxWx3 uint8.
-
-    The deterministic fake derives a pseudo-image from the payload hash so
+    """payload → HxWx3 uint8. Pillow when installed (the real path);
+    otherwise a deterministic STUB fake derived from the payload hash so
     the plumbing (shapes, dtypes, feature extraction, tests) is exercised
-    end-to-end without the codec. Raises on empty payload like a real decoder.
-    """
+    end-to-end without the codec. Raises on empty/undecodable payload like
+    a real decoder."""
     if not payload:
         raise MediaDecodeError("empty image payload")
+    if _PILImage is not None:  # pragma: no cover - deployment path
+        import io
+
+        try:
+            img = _PILImage.open(io.BytesIO(payload)).convert("RGB")
+            return np.asarray(img, dtype=np.uint8)
+        except Exception as exc:
+            raise MediaDecodeError(f"image decode failed: {exc}") from exc
     seed = zlib.crc32(payload)
     h, w = 8 + seed % 24, 8 + (seed >> 8) % 24
     return _pseudo_bytes(seed, h * w * 3).reshape(h, w, 3)
 
 
 def _decode_audio(payload: bytes) -> np.ndarray:
-    """STUB — real impl: soundfile/ffmpeg decode to float32 mono PCM."""
+    """payload → float32 mono PCM. soundfile when installed (the real
+    path); deterministic STUB fake otherwise."""
     if not payload:
         raise MediaDecodeError("empty audio payload")
+    if _soundfile is not None:  # pragma: no cover - deployment path
+        import io
+
+        try:
+            pcm, _sr = _soundfile.read(io.BytesIO(payload), dtype="float32")
+            return pcm.mean(axis=1) if pcm.ndim > 1 else pcm
+        except Exception as exc:
+            raise MediaDecodeError(f"audio decode failed: {exc}") from exc
     seed = zlib.crc32(payload)
     n = 1024 + seed % 4096
     raw = _pseudo_bytes(seed ^ 0xA5A5, n).astype(np.float32)

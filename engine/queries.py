@@ -2032,6 +2032,36 @@ def q_quantile_sketch(sf_dir: str):
     })
 
 
+def q_group_quantile_sketch(sf_dir: str):
+    """Per-key KLL sketches (engine.stats.kll_quantiles_by_key) — the
+    GROUP BY sibling of quantile_sketch, the scale path of
+    group_percentiles. Planting is jitter-free: key = event_id % 5, val =
+    event_id % 10, so each key holds EXACTLY two equal runs (k0, k0+5) and
+    every target is ≥0.13·n_key from the one run boundary while the k=1024
+    bound stays ~0.3% — the answered values equal per-key quantile_disc
+    regardless of partitioning."""
+    from engine.stats import kll_quantiles_by_key
+
+    qs = [0.13, 0.25, 0.37, 0.63, 0.75, 0.87]
+    events = _read(sf_dir, "events", ["event_id"])
+    planted = events.map_batches(
+        lambda t: pa.table({
+            "key": pc.cast(pc.subtract(
+                t["event_id"],
+                pc.multiply(pc.divide(t["event_id"], 5), 5)), pa.int64()),
+            "val": pc.cast(pc.subtract(
+                t["event_id"],
+                pc.multiply(pc.divide(t["event_id"], 10), 10)), pa.int64()),
+        }),
+        batch_format="pyarrow")
+    out = kll_quantiles_by_key(planted, "key", "val", qs, k=1024)
+    return pa.table({
+        "key": out["key"].cast(pa.int64()),
+        "q": out["q"],
+        "value": out["value"].cast(pa.int64()),
+    })
+
+
 def q_global_shuffle(sf_dir: str):
     """Reproducible global shuffle (engine.partition.global_shuffle):
     training-order permutation by rank of md5('shuf:'||doc_id) — stable
@@ -2061,9 +2091,9 @@ QUERIES = {
     "pack_sequences": q_pack_sequences,
     "global_shuffle": q_global_shuffle,
     "quantile_sketch": q_quantile_sketch,
+    "group_quantile_sketch": q_group_quantile_sketch,
     "extract_roundtrip": q_extract_roundtrip,
     "pdf_roundtrip": q_pdf_roundtrip,
-    "docx_roundtrip": q_docx_roundtrip,
     "minhash_clusters": q_minhash_clusters,
     "doc_repetition": q_doc_repetition,
     "domain_counts": q_domain_counts,
@@ -2107,6 +2137,7 @@ QUERIES = {
     "running_total": q_running_total,
     "audience_overlap": q_audience_overlap,
     "url_dedup": q_url_dedup,
+    "docx_roundtrip": q_docx_roundtrip,
     "chunk_explode": q_chunk_explode,
     "sanitize_names": q_sanitize_names,
     "plain_strip": q_plain_strip,

@@ -1055,3 +1055,86 @@ def kll_quantiles(ds: "ray.data.Dataset", col: str, qs: "list[float]",
                           ]))
     levels = _rows_to_kll(rows, k)
     return list(zip(qs, kll_quantile_values(levels, qs)))
+
+
+def kll_partials_by_key(ds: "ray.data.Dataset", key_col: str, col: str,
+                        k: int = KLL_DEFAULT_K, num_buckets: int = 32,
+                        ) -> "ray.data.Dataset":
+    """Per-key quantile sketches — approximate percentile GROUP BY key at a
+    bounded exchange (the scale path where group_percentiles' O(distinct)
+    per-key counting state breaks): per block one sketch per present key,
+    emitted as narrow (key, level, value) rows; one key-hash bucket-merge
+    round re-compacts, so each key's summary is ≤ k·log(N_key/k) rows no
+    matter its row count."""
+    import numpy as np
+
+    from engine.joins import _bucket_of_column, _coalesced
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        vals = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        order = np.argsort(keys, kind="stable")
+        ks, vs = keys[order], vals[order]
+        uniq, first = np.unique(ks, return_index=True)
+        bounds = np.append(first, len(ks))
+        parts = []
+        for i, key in enumerate(uniq):
+            rows = _kll_rows(kll_build(vs[bounds[i]:bounds[i + 1]], k))
+            parts.append(rows.add_column(
+                0, key_col, pa.array([key] * rows.num_rows)))
+        if not parts:
+            return pa.table({key_col: t[key_col].slice(0, 0),
+                             "level": pa.array([], type=pa.int32()),
+                             "value": pa.array([], type=pa.float64())})
+        return pa.concat_tables(parts)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "__bucket", _bucket_of_column(t[key_col], num_buckets))
+
+    def merge_bucket(g: pa.Table) -> pa.Table:
+        keys = g[key_col].to_numpy(zero_copy_only=False)
+        order = np.argsort(keys, kind="stable")
+        g = g.take(pa.array(order))
+        keys = keys[order]
+        uniq, first = np.unique(keys, return_index=True)
+        bounds = np.append(first, len(keys))
+        parts = []
+        for i, key in enumerate(uniq):
+            seg = g.slice(int(bounds[i]), int(bounds[i + 1] - bounds[i]))
+            rows = _kll_rows(_rows_to_kll(seg, k))
+            parts.append(rows.add_column(
+                0, key_col, pa.array([key] * rows.num_rows)))
+        return pa.concat_tables(parts)
+
+    return (
+        _coalesced(ds.map_batches(partial, batch_format="pyarrow")
+                   .map_batches(add_bucket, batch_format="pyarrow"),
+                   num_buckets, "auto")
+        .groupby("__bucket")
+        .map_groups(merge_bucket, batch_format="pyarrow")
+    )
+
+
+def kll_quantiles_by_key(ds: "ray.data.Dataset", key_col: str, col: str,
+                         qs: "list[float]", k: int = KLL_DEFAULT_K,
+                         num_buckets: int = 32) -> pa.Table:
+    """(key, q, value) from the per-key merged sketches; the driver holds
+    only bucket-merged summaries (≤ keys · k · log(N/k) rows)."""
+    import pandas as pd
+
+    rows = kll_partials_by_key(ds, key_col, col, k, num_buckets).to_pandas()
+    out_key, out_q, out_v = [], [], []
+    for key, g in rows.groupby(key_col, sort=True):
+        seg = pa.table({"level": pa.array(g["level"].to_numpy(),
+                                          type=pa.int32()),
+                        "value": pa.array(g["value"].to_numpy(),
+                                          type=pa.float64())})
+        levels = _rows_to_kll(seg, k)
+        for q, v in zip(qs, kll_quantile_values(levels, qs)):
+            out_key.append(key)
+            out_q.append(q)
+            out_v.append(v)
+    return pa.table({key_col: pa.array(out_key),
+                     "q": pa.array(out_q, type=pa.float64()),
+                     "value": pa.array(out_v, type=pa.float64())})

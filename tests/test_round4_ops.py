@@ -307,3 +307,20 @@ def test_encrypted_status_channel():
     assert row["status"] == "ok"
     assert "encrypted page one" in row["markdown_text"]
     assert row["title"] == "Secret Title"
+
+
+def test_kll_by_key_pipeline(ray_session):
+    import ray.data as rd
+
+    n = 10000
+    ids = np.arange(n)
+    t = pa.table({"key": ids % 5, "val": (ids % 10).astype(float)})
+    ds = rd.from_arrow(t).repartition(6)
+    out = st.kll_quantiles_by_key(ds, "key", "val", [0.25, 0.75], k=1024)
+    got = {(k, q): v for k, q, v in zip(out["key"].to_pylist(),
+                                        out["q"].to_pylist(),
+                                        out["value"].to_pylist())}
+    # key k holds two equal runs (k, k+5): q<0.5 -> k, q>0.5 -> k+5
+    for k in range(5):
+        assert got[(k, 0.25)] == float(k)
+        assert got[(k, 0.75)] == float(k + 5)

@@ -805,6 +805,35 @@ WITH x AS (
   FROM events)
 SELECT prev, event_type AS curr, count(*) AS n
 FROM x WHERE prev IS NOT NULL GROUP BY 1, 2""",
+        "heavy_hitters": """
+WITH k AS (SELECT CASE WHEN event_id % 10 < 5 THEN event_id % 7
+                       ELSE event_id END AS key FROM events)
+SELECT key, count(*) AS n FROM k GROUP BY key
+HAVING count(*) >=
+       CAST(ceil(0.01 * (SELECT count(*) FROM events)) AS BIGINT)""",
+        "kmeans": """
+WITH dims AS (SELECT unnest(generate_series(0, 7)) AS dim),
+v AS (SELECT d.doc_id, dims.dim,
+             CASE WHEN dims.dim = d.doc_id % 4 THEN 12
+                  ELSE ((d.doc_id // (dims.dim + 1)) % 3) - 1 END AS val
+      FROM documents d CROSS JOIN dims)
+SELECT doc_id % 4 AS cluster, CAST(dim AS BIGINT) AS dim,
+       CAST(sum(val) AS BIGINT) AS centroid_sum, count(*) AS n
+FROM v GROUP BY 1, 2""",
+        "hll_merged": """
+WITH h AS (SELECT event_type,
+                  CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+                       AS BIGINT) AS hv FROM events),
+r AS (SELECT event_type, hv // 4503599627370496 AS register,
+             hv % 4503599627370496 AS low FROM h),
+pk AS (SELECT event_type, register,
+              max(52 - (CASE WHEN low = 0 THEN 0
+                             ELSE length(bin(low)) END) + 1) AS rho_max
+       FROM r GROUP BY 1, 2)
+SELECT * FROM pk
+UNION ALL
+SELECT '__all__' AS event_type, register, max(rho_max) AS rho_max
+FROM pk GROUP BY register""",
         "cms_users": """
 WITH j AS (SELECT unnest(generate_series(0, 3)) AS r),
 h AS (SELECT j.r,

@@ -2074,6 +2074,102 @@ def q_global_shuffle(sf_dir: str):
         ["doc_id", "shuffle_pos"])
 
 
+def q_heavy_hitters(sf_dir: str):
+    """Misra-Gries heavy hitters (engine.stats.heavy_hitters): EXACT
+    counts of every key with frequency >= 1% of rows, via a merged MG(256)
+    candidate pass + an exact broadcast second pass — the frequency-MINING
+    sibling of CMS (which answers point queries, not 'which keys are
+    hot'). Planted skew: events ending 0-4 hash onto 7 hot keys (~7%
+    each), the rest stay singletons; min_fraction > 1/(k+1) makes the MG
+    candidate set a proven superset, so the output equals the plain SQL
+    HAVING-count set exactly."""
+    import pyarrow.parquet as pq
+
+    from engine.stats import heavy_hitters
+
+    n = pq.read_metadata(
+        os.path.join(sf_dir, "events.parquet")).num_rows
+    events = _read(sf_dir, "events", ["event_id"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        e = t["event_id"]
+
+        def mod(k: int):
+            return pc.subtract(e, pc.multiply(pc.divide(e, k), k))
+
+        key = pc.if_else(pc.less(mod(10), 5), mod(7), e)
+        return pa.table({"key": key})
+
+    keyed = events.map_batches(plant, batch_format="pyarrow")
+    return heavy_hitters(keyed, "key", min_fraction=0.01, k=256, n=n)
+
+
+def q_kmeans(sf_dir: str):
+    """Distributed k-means (engine.cluster.kmeans_iterate): Lloyd over
+    planted integer-jitter vectors (dim c = doc_id%4 spikes at 12, other
+    dims jitter in {-1,0,1} from doc_id) starting from unit-axis init
+    centroids (NOT the planted means — iteration 1 must really move
+    them). Output = the FINAL iteration's per-(cluster, dim) vector sums
+    and cluster sizes, integer-exact in float64, so the DuckDB twin (CASE
+    planting + SUM GROUP BY) pins every pass of the loop: broadcast
+    centroids, per-block partial sums, groupby-Sum merge, driver
+    update."""
+    from engine.cluster import kmeans_iterate
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    kk, dd = 4, 8
+
+    def plant(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vecs = np.empty((len(d), dd), dtype=np.float64)
+        for i in range(dd):
+            jit = (d // (i + 1)) % 3 - 1
+            vecs[:, i] = np.where(d % kk == i, 12, jit)
+        offsets = pa.array(np.arange(len(d) + 1, dtype=np.int32) * dd)
+        emb = pa.ListArray.from_arrays(offsets, pa.array(vecs.ravel()))
+        return pa.table({"doc_id": t["doc_id"], "embedding": emb})
+
+    planted = docs.map_batches(plant, batch_format="pyarrow")
+    cents, stats = kmeans_iterate(planted, np.eye(kk, dd), iters=3,
+                                  tol=1e-12)
+    return pa.table({
+        "cluster": stats["cluster"],
+        "dim": stats["dim"],
+        "centroid_sum": pc.cast(stats["s"], pa.int64()),
+        "n": stats["n"],
+    })
+
+
+def q_hll_merged(sf_dir: str):
+    """HLL mergeability as a query (subsumes the hll_events/hll_by_type
+    pair in the driver window): per-event_type register tables
+    (engine.stats.hll_registers_by_key) PLUS the corpus-wide register
+    table derived by MERGING the per-type sketches (groupby register,
+    Max rho) without re-scanning the rows — the property that lets
+    10^12-row distinct counts roll up from per-partition sketches.
+    DuckDB twin: the md5/bin rho ladder, UNION ALL of the per-type
+    GROUP BY and its Max rollup."""
+    from engine.stats import hll_registers_by_key
+
+    events = _read(sf_dir, "events", ["event_type", "user_id"])
+    # materialize: the union would re-execute the lazy per-key
+    # aggregation for each consumer (CLAUDE.md lazy-re-execution trap)
+    per_key = hll_registers_by_key(
+        events, "event_type", "user_id", m=256).materialize()
+
+    def tag_all(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": pa.array(["__all__"] * t.num_rows),
+            "register": t["register"],
+            "rho_max": t["rho_max"],
+        })
+
+    merged = (per_key.groupby("register")
+              .aggregate(Max("rho_max", alias_name="rho_max"))
+              .map_batches(tag_all, batch_format="pyarrow"))
+    return per_key.union(merged)
+
+
 # ---------------------------------------------------------------------------
 # registry
 #
@@ -2087,6 +2183,9 @@ def q_global_shuffle(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 QUERIES = {
+    "heavy_hitters": q_heavy_hitters,
+    "kmeans": q_kmeans,
+    "hll_merged": q_hll_merged,
     "encode_tokens": q_encode_tokens,
     "pack_sequences": q_pack_sequences,
     "global_shuffle": q_global_shuffle,
@@ -2094,7 +2193,6 @@ QUERIES = {
     "group_quantile_sketch": q_group_quantile_sketch,
     "extract_roundtrip": q_extract_roundtrip,
     "pdf_roundtrip": q_pdf_roundtrip,
-    "minhash_clusters": q_minhash_clusters,
     "doc_repetition": q_doc_repetition,
     "domain_counts": q_domain_counts,
     "bloom_semi_join": q_bloom_semi_join,
@@ -2119,7 +2217,6 @@ QUERIES = {
     "skew_join": q_skew_join,
     "user_top_event": q_user_top_event,
     "funnel": q_funnel,
-    "hll_events": q_hll_events,
     "components": q_components,
     "global_rank": q_global_rank,
     "transitions": q_transitions,
@@ -2133,10 +2230,15 @@ QUERIES = {
     "bloom_users": q_bloom_users,
     "fuzzy_decontam": q_fuzzy_decontam,
     "strip_spans": q_strip_spans,
-    "hll_by_type": q_hll_by_type,
     "running_total": q_running_total,
     "audience_overlap": q_audience_overlap,
     "url_dedup": q_url_dedup,
+    # --- below this line: driver-green in CORRECTNESS_r0{1,2,3}.json and
+    # untouched since, or subsumed by a window composite (hll_merged);
+    # scripts/check_oracle.py still verifies every entry ---
+    "minhash_clusters": q_minhash_clusters,
+    "hll_events": q_hll_events,
+    "hll_by_type": q_hll_by_type,
     "docx_roundtrip": q_docx_roundtrip,
     "chunk_explode": q_chunk_explode,
     "sanitize_names": q_sanitize_names,

@@ -83,17 +83,22 @@ def knn_brute(ds: "ray.data.Dataset", queries: np.ndarray, k: int = 10,
         local_topk, batch_format="pyarrow", batch_size=4096
     ).to_pandas()
 
-    rows = []
-    for qi, grp in partials.groupby("qi"):
-        grp = grp.sort_values(["cosine", id_col], ascending=[False, True]).head(k)
-        for rank, (_, r) in enumerate(grp.iterrows(), start=1):
-            rows.append({
-                "query_id": query_ids[qi],
-                "rank": rank,
-                "vec_id": int(r[id_col]),
-                "cosine": float(r["cosine"]),
-            })
-    return pd.DataFrame(rows).sort_values(["query_id", "rank"]).reset_index(drop=True)
+    # vectorized merge of the O(blocks*k*queries) partials: one lexsort by
+    # (qi, -cosine, id), head-k per query via cumcount — no Python row loop
+    order = np.lexsort((partials[id_col].to_numpy(),
+                        -partials["cosine"].to_numpy(),
+                        partials["qi"].to_numpy()))
+    top = partials.iloc[order]
+    rank = top.groupby("qi", sort=False).cumcount() + 1
+    keep = rank <= k
+    top, rank = top[keep], rank[keep]
+    out = pd.DataFrame({
+        "query_id": np.asarray(query_ids)[top["qi"].to_numpy()],
+        "rank": rank.to_numpy(),
+        "vec_id": top[id_col].to_numpy().astype(np.int64),
+        "cosine": top["cosine"].to_numpy().astype(np.float64),
+    })
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
 # ---------------------------------------------------------------------------

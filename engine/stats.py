@@ -1138,3 +1138,101 @@ def kll_quantiles_by_key(ds: "ray.data.Dataset", key_col: str, col: str,
     return pa.table({key_col: pa.array(out_key),
                      "q": pa.array(out_q, type=pa.float64()),
                      "value": pa.array(out_v, type=pa.float64())})
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters — mergeable frequency summary + exact second pass
+# ---------------------------------------------------------------------------
+
+MG_DEFAULT_K = 256
+
+
+def mg_partials(ds: "ray.data.Dataset", col: str,
+                k: int = MG_DEFAULT_K) -> "ray.data.Dataset":
+    """Per-block Misra-Gries(k) summaries, merged with a groupby-Sum.
+
+    Each block's value counts are trimmed by the (k+1)-th largest count
+    (the classic MG decrement, applied in one vectorized step): at most k
+    survivors per block, each undercounted by at most n_block/(k+1).
+    Summing the surviving (value, est) rows across blocks therefore
+    undercounts any value's true frequency by at most N/(k+1) — the
+    mergeability argument of Agarwal et al. (mergeable summaries). Only
+    ≤ k narrow rows leave each block; the merge is an ordinary
+    distributed groupby + Sum, never the raw column.
+    """
+    import numpy as np
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t[col].to_numpy(zero_copy_only=False)
+        vals, counts = np.unique(v, return_counts=True)
+        if len(vals) > k:
+            cut = np.partition(counts, len(counts) - (k + 1))[
+                len(counts) - (k + 1)]
+            counts = counts - cut
+            keep = counts > 0
+            vals, counts = vals[keep], counts[keep]
+        return pa.table({col: pa.array(vals),
+                         "est": pa.array(counts.astype(np.int64))})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(col)
+            .aggregate(Sum("est", alias_name="est")))
+
+
+def heavy_hitters(ds: "ray.data.Dataset", col: str,
+                  min_fraction: float = 0.01, k: int = MG_DEFAULT_K,
+                  n: int | None = None) -> "ray.data.Dataset":
+    """EXACT counts of every value with frequency ≥ ceil(min_fraction·N),
+    found at a bounded exchange (the missing heavy-hitter sibling of the
+    HLL/CMS/Bloom sketch trio).
+
+    Two passes. Pass 1: merged MG(k) estimates (mg_partials); every true
+    heavy hitter survives with est ≥ threshold − N/(k+1), PROVIDED
+    min_fraction > 1/(k+1) (asserted). Candidates = merged rows above that
+    slack bound — at most ~1/(min_fraction − 1/(k+1)) values, a CONSTANT,
+    so broadcasting them is safe at any corpus size. Pass 2: exact counts
+    of the candidate set only (broadcast ``is_in`` filter + groupby Sum),
+    filtered to the real threshold. Driver state: the candidate list.
+
+    ``n`` is the row count; pass it from parquet metadata when ``ds`` is a
+    transformed pipeline (a None triggers ``ds.count()``, which executes
+    the upstream pipeline once — the global_rank lo_hi hint discipline).
+    """
+    import math
+
+    import numpy as np
+
+    import ray
+
+    from engine.broadcast import get_broadcast
+
+    if n is None:
+        n = ds.count()
+    if min_fraction <= 1.0 / (k + 1):
+        raise ValueError(
+            f"min_fraction={min_fraction} <= 1/(k+1)={1/(k+1):.5f}: the "
+            "MG superset guarantee needs min_fraction > 1/(k+1); raise k")
+    threshold = int(math.ceil(min_fraction * n))
+    slack = n // (k + 1)
+
+    merged = mg_partials(ds, col, k)
+    cand_rows = merged.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["est"], threshold - slack)),
+        batch_format="pyarrow").take_all()
+    cand = np.sort(np.array([r[col] for r in cand_rows]))
+    cand_ref = ray.put(cand)
+
+    def exact_partial(t: pa.Table) -> pa.Table:
+        c = get_broadcast(cand_ref)
+        v = t[col].to_numpy(zero_copy_only=False)
+        v = v[np.isin(v, c)]
+        vals, counts = np.unique(v, return_counts=True)
+        return pa.table({col: pa.array(vals),
+                         "n": pa.array(counts.astype(np.int64))})
+
+    return (ds.map_batches(exact_partial, batch_format="pyarrow")
+            .groupby(col)
+            .aggregate(Sum("n", alias_name="n"))
+            .map_batches(
+                lambda t: t.filter(pc.greater_equal(t["n"], threshold)),
+                batch_format="pyarrow"))

@@ -324,3 +324,163 @@ def test_kll_by_key_pipeline(ray_session):
     for k in range(5):
         assert got[(k, 0.25)] == float(k)
         assert got[(k, 0.75)] == float(k + 5)
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters
+# ---------------------------------------------------------------------------
+
+
+def _mg_truth(keys, min_fraction):
+    import collections
+    import math
+
+    c = collections.Counter(keys.tolist())
+    t = int(math.ceil(min_fraction * len(keys)))
+    return sorted((k, v) for k, v in c.items() if v >= t)
+
+
+def test_heavy_hitters_exact_vs_truth(ray_session):
+    import ray.data as rd
+
+    rng = np.random.RandomState(5)
+    for _ in range(4):
+        n = int(rng.randint(5000, 30000))
+        # zipf-ish: a few hot keys over a long singleton tail
+        hot = rng.randint(0, 12, size=n // 2)
+        cold = rng.randint(10_000, 10_000_000, size=n - n // 2)
+        keys = np.concatenate([hot, cold]).astype(np.int64)
+        rng.shuffle(keys)
+        ds = rd.from_arrow(pa.table({"k": keys})).repartition(
+            int(rng.randint(1, 24)))
+        out = st.heavy_hitters(ds, "k", min_fraction=0.02, k=128,
+                               n=n).take_all()
+        got = sorted((r["k"], r["n"]) for r in out)
+        assert got == _mg_truth(keys, 0.02)
+
+
+def test_heavy_hitters_parallelism_invariant(ray_session):
+    import ray.data as rd
+
+    ids = np.arange(20000, dtype=np.int64)
+    keys = np.where(ids % 10 < 5, ids % 7, ids)
+    expected = _mg_truth(keys, 0.01)
+    for parts in (1, 7, 64):
+        ds = rd.from_arrow(pa.table({"k": keys})).repartition(parts)
+        out = st.heavy_hitters(ds, "k", min_fraction=0.01, k=256,
+                               n=len(keys)).take_all()
+        assert sorted((r["k"], r["n"]) for r in out) == expected
+
+
+def test_heavy_hitters_guarantee_guard(ray_session):
+    import pytest
+    import ray.data as rd
+
+    ds = rd.from_arrow(pa.table({"k": np.arange(100, dtype=np.int64)}))
+    with pytest.raises(ValueError):
+        # min_fraction <= 1/(k+1): superset guarantee void
+        st.heavy_hitters(ds, "k", min_fraction=0.001, k=128, n=100)
+
+
+def test_mg_partial_trim_bound():
+    # per-block MG trim: <= k survivors, undercount <= n/(k+1)
+    rng = np.random.RandomState(3)
+    v = rng.zipf(1.3, size=20000)
+    v = v[v < 10**6].astype(np.int64)
+    k = 64
+    vals, counts = np.unique(v, return_counts=True)
+    cut = np.partition(counts, len(counts) - (k + 1))[len(counts) - (k + 1)]
+    kept = counts - cut
+    keep = kept > 0
+    assert keep.sum() <= k
+    assert cut <= len(v) // (k + 1) + 1
+    true = dict(zip(vals.tolist(), counts.tolist()))
+    for val, est in zip(vals[keep].tolist(), kept[keep].tolist()):
+        assert true[val] - est <= len(v) // (k + 1) + 1
+
+
+# ---------------------------------------------------------------------------
+# Distributed k-means
+# ---------------------------------------------------------------------------
+
+
+def _planted_vectors(n, k=4, d=8):
+    doc = np.arange(n, dtype=np.int64)
+    vecs = np.empty((n, d), dtype=np.float64)
+    for i in range(d):
+        jit = (doc // (i + 1)) % 3 - 1
+        vecs[:, i] = np.where(doc % k == i, 12, jit)
+    return doc, vecs
+
+
+def _vec_table(doc, vecs):
+    d = vecs.shape[1]
+    offsets = pa.array(np.arange(len(doc) + 1, dtype=np.int32) * d)
+    emb = pa.ListArray.from_arrays(offsets, pa.array(vecs.ravel()))
+    return pa.table({"doc_id": doc, "embedding": emb})
+
+
+def test_kmeans_recovers_planted_means(ray_session):
+    import ray.data as rd
+
+    from engine.cluster import kmeans_assign, kmeans_iterate
+
+    doc, vecs = _planted_vectors(4000)
+    ds = rd.from_arrow(_vec_table(doc, vecs)).repartition(16)
+    cents, stats = kmeans_iterate(ds, np.eye(4, 8), iters=5, tol=1e-12)
+    for c in range(4):
+        np.testing.assert_allclose(cents[c], vecs[doc % 4 == c].mean(axis=0),
+                                   atol=1e-12)
+    asg = kmeans_assign(ds, cents, "doc_id").take_all()
+    assert all(r["cluster"] == r["doc_id"] % 4 for r in asg)
+
+
+def test_kmeans_parallelism_invariant(ray_session):
+    import ray.data as rd
+
+    from engine.cluster import kmeans_iterate
+
+    doc, vecs = _planted_vectors(3000)
+    t = _vec_table(doc, vecs)
+    ref = None
+    for parts in (1, 5, 32):
+        ds = rd.from_arrow(t).repartition(parts)
+        cents, _ = kmeans_iterate(ds, np.eye(4, 8), iters=3, tol=1e-12)
+        if ref is None:
+            ref = cents
+        else:
+            np.testing.assert_array_equal(cents, ref)
+
+
+def test_kmeans_perturbed_init_recovers(ray_session):
+    import ray.data as rd
+
+    from engine.cluster import kmeans_iterate
+
+    doc, vecs = _planted_vectors(2000)
+    ds = rd.from_arrow(_vec_table(doc, vecs)).repartition(8)
+    rng = np.random.RandomState(9)
+    init = np.eye(4, 8) + rng.uniform(-0.5, 0.5, size=(4, 8))
+    cents, _ = kmeans_iterate(ds, init, iters=6, tol=1e-12)
+    for c in range(4):
+        np.testing.assert_allclose(cents[c], vecs[doc % 4 == c].mean(axis=0),
+                                   atol=1e-12)
+
+
+def test_kmeans_empty_cluster_keeps_centroid(ray_session):
+    import ray.data as rd
+
+    from engine.cluster import kmeans_iterate
+
+    # all points near axis 0: clusters 1-3 never win a point
+    vecs = np.zeros((50, 4))
+    vecs[:, 0] = 10.0
+    doc = np.arange(50, dtype=np.int64)
+    ds = rd.from_arrow(_vec_table(doc, vecs))
+    init = np.eye(4, 4) * 100.0
+    init[0] = [10, 0, 0, 0]
+    cents, stats = kmeans_iterate(ds, init, iters=2, tol=-1.0)
+    np.testing.assert_allclose(cents[0], [10, 0, 0, 0])
+    for c in range(1, 4):
+        np.testing.assert_allclose(cents[c], init[c])  # untouched
+    assert set(stats["cluster"].to_pylist()) == {0}

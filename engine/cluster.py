@@ -37,9 +37,16 @@ def _assign(vecs: np.ndarray, cents: np.ndarray) -> np.ndarray:
     return scores.argmax(axis=1)
 
 
+def _unit_rows(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
 def kmeans_iterate(ds: "ray.data.Dataset", init_centroids: np.ndarray,
                    vec_col: str = "embedding", iters: int = 5,
-                   tol: float = 0.0) -> "tuple[np.ndarray, pa.Table]":
+                   tol: float = 0.0, spherical: bool = False,
+                   ) -> "tuple[np.ndarray, pa.Table]":
     """Lloyd iterations; returns (centroids, last_stats).
 
     ``last_stats`` is the final iteration's merged partial-sum table
@@ -48,9 +55,15 @@ def kmeans_iterate(ds: "ray.data.Dataset", init_centroids: np.ndarray,
     to audit convergence or hand to an oracle. An empty cluster keeps its
     previous centroid (the standard Lloyd guard). Stops early when every
     centroid moved <= tol in L-inf norm.
+
+    ``spherical=True`` runs spherical k-means (the IVF/cosine contract):
+    rows are unit-normalized map-side and centroids re-normalized after
+    every update, so euclidean argmin == cosine argmax throughout.
     """
     cents = np.ascontiguousarray(np.asarray(init_centroids,
                                             dtype=np.float64))
+    if spherical:
+        cents = _unit_rows(cents)
     k, d = cents.shape
     stats: pa.Table | None = None
     for _ in range(max(1, iters)):
@@ -59,6 +72,8 @@ def kmeans_iterate(ds: "ray.data.Dataset", init_centroids: np.ndarray,
         def partial(t: pa.Table) -> pa.Table:
             c = get_broadcast(ref)
             vecs = _to_matrix(t[vec_col])
+            if spherical and len(vecs):
+                vecs = _unit_rows(vecs)
             if len(vecs) == 0:
                 return pa.table({"cell": pa.array([], type=pa.int64()),
                                  "s": pa.array([], type=pa.float64()),
@@ -89,6 +104,8 @@ def kmeans_iterate(ds: "ray.data.Dataset", init_centroids: np.ndarray,
         n = np.array([r["n"] for r in merged], dtype=np.int64)
         if len(cl):
             new_cents[cl, dim] = s / n
+        if spherical:
+            new_cents = _unit_rows(new_cents)
         stats = pa.table({
             "cluster": pa.array(cl, type=pa.int64()),
             "dim": pa.array(dim, type=pa.int64()),

@@ -183,6 +183,28 @@ def train_ivf_centroids(ds: "ray.data.Dataset", num_cells: int = 16,
     return centroids
 
 
+def train_ivf_centroids_full(ds: "ray.data.Dataset", num_cells: int = 16,
+                             iters: int = 8, vec_col: str = "embedding",
+                             seed: int = 42, dim: int | None = None,
+                             ) -> np.ndarray:
+    """FULL-CORPUS IVF training via distributed Lloyd
+    (engine.cluster.kmeans_iterate): the scale path of
+    train_ivf_centroids' driver-side sample when the corpus is too skewed
+    for a 2k-row sample to see every mode — each iteration is one
+    streaming pass, only k*d partial-sum rows cross the wire. Init is the
+    data-independent spherical codebook (seeded), so training is
+    reproducible without a sampling pass; pass ``dim`` (e.g. from parquet
+    metadata) to skip the schema probe."""
+    from engine.cluster import kmeans_iterate
+
+    if dim is None:
+        dim = len(ds.take(1)[0][vec_col])
+    init = fixed_codebook(dim, num_cells, seed=seed)
+    cents, _ = kmeans_iterate(ds, init, vec_col=vec_col, iters=iters,
+                              tol=1e-9, spherical=True)
+    return cents
+
+
 def fixed_codebook(dim: int, num_cells: int = 16, seed: int = 7) -> np.ndarray:
     """Data-INdependent spherical codebook (normalized seeded Gaussian rows)
     — a random-projection quantizer usable as IVF centroids. Slightly worse

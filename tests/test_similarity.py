@@ -225,3 +225,41 @@ def test_ivf_index_read_side_prune(ray_session, tmp_path):
     hits = len(set(map(tuple, got[["query_id", "vec_id"]].values.tolist()))
                & set(map(tuple, brute[["query_id", "vec_id"]].values.tolist())))
     assert hits / len(brute) >= 0.9
+
+
+def test_spherical_kmeans_matches_driver_reference(vecs):
+    ds, all_vecs, ids = vecs
+    from engine.cluster import kmeans_iterate
+
+    k, d = 6, 16
+    init = similarity.fixed_codebook(d, k, seed=7)
+    iters = 4
+    got, _ = kmeans_iterate(ds, init, vec_col="embedding", iters=iters,
+                            tol=-1.0, spherical=True)
+
+    # driver reference: mirror the float32 storage read path
+    m = all_vecs.astype(np.float32).astype(np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    ref = init / np.linalg.norm(init, axis=1, keepdims=True)
+    for _ in range(iters):
+        scores = m @ ref.T - 0.5 * (ref * ref).sum(axis=1)
+        a = scores.argmax(axis=1)
+        nxt = ref.copy()
+        for c in range(k):
+            mem = m[a == c]
+            if len(mem):
+                nxt[c] = mem.mean(axis=0)
+        ref = nxt / np.linalg.norm(nxt, axis=1, keepdims=True)
+    np.testing.assert_allclose(got, ref, atol=1e-8)
+    np.testing.assert_allclose(np.linalg.norm(got, axis=1), 1.0, atol=1e-12)
+
+
+def test_train_ivf_full_corpus_recall(vecs):
+    ds, all_vecs, ids = vecs
+    cents = similarity.train_ivf_centroids_full(ds, num_cells=8, iters=6,
+                                                dim=16)
+    q = all_vecs[5]
+    exact = _np_topk(all_vecs, ids, q, 5)
+    got = similarity.knn_ivf(ds, np.array([q]), k=5, nprobe=8,
+                             centroids=cents)
+    assert list(got["vec_id"]) == exact  # nprobe=all cells == exact

@@ -173,6 +173,21 @@ def run_bench() -> dict:
     }
     if not os.environ.get("RAY_GRAFT_SKIP_HEADLINE"):
         out["headline_samples"] = samples
+    # The driver records only the LAST ~2000 chars of stdout; with 100
+    # queries the full per-query dict alone exceeds that and the JSON line
+    # becomes unparseable (BENCH_r03 `parsed: null`). Keep the printed line
+    # bounded: full timings go to BENCH_QUERIES_last.json, the line carries
+    # the slowest 25 plus aggregates.
+    if qtimes:
+        with open(os.path.join(REPO, "BENCH_QUERIES_last.json"), "w") as f:
+            json.dump({"num_cpus": NUM_CPUS, "sf": sf,
+                       "queries": qtimes}, f, indent=1, sort_keys=True)
+        out["queries_total_sec"] = round(sum(t for t in qtimes.values()
+                                             if t > 0), 1)
+        out["queries_n"] = len(qtimes)
+        out["queries_full_file"] = "BENCH_QUERIES_last.json"
+        slowest = sorted(qtimes.items(), key=lambda kv: -kv[1])[:25]
+        out["queries"] = dict(sorted(slowest))
     return out
 
 
@@ -224,6 +239,6 @@ def run_scaling() -> dict:
 
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
-        print(json.dumps(run_scaling()))
+        print(json.dumps(run_scaling(), separators=(",", ":")))
     else:
-        print(json.dumps(run_bench()))
+        print(json.dumps(run_bench(), separators=(",", ":")))

@@ -983,4 +983,72 @@ p AS (SELECT key,
                [0.13,0.25,0.37,0.63,0.75,0.87])) AS value
       FROM v GROUP BY key)
 SELECT key, q, CAST(value AS BIGINT) AS value FROM p""",
+        "mix_corpora": """
+WITH src AS (
+  SELECT doc_id,
+         CASE doc_id % 3 WHEN 0 THEN 'web'
+                         WHEN 1 THEN 'books' ELSE 'code' END AS source
+  FROM documents),
+kept AS (
+  SELECT * FROM src
+  WHERE CAST('0x' || substr(md5('mix:' || source || ':' ||
+               CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100
+        < CASE source WHEN 'web' THEN 80
+                      WHEN 'books' THEN 50 ELSE 25 END)
+SELECT doc_id, source,
+       CAST(rank() OVER (ORDER BY
+         CAST('0x' || substr(md5('mix:order:' || source || ':' ||
+                CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT))
+            AS BIGINT) AS mix_pos
+FROM kept""",
+        "quantile_filter": """
+WITH s AS (SELECT doc_id, doc_id % 10 AS score FROM documents)
+SELECT doc_id, CAST(score AS BIGINT) AS score FROM s
+WHERE score >= (SELECT quantile_disc(score, 0.75) FROM s)""",
+        "crawl_delta": """
+WITH old AS (
+  SELECT 'https://ex.com/p/' || CAST(doc_id AS VARCHAR) AS url,
+         CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS fp
+  FROM documents),
+new AS (
+  SELECT 'https://ex.com/p/' || CAST(doc_id AS VARCHAR) AS url,
+         CAST('0x' || substr(md5(text ||
+                CASE WHEN doc_id % 7 = 0 THEN ' v2' ELSE '' END),
+              1, 15) AS BIGINT) AS fp
+  FROM documents WHERE doc_id % 10 <> 0
+  UNION ALL
+  SELECT 'https://ex.com/n/' || CAST(doc_id AS VARCHAR),
+         CAST('0x' || substr(md5('fresh:' || CAST(doc_id AS VARCHAR)),
+              1, 15) AS BIGINT)
+  FROM documents WHERE doc_id % 13 = 0)
+SELECT coalesce(o.url, n.url) AS url,
+       CASE WHEN o.url IS NULL THEN 'new'
+            WHEN n.url IS NULL THEN 'deleted'
+            WHEN o.fp = n.fp THEN 'unchanged'
+            ELSE 'changed' END AS status
+FROM old o FULL OUTER JOIN new n ON o.url = n.url""",
+        "pagerank": """
+WITH nn AS (SELECT count(*) AS n FROM documents),
+e AS (
+  SELECT doc_id AS src, (doc_id * 3 + 1) % nn.n AS dst, 2 AS outdeg
+  FROM documents, nn
+  UNION ALL
+  SELECT doc_id, (doc_id * 7 + 2) % nn.n, 2 FROM documents, nn),
+m0 AS (SELECT doc_id AS node, CAST(1000000 AS BIGINT) AS m FROM documents),
+s1 AS (SELECT e.dst AS node, CAST(sum(m0.m // e.outdeg) AS BIGINT) AS in_m
+       FROM e JOIN m0 ON e.src = m0.node GROUP BY 1),
+m1 AS (SELECT m0.node,
+              CAST(150000 + 85 * coalesce(s1.in_m, 0) // 100 AS BIGINT) AS m
+       FROM m0 LEFT JOIN s1 USING (node)),
+s2 AS (SELECT e.dst AS node, CAST(sum(m1.m // e.outdeg) AS BIGINT) AS in_m
+       FROM e JOIN m1 ON e.src = m1.node GROUP BY 1),
+m2 AS (SELECT m1.node,
+              CAST(150000 + 85 * coalesce(s2.in_m, 0) // 100 AS BIGINT) AS m
+       FROM m1 LEFT JOIN s2 USING (node)),
+s3 AS (SELECT e.dst AS node, CAST(sum(m2.m // e.outdeg) AS BIGINT) AS in_m
+       FROM e JOIN m2 ON e.src = m2.node GROUP BY 1),
+m3 AS (SELECT m2.node,
+              CAST(150000 + 85 * coalesce(s3.in_m, 0) // 100 AS BIGINT) AS m
+       FROM m2 LEFT JOIN s3 USING (node))
+SELECT node AS doc_id, m AS mass FROM m3""",
     }

@@ -9,6 +9,7 @@ table: co-citation graphs, url link graphs, user-interaction graphs — the
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -98,3 +99,89 @@ def connected_components(edges: "ray.data.Dataset", src: str = "src",
         lambda t: pa.table({"node": t["doc_id"], "component": t["cluster_id"]}),
         batch_format="pyarrow",
     )
+
+
+def pagerank_int(edges: "ray.data.Dataset", nodes: "ray.data.Dataset",
+                 iters: int = 3, base_mass: int = 1_000_000,
+                 damp_num: int = 85, damp_den: int = 100,
+                 src: str = "src", dst: str = "dst", node: str = "node",
+                 num_buckets: int = 32) -> "ray.data.Dataset":
+    """Integer-exact PageRank over a directed edge table — link-graph
+    authority scoring (the page-quality prior of a web corpus) as an
+    iterative distributed computation whose every step is reproducible in
+    SQL (floor division only, no float drift; same discipline as
+    q_kmeans' integer sums).
+
+    Per node v: m_0 = ``base_mass``; m_{t+1}(v) =
+    ((1-d)·base_mass) + d·Σ_{u→v} floor(m_t(u) / outdeg(u)), with
+    d = damp_num/damp_den applied as ``damp_num·x // damp_den`` and the
+    teleport term ``(damp_den-damp_num)·base_mass // damp_den``. Dangling
+    nodes (outdeg 0) leak their damped mass — the standard simplification,
+    documented so the SQL twin matches.
+
+    Plan per iteration (the kmeans-loop shape, but with per-node state too
+    big to broadcast): (1) edges ⋈ masses on ``src`` — one partitioned
+    hash_join where the mass side is the NARROW (node, m) pair; (2)
+    vectorized contribution column m // outdeg; (3) groupby(dst).Sum —
+    in-mass per node; (4) union with zero-rows for every node + one more
+    narrow Sum groupby (= LEFT JOIN fill for nodes with no in-links); (5)
+    materialize() the new masses (consumed by the next round's join AND
+    re-read as input — CLAUDE.md lazy-re-execution trap). Driver holds NO
+    per-node state; each round ships only (node, int64) pairs.
+
+    ``edges`` must carry an ``outdeg`` column (join a groupby(src).Count
+    once, or supply it from the generator); ``nodes`` is one row per node.
+    """
+    from ray.data.aggregate import Sum
+
+    from engine.joins import hash_join
+
+    teleport = (damp_den - damp_num) * base_mass // damp_den
+
+    def init_mass(t: pa.Table) -> pa.Table:
+        return pa.table({
+            node: pc.cast(t[node], pa.int64()),
+            "m": pa.array(np.full(t.num_rows, base_mass, dtype=np.int64)),
+        })
+
+    zeros = nodes.map_batches(
+        lambda t: pa.table({
+            node: pc.cast(t[node], pa.int64()),
+            "in_m": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+        }),
+        batch_format="pyarrow").materialize()
+    masses = nodes.map_batches(init_mass, batch_format="pyarrow") \
+        .materialize()
+
+    for _ in range(max(1, iters)):
+        srcm = masses.map_batches(
+            lambda t: pa.table({src: t[node], "m": t["m"]}),
+            batch_format="pyarrow")
+        contrib = hash_join(edges, srcm, on=src,
+                            num_buckets=num_buckets).map_batches(
+            lambda t: pa.table({
+                node: pc.cast(t[dst], pa.int64()),
+                # if_else evaluates BOTH branches → clamp the divisor, zero
+                # the result (checked int division would raise on outdeg=0)
+                "in_m": pc.if_else(
+                    pc.greater(t["outdeg"], 0),
+                    pc.divide(t["m"], pc.max_element_wise(
+                        pc.cast(t["outdeg"], pa.int64()),
+                        pa.scalar(1, type=pa.int64()))),
+                    pa.scalar(0, type=pa.int64())),
+            }),
+            batch_format="pyarrow")
+        summed = (contrib.union(zeros)
+                  .groupby(node).aggregate(Sum("in_m", alias_name="in_m")))
+        masses = summed.map_batches(
+            lambda t: pa.table({
+                node: t[node],
+                "m": pc.add(
+                    pa.scalar(teleport, type=pa.int64()),
+                    pc.divide(pc.multiply(pc.cast(t["in_m"], pa.int64()),
+                                          pa.scalar(damp_num,
+                                                    type=pa.int64())),
+                              pa.scalar(damp_den, type=pa.int64()))),
+            }),
+            batch_format="pyarrow").materialize()
+    return masses

@@ -406,6 +406,44 @@ def bloom_semi_join(probe: "ray.data.Dataset", build: "ray.data.Dataset",
                      num_buckets=num_buckets)
 
 
+def snapshot_delta(old: "ray.data.Dataset", new: "ray.data.Dataset",
+                   on: str = "url", fingerprint: str = "fp",
+                   num_buckets: int = 32,
+                   status_col: str = "status") -> "ray.data.Dataset":
+    """Incremental-crawl diff of two corpus snapshots — classify every key
+    as ``new`` / ``deleted`` / ``changed`` / ``unchanged`` by comparing a
+    precomputed content fingerprint, so a recrawl pipeline reprocesses only
+    the changed slice instead of the full corpus.
+
+    Plan: project both sides to the NARROW (key, fingerprint) pair, one
+    partitioned FULL OUTER :func:`hash_join` (side-tagged single exchange —
+    document payloads never cross the wire), then a vectorized status CASE.
+    Contract: ``on`` is unique per side and ``fingerprint`` is non-null
+    (null fingerprints would read as missing-side).
+
+    Returns (``on``, fp_old, fp_new, ``status_col``) rows.
+    """
+    o = old.map_batches(
+        lambda t: pa.table({on: t[on], "fp_old": t[fingerprint]}),
+        batch_format="pyarrow")
+    n = new.map_batches(
+        lambda t: pa.table({on: t[on], "fp_new": t[fingerprint]}),
+        batch_format="pyarrow")
+    joined = hash_join(o, n, on=on, how="outer", num_buckets=num_buckets)
+
+    def classify(t: pa.Table) -> pa.Table:
+        fo, fn = t["fp_old"], t["fp_new"]
+        status = pc.if_else(
+            pc.is_null(fo), pa.scalar("new"),
+            pc.if_else(pc.is_null(fn), pa.scalar("deleted"),
+                       pc.if_else(pc.equal(fo, fn),
+                                  pa.scalar("unchanged"),
+                                  pa.scalar("changed"))))
+        return t.append_column(status_col, status)
+
+    return joined.map_batches(classify, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # Salted join: the hot-key survival kit. hash_join's documented partitioning
 # assumption is "a single bucket's rows fit in one worker's heap"; a key

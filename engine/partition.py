@@ -269,3 +269,62 @@ def global_shuffle(ds: "ray.data.Dataset", id_col: str = "doc_id",
                          rank_col=pos_col, lo_hi=(0.0, float(1 << 60)))
     return ranked.map_batches(lambda t: t.drop_columns(["__shufkey"]),
                               batch_format="pyarrow")
+
+
+def mix_corpora(sources: "dict[str, ray.data.Dataset]",
+                rates: dict[str, int], id_col: str = "doc_id",
+                salt: str = "mix", num_buckets: int = DEFAULT_BUCKETS,
+                pos_col: str = "mix_pos",
+                source_col: str = "source") -> "ray.data.Dataset":
+    """Deterministic weighted corpus mixing — the "blend web/books/code at
+    target proportions" step that precedes tokenization in a training-data
+    pipeline. Each named source keeps ``rates[name]`` % of its rows by
+    salted-md5 of the id (an independent draw per source: hash input
+    ``salt:name:id``), gets a ``source_col`` tag, and the union is assigned
+    a reproducible interleaved training order ``pos_col`` = rank of
+    md5(``salt:order:name:id``) — so the blend, like
+    :func:`global_shuffle`, is identical across runs/engines and stable
+    under corpus growth.
+
+    Plan: per-source vectorized filter (:func:`hash_sample` discipline, no
+    shuffle) + union; the only exchange is the compressed-key-domain rank
+    (engine.stats.global_rank), never a full-table sort. Sources may
+    overlap in ids — the order key includes the source name, so the mix
+    position is still a permutation.
+    """
+    from engine.stats import global_rank
+
+    md5 = hashlib.md5
+
+    def prep(name: str, pct: int):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t[id_col].to_pylist()
+            pcts = np.fromiter(
+                (int.from_bytes(
+                    md5(f"{salt}:{name}:{i}".encode()).digest()[:4],
+                    "big") % 100 for i in ids),
+                dtype=np.int64, count=t.num_rows)
+            kept = t.filter(pa.array(pcts < pct))
+            keys = np.fromiter(
+                (int(md5(f"{salt}:order:{name}:{i}".encode())
+                     .hexdigest()[:15], 16)
+                 for i in kept[id_col].to_pylist()),
+                dtype=np.int64, count=kept.num_rows)
+            return (kept.append_column(
+                source_col, pa.array([name] * kept.num_rows,
+                                     type=pa.string()))
+                    .append_column("__mixkey",
+                                   pa.array(keys, type=pa.int64())))
+
+        return f
+
+    parts = [ds.map_batches(prep(name, rates[name]),
+                            batch_format="pyarrow")
+             for name, ds in sources.items()]
+    unioned = parts[0]
+    for p in parts[1:]:
+        unioned = unioned.union(p)
+    ranked = global_rank(unioned, "__mixkey", num_buckets=num_buckets,
+                         rank_col=pos_col, lo_hi=(0.0, float(1 << 60)))
+    return ranked.map_batches(lambda t: t.drop_columns(["__mixkey"]),
+                              batch_format="pyarrow")

@@ -1057,6 +1057,30 @@ def kll_quantiles(ds: "ray.data.Dataset", col: str, qs: "list[float]",
     return list(zip(qs, kll_quantile_values(levels, qs)))
 
 
+def filter_by_quantile(ds: "ray.data.Dataset", col: str, q: float,
+                       k: int = KLL_DEFAULT_K, keep: str = "ge",
+                       num_buckets: int = 32) -> "ray.data.Dataset":
+    """Quantile-threshold filter driven by the KLL sketch — the "keep only
+    docs above the p75 quality score" gate of a corpus pipeline, where the
+    threshold is a GLOBAL corpus statistic no single worker can see. Two
+    inherent streaming passes: (1) the mergeable sketch pass computes the
+    q-quantile (driver holds one bounded summary, never rows), (2) the
+    scalar threshold rides the filter pass's task closure (no broadcast
+    machinery needed for 8 bytes). ``keep`` ∈ ge|le.
+
+    Pass a RE-READABLE input (read_parquet → cheap maps): a Dataset is
+    lazy, so both passes re-execute its upstream — materialize() it first
+    if that upstream is expensive (CLAUDE.md lazy-re-execution trap).
+    """
+    thr = kll_quantiles(ds, col, [q], k=k, num_buckets=num_buckets)[0][1]
+    op = pc.greater_equal if keep == "ge" else pc.less_equal
+
+    def flt(t: pa.Table) -> pa.Table:
+        return t.filter(op(t[col], pa.scalar(thr, type=pa.float64())))
+
+    return ds.map_batches(flt, batch_format="pyarrow")
+
+
 def kll_partials_by_key(ds: "ray.data.Dataset", key_col: str, col: str,
                         k: int = KLL_DEFAULT_K, num_buckets: int = 32,
                         ) -> "ray.data.Dataset":

@@ -1051,4 +1051,16 @@ m3 AS (SELECT m2.node,
               CAST(150000 + 85 * coalesce(s3.in_m, 0) // 100 AS BIGINT) AS m
        FROM m2 LEFT JOIN s3 USING (node))
 SELECT node AS doc_id, m AS mass FROM m3""",
+        "shard_pack": r"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT)
+           AS n_tokens,
+         CAST('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)),
+              1, 15) AS BIGINT) AS k
+  FROM documents)
+SELECT doc_id, n_tokens,
+       (CAST(sum(n_tokens) OVER (ORDER BY k) AS BIGINT) - n_tokens)
+         // 2000 AS shard_id
+FROM t""",
     }

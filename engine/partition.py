@@ -328,3 +328,80 @@ def mix_corpora(sources: "dict[str, ray.data.Dataset]",
                          rank_col=pos_col, lo_hi=(0.0, float(1 << 60)))
     return ranked.map_batches(lambda t: t.drop_columns(["__mixkey"]),
                               batch_format="pyarrow")
+
+
+def pack_shards(ds: "ray.data.Dataset", weight_col: str,
+                id_col: str = "doc_id", shard_weight: int = 1 << 24,
+                salt: str = "shard", num_buckets: int = 32,
+                shard_col: str = "shard_id") -> "ray.data.Dataset":
+    """Equal-weight output sharding — assign every row the training shard
+    it starts in when the corpus is laid out in reproducible shuffle order
+    and filled greedily to ``shard_weight`` (token) units per shard: the
+    "write ~equal-token files" endgame after corpus-prep, so no output
+    shard is 100× another and loaders stream uniformly.
+
+    shard_id = (exclusive prefix sum of ``weight_col`` in md5(salt:id)
+    order) // shard_weight — i.e. SQL ``(sum(w) OVER (ORDER BY key) - w)
+    // S``, but computed WITHOUT a global sort:
+
+    (1) attach the 60-bit order key + its RANGE bucket (keys are uniform,
+        so fixed uniform cuts balance; monotone float bucketing keeps the
+        range property) and materialize once (both passes read it — the
+        lazy-re-execution discipline);
+    (2) narrow (bucket, w) per-block pre-agg → groupby-Sum → the driver
+        exclusive-prefix-sums ``num_buckets`` scalars (never rows);
+    (3) ONE bucketed exchange of the data rows; each bucket sorts by key
+        vectorized, cumsums, adds its bucket offset.
+
+    Rows cross the wire once — inherent, the assignment IS an output
+    re-layout; at scale write shards directly from the bucketed pass.
+    """
+    from ray.data.aggregate import Sum
+
+    from engine.joins import _coalesced
+
+    md5 = hashlib.md5
+
+    def add_key(t: pa.Table) -> pa.Table:
+        keys = np.fromiter(
+            (int(md5(f"{salt}:{i}".encode()).hexdigest()[:15], 16)
+             for i in t[id_col].to_pylist()),
+            dtype=np.int64, count=t.num_rows)
+        b = np.minimum((keys.astype(np.float64) / float(1 << 60)
+                        * num_buckets).astype(np.int64), num_buckets - 1)
+        return (t.append_column("__key", pa.array(keys, type=pa.int64()))
+                .append_column("__bucket", pa.array(b, type=pa.int32())))
+
+    keyed = ds.map_batches(add_key, batch_format="pyarrow").materialize()
+
+    totals_rows = (keyed.map_batches(
+        lambda t: pa.table({
+            "__bucket": t["__bucket"],
+            "w": pc.cast(t[weight_col], pa.int64())}),
+        batch_format="pyarrow")
+        .groupby("__bucket").aggregate(Sum("w", alias_name="w"))
+        .take_all())
+    totals = np.zeros(num_buckets, dtype=np.int64)
+    for r in totals_rows:
+        totals[r["__bucket"]] = r["w"]
+    offsets = np.concatenate([[0], np.cumsum(totals)[:-1]])
+
+    def assign(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return g.append_column(shard_col,
+                                   pa.array([], type=pa.int64()))
+        off = int(offsets[g["__bucket"][0].as_py()])
+        order = np.argsort(g["__key"].to_numpy(zero_copy_only=False),
+                           kind="stable")
+        g = g.take(pa.array(order))
+        w = g[weight_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        start = off + np.cumsum(w) - w
+        return g.append_column(
+            shard_col, pa.array(start // shard_weight, type=pa.int64()))
+
+    out = (_coalesced(keyed, num_buckets, "auto")
+           .groupby("__bucket")
+           .map_groups(assign, batch_format="pyarrow"))
+    return out.map_batches(
+        lambda t: t.drop_columns(["__key", "__bucket"]),
+        batch_format="pyarrow")

@@ -2264,6 +2264,26 @@ def q_crawl_delta(sf_dir: str):
     return delta.select_columns(["url", "status"])
 
 
+def q_shard_pack(sf_dir: str):
+    """Equal-weight output sharding (engine.partition.pack_shards):
+    documents' real token counts, greedy 2000-token shards in md5-shuffle
+    order, computed with NO global sort (bucket totals → driver prefix of
+    num_buckets scalars → one bucketed exchange). DuckDB twin: the window
+    cumsum (sum OVER (ORDER BY the 60-bit md5 key) - w) // 2000, CAST
+    AS BIGINT per the HUGEINT rule."""
+    from engine.partition import pack_shards
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def count_tokens(t: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(t["text"], pattern=r"\S+")
+        return pa.table({"doc_id": t["doc_id"],
+                         "n_tokens": pc.cast(n, pa.int64())})
+
+    scored = docs.map_batches(count_tokens, batch_format="pyarrow")
+    return pack_shards(scored, "n_tokens", shard_weight=2000, salt="shard")
+
+
 def q_pagerank(sf_dir: str):
     """Integer-exact PageRank (engine.graph.pagerank_int) over a planted
     link graph: node = doc_id (0..n-1 contiguous), every node links to
@@ -2317,6 +2337,7 @@ QUERIES = {
     "quantile_filter": q_quantile_filter,
     "crawl_delta": q_crawl_delta,
     "pagerank": q_pagerank,
+    "shard_pack": q_shard_pack,
     "heavy_hitters": q_heavy_hitters,
     "kmeans": q_kmeans,
     "hll_merged": q_hll_merged,
@@ -2362,11 +2383,11 @@ QUERIES = {
     "strip_lines": q_strip_lines,
     "dense_rank": q_dense_rank,
     "bloom_users": q_bloom_users,
-    "fuzzy_decontam": q_fuzzy_decontam,
     # --- below this line: driver-green in CORRECTNESS_r0{1,2,3}.json and
     # untouched since, judge-re-verified in round 3, or subsumed by a window
     # composite (hll_merged); scripts/check_oracle.py still verifies every
     # entry ---
+    "fuzzy_decontam": q_fuzzy_decontam,
     "strip_spans": q_strip_spans,
     "running_total": q_running_total,
     "audience_overlap": q_audience_overlap,

@@ -155,3 +155,50 @@ def test_pagerank_no_inlinks_gets_teleport(ray_session):
     assert got[2] == 150_000
     # node 0 receives from 1 (1e6/1) and 2 (1e6/1)
     assert got[0] == 150_000 + 85 * 2_000_000 // 100
+
+
+# -------------------------------------------------------------- pack_shards
+
+def test_pack_shards_matches_window_cumsum(ray_session):
+    from engine.partition import pack_shards
+
+    rng = np.random.RandomState(9)
+    n = 2000
+    w = rng.randint(1, 400, n).astype(np.int64)
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "w": pa.array(w)})).repartition(7)
+    got = {r["doc_id"]: r["shard_id"]
+           for r in pack_shards(ds, "w", shard_weight=1500).take_all()}
+
+    # driver reference: exclusive prefix sum in md5('shard:'||id) order
+    keys = np.array([int(hashlib.md5(f"shard:{i}".encode())
+                         .hexdigest()[:15], 16) for i in range(n)])
+    order = np.argsort(keys)
+    start = np.cumsum(w[order]) - w[order]
+    ref = dict(zip(np.arange(n)[order].tolist(),
+                   (start // 1500).tolist()))
+    assert got == ref
+    # shards are contiguous 0..max and every shard except maybe the last
+    # holds >= shard_weight - max(w) weight (greedy fill property)
+    sizes = {}
+    for i, s in got.items():
+        sizes[s] = sizes.get(s, 0) + int(w[i])
+    assert set(sizes) == set(range(max(sizes) + 1))
+    for s, tot in sizes.items():
+        if s != max(sizes):
+            assert tot >= 1500 - 400
+
+
+def test_pack_shards_parallelism_invariant(ray_session):
+    from engine.partition import pack_shards
+
+    w = np.arange(1, 301, dtype=np.int64)
+    t = pa.table({"doc_id": pa.array(np.arange(300, dtype=np.int64)),
+                  "w": pa.array(w)})
+    a = {r["doc_id"]: r["shard_id"] for r in pack_shards(
+        rd.from_arrow(t), "w", shard_weight=900).take_all()}
+    b = {r["doc_id"]: r["shard_id"] for r in pack_shards(
+        rd.from_arrow(t).repartition(11), "w", shard_weight=900,
+        num_buckets=5).take_all()}
+    assert a == b

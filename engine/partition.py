@@ -248,13 +248,12 @@ def global_shuffle(ds: "ray.data.Dataset", id_col: str = "doc_id",
 
     Plan: one vectorized-batch key pass (same md5 discipline as
     ``stable_split_batch``; 60-bit hex slice — the engine.stats sketch
-    keying) + :func:`engine.stats.global_rank` with a constant covering
-    ``lo_hi`` — so the exchange carries the compressed key domain, never a
-    full-table sort. SQL twin: rank() OVER (ORDER BY CAST('0x' ||
+    keying) + :func:`_attach_rank_unique` — shuffle keys are unique and
+    uniform, so rank = bucketed prefix COUNT (driver prefix over
+    num_buckets scalars + one bucketed exchange), never a full-table sort
+    and no rank join. SQL twin: rank() OVER (ORDER BY CAST('0x' ||
     substr(md5(salt||':'||id),1,15) AS BIGINT)).
     """
-    from engine.stats import global_rank
-
     md5 = hashlib.md5
 
     def add_key(t: pa.Table) -> pa.Table:
@@ -265,10 +264,59 @@ def global_shuffle(ds: "ray.data.Dataset", id_col: str = "doc_id",
         return t.append_column("__shufkey", pa.array(keys, type=pa.int64()))
 
     keyed = ds.map_batches(add_key, batch_format="pyarrow")
-    ranked = global_rank(keyed, "__shufkey", num_buckets=num_buckets,
-                         rank_col=pos_col, lo_hi=(0.0, float(1 << 60)))
+    ranked = _attach_rank_unique(keyed, "__shufkey", pos_col, num_buckets)
     return ranked.map_batches(lambda t: t.drop_columns(["__shufkey"]),
                               batch_format="pyarrow")
+
+
+def _attach_rank_unique(keyed: "ray.data.Dataset", key_col: str,
+                        pos_col: str, num_buckets: int,
+                        ) -> "ray.data.Dataset":
+    """Attach ``pos_col`` = 1-based rank of ``key_col`` for UNIQUE uniform
+    60-bit keys (salted-md5 shuffle/mix keys) — the cheap path where
+    global_rank's generic machinery (distinct-count exchange + rank
+    hash_join) is overkill: range-bucket the rows, Count per bucket →
+    driver exclusive prefix over ``num_buckets`` scalars, ONE bucketed
+    exchange with per-bucket vectorized argsort + arange (the pack_shards
+    shape with unit weights). Precondition: keys unique in [0, 2^60) —
+    a 60-bit md5 collision is ~n²/2^61 and the SQL oracle would catch it.
+    """
+    from ray.data.aggregate import Count
+
+    from engine.joins import _coalesced
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        k = t[key_col].to_numpy(zero_copy_only=False)
+        b = np.minimum((k.astype(np.float64) / float(1 << 60)
+                        * num_buckets).astype(np.int64), num_buckets - 1)
+        return t.append_column("__bucket", pa.array(b, type=pa.int32()))
+
+    # consumed by the totals pass AND the assign exchange (lazy-re-exec)
+    bucketed = keyed.map_batches(add_bucket,
+                                 batch_format="pyarrow").materialize()
+    totals_rows = (bucketed.map_batches(
+        lambda t: t.select(["__bucket"]), batch_format="pyarrow")
+        .groupby("__bucket").aggregate(Count(alias_name="n")).take_all())
+    totals = np.zeros(num_buckets, dtype=np.int64)
+    for r in totals_rows:
+        totals[r["__bucket"]] = r["n"]
+    offsets = np.concatenate([[0], np.cumsum(totals)[:-1]])
+
+    def assign(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return g.append_column(pos_col, pa.array([], type=pa.int64()))
+        off = int(offsets[g["__bucket"][0].as_py()])
+        order = np.argsort(g[key_col].to_numpy(zero_copy_only=False),
+                           kind="stable")
+        g = g.take(pa.array(order))
+        return g.append_column(
+            pos_col,
+            pa.array(off + np.arange(1, g.num_rows + 1, dtype=np.int64)))
+
+    out = (_coalesced(bucketed, num_buckets, "auto")
+           .groupby("__bucket").map_groups(assign, batch_format="pyarrow"))
+    return out.map_batches(lambda t: t.drop_columns(["__bucket"]),
+                           batch_format="pyarrow")
 
 
 def mix_corpora(sources: "dict[str, ray.data.Dataset]",
@@ -324,8 +372,7 @@ def mix_corpora(sources: "dict[str, ray.data.Dataset]",
     unioned = parts[0]
     for p in parts[1:]:
         unioned = unioned.union(p)
-    ranked = global_rank(unioned, "__mixkey", num_buckets=num_buckets,
-                         rank_col=pos_col, lo_hi=(0.0, float(1 << 60)))
+    ranked = _attach_rank_unique(unioned, "__mixkey", pos_col, num_buckets)
     return ranked.map_batches(lambda t: t.drop_columns(["__mixkey"]),
                               batch_format="pyarrow")
 

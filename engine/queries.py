@@ -2070,7 +2070,10 @@ def q_global_shuffle(sf_dir: str):
     from engine.partition import global_shuffle
 
     docs = _read(sf_dir, "documents", ["doc_id"])
-    return global_shuffle(docs, "doc_id").select_columns(
+    # bucket count sized to the table (global_rank pays ~3 map_groups
+    # stages per bucket wave): 16 for the 5k-row fixture; at corpus scale
+    # pass hundreds — cost per bucket is constant, capacity scales
+    return global_shuffle(docs, "doc_id", num_buckets=16).select_columns(
         ["doc_id", "shuffle_pos"])
 
 
@@ -2193,7 +2196,8 @@ def q_mix_corpora(sf_dir: str):
         "books": docs.map_batches(part(1), batch_format="pyarrow"),
         "code": docs.map_batches(part(2), batch_format="pyarrow"),
     }
-    mixed = mix_corpora(sources, {"web": 80, "books": 50, "code": 25})
+    mixed = mix_corpora(sources, {"web": 80, "books": 50, "code": 25},
+                        num_buckets=16)
     return mixed.select_columns(["doc_id", "source", "mix_pos"])
 
 
@@ -2313,7 +2317,7 @@ def q_pagerank(sf_dir: str):
     edges = docs.map_batches(mk_edges, batch_format="pyarrow").materialize()
     nodes = docs.map_batches(
         lambda t: pa.table({"node": t["doc_id"]}), batch_format="pyarrow")
-    masses = pagerank_int(edges, nodes, iters=3)
+    masses = pagerank_int(edges, nodes, iters=3, n_nodes=n)
     return masses.map_batches(
         lambda t: pa.table({"doc_id": t["node"], "mass": t["m"]}),
         batch_format="pyarrow")

@@ -138,11 +138,14 @@ def test_pagerank_matches_integer_reference(ray_session):
         for _ in range(int(rng.randint(1, 4))):
             edges.append((i, int(rng.randint(0, n))))
     ref = _pagerank_ref(edges, n)
-    nodes = _ids_ds(range(n), col="node", parts=3)
-    got = pagerank_int(_edges_ds(edges, n), nodes, iters=3)
-    rows = {r["node"]: r["m"] for r in got.take_all()}
-    assert len(rows) == n
-    assert all(rows[i] == ref[i] for i in range(n))
+    # broadcast plan (default gate) AND forced distributed join plan must
+    # both equal the integer reference (the size-gate discipline)
+    for kw in ({}, {"driver_node_max": 0}):
+        nodes = _ids_ds(range(n), col="node", parts=3)
+        got = pagerank_int(_edges_ds(edges, n), nodes, iters=3, **kw)
+        rows = {r["node"]: r["m"] for r in got.take_all()}
+        assert len(rows) == n
+        assert all(rows[i] == ref[i] for i in range(n)), kw
 
 
 def test_pagerank_no_inlinks_gets_teleport(ray_session):

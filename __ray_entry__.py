@@ -1063,4 +1063,22 @@ SELECT doc_id, n_tokens,
        (CAST(sum(n_tokens) OVER (ORDER BY k) AS BIGINT) - n_tokens)
          // 2000 AS shard_id
 FROM t""",
+        "profile": """
+WITH p AS (
+  SELECT user_id, event_type,
+         CASE WHEN event_id % 11 = 0 THEN NULL
+              ELSE CAST(value AS DOUBLE) END AS value_n
+  FROM events)
+SELECT 'user_id' AS col, count(*) AS n,
+       CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null,
+       count(DISTINCT user_id) AS n_distinct FROM p
+UNION ALL
+SELECT 'event_type', count(*),
+       CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       count(DISTINCT event_type) FROM p
+UNION ALL
+SELECT 'value_n', count(*),
+       CAST(sum(CASE WHEN value_n IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       count(DISTINCT value_n) FROM p""",
     }

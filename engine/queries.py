@@ -2288,6 +2288,31 @@ def q_shard_pack(sf_dir: str):
     return pack_shards(scored, "n_tokens", shard_weight=2000, salt="shard")
 
 
+def q_profile(sf_dir: str):
+    """Column profiler (engine.stats.profile_columns — SUMMARIZE): per
+    column (n, n_null, n_distinct) over a planted null-bearing events
+    projection (value NULLed where event_id % 11 == 0). One narrow stats
+    pass + per-column domain exchanges. DuckDB twin: three UNION ALL
+    count / count-null / count(DISTINCT) branches."""
+    from engine.stats import profile_columns
+
+    events = _read(sf_dir, "events",
+                   ["event_id", "user_id", "event_type", "value"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        e = t["event_id"]
+        mod11 = pc.subtract(e, pc.multiply(pc.divide(e, 11), 11))
+        vn = pc.if_else(pc.equal(mod11, 0),
+                        pa.scalar(None, type=pa.float64()),
+                        pc.cast(t["value"], pa.float64()))
+        return pa.table({"user_id": t["user_id"],
+                         "event_type": t["event_type"],
+                         "value_n": vn})
+
+    planted = events.map_batches(plant, batch_format="pyarrow")
+    return profile_columns(planted, ["user_id", "event_type", "value_n"])
+
+
 def q_pagerank(sf_dir: str):
     """Integer-exact PageRank (engine.graph.pagerank_int) over a planted
     link graph: node = doc_id (0..n-1 contiguous), every node links to
@@ -2342,6 +2367,7 @@ QUERIES = {
     "crawl_delta": q_crawl_delta,
     "pagerank": q_pagerank,
     "shard_pack": q_shard_pack,
+    "profile": q_profile,
     "heavy_hitters": q_heavy_hitters,
     "kmeans": q_kmeans,
     "hll_merged": q_hll_merged,
@@ -2386,11 +2412,11 @@ QUERIES = {
     "normalize_urls": q_normalize_urls,
     "strip_lines": q_strip_lines,
     "dense_rank": q_dense_rank,
-    "bloom_users": q_bloom_users,
     # --- below this line: driver-green in CORRECTNESS_r0{1,2,3}.json and
     # untouched since, judge-re-verified in round 3, or subsumed by a window
     # composite (hll_merged); scripts/check_oracle.py still verifies every
     # entry ---
+    "bloom_users": q_bloom_users,
     "fuzzy_decontam": q_fuzzy_decontam,
     "strip_spans": q_strip_spans,
     "running_total": q_running_total,

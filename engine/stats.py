@@ -477,6 +477,55 @@ def acero_counts(t: pa.Table, key_cols: "list[str]", out_col: str = "n"
         len(key_cols), out_col, pc.cast(g.column(len(key_cols)), pa.int64()))
 
 
+def profile_columns(ds: "ray.data.Dataset", cols: "list[str]",
+                    num_buckets: int = 16) -> pa.Table:
+    """Column profiler (SUMMARIZE): one narrow (column, n, n_null) stats
+    pass + one exact-distinct exchange per column — the "what is in this
+    table" first step of onboarding a new corpus drop. Returns one row per
+    profiled column: (column, n, n_null, n_distinct), SQL-twin
+    count(*) / count(*) FILTER (x IS NULL) / count(DISTINCT x).
+
+    Plan: the stats pass ships 2 ints per (block, column); each distinct
+    count is a per-block Acero pre-agg (repeats collapse before the wire)
+    → groupby → Count of groups, i.e. the value DOMAIN crosses the wire,
+    never the rows. At unbounded cardinality swap the distinct pass for
+    :func:`hll_registers` (documented approximation path).
+    """
+    from engine.joins import _coalesced
+
+    def stats_pass(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "col": pa.array(list(cols), type=pa.string()),
+            "n": pa.array([t.num_rows] * len(cols), type=pa.int64()),
+            "n_null": pa.array([t[c].null_count for c in cols],
+                               type=pa.int64()),
+        })
+
+    base = {r["col"]: (r["n"], r["n_null"]) for r in
+            (ds.map_batches(stats_pass, batch_format="pyarrow")
+             .groupby("col")
+             .aggregate(Sum("n", alias_name="n"),
+                        Sum("n_null", alias_name="n_null"))
+             .take_all())}
+
+    distinct: dict[str, int] = {}
+    for c in cols:
+        # count(DISTINCT x) semantics: nulls excluded
+        dom = _coalesced(ds.map_batches(
+            lambda t, c=c: acero_counts(t.filter(pc.is_valid(t[c])), [c]),
+            batch_format="pyarrow"), num_buckets, "auto") \
+            .groupby(c).aggregate(Count(alias_name="__g"))
+        distinct[c] = dom.count()
+
+    return pa.table({
+        "col": pa.array(list(cols), type=pa.string()),
+        "n": pa.array([base[c][0] for c in cols], type=pa.int64()),
+        "n_null": pa.array([base[c][1] for c in cols], type=pa.int64()),
+        "n_distinct": pa.array([distinct[c] for c in cols],
+                               type=pa.int64()),
+    })
+
+
 def hll_registers(ds: "ray.data.Dataset", col: str, m: int = 256,
                   method: str = "md5", num_buckets: int = 32
                   ) -> "ray.data.Dataset":

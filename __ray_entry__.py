@@ -1081,4 +1081,10 @@ UNION ALL
 SELECT 'value_n', count(*),
        CAST(sum(CASE WHEN value_n IS NULL THEN 1 ELSE 0 END) AS BIGINT),
        count(DISTINCT value_n) FROM p""",
+        "range_partition": """
+WITH v AS (SELECT event_id, event_id % 7 AS val FROM events),
+c AS (SELECT unnest(quantile_disc(val, [0.25, 0.5, 0.75])) AS cut FROM v)
+SELECT event_id, val,
+       CAST((SELECT count(*) FROM c WHERE c.cut < v.val) AS BIGINT) AS part
+FROM v""",
     }

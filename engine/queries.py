@@ -2288,6 +2288,28 @@ def q_shard_pack(sf_dir: str):
     return pack_shards(scored, "n_tokens", shard_weight=2000, salt="shard")
 
 
+def q_range_partition(sf_dir: str):
+    """Sketch-driven balanced range partitioner
+    (engine.stats.range_partition): cuts = KLL quartiles of the planted
+    val = event_id % 7 (runs keep every target rank ≥3 % from a boundary
+    while the k=1024 bound is <1 % — the quantile_sketch discipline), one
+    searchsorted map attaches part = #{cuts < val}. DuckDB twin: count of
+    quantile_disc cuts below the value."""
+    from engine.stats import range_partition
+
+    events = _read(sf_dir, "events", ["event_id"])
+    planted = events.map_batches(
+        lambda t: pa.table({
+            "event_id": t["event_id"],
+            "val": pc.cast(pc.subtract(
+                t["event_id"],
+                pc.multiply(pc.divide(t["event_id"], 7), 7)), pa.int64()),
+        }),
+        batch_format="pyarrow")
+    out = range_partition(planted, "val", num_parts=4, k=1024)
+    return out.select_columns(["event_id", "val", "part"])
+
+
 def q_profile(sf_dir: str):
     """Column profiler (engine.stats.profile_columns — SUMMARIZE): per
     column (n, n_null, n_distinct) over a planted null-bearing events
@@ -2368,6 +2390,7 @@ QUERIES = {
     "pagerank": q_pagerank,
     "shard_pack": q_shard_pack,
     "profile": q_profile,
+    "range_partition": q_range_partition,
     "heavy_hitters": q_heavy_hitters,
     "kmeans": q_kmeans,
     "hll_merged": q_hll_merged,
@@ -2411,11 +2434,11 @@ QUERIES = {
     "cap_per_source": q_cap_per_source,
     "normalize_urls": q_normalize_urls,
     "strip_lines": q_strip_lines,
-    "dense_rank": q_dense_rank,
     # --- below this line: driver-green in CORRECTNESS_r0{1,2,3}.json and
     # untouched since, judge-re-verified in round 3, or subsumed by a window
     # composite (hll_merged); scripts/check_oracle.py still verifies every
     # entry ---
+    "dense_rank": q_dense_rank,
     "bloom_users": q_bloom_users,
     "fuzzy_decontam": q_fuzzy_decontam,
     "strip_spans": q_strip_spans,

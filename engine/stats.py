@@ -1106,6 +1106,35 @@ def kll_quantiles(ds: "ray.data.Dataset", col: str, qs: "list[float]",
     return list(zip(qs, kll_quantile_values(levels, qs)))
 
 
+def range_partition(ds: "ray.data.Dataset", col: str, num_parts: int,
+                    k: int = KLL_DEFAULT_K, part_col: str = "part",
+                    num_buckets: int = 32) -> "ray.data.Dataset":
+    """Sketch-driven balanced RANGE partitioner — assign every row the
+    range partition it belongs to when cut points are the corpus
+    i/num_parts quantiles, WITHOUT the sampling sort Ray's sort runs: one
+    mergeable-KLL pass yields the cuts (driver holds num_parts-1 floats),
+    one vectorized searchsorted map attaches ``part_col`` =
+    #{cuts < value}. The "equal-rows range layout" step before a ranged
+    write or merge join; equal values always co-locate (they compare to
+    the cuts identically). Two streaming passes — pass a re-readable or
+    materialized input (the filter_by_quantile contract).
+    """
+    import numpy as np
+
+    qs = [i / num_parts for i in range(1, num_parts)]
+    cuts = np.array([v for _, v in kll_quantiles(ds, col, qs, k=k,
+                                                 num_buckets=num_buckets)],
+                    dtype=np.float64)
+
+    def assign(t: pa.Table) -> pa.Table:
+        v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        part = np.searchsorted(cuts, v, side="left")
+        return t.append_column(part_col,
+                               pa.array(part.astype(np.int64)))
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
 def filter_by_quantile(ds: "ray.data.Dataset", col: str, q: float,
                        k: int = KLL_DEFAULT_K, keep: str = "ge",
                        num_buckets: int = 32) -> "ray.data.Dataset":

@@ -205,3 +205,27 @@ def test_pack_shards_parallelism_invariant(ray_session):
         rd.from_arrow(t).repartition(11), "w", shard_weight=900,
         num_buckets=5).take_all()}
     assert a == b
+
+
+# ---------------------------------------------------------- range_partition
+
+def test_range_partition_balanced_and_colocated(ray_session):
+    from engine.stats import range_partition
+
+    rng = np.random.RandomState(13)
+    vals = np.repeat(np.arange(7), 1000)
+    rng.shuffle(vals)
+    ds = rd.from_arrow(pa.table({
+        "id": pa.array(np.arange(7000, dtype=np.int64)),
+        "v": pa.array(vals.astype(np.int64))})).repartition(5)
+    out = range_partition(ds, "v", num_parts=4, k=1024).take_all()
+    parts = {r["v"]: set() for r in out}
+    for r in out:
+        parts[r["v"]].add(r["part"])
+    # equal values co-locate in exactly one partition
+    assert all(len(s) == 1 for s in parts.values())
+    # cuts are the exact quartiles of the planted runs (sketch exact):
+    # quantile_disc ranks 1750/3500/5250 -> values 1, 3, 5 -> parts
+    # {0,1}->0, {2,3}->1, {4,5}->2, {6}->3
+    want = {0: 0, 1: 0, 2: 1, 3: 1, 4: 2, 5: 2, 6: 3}
+    assert {v: s.pop() for v, s in parts.items()} == want

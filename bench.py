@@ -186,6 +186,10 @@ def run_bench() -> dict:
                                              if t > 0), 1)
         out["queries_n"] = len(qtimes)
         out["queries_full_file"] = "BENCH_QUERIES_last.json"
+        # failures (-1.0 markers) must survive the line bounding — a driver
+        # reading only stdout must not see an all-green bench
+        out["queries_failed"] = sorted(
+            k for k, t in qtimes.items() if t < 0)
         slowest = sorted(qtimes.items(), key=lambda kv: -kv[1])[:25]
         out["queries"] = dict(sorted(slowest))
     return out

@@ -38,9 +38,10 @@ def _assign(vecs: np.ndarray, cents: np.ndarray) -> np.ndarray:
 
 
 def _unit_rows(m: np.ndarray) -> np.ndarray:
-    norms = np.linalg.norm(m, axis=1, keepdims=True)
-    norms[norms == 0] = 1.0
-    return m / norms
+    # one normalization-with-zero-guard invariant across the vector family
+    from engine.similarity import _normalize
+
+    return _normalize(m)
 
 
 def kmeans_iterate(ds: "ray.data.Dataset", init_centroids: np.ndarray,

@@ -216,9 +216,11 @@ def _pagerank_broadcast(edges, nodes, iters, base_mass, teleport,
 
     from engine.broadcast import get_broadcast
 
-    ids = np.sort(np.fromiter(
-        (r[node] for r in nodes.select_columns([node]).take_all()),
-        dtype=np.int64))
+    id_chunks = [b[node].to_numpy(zero_copy_only=False).astype(np.int64)
+                 for b in nodes.select_columns([node])
+                 .iter_batches(batch_format="pyarrow")]
+    ids = np.sort(np.concatenate(id_chunks)
+                  if id_chunks else np.empty(0, dtype=np.int64))
     m = np.full(len(ids), base_mass, dtype=np.int64)
 
     for _ in range(max(1, iters)):
@@ -237,13 +239,14 @@ def _pagerank_broadcast(edges, nodes, iters, base_mass, teleport,
             return pa.table({node: pa.array(uniq),
                              "in_m": pa.array(sums)})
 
+        # stream the per-block partials to the driver batch-wise (never a
+        # take_all of Python row dicts — partial count scales with edge
+        # blocks × distinct dst, not n_nodes) and merge vectorized
         in_m = np.zeros(len(ids), dtype=np.int64)
-        rows = edges.map_batches(partial, batch_format="pyarrow").take_all()
-        if rows:
-            rn = np.fromiter((r[node] for r in rows), dtype=np.int64,
-                             count=len(rows))
-            rv = np.fromiter((r["in_m"] for r in rows), dtype=np.int64,
-                             count=len(rows))
+        for b in edges.map_batches(partial, batch_format="pyarrow") \
+                .iter_batches(batch_format="pyarrow"):
+            rn = b[node].to_numpy(zero_copy_only=False).astype(np.int64)
+            rv = b["in_m"].to_numpy(zero_copy_only=False).astype(np.int64)
             np.add.at(in_m, np.searchsorted(ids, rn), rv)
         m = teleport + damp_num * in_m // damp_den
 

@@ -335,13 +335,11 @@ def mix_corpora(sources: "dict[str, ray.data.Dataset]",
     under corpus growth.
 
     Plan: per-source vectorized filter (:func:`hash_sample` discipline, no
-    shuffle) + union; the only exchange is the compressed-key-domain rank
-    (engine.stats.global_rank), never a full-table sort. Sources may
-    overlap in ids — the order key includes the source name, so the mix
-    position is still a permutation.
+    shuffle) + union; the only exchange is :func:`_attach_rank_unique`'s
+    bucketed prefix count over the unique order keys — never a full-table
+    sort, no rank join. Sources may overlap in ids — the order key
+    includes the source name, so the mix position is still a permutation.
     """
-    from engine.stats import global_rank
-
     md5 = hashlib.md5
 
     def prep(name: str, pct: int):

@@ -2070,9 +2070,10 @@ def q_global_shuffle(sf_dir: str):
     from engine.partition import global_shuffle
 
     docs = _read(sf_dir, "documents", ["doc_id"])
-    # bucket count sized to the table (global_rank pays ~3 map_groups
-    # stages per bucket wave): 16 for the 5k-row fixture; at corpus scale
-    # pass hundreds — cost per bucket is constant, capacity scales
+    # bucket count sized to the table (_attach_rank_unique runs one
+    # map_groups assign call + one Count row per bucket): 16 for the
+    # 5k-row fixture; at corpus scale pass hundreds — cost per bucket is
+    # constant, capacity scales
     return global_shuffle(docs, "doc_id", num_buckets=16).select_columns(
         ["doc_id", "shuffle_pos"])
 

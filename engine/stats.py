@@ -493,6 +493,10 @@ def profile_columns(ds: "ray.data.Dataset", cols: "list[str]",
     """
     from engine.joins import _coalesced
 
+    # consumed 1 + len(cols) times below — pin the upstream once
+    # (CLAUDE.md lazy-re-execution trap)
+    ds = ds.materialize()
+
     def stats_pass(t: pa.Table) -> pa.Table:
         return pa.table({
             "col": pa.array(list(cols), type=pa.string()),

@@ -33,7 +33,7 @@ def _gunzip_members(data: bytes) -> bytes:
     if not data.startswith(b"\x1f\x8b"):
         return data
     out = bytearray()
-    while data:
+    while data.startswith(b"\x1f\x8b"):  # tolerate trailing pad/garbage
         d = zlib.decompressobj(wbits=31)
         out += d.decompress(data)
         out += d.flush()

@@ -216,12 +216,23 @@ def run_extraction(
         for pid, files in todo:
             run_partition(pid, files)
     else:
-        from concurrent.futures import ThreadPoolExecutor
+        from concurrent.futures import (FIRST_EXCEPTION, ThreadPoolExecutor,
+                                        wait)
 
         with ThreadPoolExecutor(max_workers=max_in_flight) as pool:
-            # list() re-raises the first partition failure (fail fast, the
-            # sequential behavior); completed partitions stay committed
-            list(pool.map(lambda a: run_partition(*a), todo))
+            # fail fast like the sequential path: on the first partition
+            # failure, cancel every QUEUED partition (pool.map would let
+            # all of them run to completion before re-raising); only the
+            # ≤ max_in_flight already-running ones drain. Completed
+            # partitions stay committed — resume picks up from there.
+            futs = [pool.submit(run_partition, pid, files)
+                    for pid, files in todo]
+            done_f, not_done = wait(futs, return_when=FIRST_EXCEPTION)
+            errs = [f.exception() for f in done_f if f.exception()]
+            if errs:
+                for f in not_done:
+                    f.cancel()
+                raise errs[0]
     return manifest_table(out_dir)
 
 

@@ -275,13 +275,27 @@ def _attach_rank_unique(keyed: "ray.data.Dataset", key_col: str,
     """Attach ``pos_col`` = 1-based rank of ``key_col`` for UNIQUE uniform
     60-bit keys (salted-md5 shuffle/mix keys) — the cheap path where
     global_rank's generic machinery (distinct-count exchange + rank
-    hash_join) is overkill: range-bucket the rows, Count per bucket →
-    driver exclusive prefix over ``num_buckets`` scalars, ONE bucketed
-    exchange with per-bucket vectorized argsort + arange (the pack_shards
-    shape with unit weights). Precondition: keys unique in [0, 2^60) —
+    hash_join) is overkill. Rank = the unit-weight case of
+    :func:`_keyed_prefix`. Precondition: keys unique in [0, 2^60) —
     a 60-bit md5 collision is ~n²/2^61 and the SQL oracle would catch it.
     """
-    from ray.data.aggregate import Count
+    return _keyed_prefix(keyed, key_col, None, num_buckets, pos_col,
+                         lambda p: p + 1)
+
+
+def _keyed_prefix(keyed: "ray.data.Dataset", key_col: str,
+                  weight_col: "str | None", num_buckets: int,
+                  out_col: str, finish) -> "ray.data.Dataset":
+    """Attach ``out_col`` = finish(exclusive prefix sum of ``weight_col``
+    in ``key_col`` order) WITHOUT a global sort — the one prefix machine
+    under global_shuffle / mix_corpora (unit weights → rank) and
+    pack_shards (token weights → greedy shard): range-bucket the rows over
+    the uniform [0, 2^60) key domain (monotone float bucketing keeps the
+    range property), per-bucket totals → driver exclusive prefix over
+    ``num_buckets`` scalars, ONE bucketed exchange with a per-bucket
+    vectorized argsort + cumsum. ``weight_col=None`` means unit weights
+    (the totals pass ships a Count instead of a Sum)."""
+    from ray.data.aggregate import Count, Sum
 
     from engine.joins import _coalesced
 
@@ -294,24 +308,37 @@ def _attach_rank_unique(keyed: "ray.data.Dataset", key_col: str,
     # consumed by the totals pass AND the assign exchange (lazy-re-exec)
     bucketed = keyed.map_batches(add_bucket,
                                  batch_format="pyarrow").materialize()
-    totals_rows = (bucketed.map_batches(
-        lambda t: t.select(["__bucket"]), batch_format="pyarrow")
-        .groupby("__bucket").aggregate(Count(alias_name="n")).take_all())
+    if weight_col is None:
+        agg = (bucketed.map_batches(
+            lambda t: t.select(["__bucket"]), batch_format="pyarrow")
+            .groupby("__bucket").aggregate(Count(alias_name="n")))
+    else:
+        agg = (bucketed.map_batches(
+            lambda t: pa.table({
+                "__bucket": t["__bucket"],
+                "w": pc.cast(t[weight_col], pa.int64())}),
+            batch_format="pyarrow")
+            .groupby("__bucket").aggregate(Sum("w", alias_name="n")))
     totals = np.zeros(num_buckets, dtype=np.int64)
-    for r in totals_rows:
+    for r in agg.take_all():
         totals[r["__bucket"]] = r["n"]
     offsets = np.concatenate([[0], np.cumsum(totals)[:-1]])
 
     def assign(g: pa.Table) -> pa.Table:
         if g.num_rows == 0:
-            return g.append_column(pos_col, pa.array([], type=pa.int64()))
+            return g.append_column(out_col, pa.array([], type=pa.int64()))
         off = int(offsets[g["__bucket"][0].as_py()])
         order = np.argsort(g[key_col].to_numpy(zero_copy_only=False),
                            kind="stable")
         g = g.take(pa.array(order))
+        if weight_col is None:
+            prefix = off + np.arange(g.num_rows, dtype=np.int64)
+        else:
+            w = g[weight_col].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            prefix = off + np.cumsum(w) - w
         return g.append_column(
-            pos_col,
-            pa.array(off + np.arange(1, g.num_rows + 1, dtype=np.int64)))
+            out_col, pa.array(finish(prefix), type=pa.int64()))
 
     out = (_coalesced(bucketed, num_buckets, "auto")
            .groupby("__bucket").map_groups(assign, batch_format="pyarrow"))
@@ -387,24 +414,12 @@ def pack_shards(ds: "ray.data.Dataset", weight_col: str,
 
     shard_id = (exclusive prefix sum of ``weight_col`` in md5(salt:id)
     order) // shard_weight — i.e. SQL ``(sum(w) OVER (ORDER BY key) - w)
-    // S``, but computed WITHOUT a global sort:
-
-    (1) attach the 60-bit order key + its RANGE bucket (keys are uniform,
-        so fixed uniform cuts balance; monotone float bucketing keeps the
-        range property) and materialize once (both passes read it — the
-        lazy-re-execution discipline);
-    (2) narrow (bucket, w) per-block pre-agg → groupby-Sum → the driver
-        exclusive-prefix-sums ``num_buckets`` scalars (never rows);
-    (3) ONE bucketed exchange of the data rows; each bucket sorts by key
-        vectorized, cumsums, adds its bucket offset.
-
-    Rows cross the wire once — inherent, the assignment IS an output
-    re-layout; at scale write shards directly from the bucketed pass.
+    // S``, computed by :func:`_keyed_prefix` (the shared no-global-sort
+    prefix machine: bucket totals → driver prefix of num_buckets scalars →
+    one bucketed exchange). Rows cross the wire once — inherent, the
+    assignment IS an output re-layout; at scale write shards directly
+    from the bucketed pass.
     """
-    from ray.data.aggregate import Sum
-
-    from engine.joins import _coalesced
-
     md5 = hashlib.md5
 
     def add_key(t: pa.Table) -> pa.Table:
@@ -412,41 +427,10 @@ def pack_shards(ds: "ray.data.Dataset", weight_col: str,
             (int(md5(f"{salt}:{i}".encode()).hexdigest()[:15], 16)
              for i in t[id_col].to_pylist()),
             dtype=np.int64, count=t.num_rows)
-        b = np.minimum((keys.astype(np.float64) / float(1 << 60)
-                        * num_buckets).astype(np.int64), num_buckets - 1)
-        return (t.append_column("__key", pa.array(keys, type=pa.int64()))
-                .append_column("__bucket", pa.array(b, type=pa.int32())))
+        return t.append_column("__key", pa.array(keys, type=pa.int64()))
 
-    keyed = ds.map_batches(add_key, batch_format="pyarrow").materialize()
-
-    totals_rows = (keyed.map_batches(
-        lambda t: pa.table({
-            "__bucket": t["__bucket"],
-            "w": pc.cast(t[weight_col], pa.int64())}),
-        batch_format="pyarrow")
-        .groupby("__bucket").aggregate(Sum("w", alias_name="w"))
-        .take_all())
-    totals = np.zeros(num_buckets, dtype=np.int64)
-    for r in totals_rows:
-        totals[r["__bucket"]] = r["w"]
-    offsets = np.concatenate([[0], np.cumsum(totals)[:-1]])
-
-    def assign(g: pa.Table) -> pa.Table:
-        if g.num_rows == 0:
-            return g.append_column(shard_col,
-                                   pa.array([], type=pa.int64()))
-        off = int(offsets[g["__bucket"][0].as_py()])
-        order = np.argsort(g["__key"].to_numpy(zero_copy_only=False),
-                           kind="stable")
-        g = g.take(pa.array(order))
-        w = g[weight_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        start = off + np.cumsum(w) - w
-        return g.append_column(
-            shard_col, pa.array(start // shard_weight, type=pa.int64()))
-
-    out = (_coalesced(keyed, num_buckets, "auto")
-           .groupby("__bucket")
-           .map_groups(assign, batch_format="pyarrow"))
-    return out.map_batches(
-        lambda t: t.drop_columns(["__key", "__bucket"]),
-        batch_format="pyarrow")
+    keyed = ds.map_batches(add_key, batch_format="pyarrow")
+    out = _keyed_prefix(keyed, "__key", weight_col, num_buckets,
+                        shard_col, lambda p: p // shard_weight)
+    return out.map_batches(lambda t: t.drop_columns(["__key"]),
+                           batch_format="pyarrow")

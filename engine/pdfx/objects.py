@@ -693,24 +693,40 @@ def resolve(objects: dict[int, object], value):
     return value
 
 
+_INHERITABLE = ("Resources", "MediaBox", "CropBox", "Rotate")
+
+
 def get_pages(objects: dict[int, object], trailer: dict) -> list[dict]:
-    """Walk Catalog → Pages → Kids recursively; return page dicts in order."""
+    """Walk Catalog → Pages → Kids recursively; return page dicts in order.
+
+    Inheritable attributes (ISO 32000 §7.7.3.4: /Resources /MediaBox
+    /CropBox /Rotate) placed on /Pages tree nodes are merged down onto
+    pages that lack them — scanner/producer tools commonly hoist
+    /Resources (fonts, image XObjects) to the tree node, and without the
+    merge those pages would extract empty and miss the needs_ocr gate."""
     root = resolve(objects, trailer.get("Root"))
     if not isinstance(root, dict):
         raise PdfError("no /Root catalog")
     pages_node = resolve(objects, root.get("Pages"))
     out: list[dict] = []
 
-    def walk(node, depth=0):
+    def walk(node, inherited, depth=0):
         if depth > 64 or not isinstance(node, dict):
             return
         if node.get("Type") == "Page":
-            out.append(node)
+            missing = {k: v for k, v in inherited.items() if k not in node}
+            out.append({**node, **missing} if missing else node)
             return
+        inh = inherited
+        if any(k in node for k in _INHERITABLE):
+            inh = dict(inherited)
+            for k in _INHERITABLE:
+                if k in node:
+                    inh[k] = node[k]
         for kid in node.get("Kids", []) or []:
-            walk(resolve(objects, kid), depth + 1)
+            walk(resolve(objects, kid), inh, depth + 1)
 
-    walk(pages_node)
+    walk(pages_node, {})
     if not out:
         raise PdfError("no pages")
     return out

@@ -493,9 +493,11 @@ def profile_columns(ds: "ray.data.Dataset", cols: "list[str]",
     """
     from engine.joins import _coalesced
 
-    # consumed 1 + len(cols) times below — pin the upstream once
-    # (CLAUDE.md lazy-re-execution trap)
-    ds = ds.materialize()
+    # consumed 1 + len(cols) times below: pass a RE-READABLE input
+    # (read_parquet → cheap maps — the filter_by_quantile contract) or
+    # materialize() an expensive upstream yourself. An unconditional
+    # materialize here would pin O(corpus) bytes in the object store for
+    # exactly the "fresh corpus drop" case this profiler exists for.
 
     def stats_pass(t: pa.Table) -> pa.Table:
         return pa.table({
@@ -1154,6 +1156,8 @@ def filter_by_quantile(ds: "ray.data.Dataset", col: str, q: float,
     lazy, so both passes re-execute its upstream — materialize() it first
     if that upstream is expensive (CLAUDE.md lazy-re-execution trap).
     """
+    if keep not in ("ge", "le"):
+        raise ValueError(f"keep must be 'ge' or 'le', got {keep!r}")
     thr = kll_quantiles(ds, col, [q], k=k, num_buckets=num_buckets)[0][1]
     op = pc.greater_equal if keep == "ge" else pc.less_equal
 

@@ -107,18 +107,13 @@ def encode_tokens(ds: "ray.data.Dataset", vocab, text_col: str = "text",
     vocab_ref = ray.put(vs)
 
     def encode(t: pa.Table) -> pa.Table:
+        # one tokenization kernel across the engine: textstats'
+        # empty-edge-token handling + per-row prefix sums, shared with the
+        # doc_frequency/quality family and their SQL twins
+        from engine.textstats import _flat_tokens, _text_column
+
         v: pd.Series = get_broadcast(vocab_ref)
-        col = t[text_col]
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        col = pc.fill_null(col, "")
-        lists = pc.split_pattern_regex(col, pattern=r"\s+")
-        off = lists.offsets.to_numpy().astype(np.int64)
-        vals = lists.values
-        nonempty = pc.not_equal(vals, "").to_numpy(zero_copy_only=False)
-        cum = np.concatenate(([0], np.cumsum(nonempty.astype(np.int64))))
-        row_lens = cum[off[1:]] - cum[off[:-1]]
-        toks = vals.filter(pa.array(nonempty))
+        toks, row_lens = _flat_tokens(_text_column(t, text_col), r"\s+")
         ids = v.reindex(toks.to_numpy(zero_copy_only=False)) \
             .fillna(unk_id).to_numpy(np.int32)
         new_off = np.concatenate(([0], np.cumsum(row_lens))).astype(np.int32)

@@ -97,6 +97,27 @@ def test_needs_ocr_status_channel():
     assert row["markdown_text"] == ""
 
 
+def test_needs_ocr_with_inherited_resources():
+    # /Resources hoisted to the /Pages tree node (ISO 32000 inheritable
+    # attribute — common scanner output): the page inherits it, so the
+    # image-only gate must still fire
+    import pytest
+
+    from engine.pdfx.extract import extract_pdf
+    from engine.pdfx.objects import PdfNeedsOcr
+
+    pdf = IMAGE_ONLY_PDF.replace(
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 "
+        b"/Resources << /XObject << /Im1 4 0 R >> >> >>",
+    ).replace(
+        b"/Resources << /XObject << /Im1 4 0 R >> >> /Contents 5 0 R",
+        b"/Contents 5 0 R",
+    )
+    with pytest.raises(PdfNeedsOcr):
+        extract_pdf(pdf)
+
+
 def test_text_pdf_with_images_is_not_needs_ocr():
     # text + images: extracts normally (OCR only for image-ONLY pages)
     from engine.fixtures import build_pdf
@@ -195,8 +216,8 @@ def _encrypt_pdf_rc4(plain: bytes, r: int = 2, length: int = 40) -> bytes:
 
     h = hashlib.md5(_PAD + o_entry + struct.pack("<I", p & 0xFFFFFFFF)
                     + file_id).digest()
-    key = (iter_md5(h) if r >= 3 else h)[:n] if r >= 3 else h[:n]
-    if r >= 3:
+    key = h[:n]
+    if r >= 3:  # R3+: 50 rounds of md5 over the truncated key
         k = h
         for _ in range(50):
             k = hashlib.md5(k[:n]).digest()

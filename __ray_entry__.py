@@ -1087,4 +1087,13 @@ c AS (SELECT unnest(quantile_disc(val, [0.25, 0.5, 0.75])) AS cut FROM v)
 SELECT event_id, val,
        CAST((SELECT count(*) FROM c WHERE c.cut < v.val) AS BIGINT) AS part
 FROM v""",
+        "upsample": """
+WITH c AS (
+  SELECT doc_id,
+         2 + CASE WHEN CAST('0x' || substr(md5('rep:' ||
+                    CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 2 < 1
+                  THEN 1 ELSE 0 END AS k
+  FROM documents)
+SELECT doc_id, CAST(u.i AS BIGINT) AS copy
+FROM c, LATERAL (SELECT unnest(generate_series(0, k - 1)) AS i) u""",
     }

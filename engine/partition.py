@@ -402,6 +402,47 @@ def mix_corpora(sources: "dict[str, ray.data.Dataset]",
                               batch_format="pyarrow")
 
 
+def repeat_weighted(ds: "ray.data.Dataset", times_num: int, times_den: int,
+                    id_col: str = "doc_id", salt: str = "rep",
+                    copy_col: str = "copy") -> "ray.data.Dataset":
+    """Deterministic fractional upsampling — repeat every row
+    ``times_num/times_den`` times in expectation (the complement of
+    :func:`mix_corpora`'s downsampling: low-resource sources get weight
+    > 1 in a training blend). Each row emits ``times_num // times_den``
+    full copies plus one extra copy iff md5(salt:id) % times_den <
+    times_num % times_den — so the draw is reproducible, stable under
+    corpus growth, and exact in expectation. Copies are tagged
+    0..k-1 in ``copy_col`` (distinct downstream shuffle positions: salt
+    the shuffle with the copy index).
+
+    No shuffle: one vectorized-batch Arrow ``take`` pass; expansion
+    happens inside each block, so block sizes grow by the multiplier —
+    size upstream blocks accordingly.
+    """
+    base, rem = divmod(times_num, times_den)
+    md5 = hashlib.md5
+
+    def expand(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return t.append_column(copy_col,
+                                   pa.array([], type=pa.int64()))
+        extra = np.fromiter(
+            (int.from_bytes(md5(f"{salt}:{i}".encode()).digest()[:4],
+                            "big") % times_den < rem
+             for i in t[id_col].to_pylist()),
+            dtype=np.bool_, count=n)
+        copies = np.full(n, base, dtype=np.int64) + extra
+        idx = np.repeat(np.arange(n, dtype=np.int64), copies)
+        out = t.take(pa.array(idx))
+        ends = np.cumsum(copies)
+        copy_ix = np.arange(len(idx), dtype=np.int64) - np.repeat(
+            ends - copies, copies)
+        return out.append_column(copy_col, pa.array(copy_ix))
+
+    return ds.map_batches(expand, batch_format="pyarrow")
+
+
 def pack_shards(ds: "ray.data.Dataset", weight_col: str,
                 id_col: str = "doc_id", shard_weight: int = 1 << 24,
                 salt: str = "shard", num_buckets: int = 32,

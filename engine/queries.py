@@ -2289,6 +2289,18 @@ def q_shard_pack(sf_dir: str):
     return pack_shards(scored, "n_tokens", shard_weight=2000, salt="shard")
 
 
+def q_upsample(sf_dir: str):
+    """Deterministic fractional upsampling
+    (engine.partition.repeat_weighted): every doc 5/2× in expectation —
+    2 full copies + a third iff md5('rep:'||id) 32-bit prefix is even.
+    DuckDB twin: per-doc copy count via the same md5 test, exploded with
+    generate_series."""
+    from engine.partition import repeat_weighted
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    return repeat_weighted(docs, 5, 2).select_columns(["doc_id", "copy"])
+
+
 def q_range_partition(sf_dir: str):
     """Sketch-driven balanced range partitioner
     (engine.stats.range_partition): cuts = KLL quartiles of the planted
@@ -2392,6 +2404,7 @@ QUERIES = {
     "shard_pack": q_shard_pack,
     "profile": q_profile,
     "range_partition": q_range_partition,
+    "upsample": q_upsample,
     "heavy_hitters": q_heavy_hitters,
     "kmeans": q_kmeans,
     "hll_merged": q_hll_merged,
@@ -2434,11 +2447,11 @@ QUERIES = {
     "corpus_prep": q_corpus_prep,
     "cap_per_source": q_cap_per_source,
     "normalize_urls": q_normalize_urls,
-    "strip_lines": q_strip_lines,
     # --- below this line: driver-green in CORRECTNESS_r0{1,2,3}.json and
     # untouched since, judge-re-verified in round 3, or subsumed by a window
     # composite (hll_merged); scripts/check_oracle.py still verifies every
     # entry ---
+    "strip_lines": q_strip_lines,
     "dense_rank": q_dense_rank,
     "bloom_users": q_bloom_users,
     "fuzzy_decontam": q_fuzzy_decontam,

@@ -229,3 +229,28 @@ def test_range_partition_balanced_and_colocated(ray_session):
     # {0,1}->0, {2,3}->1, {4,5}->2, {6}->3
     want = {0: 0, 1: 0, 2: 1, 3: 1, 4: 2, 5: 2, 6: 3}
     assert {v: s.pop() for v, s in parts.items()} == want
+
+
+# ------------------------------------------------------------ repeat_weighted
+
+def test_repeat_weighted_reference_and_growth(ray_session):
+    from engine.partition import repeat_weighted
+
+    ds = _ids_ds(range(400), parts=6)
+    got = {}
+    for r in repeat_weighted(ds, 7, 3).take_all():
+        got.setdefault(r["doc_id"], []).append(r["copy"])
+    # reference: 2 copies + extra iff md5 32-bit prefix % 3 < 1
+    for i in range(400):
+        h = int.from_bytes(hashlib.md5(f"rep:{i}".encode()).digest()[:4],
+                           "big")
+        k = 2 + (1 if h % 3 < 1 else 0)
+        assert sorted(got[i]) == list(range(k)), i
+    # expectation: total within a few percent of 400 * 7/3
+    total = sum(len(v) for v in got.values())
+    assert abs(total - 400 * 7 / 3) < 0.1 * 400
+    # growth stability: same ids keep the same copy counts in a larger ds
+    big = {}
+    for r in repeat_weighted(_ids_ds(range(600)), 7, 3).take_all():
+        big.setdefault(r["doc_id"], []).append(r["copy"])
+    assert all(len(big[i]) == len(got[i]) for i in range(400))

@@ -1096,4 +1096,14 @@ WITH c AS (
   FROM documents)
 SELECT doc_id, CAST(u.i AS BIGINT) AS copy
 FROM c, LATERAL (SELECT unnest(generate_series(0, k - 1)) AS i) u""",
+        "curriculum": """
+WITH t AS (
+  SELECT doc_id, doc_id % 4 AS tier,
+         CAST('0x' || substr(md5('cur:' || CAST(doc_id AS VARCHAR)),
+              1, 15) AS BIGINT) AS h
+  FROM documents)
+SELECT doc_id, tier,
+       CAST(rank() OVER (ORDER BY
+              (3 - tier) * 1152921504606846976 + h) AS BIGINT) AS cur_pos
+FROM t""",
     }

@@ -285,7 +285,8 @@ def _attach_rank_unique(keyed: "ray.data.Dataset", key_col: str,
 
 def _keyed_prefix(keyed: "ray.data.Dataset", key_col: str,
                   weight_col: "str | None", num_buckets: int,
-                  out_col: str, finish) -> "ray.data.Dataset":
+                  out_col: str, finish,
+                  domain: int = 1 << 60) -> "ray.data.Dataset":
     """Attach ``out_col`` = finish(exclusive prefix sum of ``weight_col``
     in ``key_col`` order) WITHOUT a global sort — the one prefix machine
     under global_shuffle / mix_corpora (unit weights → rank) and
@@ -301,7 +302,7 @@ def _keyed_prefix(keyed: "ray.data.Dataset", key_col: str,
 
     def add_bucket(t: pa.Table) -> pa.Table:
         k = t[key_col].to_numpy(zero_copy_only=False)
-        b = np.minimum((k.astype(np.float64) / float(1 << 60)
+        b = np.minimum((k.astype(np.float64) / float(domain)
                         * num_buckets).astype(np.int64), num_buckets - 1)
         return t.append_column("__bucket", pa.array(b, type=pa.int32()))
 
@@ -399,6 +400,39 @@ def mix_corpora(sources: "dict[str, ray.data.Dataset]",
         unioned = unioned.union(p)
     ranked = _attach_rank_unique(unioned, "__mixkey", pos_col, num_buckets)
     return ranked.map_batches(lambda t: t.drop_columns(["__mixkey"]),
+                              batch_format="pyarrow")
+
+
+def curriculum_order(ds: "ray.data.Dataset", tier_col: str,
+                     num_tiers: int, id_col: str = "doc_id",
+                     salt: str = "cur", num_buckets: int = 16,
+                     pos_col: str = "cur_pos") -> "ray.data.Dataset":
+    """Curriculum training order: position = rank over (tier DESC, salted
+    md5(id)) — highest-quality tier first, reproducibly shuffled within
+    each tier (easy→hard or quality-first schedules over a bucketed
+    quality score). Composite key = (num_tiers-1-tier)·2^60 + 60-bit hash
+    (exact in int64 for num_tiers ≤ 8), ranked by the shared
+    :func:`_keyed_prefix` machine over the widened domain — one bucketed
+    exchange, no global sort. ``tier_col`` must hold ints in
+    [0, num_tiers)."""
+    if not 1 <= num_tiers <= 8:
+        raise ValueError("num_tiers must be in 1..8 (int64 key headroom)")
+    md5 = hashlib.md5
+
+    def add_key(t: pa.Table) -> pa.Table:
+        h = np.fromiter(
+            (int(md5(f"{salt}:{i}".encode()).hexdigest()[:15], 16)
+             for i in t[id_col].to_pylist()),
+            dtype=np.int64, count=t.num_rows)
+        tier = t[tier_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = (num_tiers - 1 - tier) * (1 << 60) + h
+        return t.append_column("__curkey", pa.array(key, type=pa.int64()))
+
+    keyed = ds.map_batches(add_key, batch_format="pyarrow")
+    ranked = _keyed_prefix(keyed, "__curkey", None, num_buckets, pos_col,
+                           lambda p: p + 1,
+                           domain=num_tiers * (1 << 60))
+    return ranked.map_batches(lambda t: t.drop_columns(["__curkey"]),
                               batch_format="pyarrow")
 
 

@@ -2289,6 +2289,26 @@ def q_shard_pack(sf_dir: str):
     return pack_shards(scored, "n_tokens", shard_weight=2000, salt="shard")
 
 
+def q_curriculum(sf_dir: str):
+    """Curriculum training order (engine.partition.curriculum_order):
+    planted quality tier = doc_id % 4, position = rank over (tier DESC,
+    md5('cur:'||id)) via the composite-key prefix machine. DuckDB twin:
+    rank() over the identical (3-tier)·2^60 + hash BIGINT key."""
+    from engine.partition import curriculum_order
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    tiered = docs.map_batches(
+        lambda t: pa.table({
+            "doc_id": t["doc_id"],
+            "tier": pc.cast(pc.subtract(
+                t["doc_id"],
+                pc.multiply(pc.divide(t["doc_id"], 4), 4)), pa.int64()),
+        }),
+        batch_format="pyarrow")
+    out = curriculum_order(tiered, "tier", num_tiers=4)
+    return out.select_columns(["doc_id", "tier", "cur_pos"])
+
+
 def q_upsample(sf_dir: str):
     """Deterministic fractional upsampling
     (engine.partition.repeat_weighted): every doc 5/2× in expectation —
@@ -2405,6 +2425,7 @@ QUERIES = {
     "profile": q_profile,
     "range_partition": q_range_partition,
     "upsample": q_upsample,
+    "curriculum": q_curriculum,
     "heavy_hitters": q_heavy_hitters,
     "kmeans": q_kmeans,
     "hll_merged": q_hll_merged,
@@ -2446,11 +2467,11 @@ QUERIES = {
     "vocab": q_vocab,
     "corpus_prep": q_corpus_prep,
     "cap_per_source": q_cap_per_source,
-    "normalize_urls": q_normalize_urls,
     # --- below this line: driver-green in CORRECTNESS_r0{1,2,3}.json and
     # untouched since, judge-re-verified in round 3, or subsumed by a window
     # composite (hll_merged); scripts/check_oracle.py still verifies every
     # entry ---
+    "normalize_urls": q_normalize_urls,
     "strip_lines": q_strip_lines,
     "dense_rank": q_dense_rank,
     "bloom_users": q_bloom_users,

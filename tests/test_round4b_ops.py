@@ -254,3 +254,27 @@ def test_repeat_weighted_reference_and_growth(ray_session):
     for r in repeat_weighted(_ids_ds(range(600)), 7, 3).take_all():
         big.setdefault(r["doc_id"], []).append(r["copy"])
     assert all(len(big[i]) == len(got[i]) for i in range(400))
+
+
+# ----------------------------------------------------------- curriculum
+
+def test_curriculum_order_tiers_then_hash(ray_session):
+    from engine.partition import curriculum_order
+
+    n = 300
+    t = pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "tier": pa.array((np.arange(n) % 3).astype(np.int64))})
+    out = curriculum_order(rd.from_arrow(t).repartition(5), "tier",
+                           num_tiers=3).take_all()
+    by_pos = sorted(out, key=lambda r: r["cur_pos"])
+    # positions are a permutation; tiers appear in descending blocks
+    assert [r["cur_pos"] for r in by_pos] == list(range(1, n + 1))
+    tiers = [r["tier"] for r in by_pos]
+    assert tiers == sorted(tiers, reverse=True)
+    # within a tier, order is the salted-md5 shuffle order
+    for tier in (0, 1, 2):
+        ids = [r["doc_id"] for r in by_pos if r["tier"] == tier]
+        keys = [int(hashlib.md5(f"cur:{i}".encode()).hexdigest()[:15], 16)
+                for i in ids]
+        assert keys == sorted(keys)

@@ -1,0 +1,159 @@
+"""Outlink extraction: HTML pages -> (src, pos, dst) link-graph edges.
+
+The crawl-graph feeder the reference implies but never materializes: the
+reference serializes ``<a href>`` into markdown link syntax per document
+(reference app/main.py via its converter; our twin at
+engine/mdserialize.py:100), while at corpus scale the hrefs themselves are
+the product — the edge list that drives PageRank-style quality scores
+(engine/graph.py), crawl-frontier dedup and domain rollups.
+
+Design (100 TB shape):
+- Map-side only, ZERO shuffle: every href of a document lives in that
+  document's row, so extraction, URL resolution, fragment stripping and
+  within-document first-occurrence dedup all happen inside one
+  ``map_batches`` pass; only the narrow (src, pos, dst) edges leave the
+  stage. Feed the result straight into ``partition.with_url_hash`` /
+  ``graph.pagerank_int`` without re-reading pages.
+- Vectorized: ``pc.split_pattern(html, 'href="')`` (one Arrow C pass)
+  replaces a per-row regex scan; href values are the split tails truncated
+  at their closing quote (``replace_substring_regex('(?s)".*$')``), with
+  offsets/ordinals derived by numpy index math. Resolution is a masked
+  ``pc.if_else`` chain over ``starts_with`` tests — no Python loop touches
+  a document. The only per-edge pandas step is the (row, dst) keep-first
+  dedup hash, bounded by edges-per-batch.
+- SQL-twinnable: semantics exactly match the RE2 extraction
+  ``regexp_extract_all(html, 'href="([^"]*)"', 1)`` plus a CASE resolver,
+  so the DuckDB oracle can parse the SAME html (query ``outlinks``).
+
+Semantics / documented simplifications:
+- An href is the value of a double-quoted ``href="..."`` attribute; values
+  must be quote-terminated (an unterminated trailing href is dropped, like
+  the RE2 twin) and must not themselves contain the literal ``href="`` —
+  both true of well-formed HTML.
+- ``pos`` is the 1-based ordinal of the href among the document's matched
+  hrefs (before any drop/dedup), i.e. the ordinality of
+  ``regexp_extract_all``.
+- Dropped outright: empty values and ``#fragment`` / ``mailto:`` /
+  ``javascript:`` / ``data:`` links.
+- Resolution against the document's own ``src`` URL (must be absolute
+  ``http(s)://host/...`` with a path): absolute http(s) hrefs pass
+  through; ``//host/x`` gets the src scheme; ``/x`` gets the src origin;
+  anything else is joined to the src directory (no ``..`` normalization —
+  a documented simplification). Fragments are stripped from resolved
+  targets; duplicate (src, dst) pairs within a document keep the first
+  occurrence.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+_DROP_PREFIXES = ("#", "mailto:", "javascript:", "data:")
+
+_EDGE_SCHEMA = pa.schema([("src", pa.string()), ("pos", pa.int64()),
+                          ("dst", pa.string())])
+
+
+def _empty_edges() -> pa.Table:
+    return _EDGE_SCHEMA.empty_table()
+
+
+def _edges_from_batch(t: pa.Table, url_col: str, html_col: str) -> pa.Table:
+    if t.num_rows == 0:
+        return _empty_edges()
+    parts = pc.split_pattern(t[html_col], pattern='href="')
+    if isinstance(parts, pa.ChunkedArray):
+        parts = parts.combine_chunks()
+    flat = parts.flatten()
+    counts = pc.list_value_length(parts).to_numpy(zero_copy_only=False)
+    counts = np.asarray(counts, dtype=np.int64)
+    starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
+    n_flat = len(flat)
+    # Each row's first split part precedes any href; the rest each start
+    # with an href value. Require a closing quote (RE2-twin semantics).
+    is_tail = np.ones(n_flat, dtype=bool)
+    is_tail[starts[counts > 0]] = False
+    has_quote = pc.not_equal(
+        pc.find_substring(flat, '"'), -1).to_numpy(zero_copy_only=False)
+    cand = is_tail & np.asarray(has_quote, dtype=bool)
+    if not cand.any():
+        return _empty_edges()
+    # 1-based ordinal among the row's matched hrefs, via cumulative sums.
+    csum = np.cumsum(cand)
+    before_row = np.concatenate(([0], csum))[starts]
+    rows_all = np.repeat(np.arange(t.num_rows, dtype=np.int64), counts)
+    pos_all = csum - np.repeat(before_row, counts)
+    sel = np.flatnonzero(cand)
+    pos = pos_all[sel]
+    rows = rows_all[sel]
+    href = pc.replace_substring_regex(
+        flat.take(pa.array(sel)), pattern='(?s)".*$', replacement="")
+
+    drop = pc.equal(href, "")
+    for p in _DROP_PREFIXES:
+        drop = pc.or_(drop, pc.starts_with(href, pattern=p))
+    keep = pc.invert(drop).to_numpy(zero_copy_only=False)
+    keep = np.asarray(keep, dtype=bool)
+    if not keep.any():
+        return _empty_edges()
+    kept = np.flatnonzero(keep)
+    href = href.take(pa.array(kept))
+    pos = pos[kept]
+    rows = rows[kept]
+
+    src_col = t[url_col]
+    if isinstance(src_col, pa.ChunkedArray):
+        src_col = src_col.combine_chunks()
+    src = src_col.take(pa.array(rows))
+    origin = pc.struct_field(
+        pc.extract_regex(src, pattern=r"^(?P<o>https?://[^/]+)"), "o")
+    scheme = pc.struct_field(
+        pc.extract_regex(src, pattern=r"^(?P<s>https?):"), "s")
+    base_dir = pc.struct_field(  # greedy: up to the LAST '/'
+        pc.extract_regex(src, pattern=r"^(?P<d>.*/)"), "d")
+
+    is_abs = pc.or_(pc.starts_with(href, pattern="http://"),
+                    pc.starts_with(href, pattern="https://"))
+    is_proto_rel = pc.starts_with(href, pattern="//")
+    is_root_rel = pc.and_(pc.starts_with(href, pattern="/"),
+                          pc.invert(is_proto_rel))
+    dst = pc.if_else(
+        is_abs, href,
+        pc.if_else(
+            is_proto_rel, pc.binary_join_element_wise(scheme, href, ":"),
+            pc.if_else(
+                is_root_rel, pc.binary_join_element_wise(origin, href, ""),
+                pc.binary_join_element_wise(base_dir, href, ""))))
+    dst = pc.replace_substring_regex(dst, pattern="(?s)#.*$", replacement="")
+    valid = pc.and_(pc.is_valid(dst),
+                    pc.fill_null(pc.not_equal(dst, ""), False))
+    valid = np.asarray(valid.to_numpy(zero_copy_only=False), dtype=bool)
+    if not valid.all():
+        vi = np.flatnonzero(valid)
+        src, dst = src.take(pa.array(vi)), dst.take(pa.array(vi))
+        pos, rows = pos[vi], rows[vi]
+
+    # Within-document first-occurrence dedup (rows are in pos order).
+    first = ~pd.DataFrame(
+        {"r": rows, "d": dst.to_pandas()}).duplicated(["r", "d"]).to_numpy()
+    if not first.all():
+        fi = np.flatnonzero(first)
+        src, dst = src.take(pa.array(fi)), dst.take(pa.array(fi))
+        pos = pos[fi]
+    return pa.table({"src": src, "pos": pa.array(pos, type=pa.int64()),
+                     "dst": dst})
+
+
+def extract_outlinks(ds: "ray.data.Dataset", url_col: str = "url",
+                     html_col: str = "html") -> "ray.data.Dataset":
+    """(src, pos, dst) resolved outlink edges, one map-side pass (see
+    module docstring for semantics). Narrow output: pages never leave the
+    extraction stage, only edges do."""
+    return ds.map_batches(
+        lambda t: _edges_from_batch(t, url_col, html_col),
+        batch_format="pyarrow")

@@ -2321,6 +2321,42 @@ def q_upsample(sf_dir: str):
     return repeat_weighted(docs, 5, 2).select_columns(["doc_id", "copy"])
 
 
+def q_outlinks(sf_dir: str):
+    """Link-graph extraction (engine.links.extract_outlinks) over a
+    planted HTML corpus: 7 href shapes per page (absolute, root-relative,
+    relative+fragment, fragment-only, mailto, protocol-relative, and a
+    duplicate-after-fragment-strip) -> exactly the resolved edges. The
+    DuckDB twin builds the SAME html string and parses it with
+    regexp_extract_all + a CASE resolver, so extraction, URL resolution,
+    fragment stripping and first-occurrence dedup are all value-pinned."""
+    import pyarrow.parquet as pq
+
+    from engine.links import extract_outlinks
+
+    n = pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")).num_rows
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def mk_pages(t: pa.Table) -> pa.Table:
+        urls, htmls = [], []
+        for i in t["doc_id"].to_pylist():
+            j, k, m = (3 * i + 1) % n, (7 * i + 2) % n, (5 * i + 3) % n
+            urls.append(f"https://ex{i % 7}.com/d{i % 3}/p{i}")
+            tj = f"https://ex{j % 7}.com/d{j % 3}/p{j}"
+            htmls.append(
+                f'<html><body><a href="{tj}">'
+                f'<a href="/d{k % 3}/p{k}">'
+                f'<a href="q{m}.html#sec">'
+                '<a href="#top"><a href="mailto:a@b.c">'
+                f'<a href="//cdn{i % 5}.ex.com/lib.js">'
+                f'<a href="{tj}#frag"></body></html>')
+        return pa.table({"url": pa.array(urls, type=pa.string()),
+                         "html": pa.array(htmls, type=pa.string())})
+
+    pages = docs.map_batches(mk_pages, batch_format="pyarrow")
+    return extract_outlinks(pages)
+
+
 def q_range_partition(sf_dir: str):
     """Sketch-driven balanced range partitioner
     (engine.stats.range_partition): cuts = KLL quartiles of the planted
@@ -2417,6 +2453,7 @@ def q_pagerank(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 QUERIES = {
+    "outlinks": q_outlinks,
     "mix_corpora": q_mix_corpora,
     "quantile_filter": q_quantile_filter,
     "crawl_delta": q_crawl_delta,

@@ -1,0 +1,112 @@
+"""Outlink extraction tests (engine/links.py).
+
+Pins the vectorized Arrow kernel to a scalar ``re.finditer`` reference
+(the RE2-twin semantics the DuckDB oracle replays), plus resolution-rule,
+dedup, ordinal and parallelism-invariance checks.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow as pa
+import ray.data as rd
+
+from engine.links import _edges_from_batch, extract_outlinks
+
+
+def _scalar_reference(url: str, html: str) -> list[tuple[str, int, str]]:
+    origin = re.match(r"^(https?://[^/]+)", url).group(1)
+    scheme = re.match(r"^(https?):", url).group(1)
+    base = re.match(r"^(.*/)", url).group(1)
+    seen, out = set(), []
+    for i, h in enumerate(re.findall(r'href="([^"]*)"', html), 1):
+        if h == "" or h.startswith(("#", "mailto:", "javascript:", "data:")):
+            continue
+        if h.startswith(("http://", "https://")):
+            d = h
+        elif h.startswith("//"):
+            d = scheme + ":" + h
+        elif h.startswith("/"):
+            d = origin + h
+        else:
+            d = base + h
+        d = re.sub(r"#.*$", "", d, flags=re.S)
+        if d == "" or d in seen:
+            continue
+        seen.add(d)
+        out.append((url, i, d))
+    return out
+
+
+DOCS = [
+    ("https://ex1.com/d2/p5",
+     '<a href="https://ex3.com/a/b">x</a> <a href="/root/x">y</a> '
+     '<a href="rel.html#sec">z</a> <a href="#top">f</a> '
+     '<a href="mailto:a@b.c">m</a> <a href="//cdn.ex.com/l.js">s</a> '
+     '<a href="https://ex3.com/a/b#frag">dup</a> <a href="">e</a> '
+     '<a href="javascript:void(0)">j</a> <a href="data:text/plain,x">d</a>'),
+    ("https://h.com/p/q", "no links at all"),
+    ("https://h.com/p/q2", '<a href="unterminated'),  # no closing quote
+    ("https://h.com/x/y", '<a href="a.html"><a href="a.html">'),  # dup
+    ("http://plain.org/a/b/c.html",
+     '<p href="weird.html">attr on non-anchor still counts</p> '
+     '<a href="../up.html">no dot-normalization (documented)</a>'),
+    ("https://q.com/r/", ""),  # empty html
+]
+
+
+def _table() -> pa.Table:
+    return pa.table({"url": pa.array([d[0] for d in DOCS]),
+                     "html": pa.array([d[1] for d in DOCS])})
+
+
+def _expected() -> list[tuple[str, int, str]]:
+    return [e for u, h in DOCS for e in _scalar_reference(u, h)]
+
+
+def test_kernel_matches_scalar_reference():
+    out = _edges_from_batch(_table(), "url", "html")
+    got = list(zip(out["src"].to_pylist(), out["pos"].to_pylist(),
+                   out["dst"].to_pylist()))
+    assert got == _expected()
+
+
+def test_resolution_rules():
+    out = _edges_from_batch(_table(), "url", "html")
+    d = dict(zip(out["pos"].to_pylist()[:4], out["dst"].to_pylist()[:4]))
+    assert d[1] == "https://ex3.com/a/b"                  # absolute
+    assert d[2] == "https://ex1.com/root/x"               # root-relative
+    assert d[3] == "https://ex1.com/d2/rel.html"          # dir-relative+frag
+    assert d[6] == "https://cdn.ex.com/l.js"              # protocol-relative
+    # pos 4/5 (fragment-only, mailto) dropped; pos 7 dup dropped after
+    # fragment strip; unterminated href yields nothing.
+    pairs = set(zip(out["src"].to_pylist(), out["pos"].to_pylist()))
+    assert ("https://ex1.com/d2/p5", 7) not in pairs
+    assert all(s != "https://h.com/p/q2" for s, _ in pairs)
+    # scheme of a http (not https) base carries into relative resolution
+    assert "http://plain.org/a/b/../up.html" in out["dst"].to_pylist()
+
+
+def test_empty_batch():
+    t = pa.table({"url": pa.array([], pa.string()),
+                  "html": pa.array([], pa.string())})
+    out = _edges_from_batch(t, "url", "html")
+    assert out.num_rows == 0
+    assert out.column_names == ["src", "pos", "dst"]
+
+
+def test_dataset_parallelism_invariance(ray_session):
+    many = DOCS * 40
+    t = pa.table({"url": pa.array([d[0] for d in many]),
+                  "html": pa.array([d[1] for d in many])})
+    base = None
+    for nparts in (1, 7):
+        ds = rd.from_arrow(t).repartition(nparts)
+        got = sorted(
+            extract_outlinks(ds).to_pandas().itertuples(index=False))
+        if base is None:
+            base = got
+        else:
+            assert got == base
+    assert len(base) == 40 * len(_expected())

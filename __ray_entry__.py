@@ -1071,6 +1071,56 @@ r AS (
 SELECT src, pos, dst FROM r
 WHERE dst <> ''
 QUALIFY row_number() OVER (PARTITION BY src, dst ORDER BY pos) = 1""",
+        "link_graph": r"""
+WITH nn AS (SELECT count(*) AS n FROM documents),
+p AS (
+  SELECT doc_id AS i,
+         (3 * doc_id + 1) % nn.n AS j,
+         (7 * doc_id + 2) % nn.n AS k,
+         (5 * doc_id + 3) % nn.n AS m
+  FROM documents, nn),
+pages AS (
+  SELECT i AS doc_id,
+         'https://ex' || CAST(i % 7 AS VARCHAR) || '.com/d' ||
+         CAST(i % 3 AS VARCHAR) || '/p' || CAST(i AS VARCHAR) AS url,
+         '<html><body><a href="https://ex' || CAST(j % 7 AS VARCHAR) ||
+         '.com/d' || CAST(j % 3 AS VARCHAR) || '/p' || CAST(j AS VARCHAR) ||
+         '"><a href="/d' || CAST(k % 3 AS VARCHAR) || '/p' ||
+         CAST(k AS VARCHAR) || '"><a href="q' || CAST(m AS VARCHAR) ||
+         '.html#sec"><a href="#top"><a href="mailto:a@b.c"><a href="//cdn' ||
+         CAST(i % 5 AS VARCHAR) || '.ex.com/lib.js"><a href="https://ex' ||
+         CAST(j % 7 AS VARCHAR) || '.com/d' || CAST(j % 3 AS VARCHAR) ||
+         '/p' || CAST(j AS VARCHAR) || '#frag"></body></html>' AS html
+  FROM p),
+hx AS (
+  SELECT url AS src,
+         regexp_extract_all(html, 'href="([^"]*)"', 1) AS hrefs
+  FROM pages),
+e AS (
+  SELECT src, CAST(t.i AS BIGINT) AS pos, hrefs[t.i] AS h
+  FROM hx, LATERAL (SELECT unnest(generate_series(1, len(hrefs))) AS i) t),
+r AS (
+  SELECT src, pos,
+         regexp_replace(
+           CASE
+             WHEN h LIKE 'http://%' OR h LIKE 'https://%' THEN h
+             WHEN h LIKE '//%'
+               THEN regexp_extract(src, '^(https?):', 1) || ':' || h
+             WHEN h LIKE '/%'
+               THEN regexp_extract(src, '^(https?://[^/]+)', 1) || h
+             ELSE regexp_extract(src, '^(.*/)', 1) || h
+           END, '#.*$', '') AS dst
+  FROM e
+  WHERE h <> '' AND h NOT LIKE '#%' AND h NOT LIKE 'mailto:%'
+        AND h NOT LIKE 'javascript:%' AND h NOT LIKE 'data:%'),
+links AS (
+  SELECT src, dst FROM r
+  WHERE dst <> ''
+  QUALIFY row_number() OVER (PARTITION BY src, dst ORDER BY pos) = 1)
+SELECT s.doc_id AS src_id, d.doc_id AS dst_id
+FROM links l
+JOIN pages d ON l.dst = d.url
+JOIN pages s ON l.src = s.url""",
         "pagerank": """
 WITH nn AS (SELECT count(*) AS n FROM documents),
 e AS (

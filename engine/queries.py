@@ -2321,28 +2321,28 @@ def q_upsample(sf_dir: str):
     return repeat_weighted(docs, 5, 2).select_columns(["doc_id", "copy"])
 
 
-def q_outlinks(sf_dir: str):
-    """Link-graph extraction (engine.links.extract_outlinks) over a
-    planted HTML corpus: 7 href shapes per page (absolute, root-relative,
-    relative+fragment, fragment-only, mailto, protocol-relative, and a
-    duplicate-after-fragment-strip) -> exactly the resolved edges. The
-    DuckDB twin builds the SAME html string and parses it with
-    regexp_extract_all + a CASE resolver, so extraction, URL resolution,
-    fragment stripping and first-occurrence dedup are all value-pinned."""
-    import pyarrow.parquet as pq
+def _planted_page_url(i: int) -> str:
+    return f"https://ex{i % 7}.com/d{i % 3}/p{i}"
 
-    from engine.links import extract_outlinks
+
+def _planted_pages(sf_dir: str, with_id: bool = False):
+    """Deterministic HTML corpus for the link-graph oracles: 7 href shapes
+    per page (absolute, root-relative, relative+fragment, fragment-only,
+    mailto, protocol-relative, duplicate-after-fragment-strip). The DuckDB
+    twins rebuild the identical html string with string concatenation."""
+    import pyarrow.parquet as pq
 
     n = pq.read_metadata(
         os.path.join(sf_dir, "documents.parquet")).num_rows
     docs = _read(sf_dir, "documents", ["doc_id"])
 
     def mk_pages(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
         urls, htmls = [], []
-        for i in t["doc_id"].to_pylist():
+        for i in ids:
             j, k, m = (3 * i + 1) % n, (7 * i + 2) % n, (5 * i + 3) % n
-            urls.append(f"https://ex{i % 7}.com/d{i % 3}/p{i}")
-            tj = f"https://ex{j % 7}.com/d{j % 3}/p{j}"
+            urls.append(_planted_page_url(i))
+            tj = _planted_page_url(j)
             htmls.append(
                 f'<html><body><a href="{tj}">'
                 f'<a href="/d{k % 3}/p{k}">'
@@ -2350,11 +2350,62 @@ def q_outlinks(sf_dir: str):
                 '<a href="#top"><a href="mailto:a@b.c">'
                 f'<a href="//cdn{i % 5}.ex.com/lib.js">'
                 f'<a href="{tj}#frag"></body></html>')
-        return pa.table({"url": pa.array(urls, type=pa.string()),
-                         "html": pa.array(htmls, type=pa.string())})
+        cols = {"url": pa.array(urls, type=pa.string()),
+                "html": pa.array(htmls, type=pa.string())}
+        if with_id:
+            cols["doc_id"] = t["doc_id"]
+        return pa.table(cols)
 
-    pages = docs.map_batches(mk_pages, batch_format="pyarrow")
-    return extract_outlinks(pages)
+    return docs.map_batches(mk_pages, batch_format="pyarrow")
+
+
+def q_outlinks(sf_dir: str):
+    """Link-graph extraction (engine.links.extract_outlinks) over the
+    planted HTML corpus (see :func:`_planted_pages`) -> exactly the
+    resolved edges. The DuckDB twin builds the SAME html string and parses
+    it with regexp_extract_all + a CASE resolver, so extraction, URL
+    resolution, fragment stripping and first-occurrence dedup are all
+    value-pinned."""
+    from engine.links import extract_outlinks
+
+    return extract_outlinks(_planted_pages(sf_dir))
+
+
+def q_link_graph(sf_dir: str):
+    """HTML -> integer edge list, the full pagerank feeder chain:
+    extract_outlinks over the planted pages, then BOTH endpoints resolved
+    to corpus doc_ids via partitioned hash joins against the (url, doc_id)
+    node table (inner joins — dangling/off-corpus links drop, the crawl
+    reality). Narrow all the way: only (src, dst) url pairs and (url, id)
+    pairs cross the wire, never pages. DuckDB twin: the outlinks CTEs plus
+    two JOINs on the same node table."""
+    from engine.joins import hash_join
+    from engine.links import extract_outlinks
+
+    pages = _planted_pages(sf_dir, with_id=True)
+    # lazy-re-execution rule: pages feeds three consumers below
+    pages = pages.materialize()
+    edges = extract_outlinks(
+        pages.map_batches(lambda t: t.select(["url", "html"]),
+                          batch_format="pyarrow"))
+    edges = edges.map_batches(lambda t: t.select(["src", "dst"]),
+                              batch_format="pyarrow")
+    src_nodes = pages.map_batches(
+        lambda t: pa.table({"src": t["url"], "src_id": t["doc_id"]}),
+        batch_format="pyarrow")
+    dst_nodes = pages.map_batches(
+        lambda t: pa.table({"dst": t["url"], "dst_id": t["doc_id"]}),
+        batch_format="pyarrow")
+    # narrow + materialize between the two joins: hash_join reads its
+    # inputs' schema() up front, which would otherwise re-execute the
+    # inner exchange (lazy-re-execution rule); only (src, dst_id) pairs
+    # are held.
+    inner = hash_join(edges, dst_nodes, on="dst").map_batches(
+        lambda t: t.select(["src", "dst_id"]),
+        batch_format="pyarrow").materialize()
+    resolved = hash_join(inner, src_nodes, on="src")
+    return resolved.map_batches(
+        lambda t: t.select(["src_id", "dst_id"]), batch_format="pyarrow")
 
 
 def q_range_partition(sf_dir: str):
@@ -2454,6 +2505,7 @@ def q_pagerank(sf_dir: str):
 
 QUERIES = {
     "outlinks": q_outlinks,
+    "link_graph": q_link_graph,
     "mix_corpora": q_mix_corpora,
     "quantile_filter": q_quantile_filter,
     "crawl_delta": q_crawl_delta,

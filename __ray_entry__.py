@@ -1071,6 +1071,24 @@ r AS (
 SELECT src, pos, dst FROM r
 WHERE dst <> ''
 QUALIFY row_number() OVER (PARTITION BY src, dst ORDER BY pos) = 1""",
+        "anchor_texts": r"""
+WITH pages AS (
+  SELECT 'https://an' || CAST(doc_id % 4 AS VARCHAR) || '.ex.com/p/' ||
+         CAST(doc_id AS VARCHAR) AS url,
+         '<html><p>intro</p><a href="/a/' || CAST(doc_id AS VARCHAR) ||
+         '">first ' || CAST(doc_id AS VARCHAR) || '</a> mid <a href="b' ||
+         CAST(doc_id % 9 AS VARCHAR) || '.html" class="x">second-' ||
+         CAST(doc_id % 5 AS VARCHAR) ||
+         '</a><a href="#f">frag anchor</a></html>' AS html
+  FROM documents),
+hx AS (
+  SELECT url AS src,
+         regexp_extract_all(html, 'href="([^"]*)"', 1) AS hrefs,
+         regexp_extract_all(html, 'href="[^"]*"[^>]*>([^<]*)', 1) AS texts
+  FROM pages)
+SELECT src, CAST(t.i AS BIGINT) AS pos, hrefs[t.i] AS href,
+       texts[t.i] AS text
+FROM hx, LATERAL (SELECT unnest(generate_series(1, len(hrefs))) AS i) t""",
         "link_graph": r"""
 WITH nn AS (SELECT count(*) AS n FROM documents),
 p AS (

@@ -157,3 +157,60 @@ def extract_outlinks(ds: "ray.data.Dataset", url_col: str = "url",
     return ds.map_batches(
         lambda t: _edges_from_batch(t, url_col, html_col),
         batch_format="pyarrow")
+
+
+def _anchors_from_batch(t: pa.Table, url_col: str, html_col: str) -> pa.Table:
+    schema = pa.schema([("src", pa.string()), ("pos", pa.int64()),
+                        ("href", pa.string()), ("text", pa.string())])
+    if t.num_rows == 0:
+        return schema.empty_table()
+    parts = pc.split_pattern(t[html_col], pattern='href="')
+    if isinstance(parts, pa.ChunkedArray):
+        parts = parts.combine_chunks()
+    flat = parts.flatten()
+    counts = np.asarray(pc.list_value_length(parts).to_numpy(
+        zero_copy_only=False), dtype=np.int64)
+    starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
+    is_tail = np.ones(len(flat), dtype=bool)
+    is_tail[starts[counts > 0]] = False
+    has_quote = np.asarray(pc.not_equal(
+        pc.find_substring(flat, '"'), -1).to_numpy(zero_copy_only=False),
+        dtype=bool)
+    cand = is_tail & has_quote
+    if not cand.any():
+        return schema.empty_table()
+    csum = np.cumsum(cand)
+    before_row = np.concatenate(([0], csum))[starts]
+    pos_all = csum - np.repeat(before_row, counts)
+    sel = np.flatnonzero(cand)
+    tails = flat.take(pa.array(sel))
+    href = pc.replace_substring_regex(
+        tails, pattern='(?s)".*$', replacement="")
+    # anchor text: run between the tag's closing '>' and the next '<';
+    # null when the tag never closes (malformed — absent from the RE2
+    # twin's zip as well on well-formed input).
+    text = pc.struct_field(pc.extract_regex(
+        tails, pattern=r'(?s)^[^"]*"[^>]*>(?P<t>[^<]*)'), "t")
+    src_col = t[url_col]
+    if isinstance(src_col, pa.ChunkedArray):
+        src_col = src_col.combine_chunks()
+    src = src_col.take(pa.array(np.repeat(
+        np.arange(t.num_rows, dtype=np.int64), counts)[sel]))
+    return pa.table({"src": src,
+                     "pos": pa.array(pos_all[sel], type=pa.int64()),
+                     "href": href, "text": text})
+
+
+def extract_anchor_texts(ds: "ray.data.Dataset", url_col: str = "url",
+                         html_col: str = "html") -> "ray.data.Dataset":
+    """(src, pos, href, text) anchor-text rows — the anchor-text corpus, a
+    standard relevance/label signal for training data. Same one-pass
+    vectorized machinery and href semantics as :func:`extract_outlinks`
+    (``pos`` ordinals align between the two outputs, so anchors join to
+    resolved edges on (src, pos) with no re-parse); no drop rules — which
+    anchors matter is the consumer's policy. ``text`` is the run between
+    the anchor tag's closing ``>`` and the next ``<`` (first text node
+    only), null for a tag that never closes."""
+    return ds.map_batches(
+        lambda t: _anchors_from_batch(t, url_col, html_col),
+        batch_format="pyarrow")

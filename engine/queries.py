@@ -2408,6 +2408,32 @@ def q_link_graph(sf_dir: str):
         lambda t: t.select(["src_id", "dst_id"]), batch_format="pyarrow")
 
 
+def q_anchor_texts(sf_dir: str):
+    """Anchor-text corpus extraction (engine.links.extract_anchor_texts)
+    over a planted HTML corpus distinct from the outlinks one (anchors
+    carry text nodes; extra attributes after href exercise the
+    ``[^>]*>`` tag-close scan). DuckDB twin: TWO aligned
+    regexp_extract_all lists (href values and first-text-node runs)
+    zipped by ordinal."""
+    from engine.links import extract_anchor_texts
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def mk_pages(t: pa.Table) -> pa.Table:
+        urls, htmls = [], []
+        for i in t["doc_id"].to_pylist():
+            urls.append(f"https://an{i % 4}.ex.com/p/{i}")
+            htmls.append(
+                f'<html><p>intro</p><a href="/a/{i}">first {i}</a> mid '
+                f'<a href="b{i % 9}.html" class="x">second-{i % 5}</a>'
+                '<a href="#f">frag anchor</a></html>')
+        return pa.table({"url": pa.array(urls, type=pa.string()),
+                         "html": pa.array(htmls, type=pa.string())})
+
+    pages = docs.map_batches(mk_pages, batch_format="pyarrow")
+    return extract_anchor_texts(pages)
+
+
 def q_range_partition(sf_dir: str):
     """Sketch-driven balanced range partitioner
     (engine.stats.range_partition): cuts = KLL quartiles of the planted
@@ -2506,6 +2532,7 @@ def q_pagerank(sf_dir: str):
 QUERIES = {
     "outlinks": q_outlinks,
     "link_graph": q_link_graph,
+    "anchor_texts": q_anchor_texts,
     "mix_corpora": q_mix_corpora,
     "quantile_filter": q_quantile_filter,
     "crawl_delta": q_crawl_delta,

@@ -96,6 +96,44 @@ def test_empty_batch():
     assert out.column_names == ["src", "pos", "dst"]
 
 
+def test_anchor_texts_kernel():
+    from engine.links import _anchors_from_batch
+
+    t = pa.table({
+        "url": ["https://a.com/p/1", "https://a.com/p/2"],
+        "html": [
+            '<a href="/x">first</a> mid <a href="y.html" class="c">se co</a>'
+            '<a href="#f">frag</a>',
+            '<a href="/unclosed"no-gt-here',  # tag never closes -> null text
+        ]})
+    out = _anchors_from_batch(t, "url", "html")
+    got = list(zip(out["src"].to_pylist(), out["pos"].to_pylist(),
+                   out["href"].to_pylist(), out["text"].to_pylist()))
+    assert got == [
+        ("https://a.com/p/1", 1, "/x", "first"),
+        ("https://a.com/p/1", 2, "y.html", "se co"),
+        ("https://a.com/p/1", 3, "#f", "frag"),
+        ("https://a.com/p/2", 1, "/unclosed", None),
+    ]
+
+
+def test_anchor_pos_aligns_with_outlinks():
+    from engine.links import _anchors_from_batch
+
+    t = _table()
+    anchors = _anchors_from_batch(t, "url", "html")
+    edges = _edges_from_batch(t, "url", "html")
+    # every edge's (src, pos) appears in the anchor rows with the raw href
+    amap = {(s, p): h for s, p, h in zip(
+        anchors["src"].to_pylist(), anchors["pos"].to_pylist(),
+        anchors["href"].to_pylist())}
+    for s, p, d in zip(edges["src"].to_pylist(), edges["pos"].to_pylist(),
+                       edges["dst"].to_pylist()):
+        assert (s, p) in amap
+        assert d.endswith(amap[(s, p)].split("#")[0].lstrip("/")) or \
+            amap[(s, p)].startswith(("http://", "https://", "//", "/"))
+
+
 def test_dataset_parallelism_invariance(ray_session):
     many = DOCS * 40
     t = pa.table({"url": pa.array([d[0] for d in many]),

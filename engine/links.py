@@ -63,36 +63,48 @@ def _empty_edges() -> pa.Table:
     return _EDGE_SCHEMA.empty_table()
 
 
-def _edges_from_batch(t: pa.Table, url_col: str, html_col: str) -> pa.Table:
-    if t.num_rows == 0:
-        return _empty_edges()
+def _candidate_hrefs(t: pa.Table, html_col: str):
+    """Shared scan: split every page on ``href="`` and locate the matched
+    href tails. Returns (tails, href, pos, rows) — the raw split tails,
+    the quote-truncated href values, the 1-based ordinal among the row's
+    matched hrefs, and each candidate's row index — or None when the batch
+    has no matches. Each row's first split part precedes any href; the
+    rest each start with an href value, required to have a closing quote
+    (RE2-twin semantics)."""
     parts = pc.split_pattern(t[html_col], pattern='href="')
     if isinstance(parts, pa.ChunkedArray):
         parts = parts.combine_chunks()
     flat = parts.flatten()
-    counts = pc.list_value_length(parts).to_numpy(zero_copy_only=False)
-    counts = np.asarray(counts, dtype=np.int64)
+    counts = np.asarray(
+        pc.list_value_length(parts).to_numpy(zero_copy_only=False),
+        dtype=np.int64)
     starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
-    n_flat = len(flat)
-    # Each row's first split part precedes any href; the rest each start
-    # with an href value. Require a closing quote (RE2-twin semantics).
-    is_tail = np.ones(n_flat, dtype=bool)
+    is_tail = np.ones(len(flat), dtype=bool)
     is_tail[starts[counts > 0]] = False
     has_quote = pc.not_equal(
         pc.find_substring(flat, '"'), -1).to_numpy(zero_copy_only=False)
     cand = is_tail & np.asarray(has_quote, dtype=bool)
     if not cand.any():
-        return _empty_edges()
+        return None
     # 1-based ordinal among the row's matched hrefs, via cumulative sums.
     csum = np.cumsum(cand)
     before_row = np.concatenate(([0], csum))[starts]
     rows_all = np.repeat(np.arange(t.num_rows, dtype=np.int64), counts)
     pos_all = csum - np.repeat(before_row, counts)
     sel = np.flatnonzero(cand)
-    pos = pos_all[sel]
-    rows = rows_all[sel]
+    tails = flat.take(pa.array(sel))
     href = pc.replace_substring_regex(
-        flat.take(pa.array(sel)), pattern='(?s)".*$', replacement="")
+        tails, pattern='(?s)".*$', replacement="")
+    return tails, href, pos_all[sel], rows_all[sel]
+
+
+def _edges_from_batch(t: pa.Table, url_col: str, html_col: str) -> pa.Table:
+    if t.num_rows == 0:
+        return _empty_edges()
+    cand = _candidate_hrefs(t, html_col)
+    if cand is None:
+        return _empty_edges()
+    _, href, pos, rows = cand
 
     drop = pc.equal(href, "")
     for p in _DROP_PREFIXES:
@@ -164,28 +176,10 @@ def _anchors_from_batch(t: pa.Table, url_col: str, html_col: str) -> pa.Table:
                         ("href", pa.string()), ("text", pa.string())])
     if t.num_rows == 0:
         return schema.empty_table()
-    parts = pc.split_pattern(t[html_col], pattern='href="')
-    if isinstance(parts, pa.ChunkedArray):
-        parts = parts.combine_chunks()
-    flat = parts.flatten()
-    counts = np.asarray(pc.list_value_length(parts).to_numpy(
-        zero_copy_only=False), dtype=np.int64)
-    starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
-    is_tail = np.ones(len(flat), dtype=bool)
-    is_tail[starts[counts > 0]] = False
-    has_quote = np.asarray(pc.not_equal(
-        pc.find_substring(flat, '"'), -1).to_numpy(zero_copy_only=False),
-        dtype=bool)
-    cand = is_tail & has_quote
-    if not cand.any():
+    cand = _candidate_hrefs(t, html_col)
+    if cand is None:
         return schema.empty_table()
-    csum = np.cumsum(cand)
-    before_row = np.concatenate(([0], csum))[starts]
-    pos_all = csum - np.repeat(before_row, counts)
-    sel = np.flatnonzero(cand)
-    tails = flat.take(pa.array(sel))
-    href = pc.replace_substring_regex(
-        tails, pattern='(?s)".*$', replacement="")
+    tails, href, pos, rows = cand
     # anchor text: run between the tag's closing '>' and the next '<';
     # null when the tag never closes (malformed — absent from the RE2
     # twin's zip as well on well-formed input).
@@ -194,10 +188,8 @@ def _anchors_from_batch(t: pa.Table, url_col: str, html_col: str) -> pa.Table:
     src_col = t[url_col]
     if isinstance(src_col, pa.ChunkedArray):
         src_col = src_col.combine_chunks()
-    src = src_col.take(pa.array(np.repeat(
-        np.arange(t.num_rows, dtype=np.int64), counts)[sel]))
-    return pa.table({"src": src,
-                     "pos": pa.array(pos_all[sel], type=pa.int64()),
+    src = src_col.take(pa.array(rows))
+    return pa.table({"src": src, "pos": pa.array(pos, type=pa.int64()),
                      "href": href, "text": text})
 
 

@@ -1089,6 +1089,30 @@ hx AS (
 SELECT src, CAST(t.i AS BIGINT) AS pos, hrefs[t.i] AS href,
        texts[t.i] AS text
 FROM hx, LATERAL (SELECT unnest(generate_series(1, len(hrefs))) AS i) t""",
+        "link_density": r"""
+WITH lk AS (
+  SELECT d.doc_id,
+         string_agg('<a href="https://x' || CAST(s.t AS VARCHAR) ||
+                    '.ex/l' || CAST(d.doc_id AS VARCHAR) || '-' ||
+                    CAST(s.t AS VARCHAR) || '">', '') AS links
+  FROM documents d,
+       LATERAL (SELECT unnest(generate_series(0, d.doc_id % 11 - 1)) AS t) s
+  GROUP BY d.doc_id),
+pages AS (
+  SELECT 'https://ld' || CAST(d.doc_id % 5 AS VARCHAR) || '.ex.com/p/' ||
+         CAST(d.doc_id AS VARCHAR) AS url,
+         '<html><p>' || repeat('w ', (d.doc_id % 13) * 10) || '</p>' ||
+         coalesce(lk.links, '') || '</html>' AS html
+  FROM documents d LEFT JOIN lk ON d.doc_id = lk.doc_id),
+c AS (
+  SELECT url AS src, CAST(length(html) AS BIGINT) AS n_chars,
+         CAST(len(regexp_extract_all(html, 'href="([^"]*)"', 1)) AS BIGINT)
+           AS n_links
+  FROM pages)
+SELECT src, n_links, n_chars,
+       CAST(CASE WHEN n_links * 40 <= n_chars THEN 1 ELSE 0 END AS BIGINT)
+         AS keep
+FROM c""",
         "link_graph": r"""
 WITH nn AS (SELECT count(*) AS n FROM documents),
 p AS (

@@ -2434,6 +2434,54 @@ def q_anchor_texts(sf_dir: str):
     return extract_anchor_texts(pages)
 
 
+def q_link_density(sf_dir: str):
+    """Link-density quality gate (Gopher-family boilerplate rule: too many
+    links per char = nav/spam page). Composition: extract_outlinks →
+    per-src Count (map-side-combined aggregate, narrow (src, n) exchange)
+    → LEFT hash_join back onto the (url, n_chars) page metadata (docs with
+    ZERO links must survive with n_links=0) → integer keep rule
+    n_links * 40 <= n_chars (no float ratio — the banker's-rounding
+    oracle trap). Counts materialized before the join: hash_join reads
+    schema() up front, which would re-execute the groupby exchange."""
+    from ray.data.aggregate import Count
+
+    from engine.joins import hash_join
+    from engine.links import extract_outlinks
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def mk_pages(t: pa.Table) -> pa.Table:
+        urls, htmls = [], []
+        for i in t["doc_id"].to_pylist():
+            urls.append(f"https://ld{i % 5}.ex.com/p/{i}")
+            body = "<p>" + "w " * ((i % 13) * 10) + "</p>"
+            links = "".join(f'<a href="https://x{t}.ex/l{i}-{t}">'
+                            for t in range(i % 11))
+            htmls.append(f"<html>{body}{links}</html>")
+        return pa.table({"url": pa.array(urls, type=pa.string()),
+                         "html": pa.array(htmls, type=pa.string())})
+
+    pages = docs.map_batches(mk_pages, batch_format="pyarrow").materialize()
+    counts = (extract_outlinks(pages).groupby("src")
+              .aggregate(Count(alias_name="n_links"))).materialize()
+    meta = pages.map_batches(
+        lambda t: pa.table({
+            "src": t["url"],
+            "n_chars": pc.cast(pc.utf8_length(t["html"]), pa.int64())}),
+        batch_format="pyarrow")
+    joined = hash_join(meta, counts, on="src", how="left")
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = pc.fill_null(pc.cast(t["n_links"], pa.int64()), 0)
+        keep = pc.cast(pc.less_equal(
+            pc.multiply(n, pa.scalar(40, type=pa.int64())),
+            t["n_chars"]), pa.int64())
+        return pa.table({"src": t["src"], "n_links": n,
+                         "n_chars": t["n_chars"], "keep": keep})
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
 def q_range_partition(sf_dir: str):
     """Sketch-driven balanced range partitioner
     (engine.stats.range_partition): cuts = KLL quartiles of the planted
@@ -2533,6 +2581,7 @@ QUERIES = {
     "outlinks": q_outlinks,
     "link_graph": q_link_graph,
     "anchor_texts": q_anchor_texts,
+    "link_density": q_link_density,
     "mix_corpora": q_mix_corpora,
     "quantile_filter": q_quantile_filter,
     "crawl_delta": q_crawl_delta,

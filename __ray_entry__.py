@@ -1027,6 +1027,18 @@ SELECT coalesce(o.url, n.url) AS url,
             WHEN o.fp = n.fp THEN 'unchanged'
             ELSE 'changed' END AS status
 FROM old o FULL OUTER JOIN new n ON o.url = n.url""",
+        "charset_decode": """
+SELECT doc_id,
+       'T' || CAST(doc_id % 6 AS VARCHAR) AS title,
+       CASE doc_id % 6
+         WHEN 0 THEN 'plain ascii '
+         WHEN 1 THEN 'Привет мир '
+         WHEN 2 THEN '日本語テキスト '
+         WHEN 3 THEN 'café déjà vu '
+         WHEN 4 THEN 'bom text '
+         ELSE '中文文本 '
+       END || CAST(doc_id AS VARCHAR) AS text
+FROM documents""",
         "outlinks": r"""
 WITH nn AS (SELECT count(*) AS n FROM documents),
 p AS (

@@ -19,6 +19,7 @@ from __future__ import annotations
 import re
 from html import unescape
 
+from engine.htmlx.charset import decode_html
 from engine.htmlx.dom import Node
 from engine.htmlx.parser import VOID_ELEMENTS, _IMPLICIT_CLOSE, _P_CLOSERS
 
@@ -56,7 +57,7 @@ def _parse_attrs(attr_str: str) -> dict[str, str]:
 
 def parse_html_fast(payload: bytes | str) -> Node:
     if isinstance(payload, (bytes, bytearray, memoryview)):
-        payload = bytes(payload).decode("utf-8", errors="replace")
+        payload = decode_html(payload)  # BOM → meta prescan → utf-8
     if "\x00" in payload:  # HTML spec: NUL → U+FFFD (and keeps the <br>
         payload = payload.replace("\x00", "�")  # placeholder byte safe)
 

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from html.parser import HTMLParser
 
+from engine.htmlx.charset import decode_html
 from engine.htmlx.dom import Node
 
 VOID_ELEMENTS = frozenset(
@@ -93,11 +94,12 @@ class _TreeBuilder(HTMLParser):
 def parse_html(payload: bytes | str) -> Node:
     """Parse an HTML payload into a Node tree rooted at '#root'.
 
-    Bytes are decoded as UTF-8 with replacement — deterministic for any input
-    including binary garbage (FIXTURES.md F1d requires no crash).
+    Bytes are decoded per the sniffed charset (BOM → meta prescan → UTF-8,
+    engine/htmlx/charset.py) with replacement errors — deterministic for any
+    input including binary garbage (FIXTURES.md F1d requires no crash).
     """
     if isinstance(payload, (bytes, bytearray, memoryview)):
-        payload = bytes(payload).decode("utf-8", errors="replace")
+        payload = decode_html(payload)
     # HTML spec: NUL in the input stream → U+FFFD. Also keeps NUL from
     # colliding with the serializer's <br> placeholder byte.
     if "\x00" in payload:

@@ -2564,6 +2564,48 @@ def q_pagerank(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_charset_decode(sf_dir: str):
+    """Charset-sniffed byte decode (engine/htmlx/charset.py: BOM → WHATWG
+    meta prescan → utf-8) through the FULL extraction kernel. The planted
+    corpus encodes a known page per doc_id in one of six on-the-wire
+    encodings (utf-8, windows-1251, shift_jis/cp932, iso-8859-1→cp1252,
+    utf-8+BOM, gb2312/gbk — the Common-Crawl head). DuckDB cannot decode
+    legacy codepages, so the oracle side rebuilds the EXPECTED title/text
+    as a pure function of doc_id (UTF-8 SQL literals): any mojibake on the
+    Ray side flips the value hash."""
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    _CLASSES = [
+        ("utf-8", "", "plain ascii "),
+        ("cp1251", '<meta charset="windows-1251">', "Привет мир "),
+        ("cp932", '<meta charset="shift_jis">', "日本語テキスト "),
+        ("cp1252", '<meta charset="iso-8859-1">', "café déjà vu "),
+        ("utf-8-sig", "", "bom text "),
+        ("gbk", '<meta charset="gb2312">', "中文文本 "),
+    ]
+
+    def mk_pages(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        payloads = []
+        for i in ids:
+            enc, meta, stem = _CLASSES[i % 6]
+            payloads.append(
+                (f"<html><head>{meta}<title>T{i % 6}</title></head>"
+                 f"<body><p>{stem}{i}</p></body></html>").encode(enc))
+        return pa.table({"url": pc.cast(t["doc_id"], pa.string()),
+                         "html": pa.array(payloads, type=pa.binary())})
+
+    pages = docs.map_batches(mk_pages, batch_format="pyarrow")
+    extracted = pages.map_batches(
+        ExtractActor, batch_format="pyarrow", batch_size=128,
+        concurrency=(1, 4))
+    return extracted.map_batches(
+        lambda t: pa.table({"doc_id": pc.cast(t["url"], pa.int64()),
+                            "title": t["title"],
+                            "text": t["plain_text"]}),
+        batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # registry
 #
@@ -2578,6 +2620,7 @@ def q_pagerank(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 QUERIES = {
+    "charset_decode": q_charset_decode,
     "outlinks": q_outlinks,
     "link_graph": q_link_graph,
     "anchor_texts": q_anchor_texts,

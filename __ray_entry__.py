@@ -1039,6 +1039,22 @@ SELECT doc_id,
          ELSE '中文文本 '
        END || CAST(doc_id AS VARCHAR) AS text
 FROM documents""",
+        "quality_classifier": r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok
+  FROM documents
+), b AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 4096 AS bk
+  FROM toks
+), s AS (
+  SELECT doc_id, CAST(sum(bk % 1001 - 500) AS BIGINT) AS score
+  FROM b GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(s.score, 0) AS score,
+       COALESCE(s.score, 0) > 0 AS keep
+FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id""",
         "outlinks": r"""
 WITH nn AS (SELECT count(*) AS n FROM documents),
 p AS (

@@ -2606,6 +2606,23 @@ def q_charset_decode(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_quality_classifier(sf_dir: str):
+    """Model-based quality gate (engine/classify.py): fastText-style hashed
+    bag-of-tokens linear scorer with BROADCAST weights (ray.put once,
+    plasma-cached per worker — never re-shipped per batch), map-side only.
+    Planted integer weights w[b] = (b % 1001) - 500 over md5-slice buckets
+    make every weight re-derivable in SQL; keep = score > 0."""
+    from engine.classify import DEFAULT_DIM, hashed_linear_scores, planted_weights
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    w_ref = ray.put(planted_weights())
+    scored = hashed_linear_scores(docs, w_ref, dim=DEFAULT_DIM)
+    return scored.map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"], "score": t["score"],
+                            "keep": pc.greater(t["score"], 0)}),
+        batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # registry
 #
@@ -2621,6 +2638,7 @@ def q_charset_decode(sf_dir: str):
 
 QUERIES = {
     "charset_decode": q_charset_decode,
+    "quality_classifier": q_quality_classifier,
     "outlinks": q_outlinks,
     "link_graph": q_link_graph,
     "anchor_texts": q_anchor_texts,

@@ -1055,6 +1055,63 @@ SELECT d.doc_id,
        COALESCE(s.score, 0) AS score,
        COALESCE(s.score, 0) > 0 AS keep
 FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id""",
+        "url_filter": r"""
+WITH u AS (
+  SELECT CASE doc_id % 8
+    WHEN 0 THEN 'https://ok' || CAST(doc_id % 7 AS VARCHAR)
+                || '.example.com/a/p' || CAST(doc_id AS VARCHAR)
+    WHEN 1 THEN 'https://bad' || CAST(doc_id % 5 AS VARCHAR)
+                || '.xxx/p' || CAST(doc_id AS VARCHAR)
+    WHEN 2 THEN 'https://w' || CAST(doc_id % 5 AS VARCHAR)
+                || '.example.com/casino/p' || CAST(doc_id AS VARCHAR)
+    WHEN 3 THEN 'https://d' || CAST(doc_id % 5 AS VARCHAR)
+                || '.example.com/a/b/c/d/e/f/g/p' || CAST(doc_id AS VARCHAR)
+    WHEN 4 THEN 'https://q' || CAST(doc_id % 5 AS VARCHAR)
+                || '.example.com/p?a=1&b=2&c=3&d=4&e=5&f='
+                || CAST(doc_id AS VARCHAR)
+    WHEN 5 THEN 'https://long.example.com/' || repeat('x', 160)
+                || CAST(doc_id AS VARCHAR)
+    WHEN 6 THEN 'https://mix.xxx/casino/' || CAST(doc_id AS VARCHAR)
+    ELSE 'https://ok.example.com/p' || CAST(doc_id AS VARCHAR) || '?a=1&b=2'
+  END AS url
+  FROM documents),
+c AS (
+  SELECT url,
+         regexp_replace(
+           regexp_replace(url, '^[a-z][a-z0-9+.-]*://[^/?#]*', ''),
+           '[?#].*$', '') AS path,
+         regexp_replace(url, '^[^?]*\??', '') AS query
+  FROM u)
+SELECT url,
+  CASE
+    WHEN length(url) > 160 THEN 'len'
+    WHEN regexp_matches(url,
+      '^[a-z][a-z0-9+.-]*://[^/?#]*\.(xxx|casino|poker)([/?#]|$)') THEN 'tld'
+    WHEN regexp_matches(url, '(?i)(porn|casino|viagra|escort|xxx)')
+      THEN 'word'
+    WHEN length(path) - length(replace(path, '/', '')) > 6 THEN 'depth'
+    WHEN length(query) - length(replace(query, '&', '')) >= 5 THEN 'query'
+    ELSE ''
+  END AS reason,
+  CASE
+    WHEN length(url) > 160 THEN FALSE
+    WHEN regexp_matches(url,
+      '^[a-z][a-z0-9+.-]*://[^/?#]*\.(xxx|casino|poker)([/?#]|$)') THEN FALSE
+    WHEN regexp_matches(url, '(?i)(porn|casino|viagra|escort|xxx)')
+      THEN FALSE
+    WHEN length(path) - length(replace(path, '/', '')) > 6 THEN FALSE
+    WHEN length(query) - length(replace(query, '&', '')) >= 5 THEN FALSE
+    ELSE TRUE
+  END AS keep
+FROM c""",
+        "banned_words": r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '\b(slow|scan|merge)\b'))
+            AS BIGINT) AS n_banned,
+       len(regexp_extract_all(text, '\b(slow|scan|merge)\b')) * 1000
+         <= len(regexp_extract_all(text, '\S+')) * 100 AS keep
+FROM documents""",
         "outlinks": r"""
 WITH nn AS (SELECT count(*) AS n FROM documents),
 p AS (

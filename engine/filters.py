@@ -1,0 +1,102 @@
+"""Rule-based web filtering — the URL and wordlist gates every Common-Crawl
+pipeline runs before any model sees a page (C4's badwords filter, CCNet's
+URL blocklists, RefinedWeb §3.1 "URL filtering" + "document-wise filtering").
+
+Both operators are MAP-SIDE ONLY (no shuffle, narrow verdict rows out) and
+fully vectorized: one Arrow RE2 kernel call per rule per batch — no Python
+loop touches a row. All rules are integer/boolean (no float ratios — the
+banker's-rounding oracle trap, CLAUDE.md), and every regex is RE2-safe so
+a DuckDB twin runs the IDENTICAL pattern (both engines are RE2; ASCII
+corpus — the \\b/\\S Unicode divergence documented in engine/textops.py
+does not bite here).
+
+At 100 TB these run over every document; the entire cost is the RE2 scan,
+which is O(bytes) with a tiny constant — the right shape for a first-pass
+gate that drops 20-40 % of a crawl before the expensive stages.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+
+# ---------------------------------------------------------------------------
+# URL rules (first match wins, checked in this order)
+# ---------------------------------------------------------------------------
+
+BANNED_TLDS = (".xxx", ".casino", ".poker")
+BANNED_URL_RE = r"(?i)(porn|casino|viagra|escort|xxx)"
+MAX_URL_LEN = 160
+MAX_PATH_DEPTH = 6   # '/' count beyond scheme's '//'
+MAX_QUERY_PARAMS = 5  # '&' count in the query string
+
+
+def url_rule_filter(ds: "ray.data.Dataset", url_col: str = "url",
+                    ) -> "ray.data.Dataset":
+    """(url, keep, reason) — first-match-wins URL gate.
+
+    Rules: over-long url → 'len'; banned TLD on the host → 'tld'; banned
+    substring anywhere → 'word'; path deeper than MAX_PATH_DEPTH → 'depth';
+    more than MAX_QUERY_PARAMS '&'-separated params → 'query'; else keep
+    with reason ''.
+    """
+    tld_alt = "|".join(t.lstrip(".") for t in BANNED_TLDS)
+    # host = authority before the first path slash; anchor TLD at its end
+    tld_re = rf"^[a-z][a-z0-9+.-]*://[^/?#]*\.({tld_alt})([/?#]|$)"
+
+    def verdict(t: pa.Table) -> pa.Table:
+        u = pc.cast(t[url_col], pa.string())
+        too_long = pc.greater(pc.utf8_length(u), MAX_URL_LEN)
+        tld = pc.match_substring_regex(u, tld_re)
+        word = pc.match_substring_regex(u, BANNED_URL_RE)
+        # path depth: '/' in the part after 'scheme://' and before '?'/'#'
+        path = pc.replace_substring_regex(u, r"^[a-z][a-z0-9+.-]*://[^/?#]*",
+                                          "")
+        path = pc.replace_substring_regex(path, r"[?#].*$", "")
+        deep = pc.greater(pc.count_substring(path, "/"), MAX_PATH_DEPTH)
+        query = pc.replace_substring_regex(u, r"^[^?]*\??", "")
+        spammy = pc.greater_equal(pc.count_substring(query, "&"),
+                                  MAX_QUERY_PARAMS)
+
+        reason = pa.nulls(len(u), pa.string())
+        keep = pa.array([True] * len(u))
+        # reverse order so earlier rules overwrite later ones (first wins)
+        for mask, label in [(spammy, "query"), (deep, "depth"),
+                            (word, "word"), (tld, "tld"),
+                            (too_long, "len")]:
+            reason = pc.if_else(mask, pa.scalar(label, pa.string()), reason)
+            keep = pc.and_(keep, pc.invert(mask))
+        reason = pc.coalesce(reason, pa.scalar("", pa.string()))
+        return pa.table({url_col: u, "keep": keep, "reason": reason})
+
+    return ds.map_batches(verdict, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Banned-wordlist document gate (C4 badwords-style)
+# ---------------------------------------------------------------------------
+
+def banned_word_gate(ds: "ray.data.Dataset", words: "tuple[str, ...]",
+                     max_per_1000: int, text_col: str = "text",
+                     id_col: str = "doc_id") -> "ray.data.Dataset":
+    """(id, n_tokens, n_banned, keep) — drop documents whose banned-token
+    rate exceeds ``max_per_1000`` per thousand tokens (integer rule:
+    keep ⇔ n_banned·1000 ≤ n_tokens·max_per_1000).
+
+    Counting is two RE2 kernel calls per batch: whole-word matches of the
+    banned alternation, and ``\\S+`` for the token denominator.
+    """
+    alt = r"\b(" + "|".join(words) + r")\b"
+
+    def gate(t: pa.Table) -> pa.Table:
+        txt = pc.cast(t[text_col], pa.string())
+        n_tok = pc.cast(pc.count_substring_regex(txt, r"\S+"), pa.int64())
+        n_bad = pc.cast(pc.count_substring_regex(txt, alt), pa.int64())
+        keep = pc.less_equal(pc.multiply(n_bad, 1000),
+                             pc.multiply(n_tok, max_per_1000))
+        return pa.table({id_col: t[id_col], "n_tokens": n_tok,
+                         "n_banned": n_bad, "keep": keep})
+
+    return ds.map_batches(gate, batch_format="pyarrow")

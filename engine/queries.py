@@ -2623,6 +2623,59 @@ def q_quality_classifier(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_url_filter(sf_dir: str):
+    """Rule-based URL gate (engine.filters.url_rule_filter — the
+    RefinedWeb/CCNet URL-blocklist stage): planted urls hit every rule
+    class (banned TLD, banned word, path depth, query spam, over-length,
+    first-match-wins precedence incl. a tld-beats-word probe). Map-side
+    only, one RE2 kernel call per rule per batch. DuckDB twin: identical
+    RE2 patterns in a CASE chain."""
+    from engine.filters import url_rule_filter
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def mk(t: pa.Table) -> pa.Table:
+        urls = []
+        for i in t["doc_id"].to_pylist():
+            c = i % 8
+            if c == 0:
+                u = f"https://ok{i % 7}.example.com/a/p{i}"
+            elif c == 1:
+                u = f"https://bad{i % 5}.xxx/p{i}"
+            elif c == 2:
+                u = f"https://w{i % 5}.example.com/casino/p{i}"
+            elif c == 3:
+                u = f"https://d{i % 5}.example.com/a/b/c/d/e/f/g/p{i}"
+            elif c == 4:
+                u = f"https://q{i % 5}.example.com/p?a=1&b=2&c=3&d=4&e=5&f={i}"
+            elif c == 5:
+                u = "https://long.example.com/" + "x" * 160 + str(i)
+            elif c == 6:
+                u = f"https://mix.xxx/casino/{i}"  # tld wins over word
+            else:
+                u = f"https://ok.example.com/p{i}?a=1&b=2"
+            urls.append(u)
+        return pa.table({"url": pa.array(urls, type=pa.string())})
+
+    return url_rule_filter(docs.map_batches(mk, batch_format="pyarrow"))
+
+
+BANNED_WORDS = ("slow", "scan", "merge")
+BANNED_PER_1000 = 100
+
+
+def q_banned_words(sf_dir: str):
+    """C4-badwords-style document gate (engine.filters.banned_word_gate):
+    integer rule keep ⇔ n_banned·1000 ≤ n_tokens·100 over whole-word RE2
+    counts — the corpus median banned rate sits exactly ON the threshold,
+    so the ≤ boundary is value-pinned too. DuckDB twin: the same two
+    regexp_extract_all lengths."""
+    from engine.filters import banned_word_gate
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return banned_word_gate(docs, BANNED_WORDS, BANNED_PER_1000)
+
+
 # ---------------------------------------------------------------------------
 # registry
 #
@@ -2639,6 +2692,8 @@ def q_quality_classifier(sf_dir: str):
 QUERIES = {
     "charset_decode": q_charset_decode,
     "quality_classifier": q_quality_classifier,
+    "url_filter": q_url_filter,
+    "banned_words": q_banned_words,
     "outlinks": q_outlinks,
     "link_graph": q_link_graph,
     "anchor_texts": q_anchor_texts,

@@ -1,0 +1,76 @@
+"""Rule-based web filters (engine/filters.py)."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from engine.filters import banned_word_gate, url_rule_filter
+
+
+def _verdicts(urls):
+    import ray.data as rd
+
+    out = url_rule_filter(
+        rd.from_items([{"url": u} for u in urls])).to_pandas()
+    return dict(zip(out["url"], zip(out["keep"], out["reason"])))
+
+
+def test_url_rules(ray_session):
+    v = _verdicts([
+        "https://ok.example.com/a/p1",
+        "https://bad.xxx/p2",
+        "https://w.example.com/casino/p3",
+        "https://d.example.com/a/b/c/d/e/f/g/p4",          # 8 slashes
+        "https://q.example.com/p?a=1&b=2&c=3&d=4&e=5&f=6",  # 5 '&'
+        "https://long.example.com/" + "y" * 200,
+        "https://mix.xxx/casino/p5",      # tld precedence over word
+        "https://sub.xxx.example.com/p6",  # '.xxx.' mid-host: NOT a tld hit
+        "https://deep.example.com/a/b/c/d/e/f?x=1&y=2",  # 6 slashes, 1 '&'
+    ])
+    assert v["https://ok.example.com/a/p1"] == (True, "")
+    assert v["https://bad.xxx/p2"] == (False, "tld")
+    assert v["https://w.example.com/casino/p3"] == (False, "word")
+    assert v["https://d.example.com/a/b/c/d/e/f/g/p4"] == (False, "depth")
+    assert v["https://q.example.com/p?a=1&b=2&c=3&d=4&e=5&f=6"] == (
+        False, "query")
+    assert v["https://long.example.com/" + "y" * 200] == (False, "len")
+    assert v["https://mix.xxx/casino/p5"] == (False, "tld")
+    # mid-host banned-tld substring is a 'word' hit (xxx), not 'tld'
+    assert v["https://sub.xxx.example.com/p6"] == (False, "word")
+    assert v["https://deep.example.com/a/b/c/d/e/f?x=1&y=2"] == (True, "")
+
+
+def test_banned_word_gate(ray_session):
+    import ray.data as rd
+
+    rows = [
+        {"doc_id": 0, "text": "clean words only here"},          # 0/4
+        {"doc_id": 1, "text": "slow scan merge slow"},           # 4/4
+        {"doc_id": 2, "text": "slow " + "pad " * 39},            # 1/40 = 25/1000
+        {"doc_id": 3, "text": "slowly scanning merged"},         # substrings: 0 hits
+        {"doc_id": 4, "text": ""},                                # 0/0
+    ]
+    out = banned_word_gate(rd.from_items(rows), ("slow", "scan", "merge"),
+                           max_per_1000=100).to_pandas()
+    got = {r.doc_id: (r.n_tokens, r.n_banned, r.keep)
+           for r in out.itertuples()}
+    assert got[0] == (4, 0, True)
+    assert got[1] == (4, 4, False)
+    assert got[2] == (40, 1, True)
+    assert got[3] == (3, 0, True)   # \b word boundaries, not substrings
+    assert got[4] == (0, 0, True)
+
+
+def test_parallelism_invariance(ray_session):
+    import ray.data as rd
+
+    rows = [{"doc_id": i,
+             "text": ("slow word " * (i % 7) + "pad " * (i % 11)).strip()}
+            for i in range(100)]
+    a = (banned_word_gate(rd.from_items(rows).repartition(1),
+                          ("slow",), 50)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    b = (banned_word_gate(rd.from_items(rows).repartition(13),
+                          ("slow",), 50)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert a.equals(b)

@@ -1,10 +1,13 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
-Decode kernels are DEPLOYMENT-GATED: pillow / soundfile are used when
-importable (the real path), and deterministic clearly-marked stubs otherwise
-(this container ships neither). Everything Ray-side — schemas, batch sizing,
-actor signatures, output layout, error channel — is identical either way and
-fully tested.
+Image decode is REAL for PNG / BMP / PPM — stdlib zlib + numpy
+(engine/imagecodec.py), no external codec needed, verified pixel-exact by
+round-trip tests and a DuckDB-oracled query. Compressed formats (JPEG/
+WebP) and audio remain DEPLOYMENT-GATED: pillow / soundfile are used when
+importable, and deterministic clearly-marked stubs otherwise (this
+container ships neither). Everything Ray-side — schemas, batch sizing,
+actor signatures, output layout, error channel — is identical either way
+and fully tested.
 
 Design rules encoded here (the 100 TB shape):
 - media rows are LARGE: stages default to small ``batch_size`` so a batch ×
@@ -25,6 +28,8 @@ import numpy as np
 import pyarrow as pa
 
 import ray.data
+
+from engine import imagecodec as _imagecodec
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -70,13 +75,26 @@ def _pseudo_bytes(seed: int, n: int) -> np.ndarray:
 
 
 def _decode_image(payload: bytes) -> np.ndarray:
-    """payload → HxWx3 uint8. Pillow when installed (the real path);
-    otherwise a deterministic STUB fake derived from the payload hash so
-    the plumbing (shapes, dtypes, feature extraction, tests) is exercised
-    end-to-end without the codec. Raises on empty/undecodable payload like
-    a real decoder."""
+    """payload → HxWx3 uint8.
+
+    PNG / BMP / PPM payloads (magic-byte routed) decode through the REAL
+    stdlib codec in engine/imagecodec.py — no external library needed.
+    Everything else uses pillow when installed (JPEG/WebP/…, the
+    deployment path), and otherwise a deterministic clearly-marked STUB
+    fake derived from the payload hash so the plumbing (shapes, dtypes,
+    feature extraction, tests) is exercised end-to-end without the codec.
+    Raises on empty/undecodable payload like a real decoder."""
     if not payload:
         raise MediaDecodeError("empty image payload")
+    if payload[:8] == _imagecodec.PNG_SIG or payload[:2] in (b"BM", b"P6"):
+        try:
+            if payload[:2] == b"BM":
+                return _imagecodec.decode_bmp(payload)
+            if payload[:2] == b"P6":
+                return _imagecodec.decode_ppm(payload)
+            return _imagecodec.decode_png(payload)
+        except ValueError as exc:
+            raise MediaDecodeError(f"image decode failed: {exc}") from exc
     if _PILImage is not None:  # pragma: no cover - deployment path
         import io
 
@@ -285,6 +303,51 @@ def media_features(ds: "ray.data.Dataset", *, batch_size: int = 8,
         concurrency=concurrency,
         num_cpus=1,
     )
+
+
+class ImageStatsActor:
+    """Actor-pool stage over REAL image decode: (media_id, payload) →
+    (width, height, per-channel pixel sums). The sums are exact integers,
+    which is what makes the whole decode path (container parse, inflate,
+    scanline unfilter, channel order) pinnable by a DuckDB oracle over a
+    planted corpus — any byte wrong anywhere moves a sum."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t["media_id"].to_pylist()
+        payloads = t["payload"].to_pylist()
+        out = {"media_id": ids, "width": [], "height": [],
+               "sum_r": [], "sum_g": [], "sum_b": [], "status": []}
+        for payload in payloads:
+            try:
+                img = _decode_image(payload or b"")
+                s = img.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                out["width"].append(img.shape[1])
+                out["height"].append(img.shape[0])
+                out["sum_r"].append(int(s[0]))
+                out["sum_g"].append(int(s[1]))
+                out["sum_b"].append(int(s[2]))
+                out["status"].append("ok")
+            except MediaDecodeError:
+                for k, v in (("width", 0), ("height", 0), ("sum_r", 0),
+                             ("sum_g", 0), ("sum_b", 0)):
+                    out[k].append(v)
+                out["status"].append("failed")
+        return pa.table({
+            "media_id": pa.array(out["media_id"], type=pa.int64()),
+            "width": pa.array(out["width"], type=pa.int64()),
+            "height": pa.array(out["height"], type=pa.int64()),
+            "sum_r": pa.array(out["sum_r"], type=pa.int64()),
+            "sum_g": pa.array(out["sum_g"], type=pa.int64()),
+            "sum_b": pa.array(out["sum_b"], type=pa.int64()),
+            "status": pa.array(out["status"], type=pa.string()),
+        })
+
+
+def image_stats(ds: "ray.data.Dataset", *, batch_size: int = 64,
+                concurrency: tuple[int, int] = (1, 8)) -> "ray.data.Dataset":
+    return ds.map_batches(ImageStatsActor, batch_format="pyarrow",
+                          batch_size=batch_size, concurrency=concurrency,
+                          num_cpus=1)
 
 
 def gen_media_table(n_rows: int, seed: int = 42) -> pa.Table:

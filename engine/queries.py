@@ -2676,6 +2676,50 @@ def q_banned_words(sf_dir: str):
     return banned_word_gate(docs, BANNED_WORDS, BANNED_PER_1000)
 
 
+def q_image_decode(sf_dir: str):
+    """REAL image decode through the distributed stage
+    (engine/imagecodec.py + multimodal.image_stats): per doc_id a planted
+    image — red channel an x-gradient (rbase+x, no mod wrap by
+    construction), green/blue constant — is ENCODED into a rotating
+    container (PNG with row filter None/Sub/Up by id%3; BMP and PPM every
+    7th/11th id), decoded by the actor pool, and reduced to exact integer
+    channel sums. The DuckDB twin computes the same sums in closed form
+    (arithmetic series), so container parsing, zlib inflate, scanline
+    unfiltering, bottom-up BMP order and BGR→RGB swizzle are all
+    value-pinned."""
+    import numpy as np
+
+    from engine.imagecodec import encode_bmp, encode_png, encode_ppm
+    from engine.multimodal import image_stats
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def mk(t: pa.Table) -> pa.Table:
+        payloads = []
+        ids = t["doc_id"].to_pylist()
+        for i in ids:
+            w = 8 + (i % 5) * 4
+            h = 8 + (i % 3) * 4
+            rbase = (7 * i) % 200           # rbase + w - 1 <= 222 < 256
+            img = np.empty((h, w, 3), dtype=np.uint8)
+            img[:, :, 0] = (rbase + np.arange(w, dtype=np.int64))[None, :]
+            img[:, :, 1] = (13 * i) % 256
+            img[:, :, 2] = (29 * i) % 256
+            if i % 7 == 0:
+                payloads.append(encode_bmp(img))
+            elif i % 11 == 0:
+                payloads.append(encode_ppm(img))
+            else:
+                payloads.append(encode_png(img, row_filter=i % 3))
+        return pa.table({"media_id": pa.array(ids, type=pa.int64()),
+                         "payload": pa.array(payloads, type=pa.binary())})
+
+    media = docs.map_batches(mk, batch_format="pyarrow")
+    out = image_stats(media, batch_size=128, concurrency=(1, 8))
+    return out.select_columns(
+        ["media_id", "width", "height", "sum_r", "sum_g", "sum_b"])
+
+
 # ---------------------------------------------------------------------------
 # registry
 #
@@ -2694,6 +2738,7 @@ QUERIES = {
     "quality_classifier": q_quality_classifier,
     "url_filter": q_url_filter,
     "banned_words": q_banned_words,
+    "image_decode": q_image_decode,
     "outlinks": q_outlinks,
     "link_graph": q_link_graph,
     "anchor_texts": q_anchor_texts,

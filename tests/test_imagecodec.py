@@ -1,0 +1,126 @@
+"""Real stdlib image codecs (engine/imagecodec.py) + the decode stage."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from engine.imagecodec import (PNG_SIG, _chunk, decode_bmp, decode_png,
+                               decode_ppm, encode_bmp, encode_png, encode_ppm)
+from engine.multimodal import _decode_image
+
+
+RNG = np.random.RandomState(7)
+
+
+@pytest.mark.parametrize("shape", [(1, 1, 3), (5, 7, 3), (16, 16, 3),
+                                   (9, 3, 1), (8, 8, 4), (2, 300, 3)])
+@pytest.mark.parametrize("row_filter", [0, 1, 2])
+def test_png_roundtrip(shape, row_filter):
+    img = RNG.randint(0, 256, shape, dtype=np.uint8)
+    c = shape[2]
+    want = (img if c == 3 else
+            np.repeat(img, 3, axis=2) if c == 1 else img[:, :, :3])
+    got = decode_png(encode_png(img, row_filter=row_filter))
+    assert got.shape == want.shape and (got == want).all()
+
+
+def _ref_filtered_png(img: np.ndarray, ftype: int) -> bytes:
+    """Scalar reference PNG writer for filters 3 (Average) / 4 (Paeth)."""
+    h, w, c = img.shape
+    flat = img.reshape(h, w * c).astype(np.int16)
+    body = np.zeros((h, w * c + 1), np.uint8)
+    prev = np.zeros(w * c, np.int16)
+
+    def paeth(a, b, cc):
+        p = a + b - cc
+        pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - cc)
+        return a if pa_ <= pb and pa_ <= pc_ else (b if pb <= pc_ else cc)
+
+    for y in range(h):
+        body[y, 0] = ftype
+        for i in range(w * c):
+            left = flat[y, i - c] if i >= c else 0
+            ul = prev[i - c] if i >= c else 0
+            pred = ((left + prev[i]) >> 1) if ftype == 3 else \
+                paeth(left, prev[i], ul)
+            body[y, i + 1] = (flat[y, i] - pred) & 0xFF
+        prev = flat[y]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (PNG_SIG + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(body.tobytes()))
+            + _chunk(b"IEND", b""))
+
+
+@pytest.mark.parametrize("ftype", [3, 4])
+def test_png_average_and_paeth_filters(ftype):
+    img = RNG.randint(0, 256, (6, 5, 3), dtype=np.uint8)
+    assert (decode_png(_ref_filtered_png(img, ftype)) == img).all()
+
+
+def test_png_crc_is_verified():
+    png = bytearray(encode_png(np.zeros((4, 4, 3), np.uint8)))
+    png[20] ^= 0xFF  # corrupt IHDR payload, CRC now mismatches
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(png))
+
+
+@pytest.mark.parametrize("shape", [(1, 1), (5, 7), (16, 16), (3, 13)])
+def test_bmp_ppm_roundtrip(shape):
+    img = RNG.randint(0, 256, (*shape, 3), dtype=np.uint8)
+    assert (decode_bmp(encode_bmp(img)) == img).all()
+    assert (decode_ppm(encode_ppm(img)) == img).all()
+
+
+def test_bmp_row_padding():
+    # w=5 → 15-byte rows padded to 16; padding must not leak into pixels
+    img = RNG.randint(0, 256, (3, 5, 3), dtype=np.uint8)
+    assert (decode_bmp(encode_bmp(img)) == img).all()
+
+
+@pytest.mark.parametrize("bad,decoder", [
+    (b"", decode_png),
+    (b"\x89PNG\r\n\x1a\nxx", decode_png),
+    (b"BMxx", decode_bmp),
+    (b"P6\n1 1\n255", decode_ppm),      # header only, no raster
+    (b"P6\n0 4\n255\n", decode_ppm),
+])
+def test_error_paths_raise(bad, decoder):
+    with pytest.raises(ValueError):
+        decoder(bad)
+
+
+def test_decode_image_magic_routing():
+    from engine.multimodal import MediaDecodeError
+
+    img = RNG.randint(0, 256, (4, 6, 3), dtype=np.uint8)
+    for enc in (encode_png(img), encode_bmp(img), encode_ppm(img)):
+        assert (_decode_image(enc) == img).all()
+    # a corrupt payload WITH a real magic raises (no silent stub fallback)
+    with pytest.raises(MediaDecodeError):
+        _decode_image(b"BM" + b"\x00" * 100)
+
+
+def test_image_stats_stage(ray_session):
+    import ray.data as rd
+
+    from engine.imagecodec import encode_png
+    from engine.multimodal import image_stats
+
+    rows = []
+    for i in range(30):
+        img = RNG.randint(0, 256, (4 + i % 3, 5 + i % 4, 3), dtype=np.uint8)
+        rows.append({"media_id": i, "payload": encode_png(img, i % 3),
+                     "want": [int(img[:, :, c].sum()) for c in range(3)],
+                     "w": img.shape[1], "h": img.shape[0]})
+    ds = rd.from_items([{"media_id": r["media_id"], "payload": r["payload"]}
+                        for r in rows])
+    out = image_stats(ds, batch_size=7).to_pandas().set_index("media_id")
+    for r in rows:
+        row = out.loc[r["media_id"]]
+        assert (row["width"], row["height"]) == (r["w"], r["h"])
+        assert [row["sum_r"], row["sum_g"], row["sum_b"]] == r["want"]
+        assert row["status"] == "ok"

@@ -1128,6 +1128,16 @@ SELECT doc_id AS media_id,
        CAST(h * w * g AS BIGINT) AS sum_g,
        CAST(h * w * b AS BIGINT) AS sum_b
 FROM p""",
+        "audio_decode": r"""
+WITH p AS (
+  SELECT doc_id,
+         64 + (doc_id % 7) * 16 AS n,
+         (37 * doc_id) % 1000 AS base
+  FROM documents)
+SELECT doc_id AS media_id,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(n * base + (n * (n - 1)) // 2 AS BIGINT) AS sum_s
+FROM p""",
         "outlinks": r"""
 WITH nn AS (SELECT count(*) AS n FROM documents),
 p AS (

@@ -29,6 +29,7 @@ import pyarrow as pa
 
 import ray.data
 
+from engine import audiocodec as _audiocodec
 from engine import imagecodec as _imagecodec
 
 MEDIA_SCHEMA = pa.schema(
@@ -109,10 +110,19 @@ def _decode_image(payload: bytes) -> np.ndarray:
 
 
 def _decode_audio(payload: bytes) -> np.ndarray:
-    """payload → float32 mono PCM. soundfile when installed (the real
-    path); deterministic STUB fake otherwise."""
+    """payload → float32 mono PCM.
+
+    RIFF/WAVE payloads decode through the REAL stdlib codec
+    (engine/audiocodec.py — 16-bit PCM, exact integer downmix). Compressed
+    audio uses soundfile when installed (the deployment path); otherwise a
+    deterministic clearly-marked STUB fake."""
     if not payload:
         raise MediaDecodeError("empty audio payload")
+    if payload[:4] == b"RIFF":
+        try:
+            return _audiocodec.decode_wav(payload)[0]
+        except ValueError as exc:
+            raise MediaDecodeError(f"audio decode failed: {exc}") from exc
     if _soundfile is not None:  # pragma: no cover - deployment path
         import io
 
@@ -346,6 +356,42 @@ class ImageStatsActor:
 def image_stats(ds: "ray.data.Dataset", *, batch_size: int = 64,
                 concurrency: tuple[int, int] = (1, 8)) -> "ray.data.Dataset":
     return ds.map_batches(ImageStatsActor, batch_format="pyarrow",
+                          batch_size=batch_size, concurrency=concurrency,
+                          num_cpus=1)
+
+
+class AudioStatsActor:
+    """Actor-pool stage over REAL WAV decode: (media_id, payload) →
+    (n_samples, exact integer sample sum). PCM16 values are exact in the
+    float pipeline (|s| < 2^15, scaled by 2^-15), so round(sum·32768) is
+    the integer sample sum — the DuckDB-oracle hook for the audio path."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t["media_id"].to_pylist()
+        payloads = t["payload"].to_pylist()
+        out = {"media_id": ids, "n_samples": [], "sum_s": [], "status": []}
+        for payload in payloads:
+            try:
+                pcm = _decode_audio(payload or b"")
+                out["n_samples"].append(len(pcm))
+                out["sum_s"].append(
+                    int(round(float(pcm.astype(np.float64).sum()) * 32768.0)))
+                out["status"].append("ok")
+            except MediaDecodeError:
+                out["n_samples"].append(0)
+                out["sum_s"].append(0)
+                out["status"].append("failed")
+        return pa.table({
+            "media_id": pa.array(out["media_id"], type=pa.int64()),
+            "n_samples": pa.array(out["n_samples"], type=pa.int64()),
+            "sum_s": pa.array(out["sum_s"], type=pa.int64()),
+            "status": pa.array(out["status"], type=pa.string()),
+        })
+
+
+def audio_stats(ds: "ray.data.Dataset", *, batch_size: int = 64,
+                concurrency: tuple[int, int] = (1, 8)) -> "ray.data.Dataset":
+    return ds.map_batches(AudioStatsActor, batch_format="pyarrow",
                           batch_size=batch_size, concurrency=concurrency,
                           num_cpus=1)
 

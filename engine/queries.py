@@ -2720,6 +2720,37 @@ def q_image_decode(sf_dir: str):
         ["media_id", "width", "height", "sum_r", "sum_g", "sum_b"])
 
 
+def q_audio_decode(sf_dir: str):
+    """REAL WAV decode through the distributed stage (engine/audiocodec.py
+    + multimodal.audio_stats): per doc_id a planted 16-bit PCM WAV whose
+    samples are the arithmetic series base+k (no wrap by construction) is
+    decoded by the actor pool and reduced to (n_samples, exact integer
+    sample sum); the DuckDB twin computes both in closed form — RIFF
+    chunk walk, PCM scaling and sample order all value-pinned."""
+    import numpy as np
+
+    from engine.audiocodec import encode_wav
+    from engine.multimodal import audio_stats
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def mk(t: pa.Table) -> pa.Table:
+        payloads = []
+        ids = t["doc_id"].to_pylist()
+        for i in ids:
+            n = 64 + (i % 7) * 16
+            base = (37 * i) % 1000          # base + n - 1 <= 1158 << 2^15
+            samples = base + np.arange(n, dtype=np.int64)
+            payloads.append(encode_wav(samples.astype(np.int16),
+                                       rate=8000 + (i % 3) * 4000))
+        return pa.table({"media_id": pa.array(ids, type=pa.int64()),
+                         "payload": pa.array(payloads, type=pa.binary())})
+
+    media = docs.map_batches(mk, batch_format="pyarrow")
+    out = audio_stats(media, batch_size=128, concurrency=(1, 8))
+    return out.select_columns(["media_id", "n_samples", "sum_s"])
+
+
 # ---------------------------------------------------------------------------
 # registry
 #
@@ -2739,6 +2770,7 @@ QUERIES = {
     "url_filter": q_url_filter,
     "banned_words": q_banned_words,
     "image_decode": q_image_decode,
+    "audio_decode": q_audio_decode,
     "outlinks": q_outlinks,
     "link_graph": q_link_graph,
     "anchor_texts": q_anchor_texts,

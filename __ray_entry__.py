@@ -147,6 +147,66 @@ SELECT doc_id,
 FROM p"""
 
 
+def _bpe_ctes(k: int) -> str:
+    """Shared CTE chain for the BPE oracles: w0 = per-word-type symbol
+    strings (each symbol wrapped as '|sym|', so boundaries are '||' and a
+    pair pattern '|l||r|' can only match two FULL adjacent symbols), then k
+    rounds of pair-count → argmax (count DESC, pair ASC) → replace().
+    SQL replace() substitutes left-to-right non-overlapping — exactly the
+    BPE merge rule ('|a||a||a||a|' → '|aa||aa|')."""
+    parts = [r"""WITH w0 AS (
+  SELECT '|' || array_to_string(regexp_extract_all(word, '.'), '||')
+             || '|' AS ws,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(regexp_extract_all(text, '\S+')) AS word
+        FROM documents)
+  WHERE word NOT LIKE '%|%'
+  GROUP BY 1)"""]
+    for i in range(1, k + 1):
+        parts.append(f""",
+p{i} AS (
+  SELECT syms[j] AS l, syms[j + 1] AS r, CAST(sum(cnt) AS BIGINT) AS c
+  FROM (SELECT string_split(substr(ws, 2, length(ws) - 2), '||') AS syms,
+               cnt
+        FROM w{i - 1}) t,
+       LATERAL (SELECT unnest(generate_series(1, len(syms) - 1)) AS j) u
+  GROUP BY 1, 2),
+b{i} AS (SELECT l, r, c FROM p{i} ORDER BY c DESC, l, r LIMIT 1),
+w{i} AS (SELECT replace(ws, '|' || b{i}.l || '||' || b{i}.r || '|',
+                        '|' || b{i}.l || b{i}.r || '|') AS ws, cnt
+         FROM w{i - 1}, b{i})""")
+    return "".join(parts)
+
+
+def _bpe_merges_sql(k: int) -> str:
+    rows = "\nUNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS rank, l AS lhs, r AS rhs, "
+        f"c AS pair_count FROM b{i}" for i in range(1, k + 1))
+    return _bpe_ctes(k) + "\n" + rows
+
+
+def _bpe_segments_sql(k: int) -> str:
+    repl = "'|' || array_to_string(regexp_extract_all(word, '.'), '||') || '|'"
+    for i in range(1, k + 1):
+        repl = (f"replace({repl}, '|' || b{i}.l || '||' || b{i}.r || '|', "
+                f"'|' || b{i}.l || b{i}.r || '|')")
+    froms = ", ".join(f"b{i}" for i in range(1, k + 1))
+    return _bpe_ctes(k) + f""",
+docwords AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS word
+  FROM documents),
+seg AS (
+  SELECT doc_id,
+         len(string_split(substr({repl}, 2,
+             length({repl}) - 2), '||')) AS n_syms
+  FROM docwords, {froms}),
+per_doc AS (
+  SELECT doc_id, CAST(sum(n_syms) AS BIGINT) AS n_symbols
+  FROM seg GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(p.n_symbols, 0) AS n_symbols
+FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id"""
+
+
 def oracle_sql() -> dict[str, str]:
     from engine.textstats import _ALL_STOP
 
@@ -1138,6 +1198,8 @@ SELECT doc_id AS media_id,
        CAST(n AS BIGINT) AS n_samples,
        CAST(n * base + (n * (n - 1)) // 2 AS BIGINT) AS sum_s
 FROM p""",
+        "bpe_merges": _bpe_merges_sql(6),
+        "bpe_segments": _bpe_segments_sql(6),
         "outlinks": r"""
 WITH nn AS (SELECT count(*) AS n FROM documents),
 p AS (

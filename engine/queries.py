@@ -2751,6 +2751,39 @@ def q_audio_decode(sf_dir: str):
     return out.select_columns(["media_id", "n_samples", "sum_s"])
 
 
+BPE_MERGES = 6
+
+
+def q_bpe_merges(sf_dir: str):
+    """BPE tokenizer TRAINING (engine.tokenize.bpe_train): distributed word
+    counting (Counter partials → groupby Sum, exchange O(vocab×batches)),
+    then the merge loop over the word-TYPE table — O(vocabulary) driver
+    state, the Sennrich/HF-trainer shape. Deterministic tie-break
+    (count DESC, pair ASC). DuckDB twin: 6 unrolled merge rounds over
+    double-wrapped symbol strings ('|a||b|'), where SQL replace()'s
+    left-to-right non-overlapping scan IS the BPE merge rule."""
+    from engine.tokenize import bpe_train, word_counts
+
+    wc = word_counts(_read(sf_dir, "documents", ["text"]))
+    return bpe_train(wc, BPE_MERGES)
+
+
+def q_bpe_segments(sf_dir: str):
+    """Tokenizer-apply for the TRAINED BPE (engine.tokenize
+    .bpe_segment_counts): per-document symbol count after the 6 learned
+    merges — the compression-ratio / token-budget accounting pass. Merges
+    apply per UNIQUE word per batch (factorize), lengths scatter back.
+    DuckDB twin recomputes the merge table, then applies the same 6
+    replaces per word occurrence and sums per doc."""
+    from engine.tokenize import bpe_segment_counts, bpe_train, word_counts
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    merges_tbl = bpe_train(word_counts(docs), BPE_MERGES)
+    merges = list(zip(merges_tbl["lhs"].to_pylist(),
+                      merges_tbl["rhs"].to_pylist()))
+    return bpe_segment_counts(docs, merges)
+
+
 # ---------------------------------------------------------------------------
 # registry
 #
@@ -2771,6 +2804,8 @@ QUERIES = {
     "banned_words": q_banned_words,
     "image_decode": q_image_decode,
     "audio_decode": q_audio_decode,
+    "bpe_merges": q_bpe_merges,
+    "bpe_segments": q_bpe_segments,
     "outlinks": q_outlinks,
     "link_graph": q_link_graph,
     "anchor_texts": q_anchor_texts,

@@ -283,3 +283,167 @@ def pack_sequences(ds: "ray.data.Dataset", vocab, seq_len: int,
     return (_coalesced(segs.map_batches(add_bucket, batch_format="pyarrow"),
                        num_buckets, "auto")
             .groupby("__bucket").map_groups(assemble, batch_format="pyarrow"))
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer TRAINING (the step before encode_tokens/pack_sequences)
+# ---------------------------------------------------------------------------
+
+# The merge loop runs on the word-TYPE table — O(vocabulary), not O(corpus):
+# the shape every production BPE trainer uses (Sennrich 2016; HF tokenizers
+# collects word counts into memory the same way). The distributed part is
+# the word COUNT pass; the driver holds one (word, count) row per distinct
+# word, gated here.
+DRIVER_WORD_TYPES_MAX = 2_000_000
+
+
+def word_counts(ds: "ray.data.Dataset", text_col: str = "text",
+                ) -> "ray.data.Dataset":
+    """(word, n) — corpus-wide whitespace-token occurrence counts.
+
+    Partial Counter per batch (the doc_frequency discipline: exchange is
+    O(vocabulary × batches), never O(token occurrences)), groupby-Sum merge.
+    """
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for s in t[text_col].to_pylist():
+            c.update((s or "").split())
+        words = list(c.keys())
+        return pa.table({"word": pa.array(words, type=pa.string()),
+                         "n": pa.array([c[w] for w in words],
+                                       type=pa.int64())})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("word").aggregate(Sum("n", alias_name="n")))
+
+
+def _count_pairs(syms: list, n: int, acc, idx, wid: int) -> None:
+    for a, b in zip(syms, syms[1:]):
+        acc[(a, b)] = acc.get((a, b), 0) + n
+        idx.setdefault((a, b), set()).add(wid)
+
+
+def _merge_word(syms: list, pair: tuple) -> list:
+    """Left-to-right non-overlapping merge of ``pair`` (BPE semantics)."""
+    out, i, m = [], 0, len(syms)
+    a, b = pair
+    while i < m:
+        if i + 1 < m and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def bpe_train(word_count_table, num_merges: int) -> pa.Table:
+    """(rank, lhs, rhs, pair_count) — BPE merge table from (word, n) counts.
+
+    Deterministic tie-break: highest count, then lexicographically smallest
+    (lhs, rhs) — the SQL twin's ``ORDER BY c DESC, l, r LIMIT 1``.
+    Incremental: each merge recounts only the words that contain the merged
+    pair (a pair→words index), so a K-merge run is O(K · affected), not
+    O(K · vocabulary).
+
+    Symbols must not contain ``'|'`` (the SQL twin's separator); offending
+    words are dropped with the same rule on both sides.
+    """
+    if hasattr(word_count_table, "to_pandas"):
+        word_count_table = word_count_table.to_pandas()
+    words_in = word_count_table["word"].tolist()
+    counts_in = word_count_table["n"].tolist()
+    if len(words_in) > DRIVER_WORD_TYPES_MAX:
+        raise ValueError(
+            f"word-type table ({len(words_in)}) exceeds "
+            f"DRIVER_WORD_TYPES_MAX ({DRIVER_WORD_TYPES_MAX}); raise the "
+            "cap or pre-prune rare words (min_count) upstream")
+    words: list[list[str]] = []
+    cnt: list[int] = []
+    for w, n in zip(words_in, counts_in):
+        if "|" in w or len(w) < 2:
+            continue
+        words.append(list(w))
+        cnt.append(int(n))
+
+    pair_counts: dict = {}
+    pair_words: dict = {}
+    for wid, (syms, n) in enumerate(zip(words, cnt)):
+        _count_pairs(syms, n, pair_counts, pair_words, wid)
+
+    out = {"rank": [], "lhs": [], "rhs": [], "pair_count": []}
+    for rank in range(1, num_merges + 1):
+        live = [(p, c) for p, c in pair_counts.items() if c > 0]
+        if not live:
+            break
+        best, best_c = min(live, key=lambda pc_: (-pc_[1], pc_[0]))
+        out["rank"].append(rank)
+        out["lhs"].append(best[0])
+        out["rhs"].append(best[1])
+        out["pair_count"].append(best_c)
+        for wid in sorted(pair_words.get(best, ())):
+            syms = words[wid]
+            n = cnt[wid]
+            for a, b in zip(syms, syms[1:]):  # retract old pair counts
+                pair_counts[(a, b)] -= n
+                s = pair_words.get((a, b))
+                if s is not None:
+                    s.discard(wid)
+            merged = _merge_word(syms, best)
+            words[wid] = merged
+            _count_pairs(merged, n, pair_counts, pair_words, wid)
+    return pa.table({
+        "rank": pa.array(out["rank"], type=pa.int64()),
+        "lhs": pa.array(out["lhs"], type=pa.string()),
+        "rhs": pa.array(out["rhs"], type=pa.string()),
+        "pair_count": pa.array(out["pair_count"], type=pa.int64()),
+    })
+
+
+def bpe_apply(word: str, merges: "list[tuple[str, str]]") -> list[str]:
+    """Apply a trained merge list to one word, in rank order (equivalent to
+    lowest-rank-first priority encoding: a later merge's symbols cannot
+    create an earlier merge's pair, since that pair's symbols predate it).
+    """
+    syms = list(word)
+    for pair in merges:
+        if len(syms) < 2:
+            break
+        syms = _merge_word(syms, pair)
+    return syms
+
+
+def bpe_segment_counts(ds: "ray.data.Dataset",
+                       merges: "list[tuple[str, str]]",
+                       text_col: str = "text", id_col: str = "doc_id",
+                       ) -> "ray.data.Dataset":
+    """(id, n_symbols) — per-document symbol count after applying the merge
+    table: the compression-ratio / token-budget accounting pass. Map-side
+    only; per batch the merges run over UNIQUE words (pandas factorize),
+    then lengths scatter back per occurrence."""
+
+    def seg(t: pa.Table) -> pa.Table:
+        texts = t[text_col].to_pylist()
+        # factorize over word occurrences across the batch
+        occ_words: list[str] = []
+        doc_of: list[int] = []
+        for d, s in enumerate(texts):
+            ws = (s or "").split()
+            occ_words.extend(ws)
+            doc_of.extend([d] * len(ws))
+        n_docs = len(texts)
+        totals = np.zeros(n_docs, dtype=np.int64)
+        if occ_words:
+            codes, uniques = pd.factorize(np.asarray(occ_words, dtype=object))
+            lens = np.fromiter(
+                (len(bpe_apply(w, merges)) for w in uniques),
+                dtype=np.int64, count=len(uniques))
+            np.add.at(totals, np.asarray(doc_of), lens[codes])
+        return pa.table({id_col: t[id_col],
+                         "n_symbols": pa.array(totals, type=pa.int64())})
+
+    return ds.map_batches(seg, batch_format="pyarrow")

@@ -499,6 +499,8 @@ def _std_file_key(enc: dict, first_id: bytes) -> bytes:
     h.update(enc["O"][:32])
     h.update(struct.pack("<I", int(enc.get("P", 0)) & 0xFFFFFFFF))
     h.update(first_id)
+    if r >= 4 and enc.get("EncryptMetadata") is False:
+        h.update(b"\xff\xff\xff\xff")
     key = h.digest()
     if r >= 3:
         for _ in range(50):
@@ -519,23 +521,62 @@ def _check_empty_user_pw(enc: dict, key: bytes, first_id: bytes) -> bool:
     return x[:16] == u[:16]
 
 
-def _object_key(file_key: bytes, num: int, gen: int) -> bytes:
-    """Algorithm 1: per-object RC4 key."""
+def _object_key(file_key: bytes, num: int, gen: int,
+                aes: bool = False) -> bytes:
+    """Algorithm 1: per-object key (AESV2 appends the spec's 'sAlT')."""
     import hashlib
     import struct
 
-    ext = (file_key + struct.pack("<I", num)[:3] + struct.pack("<I", gen)[:2])
+    ext = (file_key + struct.pack("<I", num)[:3] + struct.pack("<I", gen)[:2]
+           + (b"sAlT" if aes else b""))
     return hashlib.md5(ext).digest()[: min(len(file_key) + 5, 16)]
 
 
-def _decrypt_value(value, obj_key: bytes):
-    """Recursively RC4 every string (bytes) inside an object body."""
+def _aes_decrypt(obj_key: bytes, data: bytes) -> bytes:
+    from engine.pdfx.aes import aes128_cbc_decrypt
+
+    try:
+        return aes128_cbc_decrypt(obj_key, data)
+    except ValueError as exc:
+        raise PdfError(f"encrypted PDF: AES payload invalid ({exc})") from exc
+
+
+# CFM name → (decrypt_fn(obj_key, data), uses_aes_object_key)
+_CRYPT_FILTERS = {
+    "V2": (_rc4, False),
+    "AESV2": (_aes_decrypt, True),
+    "Identity": (lambda _k, d: d, False),
+}
+
+
+def _resolve_crypt_filters(objects: "dict[int, object]", enc: dict):
+    """V=4: map the /StmF and /StrF crypt-filter names through /CF."""
+    cf = resolve(objects, enc.get("CF", {})) or {}
+
+    def pick(which: str):
+        name = str(enc.get(which, "Identity"))
+        if name == "Identity":
+            return _CRYPT_FILTERS["Identity"]
+        spec = resolve(objects, cf.get(name))
+        cfm = str(spec.get("CFM", "")) if isinstance(spec, dict) else ""
+        if cfm not in _CRYPT_FILTERS or cfm == "Identity":
+            if cfm == "Identity":
+                return _CRYPT_FILTERS["Identity"]
+            raise PdfError(f"encrypted PDF: unsupported crypt filter "
+                           f"CFM={cfm!r}")
+        return _CRYPT_FILTERS[cfm]
+
+    return pick("StmF"), pick("StrF")
+
+
+def _decrypt_value(value, obj_key: bytes, fn=_rc4):
+    """Recursively decrypt every string (bytes) inside an object body."""
     if isinstance(value, bytes):
-        return _rc4(obj_key, value)
+        return fn(obj_key, value)
     if isinstance(value, list):
-        return [_decrypt_value(v, obj_key) for v in value]
+        return [_decrypt_value(v, obj_key, fn) for v in value]
     if isinstance(value, dict):
-        return {k: _decrypt_value(v, obj_key) for k, v in value.items()}
+        return {k: _decrypt_value(v, obj_key, fn) for k, v in value.items()}
     return value
 
 
@@ -547,11 +588,18 @@ def _decrypt_objects(objects: "dict[int, object]", gens: "dict[int, int]",
     enc = resolve(objects, enc_ref)
     if not isinstance(enc, dict):
         raise PdfError("encrypted PDF: malformed /Encrypt")
-    if enc.get("Filter") != "Standard" or enc.get("V", 0) not in (1, 2) \
-            or enc.get("R", 2) not in (2, 3):
+    v, r = enc.get("V", 0), enc.get("R", 2)
+    if enc.get("Filter") != "Standard" or (v, r) not in \
+            {(1, 2), (1, 3), (2, 2), (2, 3), (4, 4)}:
         raise PdfError("encrypted PDF: unsupported security handler "
-                       f"(Filter={enc.get('Filter')}, V={enc.get('V')}, "
-                       f"R={enc.get('R')})")
+                       f"(Filter={enc.get('Filter')}, V={v}, R={r})")
+    if v == 4:
+        (stm_fn, stm_aes), (str_fn, str_aes) = \
+            _resolve_crypt_filters(objects, enc)
+        if "Length" not in enc:
+            enc = {**enc, "Length": 128}
+    else:
+        (stm_fn, stm_aes) = (str_fn, str_aes) = (_rc4, False)
     ids = trailer.get("ID")
     first_id = ids[0] if isinstance(ids, list) and ids and \
         isinstance(ids[0], bytes) else b""
@@ -562,14 +610,16 @@ def _decrypt_objects(objects: "dict[int, object]", gens: "dict[int, int]",
     for num, obj in objects.items():
         if num == enc_num:
             continue  # the /Encrypt dict's own strings are never encrypted
-        ok = _object_key(key, num, gens.get(num, 0))
+        gen = gens.get(num, 0)
         if isinstance(obj, Stream):
             if obj.dict.get("Type") == "XRef":
                 continue  # cross-reference streams are never encrypted
-            obj.raw = _rc4(ok, obj.raw)
-            obj.dict = _decrypt_value(obj.dict, ok)
+            obj.raw = stm_fn(_object_key(key, num, gen, stm_aes), obj.raw)
+            obj.dict = _decrypt_value(
+                obj.dict, _object_key(key, num, gen, str_aes), str_fn)
         else:
-            objects[num] = _decrypt_value(obj, ok)
+            objects[num] = _decrypt_value(
+                obj, _object_key(key, num, gen, str_aes), str_fn)
 
 
 def parse_objects(data: bytes) -> tuple[dict[int, object], dict]:

@@ -315,9 +315,11 @@ def test_unsupported_encryption_raises():
     from engine.pdfx.objects import PdfError
 
     enc = _encrypt_pdf_rc4(_plain_pdf())
-    aes = enc.replace(b"/V 1", b"/V 4").replace(b"/R 2", b"/R 4")
+    # AESV3 (V5/R6, AES-256 + SHA-2 validation) is out of the supported
+    # matrix and must fail loudly, not silently mis-decrypt
+    aes3 = enc.replace(b"/V 1", b"/V 5").replace(b"/R 2", b"/R 6")
     with pytest.raises(PdfError, match="unsupported"):
-        extract_pdf_doc(aes)
+        extract_pdf_doc(aes3)
 
 
 def test_encrypted_status_channel():
@@ -505,3 +507,139 @@ def test_kmeans_empty_cluster_keeps_centroid(ray_session):
     for c in range(1, 4):
         np.testing.assert_allclose(cents[c], init[c])  # untouched
     assert set(stats["cluster"].to_pylist()) == {0}
+
+
+# --- empty-password AES (V4/R4, AESV2) roundtrip ----------------------------
+# Key derivation below is written independently of objects.py (same pattern
+# as _encrypt_pdf_rc4); the AES-128 primitive itself is pinned externally by
+# the FIPS-197 Appendix B vector (test_aes_fips_vector), and the CBC
+# encryptor is the mathematical inverse exercised both ways here.
+
+
+def test_aes_fips_vector():
+    from engine.pdfx.aes import _decrypt_block, _encrypt_block, _expand_key
+
+    key = bytes.fromhex("2b7e151628aed2a6abf7158809cf4f3c")
+    pt = bytes.fromhex("3243f6a8885a308d313198a2e0370734")
+    ct = _encrypt_block(pt, _expand_key(key))
+    assert ct.hex() == "3925841d02dc09fbdc118597196a0b32"
+    assert _decrypt_block(ct, _expand_key(key)) == pt
+
+
+def test_aes_cbc_padding_rejected():
+    import pytest
+
+    from engine.pdfx.aes import aes128_cbc_decrypt, aes128_cbc_encrypt
+
+    key = bytes(range(16))
+    enc = aes128_cbc_encrypt(key, b"\x07" * 16, b"hello world")
+    assert aes128_cbc_decrypt(key, enc) == b"hello world"
+    with pytest.raises(ValueError):
+        aes128_cbc_decrypt(key, enc[:16])          # too short
+    with pytest.raises(ValueError):
+        aes128_cbc_decrypt(bytes(16), enc)         # wrong key → bad pad
+
+
+def _encrypt_pdf_aes(plain: bytes) -> bytes:
+    """Independent V4/R4 AESV2 encryptor (empty user password)."""
+    import hashlib
+    import struct
+
+    from engine.pdfx.aes import aes128_cbc_encrypt
+    from engine.pdfx.objects import Name, Ref, Stream, parse_objects
+
+    objects, trailer = parse_objects(plain)
+    n = 16  # Length 128
+    file_id = bytes(range(16))
+    p = -44
+
+    d = hashlib.md5(_PAD).digest()
+    for _ in range(50):
+        d = hashlib.md5(d).digest()
+    key_o = d[:n]
+    o_entry = _mini_rc4(key_o, _PAD)
+    for i in range(1, 20):
+        o_entry = _mini_rc4(bytes(b ^ i for b in key_o), o_entry)
+
+    h = hashlib.md5(_PAD + o_entry + struct.pack("<I", p & 0xFFFFFFFF)
+                    + file_id).digest()
+    k = h
+    for _ in range(50):
+        k = hashlib.md5(k[:n]).digest()
+    key = k[:n]
+
+    u_entry = _mini_rc4(key, hashlib.md5(_PAD + file_id).digest())
+    for i in range(1, 20):
+        u_entry = _mini_rc4(bytes(b ^ i for b in key), u_entry)
+    u_entry += b"\x00" * 16
+
+    def obj_key(num):
+        ext = (key + struct.pack("<I", num)[:3] + b"\x00\x00" + b"sAlT")
+        return hashlib.md5(ext).digest()[:16]
+
+    def iv_for(num, tag):
+        import hashlib as _h
+        return _h.md5(b"iv%d%s" % (num, tag)).digest()  # deterministic IV
+
+    def enc_value(v, num, ok):
+        if isinstance(v, bytes):
+            return aes128_cbc_encrypt(ok, iv_for(num, b"s"), v)
+        if isinstance(v, list):
+            return [enc_value(x, num, ok) for x in v]
+        if isinstance(v, dict):
+            return {kk: enc_value(x, num, ok) for kk, x in v.items()}
+        return v
+
+    enc_num = max(objects) + 1
+    out = [b"%PDF-1.6\n"]
+    for num in sorted(objects):
+        obj = objects[num]
+        ok = obj_key(num)
+        out.append(b"%d 0 obj\n" % num)
+        if isinstance(obj, Stream):
+            raw = aes128_cbc_encrypt(ok, iv_for(num, b"m"), obj.raw)
+            d2 = enc_value({kk: v for kk, v in obj.dict.items()
+                            if kk != "Length"}, num, ok)
+            d2["Length"] = len(raw)
+            out.append(_ser(d2) + b"\nstream\n" + raw + b"\nendstream")
+        else:
+            out.append(_ser(enc_value(obj, num, ok)))
+        out.append(b"\nendobj\n")
+    enc_dict = {
+        "Filter": Name("Standard"), "V": 4, "R": 4, "Length": 128, "P": p,
+        "O": o_entry, "U": u_entry,
+        "CF": {"StdCF": {"CFM": Name("AESV2"), "Length": 16}},
+        "StmF": Name("StdCF"), "StrF": Name("StdCF"),
+    }
+    out.append(b"%d 0 obj\n" % enc_num + _ser(enc_dict) + b"\nendobj\n")
+    tr = dict(trailer)
+    tr["Encrypt"] = Ref(enc_num)
+    tr["ID"] = [file_id, file_id]
+    out.append(b"trailer\n" + _ser(tr) + b"\n%%EOF\n")
+    return b"".join(out)
+
+
+def test_aes_pdf_roundtrip():
+    from engine.pdfx.extract import extract_pdf_doc
+
+    plain = _plain_pdf()
+    want = extract_pdf_doc(plain)
+    enc = _encrypt_pdf_aes(plain)
+    assert b"encrypted page one" not in enc
+    assert extract_pdf_doc(enc) == want
+    # compressed streams: decrypt-then-inflate ordering
+    plain_z = _plain_pdf(compress=True)
+    assert extract_pdf_doc(_encrypt_pdf_aes(plain_z)) \
+        == extract_pdf_doc(plain_z)
+
+
+def test_aes_wrong_password_raises():
+    import pytest
+
+    from engine.pdfx.extract import extract_pdf_doc
+    from engine.pdfx.objects import PdfError
+
+    enc = _encrypt_pdf_aes(_plain_pdf())
+    bad = enc.replace(b"/U <", b"/U <ff", 1)
+    with pytest.raises(PdfError, match="password required"):
+        extract_pdf_doc(bad)

@@ -1198,6 +1198,21 @@ SELECT doc_id AS media_id,
        CAST(n AS BIGINT) AS n_samples,
        CAST(n * base + (n * (n - 1)) // 2 AS BIGINT) AS sum_s
 FROM p""",
+        "token_windows": r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS t
+  FROM documents),
+w AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+k AS (
+  SELECT doc_id, t, n,
+         unnest(generate_series(
+           0, CAST((greatest(n - 32, 0) + 23) // 24 AS INT))) AS ci
+  FROM w)
+SELECT doc_id,
+       CAST(ci AS BIGINT) AS chunk_idx,
+       array_to_string(t[ci * 24 + 1 : least(ci * 24 + 32, n)], ' ')
+         AS chunk
+FROM k""",
         "bpe_merges": _bpe_merges_sql(6),
         "bpe_segments": _bpe_segments_sql(6),
         "outlinks": r"""

@@ -2784,6 +2784,18 @@ def q_bpe_segments(sf_dir: str):
     return bpe_segment_counts(docs, merges)
 
 
+def q_token_windows(sf_dir: str):
+    """Sliding token-window chunker (engine.tokenize.chunk_token_windows):
+    size-32 windows at stride 24 (8-token overlap) — the embedding-prep /
+    RAG chunking unit, complementing the line-based non-overlapping M4
+    chunker. DuckDB twin: generate_series window ordinals + 1-based
+    inclusive list slices over the \\S+ token list."""
+    from engine.tokenize import chunk_token_windows
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return chunk_token_windows(docs, size=32, stride=24)
+
+
 # ---------------------------------------------------------------------------
 # registry
 #
@@ -2806,6 +2818,7 @@ QUERIES = {
     "audio_decode": q_audio_decode,
     "bpe_merges": q_bpe_merges,
     "bpe_segments": q_bpe_segments,
+    "token_windows": q_token_windows,
     "outlinks": q_outlinks,
     "link_graph": q_link_graph,
     "anchor_texts": q_anchor_texts,

@@ -447,3 +447,40 @@ def bpe_segment_counts(ds: "ray.data.Dataset",
                          "n_symbols": pa.array(totals, type=pa.int64())})
 
     return ds.map_batches(seg, batch_format="pyarrow")
+
+
+def chunk_token_windows(ds: "ray.data.Dataset", size: int, stride: int,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        ) -> "ray.data.Dataset":
+    """(id, chunk_idx, chunk) — overlapping token windows: window k covers
+    tokens [k·stride, k·stride+size); windows = ceil(max(n−size,0)/stride)+1
+    for non-empty docs (so every doc yields ≥1 chunk and every token is in
+    ≥1 window), zero for empty docs. The embedding-prep chunker (RAG /
+    retrieval pipelines) — `size` tokens per unit with `size−stride`
+    tokens of overlap. Map-side only; tokenization is the RE2 ``\\S+``
+    twin used across textstats."""
+    if not (0 < stride <= size):
+        raise ValueError("need 0 < stride <= size")
+
+    def windows(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.cast(t[text_col], pa.string()), pattern=r"\s+")
+        ids_out, idx_out, chunk_out = [], [], []
+        for rid, lst in zip(t[id_col].to_pylist(), toks.to_pylist()):
+            words = [w for w in lst if w]
+            n = len(words)
+            if n == 0:
+                continue
+            m = (max(n - size, 0) + stride - 1) // stride
+            for k in range(m + 1):
+                ids_out.append(rid)
+                idx_out.append(k)
+                chunk_out.append(" ".join(words[k * stride:
+                                                k * stride + size]))
+        return pa.table({
+            id_col: pa.array(ids_out, type=pa.int64()),
+            "chunk_idx": pa.array(idx_out, type=pa.int64()),
+            "chunk": pa.array(chunk_out, type=pa.string()),
+        })
+
+    return ds.map_batches(windows, batch_format="pyarrow")

@@ -107,3 +107,26 @@ def test_distributed_word_counts_and_segments(ray_session):
     out16 = (bpe_segment_counts(rd.from_items(rows).repartition(3), merges)
              .to_pandas().set_index("doc_id")["n_symbols"].to_dict())
     assert out16 == want
+
+
+def test_chunk_token_windows(ray_session):
+    import pytest
+    import ray.data as rd
+
+    from engine.tokenize import chunk_token_windows
+
+    rows = [{"doc_id": 0, "text": " ".join(f"t{i}" for i in range(10))},
+            {"doc_id": 1, "text": "single"},
+            {"doc_id": 2, "text": ""},          # no chunks
+            {"doc_id": 3, "text": " ".join(f"u{i}" for i in range(4))}]
+    out = (chunk_token_windows(rd.from_items(rows), size=4, stride=3)
+           .to_pandas().sort_values(["doc_id", "chunk_idx"]))
+    got = list(zip(out.doc_id, out.chunk_idx, out.chunk))
+    assert got == [
+        (0, 0, "t0 t1 t2 t3"), (0, 1, "t3 t4 t5 t6"),
+        (0, 2, "t6 t7 t8 t9"),                  # every token covered
+        (1, 0, "single"),                        # short doc: one chunk
+        (3, 0, "u0 u1 u2 u3"),                   # exactly size: one chunk
+    ]
+    with pytest.raises(ValueError):
+        chunk_token_windows(rd.from_items(rows), size=4, stride=5)

@@ -1198,6 +1198,51 @@ SELECT doc_id AS media_id,
        CAST(n AS BIGINT) AS n_samples,
        CAST(n * base + (n * (n - 1)) // 2 AS BIGINT) AS sum_s
 FROM p""",
+        "image_refs": r"""
+WITH pages AS (
+  SELECT 'https://im' || CAST(doc_id % 5 AS VARCHAR) || '.ex.com/g/'
+           || CAST(doc_id AS VARCHAR) AS url,
+         '<html><img src="/img/' || CAST(doc_id AS VARCHAR)
+           || '.png" alt="cap ' || CAST(doc_id AS VARCHAR)
+           || '"><p>t</p><img src="th' || CAST(doc_id % 7 AS VARCHAR)
+           || '.jpg"><img src="data:image/gif;base64,x" alt="skip">'
+           || '<img alt="nosrc"><img src="//cdn'
+           || CAST(doc_id % 3 AS VARCHAR) || '.ex.net/l'
+           || CAST(doc_id AS VARCHAR) || '.webp" alt=""></html>' AS html
+  FROM documents),
+tg AS (
+  SELECT url, regexp_extract_all(html, '<img[^>]*>') AS tags
+  FROM pages),
+e AS (
+  SELECT url, tags[t.i] AS tag, t.i
+  FROM tg, LATERAL (SELECT unnest(generate_series(1, len(tags))) AS i) t),
+x AS (
+  SELECT url, i,
+         CASE WHEN regexp_matches(tag, 'src="([^"]*)"')
+              THEN regexp_extract(tag, 'src="([^"]*)"', 1) END AS s,
+         CASE WHEN regexp_matches(tag, 'alt="([^"]*)"')
+              THEN regexp_extract(tag, 'alt="([^"]*)"', 1) END AS alt
+  FROM e),
+k AS (
+  SELECT url, s, alt,
+         CAST(row_number() OVER (PARTITION BY url ORDER BY i) AS BIGINT)
+           AS pos
+  FROM x
+  WHERE s IS NOT NULL AND s <> '' AND s NOT LIKE 'data:%'
+        AND s NOT LIKE '#%' AND s NOT LIKE 'mailto:%'
+        AND s NOT LIKE 'javascript:%')
+SELECT url AS src, pos,
+       regexp_replace(
+         CASE
+           WHEN s LIKE 'http://%' OR s LIKE 'https://%' THEN s
+           WHEN s LIKE '//%'
+             THEN regexp_extract(url, '^(https?):', 1) || ':' || s
+           WHEN s LIKE '/%'
+             THEN regexp_extract(url, '^(https?://[^/]+)', 1) || s
+           ELSE regexp_extract(url, '^(.*/)', 1) || s
+         END, '#.*$', '') AS img,
+       alt
+FROM k""",
         "token_windows": r"""
 WITH toks AS (
   SELECT doc_id, regexp_extract_all(text, '\S+') AS t

@@ -122,26 +122,7 @@ def _edges_from_batch(t: pa.Table, url_col: str, html_col: str) -> pa.Table:
     if isinstance(src_col, pa.ChunkedArray):
         src_col = src_col.combine_chunks()
     src = src_col.take(pa.array(rows))
-    origin = pc.struct_field(
-        pc.extract_regex(src, pattern=r"^(?P<o>https?://[^/]+)"), "o")
-    scheme = pc.struct_field(
-        pc.extract_regex(src, pattern=r"^(?P<s>https?):"), "s")
-    base_dir = pc.struct_field(  # greedy: up to the LAST '/'
-        pc.extract_regex(src, pattern=r"^(?P<d>.*/)"), "d")
-
-    is_abs = pc.or_(pc.starts_with(href, pattern="http://"),
-                    pc.starts_with(href, pattern="https://"))
-    is_proto_rel = pc.starts_with(href, pattern="//")
-    is_root_rel = pc.and_(pc.starts_with(href, pattern="/"),
-                          pc.invert(is_proto_rel))
-    dst = pc.if_else(
-        is_abs, href,
-        pc.if_else(
-            is_proto_rel, pc.binary_join_element_wise(scheme, href, ":"),
-            pc.if_else(
-                is_root_rel, pc.binary_join_element_wise(origin, href, ""),
-                pc.binary_join_element_wise(base_dir, href, ""))))
-    dst = pc.replace_substring_regex(dst, pattern="(?s)#.*$", replacement="")
+    dst = _resolve_refs(src, href)
     valid = pc.and_(pc.is_valid(dst),
                     pc.fill_null(pc.not_equal(dst, ""), False))
     valid = np.asarray(valid.to_numpy(zero_copy_only=False), dtype=bool)
@@ -205,4 +186,107 @@ def extract_anchor_texts(ds: "ray.data.Dataset", url_col: str = "url",
     only), null for a tag that never closes."""
     return ds.map_batches(
         lambda t: _anchors_from_batch(t, url_col, html_col),
+        batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Image-text pair mining: <img src/alt> extraction (CLIP-style pretraining
+# pairs; the multimodal sibling of the outlink extractor)
+# ---------------------------------------------------------------------------
+
+def _resolve_refs(src: pa.Array, ref: pa.Array) -> pa.Array:
+    """Resolve ``ref`` URLs against their page ``src`` (same rules as
+    outlinks: absolute pass-through, //-protocol-relative, /-root-relative,
+    else directory join; fragments stripped)."""
+    origin = pc.struct_field(
+        pc.extract_regex(src, pattern=r"^(?P<o>https?://[^/]+)"), "o")
+    scheme = pc.struct_field(
+        pc.extract_regex(src, pattern=r"^(?P<s>https?):"), "s")
+    base_dir = pc.struct_field(
+        pc.extract_regex(src, pattern=r"^(?P<d>.*/)"), "d")
+    is_abs = pc.or_(pc.starts_with(ref, pattern="http://"),
+                    pc.starts_with(ref, pattern="https://"))
+    is_proto_rel = pc.starts_with(ref, pattern="//")
+    is_root_rel = pc.and_(pc.starts_with(ref, pattern="/"),
+                          pc.invert(is_proto_rel))
+    out = pc.if_else(
+        is_abs, ref,
+        pc.if_else(
+            is_proto_rel, pc.binary_join_element_wise(scheme, ref, ":"),
+            pc.if_else(
+                is_root_rel, pc.binary_join_element_wise(origin, ref, ""),
+                pc.binary_join_element_wise(base_dir, ref, ""))))
+    return pc.replace_substring_regex(out, pattern="(?s)#.*$",
+                                      replacement="")
+
+
+_IMG_SCHEMA = pa.schema([("src", pa.string()), ("pos", pa.int64()),
+                         ("img", pa.string()), ("alt", pa.string())])
+
+
+def _imgs_from_batch(t: pa.Table, url_col: str, html_col: str) -> pa.Table:
+    if t.num_rows == 0:
+        return _IMG_SCHEMA.empty_table()
+    parts = pc.split_pattern(t[html_col], pattern="<img")
+    if isinstance(parts, pa.ChunkedArray):
+        parts = parts.combine_chunks()
+    flat = parts.flatten()
+    counts = np.asarray(
+        pc.list_value_length(parts).to_numpy(zero_copy_only=False),
+        dtype=np.int64)
+    starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
+    is_tail = np.ones(len(flat), dtype=bool)
+    is_tail[starts[counts > 0]] = False
+    # a candidate img tag must close ('>' present) and carry src="..."
+    # inside the tag — the RE2 twin '<img[^>]*src="..."' semantics
+    tag = pc.replace_substring_regex(flat, pattern="(?s)>.*$",
+                                     replacement="")
+    closed = pc.not_equal(
+        pc.find_substring(flat, ">"), -1).to_numpy(zero_copy_only=False)
+    src_val = pc.struct_field(
+        pc.extract_regex(tag, pattern='src="(?P<v>[^"]*)"'), "v")
+    has_src = pc.and_(pc.is_valid(src_val),
+                      pc.not_equal(pc.fill_null(src_val, ""), ""))
+    has_src = np.asarray(has_src.to_numpy(zero_copy_only=False), dtype=bool)
+    cand = is_tail & np.asarray(closed, dtype=bool) & has_src
+    for p in _DROP_PREFIXES:
+        starts_bad = pc.fill_null(
+            pc.starts_with(src_val, pattern=p), False)
+        cand &= ~np.asarray(starts_bad.to_numpy(zero_copy_only=False),
+                            dtype=bool)
+    if not cand.any():
+        return _IMG_SCHEMA.empty_table()
+    csum = np.cumsum(cand)
+    before_row = np.concatenate(([0], csum))[starts]
+    rows_all = np.repeat(np.arange(t.num_rows, dtype=np.int64), counts)
+    pos_all = csum - np.repeat(before_row, counts)
+    sel = np.flatnonzero(cand)
+    sel_pa = pa.array(sel)
+    ref = src_val.take(sel_pa)
+    alt = pc.struct_field(
+        pc.extract_regex(tag.take(sel_pa), pattern='alt="(?P<v>[^"]*)"'),
+        "v")
+    page = t[url_col]
+    if isinstance(page, pa.ChunkedArray):
+        page = page.combine_chunks()
+    page = page.take(pa.array(rows_all[sel]))
+    return pa.table({"src": page,
+                     "pos": pa.array(pos_all[sel], type=pa.int64()),
+                     "img": _resolve_refs(page, ref),
+                     "alt": alt})
+
+
+def extract_image_refs(ds: "ray.data.Dataset", url_col: str = "url",
+                       html_col: str = "html") -> "ray.data.Dataset":
+    """(src, pos, img, alt) — image-text pair mining over crawl pages: every
+    closed ``<img …>`` tag with a non-empty, non-data: ``src="…"`` yields
+    the resolved image URL plus its ``alt`` caption (null when absent) —
+    the harvesting stage of a CLIP-style multimodal pretraining pipeline
+    (pair = image payload fetched per ``img`` × caption from ``alt``).
+    Same one-pass vectorized shape as :func:`extract_outlinks`: map-side
+    only, narrow rows out, RE2-twin semantics
+    (``'<img[^>]*src="([^"]*)"'``), ``pos`` = 1-based ordinal among the
+    page's kept tags."""
+    return ds.map_batches(
+        lambda t: _imgs_from_batch(t, url_col, html_col),
         batch_format="pyarrow")

@@ -2796,6 +2796,34 @@ def q_token_windows(sf_dir: str):
     return chunk_token_windows(docs, size=32, stride=24)
 
 
+def q_image_refs(sf_dir: str):
+    """Image-text pair mining (engine.links.extract_image_refs): planted
+    pages exercise every rule — root-relative / dir-relative /
+    protocol-relative resolution, alt captions present-empty-and-absent,
+    data:-URI and src-less tags dropped. DuckDB twin: regexp_extract_all
+    of '<img[^>]*>' tags + per-tag src/alt extraction + the CASE resolver
+    + row_number pos ordinals."""
+    from engine.links import extract_image_refs
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def mk(t: pa.Table) -> pa.Table:
+        urls, htmls = [], []
+        for i in t["doc_id"].to_pylist():
+            urls.append(f"https://im{i % 5}.ex.com/g/{i}")
+            htmls.append(
+                f'<html><img src="/img/{i}.png" alt="cap {i}"><p>t</p>'
+                f'<img src="th{i % 7}.jpg">'
+                '<img src="data:image/gif;base64,x" alt="skip">'
+                '<img alt="nosrc">'
+                f'<img src="//cdn{i % 3}.ex.net/l{i}.webp" alt="">'
+                '</html>')
+        return pa.table({"url": pa.array(urls, type=pa.string()),
+                         "html": pa.array(htmls, type=pa.string())})
+
+    return extract_image_refs(docs.map_batches(mk, batch_format="pyarrow"))
+
+
 # ---------------------------------------------------------------------------
 # registry
 #
@@ -2819,6 +2847,7 @@ QUERIES = {
     "bpe_merges": q_bpe_merges,
     "bpe_segments": q_bpe_segments,
     "token_windows": q_token_windows,
+    "image_refs": q_image_refs,
     "outlinks": q_outlinks,
     "link_graph": q_link_graph,
     "anchor_texts": q_anchor_texts,

@@ -148,3 +148,55 @@ def test_dataset_parallelism_invariance(ray_session):
         else:
             assert got == base
     assert len(base) == 40 * len(_expected())
+
+
+# --- image-text pair mining --------------------------------------------------
+
+def _img_table():
+    import pyarrow as pa
+
+    return pa.table({
+        "url": ["https://ex1.com/d/p1", "https://ex2.com/p2",
+                "https://ex3.com/x"],
+        "html": [
+            '<html><img src="/a.png" alt="hero image"><p>x</p>'
+            '<img class="b" src="b.jpg">'
+            '<img src="https://cdn.ex/c.gif" alt="c!">'
+            '<img alt="no src"><img src="">'
+            '<img src="data:image/png;base64,xx" alt="inline">'
+            '<img src="//cdn2.ex/d.png" alt="proto">',
+            '<img src="e.png" alt="tag never closes',
+            '<html>no images</html>',
+        ]})
+
+
+def test_image_refs_kernel():
+    from engine.links import _imgs_from_batch
+
+    out = _imgs_from_batch(_img_table(), "url", "html").to_pylist()
+    assert [(r["pos"], r["img"], r["alt"]) for r in out
+            if r["src"] == "https://ex1.com/d/p1"] == [
+        (1, "https://ex1.com/a.png", "hero image"),   # root-relative
+        (2, "https://ex1.com/d/b.jpg", None),         # dir-rel, no alt
+        (3, "https://cdn.ex/c.gif", "c!"),            # absolute
+        (4, "https://cdn2.ex/d.png", "proto"),        # protocol-relative
+    ]
+    # src-less / empty / data: dropped; unterminated tag dropped
+    assert all(r["src"] == "https://ex1.com/d/p1" for r in out)
+
+
+def test_image_refs_dataset_parallelism(ray_session):
+    import ray.data as rd
+
+    from engine.links import extract_image_refs
+
+    rows = [{"url": f"https://h{i % 3}.ex/p/{i}",
+             "html": f'<img src="/i{i}.png" alt="a{i}">' * (i % 4)}
+            for i in range(60)]
+    a = (extract_image_refs(rd.from_items(rows).repartition(1))
+         .to_pandas().sort_values(["src", "pos"]).reset_index(drop=True))
+    b = (extract_image_refs(rd.from_items(rows).repartition(11))
+         .to_pandas().sort_values(["src", "pos"]).reset_index(drop=True))
+    assert a.equals(b)
+    assert (a.groupby("src")["pos"].apply(
+        lambda s: list(s) == list(range(1, len(s) + 1)))).all()

@@ -1198,6 +1198,24 @@ SELECT doc_id AS media_id,
        CAST(n AS BIGINT) AS n_samples,
        CAST(n * base + (n * (n - 1)) // 2 AS BIGINT) AS sum_s
 FROM p""",
+        "head_meta": r"""
+SELECT 'https://hm' || CAST(doc_id % 4 AS VARCHAR) || '.ex.com/a/'
+         || CAST(doc_id AS VARCHAR) AS url,
+       CASE WHEN doc_id % 5 <> 0
+            THEN 'Title ' || CAST(doc_id AS VARCHAR) END AS og_title,
+       CASE WHEN doc_id % 7 = 0 THEN NULL
+            WHEN doc_id % 3 = 0
+              THEN 'https://cdn.ex/img' || CAST(doc_id AS VARCHAR) || '.png'
+            ELSE 'https://hm' || CAST(doc_id % 4 AS VARCHAR)
+                 || '.ex.com/im/' || CAST(doc_id AS VARCHAR) || '.png'
+       END AS og_image,
+       'Desc ' || CAST(doc_id AS VARCHAR) AS description,
+       CASE WHEN doc_id % 2 = 0
+            THEN 'https://hm' || CAST(doc_id % 4 AS VARCHAR)
+                 || '.ex.com/a/c' || CAST(doc_id AS VARCHAR)
+            ELSE 'https://can.ex/' || CAST(doc_id AS VARCHAR)
+       END AS canonical
+FROM documents""",
         "image_refs": r"""
 WITH pages AS (
   SELECT 'https://im' || CAST(doc_id % 5 AS VARCHAR) || '.ex.com/g/'

@@ -290,3 +290,62 @@ def extract_image_refs(ds: "ray.data.Dataset", url_col: str = "url",
     return ds.map_batches(
         lambda t: _imgs_from_batch(t, url_col, html_col),
         batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Head metadata: og:/description/canonical extraction
+# ---------------------------------------------------------------------------
+
+_META_SCHEMA = pa.schema([
+    ("url", pa.string()), ("og_title", pa.string()),
+    ("og_image", pa.string()), ("description", pa.string()),
+    ("canonical", pa.string()),
+])
+
+# property/name attribute before content (the overwhelmingly common order);
+# content value is double-quoted. RE2-twin patterns, shared with the oracle.
+_OG_TITLE_RE = r'(?s)<meta[^>]*property="og:title"[^>]*content="(?P<v>[^"]*)"'
+_OG_IMAGE_RE = r'(?s)<meta[^>]*property="og:image"[^>]*content="(?P<v>[^"]*)"'
+_DESC_RE = r'(?s)<meta[^>]*name="description"[^>]*content="(?P<v>[^"]*)"'
+_CANON_RE = r'(?s)<link[^>]*rel="canonical"[^>]*href="(?P<v>[^"]*)"'
+
+
+def _head_meta_from_batch(t: pa.Table, url_col: str,
+                          html_col: str) -> pa.Table:
+    if t.num_rows == 0:
+        return _META_SCHEMA.empty_table()
+    html = pc.cast(t[html_col], pa.string())
+    url = pc.cast(t[url_col], pa.string())
+
+    def first(pattern: str) -> pa.Array:
+        out = pc.struct_field(pc.extract_regex(html, pattern=pattern), "v")
+        return out.combine_chunks() if isinstance(out, pa.ChunkedArray) \
+            else out
+
+    canonical = first(_CANON_RE)
+    # canonical URLs resolve like links (relative canonicals are legal)
+    resolved = _resolve_refs(url, pc.fill_null(canonical, ""))
+    canonical = pc.if_else(pc.is_valid(canonical), resolved, canonical)
+    og_image = first(_OG_IMAGE_RE)
+    og_image = pc.if_else(pc.is_valid(og_image),
+                          _resolve_refs(url, pc.fill_null(og_image, "")),
+                          og_image)
+    return pa.table({
+        "url": url, "og_title": first(_OG_TITLE_RE), "og_image": og_image,
+        "description": first(_DESC_RE), "canonical": canonical,
+    })
+
+
+def extract_head_meta(ds: "ray.data.Dataset", url_col: str = "url",
+                      html_col: str = "html") -> "ray.data.Dataset":
+    """(url, og_title, og_image, description, canonical) — page-level head
+    metadata: OpenGraph title/image (the caption/thumbnail signal that
+    pairs with :func:`extract_image_refs` in a multimodal pipeline), meta
+    description, and the rel=canonical URL (the crawl-dedup key: pages
+    sharing a resolved canonical are THE SAME document to a dedup stage).
+    First match wins per field, null when absent; og:image and canonical
+    resolve through the shared link resolver. One vectorized RE2 pass per
+    field, map-side only."""
+    return ds.map_batches(
+        lambda t: _head_meta_from_batch(t, url_col, html_col),
+        batch_format="pyarrow")

@@ -2824,6 +2824,39 @@ def q_image_refs(sf_dir: str):
     return extract_image_refs(docs.map_batches(mk, batch_format="pyarrow"))
 
 
+def q_head_meta(sf_dir: str):
+    """Head-metadata extraction (engine.links.extract_head_meta): planted
+    pages vary og:title presence, og:image absolute/relative/missing, and
+    canonical relative/absolute — null handling and the shared URL
+    resolver are all pinned. DuckDB twin computes the expected values
+    directly from doc_id (the planted html is a pure function of it)."""
+    from engine.links import extract_head_meta
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def mk(t: pa.Table) -> pa.Table:
+        urls, htmls = [], []
+        for i in t["doc_id"].to_pylist():
+            urls.append(f"https://hm{i % 4}.ex.com/a/{i}")
+            parts = ["<html><head>"]
+            if i % 5 != 0:
+                parts.append(f'<meta property="og:title" '
+                             f'content="Title {i}">')
+            if i % 7 != 0:
+                img = (f"https://cdn.ex/img{i}.png" if i % 3 == 0
+                       else f"/im/{i}.png")
+                parts.append(f'<meta property="og:image" content="{img}">')
+            parts.append(f'<meta name="description" content="Desc {i}">')
+            canon = f"c{i}" if i % 2 == 0 else f"https://can.ex/{i}"
+            parts.append(f'<link rel="canonical" href="{canon}">')
+            parts.append("</head><body><p>b</p></body></html>")
+            htmls.append("".join(parts))
+        return pa.table({"url": pa.array(urls, type=pa.string()),
+                         "html": pa.array(htmls, type=pa.string())})
+
+    return extract_head_meta(docs.map_batches(mk, batch_format="pyarrow"))
+
+
 # ---------------------------------------------------------------------------
 # registry
 #
@@ -2848,6 +2881,7 @@ QUERIES = {
     "bpe_segments": q_bpe_segments,
     "token_windows": q_token_windows,
     "image_refs": q_image_refs,
+    "head_meta": q_head_meta,
     "outlinks": q_outlinks,
     "link_graph": q_link_graph,
     "anchor_texts": q_anchor_texts,

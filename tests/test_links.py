@@ -200,3 +200,45 @@ def test_image_refs_dataset_parallelism(ray_session):
     assert a.equals(b)
     assert (a.groupby("src")["pos"].apply(
         lambda s: list(s) == list(range(1, len(s) + 1)))).all()
+
+
+# --- head metadata -----------------------------------------------------------
+
+def test_head_meta_kernel():
+    import pyarrow as pa
+
+    from engine.links import _head_meta_from_batch
+
+    t = pa.table({
+        "url": ["https://ex.com/a/b", "https://y.ex/p"],
+        "html": [
+            '<html><head><meta property="og:title" content="My Page">'
+            '<meta property="og:image" content="/img/hero.jpg">'
+            '<meta name="description" content="A desc, with commas">'
+            '<link rel="canonical" href="page-canon"></head></html>',
+            '<html><head><title>nothing structured</title></head></html>',
+        ]})
+    out = _head_meta_from_batch(t, "url", "html").to_pylist()
+    assert out[0] == {"url": "https://ex.com/a/b", "og_title": "My Page",
+                      "og_image": "https://ex.com/img/hero.jpg",
+                      "description": "A desc, with commas",
+                      "canonical": "https://ex.com/a/page-canon"}
+    assert out[1] == {"url": "https://y.ex/p", "og_title": None,
+                      "og_image": None, "description": None,
+                      "canonical": None}
+
+
+def test_head_meta_first_match_wins_and_absolute_canonical():
+    import pyarrow as pa
+
+    from engine.links import _head_meta_from_batch
+
+    t = pa.table({
+        "url": ["https://ex.com/x"],
+        "html": ['<meta property="og:title" content="first">'
+                 '<meta property="og:title" content="second">'
+                 '<link rel="canonical" href="https://other.ex/c#frag">'],
+    })
+    row = _head_meta_from_batch(t, "url", "html").to_pylist()[0]
+    assert row["og_title"] == "first"
+    assert row["canonical"] == "https://other.ex/c"  # fragment stripped

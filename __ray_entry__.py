@@ -1198,6 +1198,18 @@ SELECT doc_id AS media_id,
        CAST(n AS BIGINT) AS n_samples,
        CAST(n * base + (n * (n - 1)) // 2 AS BIGINT) AS sum_s
 FROM p""",
+        "canonical_dedup": r"""
+WITH k AS (
+  SELECT CASE WHEN doc_id % 5 = 0
+              THEN 'https://cd' || CAST(doc_id % 6 AS VARCHAR)
+                   || '.ex.com/p/' || CAST(doc_id AS VARCHAR)
+              ELSE 'https://canon.ex/c/' || CAST(doc_id // 3 AS VARCHAR)
+         END AS key,
+         'https://cd' || CAST(doc_id % 6 AS VARCHAR) || '.ex.com/p/'
+           || CAST(doc_id AS VARCHAR) AS url
+  FROM documents)
+SELECT key, min(url) AS keeper, CAST(count(*) AS BIGINT) AS n_pages
+FROM k GROUP BY key""",
         "head_meta": r"""
 SELECT 'https://hm' || CAST(doc_id % 4 AS VARCHAR) || '.ex.com/a/'
          || CAST(doc_id AS VARCHAR) AS url,

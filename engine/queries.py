@@ -2857,6 +2857,44 @@ def q_head_meta(sf_dir: str):
     return extract_head_meta(docs.map_batches(mk, batch_format="pyarrow"))
 
 
+def q_canonical_dedup(sf_dir: str):
+    """Crawl dedup by rel=canonical (the head_meta consumer): pages in
+    groups of 3 consecutive ids share a canonical target; pages without a
+    canonical tag (every 5th) stand alone under their own url
+    (coalesce(canonical, url) key). extract_head_meta → narrow (key, url)
+    → groupby Min/Count — the keeper-per-duplicate-set plan with only keys
+    and urls crossing the wire. DuckDB twin: the same CASE key + GROUP
+    BY."""
+    from ray.data.aggregate import Count, Min
+
+    from engine.links import extract_head_meta
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def mk(t: pa.Table) -> pa.Table:
+        urls, htmls = [], []
+        for i in t["doc_id"].to_pylist():
+            urls.append(f"https://cd{i % 6}.ex.com/p/{i}")
+            if i % 5 == 0:
+                htmls.append("<html><head></head><body>solo</body></html>")
+            else:
+                htmls.append(f'<html><head><link rel="canonical" '
+                             f'href="https://canon.ex/c/{i // 3}">'
+                             "</head></html>")
+        return pa.table({"url": pa.array(urls, type=pa.string()),
+                         "html": pa.array(htmls, type=pa.string())})
+
+    meta = extract_head_meta(docs.map_batches(mk, batch_format="pyarrow"))
+    keyed = meta.map_batches(
+        lambda t: pa.table({
+            "key": pc.coalesce(t["canonical"], t["url"]),
+            "url": t["url"]}),
+        batch_format="pyarrow")
+    return (keyed.groupby("key")
+            .aggregate(Min("url", alias_name="keeper"),
+                       Count(alias_name="n_pages")))
+
+
 # ---------------------------------------------------------------------------
 # registry
 #
@@ -2882,6 +2920,7 @@ QUERIES = {
     "token_windows": q_token_windows,
     "image_refs": q_image_refs,
     "head_meta": q_head_meta,
+    "canonical_dedup": q_canonical_dedup,
     "outlinks": q_outlinks,
     "link_graph": q_link_graph,
     "anchor_texts": q_anchor_texts,

@@ -193,8 +193,10 @@ def _bpe_segments_sql(k: int) -> str:
     froms = ", ".join(f"b{i}" for i in range(1, k + 1))
     return _bpe_ctes(k) + f""",
 docwords AS (
-  SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS word
-  FROM documents),
+  SELECT doc_id, word FROM (
+    SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS word
+    FROM documents)
+  WHERE word NOT LIKE '%|%'),
 seg AS (
   SELECT doc_id,
          len(string_split(substr({repl}, 2,

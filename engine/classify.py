@@ -80,7 +80,8 @@ def hashed_linear_scores(
     def score(t: pa.Table) -> pa.Table:
         w = get_broadcast(weights) if is_ref else weights
         toks = pc.split_pattern_regex(
-            pc.cast(t[text_col], pa.string()), pattern=r"\s+")
+            pc.fill_null(pc.cast(t[text_col], pa.string()), ""),
+            pattern=r"\s+")
         flat = toks.combine_chunks().flatten() if isinstance(
             toks, pa.ChunkedArray) else toks.flatten()
         lengths = pc.list_value_length(toks).to_numpy(zero_copy_only=False)

@@ -86,9 +86,13 @@ def banned_word_gate(ds: "ray.data.Dataset", words: "tuple[str, ...]",
     keep ⇔ n_banned·1000 ≤ n_tokens·max_per_1000).
 
     Counting is two RE2 kernel calls per batch: whole-word matches of the
-    banned alternation, and ``\\S+`` for the token denominator.
+    banned alternation, and ``\\S+`` for the token denominator. Words are
+    regex-escaped (real badword lists contain metachars like ``a$$``); an
+    oracle twin must escape identically.
     """
-    alt = r"\b(" + "|".join(words) + r")\b"
+    import re as _re
+
+    alt = r"\b(" + "|".join(_re.escape(w) for w in words) + r")\b"
 
     def gate(t: pa.Table) -> pa.Table:
         txt = pc.cast(t[text_col], pa.string())

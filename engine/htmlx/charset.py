@@ -30,6 +30,8 @@ _META_RE = re.compile(
     re.IGNORECASE,
 )
 
+_COMMENT_RE = re.compile(rb"<!--.*?-->", re.S)
+
 # WHATWG label → Python codec, the subset that covers the web's head.
 # Notable spec-mandated mappings: ascii/latin-1 → windows-1252,
 # shift_jis → windows-31j (cp932), euc-kr → windows-949 (cp949),
@@ -94,9 +96,15 @@ def normalize_label(label: str) -> str | None:
     # any remaining label Python itself knows (rare tail); x-user-defined
     # and garbage labels fall through to None → utf-8 fallback.
     try:
-        return codecs.lookup(lab).name
+        codec = codecs.lookup(lab).name
     except (LookupError, ValueError):
         return None
+    # the UTF-16 lie guard must also catch Python alias spellings the
+    # _UTF16_LABELS set misses ('utf_16', 'u16', …), and WHATWG has no
+    # utf-32 label at all — an ASCII prescan could read neither.
+    if codec.startswith(("utf-16", "utf-32")):
+        return "utf-8"
+    return codec
 
 
 def sniff_charset(payload: bytes) -> str:
@@ -106,7 +114,16 @@ def sniff_charset(payload: bytes) -> str:
     # the utf-16 python codec consumes its BOM and picks the byte order
     if payload[:2] in (b"\xff\xfe", b"\xfe\xff"):
         return "utf-16"
-    m = _META_RE.search(payload[:SNIFF_LIMIT])
+    head = payload[:SNIFF_LIMIT]
+    # the WHATWG prescan tokenizes PAST comments; a commented-out legacy
+    # '<!-- <meta charset=…> -->' must not win (real crawl pattern). An
+    # unterminated '<!--' swallows the rest of the window.
+    if b"<!--" in head:
+        head = _COMMENT_RE.sub(b" ", head)
+        i = head.find(b"<!--")
+        if i >= 0:
+            head = head[:i]
+    m = _META_RE.search(head)
     if m:
         codec = normalize_label(m.group(1).decode("ascii", "replace"))
         if codec is not None:

@@ -57,9 +57,9 @@ def decode_png(payload: bytes) -> np.ndarray:
     while pos + 8 <= n:
         (length,), typ = struct.unpack(">I", payload[pos:pos + 4]), \
             payload[pos + 4:pos + 8]
-        data = payload[pos + 8:pos + 8 + length]
-        if len(data) != length:
+        if pos + 12 + length > n:  # data or CRC truncated
             raise ValueError("truncated PNG chunk")
+        data = payload[pos + 8:pos + 8 + length]
         crc = struct.unpack(">I", payload[pos + 8 + length:
                                           pos + 12 + length])[0]
         if typ in (b"IHDR", b"PLTE", b"IDAT", b"IEND") and \

@@ -354,10 +354,12 @@ class ImageStatsActor:
 
 
 def image_stats(ds: "ray.data.Dataset", *, batch_size: int = 64,
-                concurrency: tuple[int, int] = (1, 8)) -> "ray.data.Dataset":
-    return ds.map_batches(ImageStatsActor, batch_format="pyarrow",
-                          batch_size=batch_size, concurrency=concurrency,
-                          num_cpus=1)
+                ) -> "ray.data.Dataset":
+    # stateless-TASK stage on purpose: the kernel holds no per-actor state,
+    # and an actor pool pays 1-2 s spin-up per query (CLAUDE.md; the same
+    # reasoning as the extraction kernel — actors only where real state)
+    return ds.map_batches(ImageStatsActor(), batch_format="pyarrow",
+                          batch_size=batch_size)
 
 
 class AudioStatsActor:
@@ -390,10 +392,10 @@ class AudioStatsActor:
 
 
 def audio_stats(ds: "ray.data.Dataset", *, batch_size: int = 64,
-                concurrency: tuple[int, int] = (1, 8)) -> "ray.data.Dataset":
-    return ds.map_batches(AudioStatsActor, batch_format="pyarrow",
-                          batch_size=batch_size, concurrency=concurrency,
-                          num_cpus=1)
+                ) -> "ray.data.Dataset":
+    # stateless-TASK stage, same reasoning as image_stats
+    return ds.map_batches(AudioStatsActor(), batch_format="pyarrow",
+                          batch_size=batch_size)
 
 
 def gen_media_table(n_rows: int, seed: int = 42) -> pa.Table:

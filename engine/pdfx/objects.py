@@ -535,6 +535,10 @@ def _object_key(file_key: bytes, num: int, gen: int,
 def _aes_decrypt(obj_key: bytes, data: bytes) -> bytes:
     from engine.pdfx.aes import aes128_cbc_decrypt
 
+    if not data:
+        # empty strings pass through un-wrapped in the wild (the RC4 path
+        # tolerated them too: _rc4(key, b'') == b'')
+        return b""
     try:
         return aes128_cbc_decrypt(obj_key, data)
     except ValueError as exc:

@@ -2682,7 +2682,7 @@ def q_image_decode(sf_dir: str):
     image — red channel an x-gradient (rbase+x, no mod wrap by
     construction), green/blue constant — is ENCODED into a rotating
     container (PNG with row filter None/Sub/Up by id%3; BMP and PPM every
-    7th/11th id), decoded by the actor pool, and reduced to exact integer
+    7th/11th id), decoded by the stateless task stage, reduced to exact integer
     channel sums. The DuckDB twin computes the same sums in closed form
     (arithmetic series), so container parsing, zlib inflate, scanline
     unfiltering, bottom-up BMP order and BGR→RGB swizzle are all
@@ -2715,7 +2715,7 @@ def q_image_decode(sf_dir: str):
                          "payload": pa.array(payloads, type=pa.binary())})
 
     media = docs.map_batches(mk, batch_format="pyarrow")
-    out = image_stats(media, batch_size=128, concurrency=(1, 8))
+    out = image_stats(media, batch_size=128)
     return out.select_columns(
         ["media_id", "width", "height", "sum_r", "sum_g", "sum_b"])
 
@@ -2724,7 +2724,7 @@ def q_audio_decode(sf_dir: str):
     """REAL WAV decode through the distributed stage (engine/audiocodec.py
     + multimodal.audio_stats): per doc_id a planted 16-bit PCM WAV whose
     samples are the arithmetic series base+k (no wrap by construction) is
-    decoded by the actor pool and reduced to (n_samples, exact integer
+    decoded by the stateless task stage and reduced to (n_samples, exact integer
     sample sum); the DuckDB twin computes both in closed form — RIFF
     chunk walk, PCM scaling and sample order all value-pinned."""
     import numpy as np
@@ -2747,7 +2747,7 @@ def q_audio_decode(sf_dir: str):
                          "payload": pa.array(payloads, type=pa.binary())})
 
     media = docs.map_batches(mk, batch_format="pyarrow")
-    out = audio_stats(media, batch_size=128, concurrency=(1, 8))
+    out = audio_stats(media, batch_size=128)
     return out.select_columns(["media_id", "n_samples", "sum_s"])
 
 

@@ -424,7 +424,9 @@ def bpe_segment_counts(ds: "ray.data.Dataset",
     """(id, n_symbols) — per-document symbol count after applying the merge
     table: the compression-ratio / token-budget accounting pass. Map-side
     only; per batch the merges run over UNIQUE words (pandas factorize),
-    then lengths scatter back per occurrence."""
+    then lengths scatter back per occurrence. Words containing ``'|'``
+    are skipped on BOTH sides (the bpe_train drop rule — the SQL twin's
+    separator cannot represent them)."""
 
     def seg(t: pa.Table) -> pa.Table:
         texts = t[text_col].to_pylist()
@@ -432,7 +434,7 @@ def bpe_segment_counts(ds: "ray.data.Dataset",
         occ_words: list[str] = []
         doc_of: list[int] = []
         for d, s in enumerate(texts):
-            ws = (s or "").split()
+            ws = [w for w in (s or "").split() if "|" not in w]
             occ_words.extend(ws)
             doc_of.extend([d] * len(ws))
         n_docs = len(texts)
@@ -464,10 +466,11 @@ def chunk_token_windows(ds: "ray.data.Dataset", size: int, stride: int,
 
     def windows(t: pa.Table) -> pa.Table:
         toks = pc.split_pattern_regex(
-            pc.cast(t[text_col], pa.string()), pattern=r"\s+")
+            pc.fill_null(pc.cast(t[text_col], pa.string()), ""),
+            pattern=r"\s+")
         ids_out, idx_out, chunk_out = [], [], []
         for rid, lst in zip(t[id_col].to_pylist(), toks.to_pylist()):
-            words = [w for w in lst if w]
+            words = [w for w in (lst or []) if w]
             n = len(words)
             if n == 0:
                 continue

@@ -130,3 +130,26 @@ def test_chunk_token_windows(ray_session):
     ]
     with pytest.raises(ValueError):
         chunk_token_windows(rd.from_items(rows), size=4, stride=5)
+
+
+def test_token_windows_null_text(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from engine.tokenize import chunk_token_windows
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": [0, 1], "text": pa.array(["a b", None])}))
+    out = chunk_token_windows(ds, size=2, stride=2).to_pandas()
+    assert list(out.doc_id) == [0]  # null text yields no chunks
+
+
+def test_segment_counts_skip_pipe_words(ray_session):
+    import ray.data as rd
+
+    from engine.tokenize import bpe_segment_counts
+
+    ds = rd.from_items([{"doc_id": 0, "text": "ab a|b cd"}])
+    out = bpe_segment_counts(ds, []).to_pandas()
+    # 'a|b' skipped on both sides (the SQL separator rule); 2+2 chars
+    assert list(out.n_symbols) == [4]

@@ -86,3 +86,23 @@ def test_parser_parity_on_non_utf8():
         a = serialize(strip_boilerplate(parse_html(payload)))
         b = serialize(strip_boilerplate(parse_html_fast(payload)))
         assert a == b
+
+
+def test_utf16_alias_spellings_and_utf32_fall_back():
+    # python alias spellings must not bypass the utf-16 lie guard
+    for lab in ("utf_16", "u16", "utf-32", "utf_32"):
+        assert normalize_label(lab) == "utf-8", lab
+    assert sniff_charset(b'<meta charset="utf_16"><p>x</p>') == "utf-8"
+
+
+def test_commented_out_meta_is_skipped():
+    # WHATWG prescan tokenizes past comments: a commented legacy header
+    # must not win over the live declaration
+    page = (b'<!-- <meta charset="windows-1251"> -->'
+            b'<meta charset="utf-8"><p>x</p>')
+    assert sniff_charset(page) == "utf-8"
+    # unterminated comment swallows the rest of the window
+    assert sniff_charset(b'<!-- <meta charset="windows-1251">') == "utf-8"
+    # ...but a real declaration BEFORE the comment still wins
+    assert sniff_charset(
+        b'<meta charset="koi8-r"><!-- junk -->') == "koi8-r"

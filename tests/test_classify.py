@@ -75,3 +75,14 @@ def test_ref_requires_dim(ray_session):
 
     with pytest.raises(ValueError):
         hashed_linear_scores(rd.from_items(ROWS), ray.put(planted_weights()))
+
+
+def test_null_text_scores_zero(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    w = planted_weights(64)
+    ds = rd.from_arrow(pa.table({
+        "doc_id": [0, 1], "text": pa.array(["hello", None])}))
+    out = hashed_linear_scores(ds, w).to_pandas().set_index("doc_id")
+    assert out.loc[1, "score"] == 0

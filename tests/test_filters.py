@@ -74,3 +74,14 @@ def test_parallelism_invariance(ray_session):
                           ("slow",), 50)
          .to_pandas().sort_values("doc_id").reset_index(drop=True))
     assert a.equals(b)
+
+
+def test_banned_words_are_regex_escaped(ray_session):
+    import ray.data as rd
+
+    rows = [{"doc_id": 0, "text": "axb normal"},
+            {"doc_id": 1, "text": "a.b normal"}]
+    out = (banned_word_gate(rd.from_items(rows), ("a.b",), 0)
+           .to_pandas().set_index("doc_id"))
+    assert out.loc[0, "n_banned"] == 0   # '.' is literal, not wildcard
+    assert out.loc[1, "n_banned"] == 1

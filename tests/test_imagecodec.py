@@ -124,3 +124,10 @@ def test_image_stats_stage(ray_session):
         assert (row["width"], row["height"]) == (r["w"], r["h"])
         assert [row["sum_r"], row["sum_g"], row["sum_b"]] == r["want"]
         assert row["status"] == "ok"
+
+
+def test_truncated_png_raises_valueerror_not_struct_error():
+    png = encode_png(np.zeros((4, 4, 3), np.uint8))
+    for cut in (12, 20, 29, len(png) - 2):
+        with pytest.raises(ValueError):
+            decode_png(png[:cut])

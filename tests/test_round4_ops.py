@@ -643,3 +643,11 @@ def test_aes_wrong_password_raises():
     bad = enc.replace(b"/U <", b"/U <ff", 1)
     with pytest.raises(PdfError, match="password required"):
         extract_pdf_doc(bad)
+
+
+def test_aes_empty_string_passes_through():
+    # empty PDF strings appear un-wrapped in the wild; the RC4 path
+    # tolerated them (rc4(key, b'') == b'') and AES must too
+    from engine.pdfx.objects import _aes_decrypt
+
+    assert _aes_decrypt(bytes(16), b"") == b""

@@ -1200,6 +1200,25 @@ SELECT doc_id AS media_id,
        CAST(n AS BIGINT) AS n_samples,
        CAST(n * base + (n * (n - 1)) // 2 AS BIGINT) AS sum_s
 FROM p""",
+        "robots_meta": r"""
+WITH p AS (
+  SELECT 'https://rb' || CAST(doc_id % 3 AS VARCHAR) || '.ex.com/p/'
+           || CAST(doc_id AS VARCHAR) AS url,
+         CASE doc_id % 6
+           WHEN 0 THEN 'index, follow'
+           WHEN 1 THEN 'noindex'
+           WHEN 2 THEN 'nofollow,noarchive'
+           WHEN 3 THEN 'NOINDEX, NOFOLLOW'
+           WHEN 4 THEN 'none'
+           ELSE NULL
+         END AS content
+  FROM documents)
+SELECT url,
+       regexp_matches(COALESCE(content, ''),
+                      '(?i)(^|[,\s])(noindex|none)([,\s]|$)') AS noindex,
+       regexp_matches(COALESCE(content, ''),
+                      '(?i)(^|[,\s])(nofollow|none)([,\s]|$)') AS nofollow
+FROM p""",
         "canonical_dedup": r"""
 WITH k AS (
   SELECT CASE WHEN doc_id % 5 = 0

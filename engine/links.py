@@ -349,3 +349,40 @@ def extract_head_meta(ds: "ray.data.Dataset", url_col: str = "url",
     return ds.map_batches(
         lambda t: _head_meta_from_batch(t, url_col, html_col),
         batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# robots meta directives (noindex / nofollow)
+# ---------------------------------------------------------------------------
+
+_ROBOTS_RE = r'(?s)<meta[^>]*name="robots"[^>]*content="(?P<v>[^"]*)"'
+# a directive is a comma/whitespace-delimited token, case-insensitive;
+# 'none' == 'noindex, nofollow' (the Google/robots-meta convention)
+_NOINDEX_RE = r"(?i)(^|[,\s])(noindex|none)([,\s]|$)"
+_NOFOLLOW_RE = r"(?i)(^|[,\s])(nofollow|none)([,\s]|$)"
+
+
+def _robots_from_batch(t: pa.Table, url_col: str, html_col: str) -> pa.Table:
+    html = pc.cast(t[html_col], pa.string())
+    content = pc.struct_field(
+        pc.extract_regex(html, pattern=_ROBOTS_RE), "v")
+    filled = pc.fill_null(content, "")
+    return pa.table({
+        "url": pc.cast(t[url_col], pa.string()),
+        "noindex": pc.match_substring_regex(filled, _NOINDEX_RE),
+        "nofollow": pc.match_substring_regex(filled, _NOFOLLOW_RE),
+    })
+
+
+def extract_robots_meta(ds: "ray.data.Dataset", url_col: str = "url",
+                        html_col: str = "html") -> "ray.data.Dataset":
+    """(url, noindex, nofollow) — the robots-meta crawl-compliance flags:
+    noindex pages must drop from an indexed/trained corpus, nofollow pages
+    contribute no outlinks to the link graph (compose with
+    :func:`extract_outlinks` via an anti-join on noindex/nofollow urls).
+    First matching robots meta tag wins; absent tag ⇒ both false;
+    ``none`` implies both directives. One vectorized RE2 pass, map-side
+    only."""
+    return ds.map_batches(
+        lambda t: _robots_from_batch(t, url_col, html_col),
+        batch_format="pyarrow")

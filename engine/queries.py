@@ -2895,6 +2895,34 @@ def q_canonical_dedup(sf_dir: str):
                        Count(alias_name="n_pages")))
 
 
+def q_robots_meta(sf_dir: str):
+    """Robots-meta crawl-compliance flags (engine.links
+    .extract_robots_meta): planted pages cycle through index/noindex/
+    nofollow/both/none/absent (incl. an uppercase probe); 'none' implies
+    both directives, absent tag implies neither. DuckDB twin: same RE2
+    content extraction + directive-token matches."""
+    from engine.links import extract_robots_meta
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    _VARIANTS = ['content="index, follow"', 'content="noindex"',
+                 'content="nofollow,noarchive"',
+                 'content="NOINDEX, NOFOLLOW"', 'content="none"', None]
+
+    def mk(t: pa.Table) -> pa.Table:
+        urls, htmls = [], []
+        for i in t["doc_id"].to_pylist():
+            urls.append(f"https://rb{i % 3}.ex.com/p/{i}")
+            v = _VARIANTS[i % 6]
+            htmls.append("<html><head></head><body>solo</body></html>"
+                         if v is None else
+                         f'<html><head><meta name="robots" {v}>'
+                         "</head></html>")
+        return pa.table({"url": pa.array(urls, type=pa.string()),
+                         "html": pa.array(htmls, type=pa.string())})
+
+    return extract_robots_meta(docs.map_batches(mk, batch_format="pyarrow"))
+
+
 # ---------------------------------------------------------------------------
 # registry
 #
@@ -2921,6 +2949,7 @@ QUERIES = {
     "image_refs": q_image_refs,
     "head_meta": q_head_meta,
     "canonical_dedup": q_canonical_dedup,
+    "robots_meta": q_robots_meta,
     "outlinks": q_outlinks,
     "link_graph": q_link_graph,
     "anchor_texts": q_anchor_texts,

@@ -242,3 +242,27 @@ def test_head_meta_first_match_wins_and_absolute_canonical():
     row = _head_meta_from_batch(t, "url", "html").to_pylist()[0]
     assert row["og_title"] == "first"
     assert row["canonical"] == "https://other.ex/c"  # fragment stripped
+
+
+def test_robots_meta_kernel():
+    import pyarrow as pa
+
+    from engine.links import _robots_from_batch
+
+    t = pa.table({
+        "url": [f"u{i}" for i in range(7)],
+        "html": [
+            '<meta name="robots" content="index, follow">',
+            '<meta name="robots" content="noindex">',
+            '<meta name="robots" content="nofollow,noarchive">',
+            '<meta name="robots" content="NOINDEX, NOFOLLOW">',
+            '<meta name="robots" content="none">',
+            '<html>no robots tag</html>',
+            # substring must NOT match: 'nonoindexy' is not a directive
+            '<meta name="robots" content="nonoindexy">',
+        ]})
+    out = _robots_from_batch(t, "url", "html").to_pylist()
+    flags = [(r["noindex"], r["nofollow"]) for r in out]
+    assert flags == [(False, False), (True, False), (False, True),
+                     (True, True), (True, True), (False, False),
+                     (False, False)]

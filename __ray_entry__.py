@@ -1200,6 +1200,27 @@ SELECT doc_id AS media_id,
        CAST(n AS BIGINT) AS n_samples,
        CAST(n * base + (n * (n - 1)) // 2 AS BIGINT) AS sum_s
 FROM p""",
+        "jsonld": r"""
+WITH p AS (
+  SELECT 'https://jl' || CAST(doc_id % 3 AS VARCHAR) || '.ex.com/p/'
+           || CAST(doc_id AS VARCHAR) AS url,
+         CASE doc_id % 5
+           WHEN 0 THEN '{"@type": "Article", "name": "Story '
+                       || CAST(doc_id AS VARCHAR) || '"}'
+           WHEN 1 THEN '{"@type": "Product"}'
+           WHEN 2 THEN '{broken json ' || CAST(doc_id AS VARCHAR)
+           WHEN 4 THEN '[1, 2, ' || CAST(doc_id AS VARCHAR) || ']'
+           ELSE NULL
+         END AS block
+  FROM documents)
+SELECT url,
+       CASE WHEN block IS NOT NULL AND json_valid(block)
+                 AND json_type(block) = 'OBJECT'
+            THEN json_extract_string(block, '$."@type"') END AS jsonld_type,
+       CASE WHEN block IS NOT NULL AND json_valid(block)
+                 AND json_type(block) = 'OBJECT'
+            THEN json_extract_string(block, '$.name') END AS jsonld_name
+FROM p""",
         "robots_meta": r"""
 WITH p AS (
   SELECT 'https://rb' || CAST(doc_id % 3 AS VARCHAR) || '.ex.com/p/'

@@ -386,3 +386,55 @@ def extract_robots_meta(ds: "ray.data.Dataset", url_col: str = "url",
     return ds.map_batches(
         lambda t: _robots_from_batch(t, url_col, html_col),
         batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# JSON-LD structured data (schema.org) extraction
+# ---------------------------------------------------------------------------
+
+_JSONLD_RE = (r'(?s)<script type="application/ld\+json">'
+              r"(?P<v>.*?)</script>")
+
+
+def _jsonld_from_batch(t: pa.Table, url_col: str, html_col: str) -> pa.Table:
+    import json
+
+    html = pc.cast(t[html_col], pa.string())
+    block = pc.struct_field(pc.extract_regex(html, pattern=_JSONLD_RE), "v")
+    types: list = []
+    names: list = []
+    for raw in block.to_pylist():
+        typ = name = None
+        if raw is not None:
+            try:
+                obj = json.loads(raw)
+            except ValueError:
+                obj = None
+            if isinstance(obj, dict):  # top-level object only (SQL twin:
+                typ = obj.get("@type")  # json_extract on $.@type)
+                name = obj.get("name")
+                if not isinstance(typ, str):
+                    typ = None
+                if not isinstance(name, str):
+                    name = None
+        types.append(typ)
+        names.append(name)
+    return pa.table({
+        "url": pc.cast(t[url_col], pa.string()),
+        "jsonld_type": pa.array(types, type=pa.string()),
+        "jsonld_name": pa.array(names, type=pa.string()),
+    })
+
+
+def extract_jsonld(ds: "ray.data.Dataset", url_col: str = "url",
+                   html_col: str = "html") -> "ray.data.Dataset":
+    """(url, jsonld_type, jsonld_name) — schema.org JSON-LD structured
+    data: the page-classification signal (Article/Product/Recipe/…)
+    crawl pipelines use for domain routing and the name/headline caption
+    source. First ``<script type="application/ld+json">`` block per page;
+    malformed JSON / non-object roots / missing or non-string fields all
+    yield nulls (never a task failure). Block location is one vectorized
+    RE2 pass; JSON parse runs only on pages that HAVE a block."""
+    return ds.map_batches(
+        lambda t: _jsonld_from_batch(t, url_col, html_col),
+        batch_format="pyarrow")

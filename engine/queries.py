@@ -2923,6 +2923,36 @@ def q_robots_meta(sf_dir: str):
     return extract_robots_meta(docs.map_batches(mk, batch_format="pyarrow"))
 
 
+def q_jsonld(sf_dir: str):
+    """Schema.org JSON-LD extraction (engine.links.extract_jsonld):
+    planted pages cycle Article-with-name / Product-no-name / malformed
+    JSON / absent block / array root — null handling is the contract.
+    DuckDB twin: the same RE2 block extraction + json_valid-guarded
+    json_extract_string."""
+    from engine.links import extract_jsonld
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def mk(t: pa.Table) -> pa.Table:
+        urls, htmls = [], []
+        for i in t["doc_id"].to_pylist():
+            urls.append(f"https://jl{i % 3}.ex.com/p/{i}")
+            c = i % 5
+            if c == 3:  # no block at all
+                htmls.append("<html><p>plain</p></html>")
+                continue
+            body = {0: '{"@type": "Article", "name": "Story %d"}' % i,
+                    1: '{"@type": "Product"}',
+                    2: "{broken json %d" % i,
+                    4: "[1, 2, %d]" % i}[c]
+            htmls.append('<html><script type="application/ld+json">'
+                         f"{body}</script></html>")
+        return pa.table({"url": pa.array(urls, type=pa.string()),
+                         "html": pa.array(htmls, type=pa.string())})
+
+    return extract_jsonld(docs.map_batches(mk, batch_format="pyarrow"))
+
+
 # ---------------------------------------------------------------------------
 # registry
 #
@@ -2950,6 +2980,7 @@ QUERIES = {
     "head_meta": q_head_meta,
     "canonical_dedup": q_canonical_dedup,
     "robots_meta": q_robots_meta,
+    "jsonld": q_jsonld,
     "outlinks": q_outlinks,
     "link_graph": q_link_graph,
     "anchor_texts": q_anchor_texts,

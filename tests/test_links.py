@@ -266,3 +266,27 @@ def test_robots_meta_kernel():
     assert flags == [(False, False), (True, False), (False, True),
                      (True, True), (True, True), (False, False),
                      (False, False)]
+
+
+def test_jsonld_kernel():
+    import pyarrow as pa
+
+    from engine.links import _jsonld_from_batch
+
+    t = pa.table({
+        "url": [f"u{i}" for i in range(6)],
+        "html": [
+            '<script type="application/ld+json">'
+            '{"@type": "Article", "name": "My Story"}</script>',
+            '<script type="application/ld+json">{"@type": "Product"}'
+            '</script>',
+            '<script type="application/ld+json">{broken</script>',
+            '<html>none</html>',
+            '<script type="application/ld+json">[1,2]</script>',  # array root
+            '<script type="application/ld+json">'
+            '{"@type": 7, "name": ["x"]}</script>',  # non-string fields
+        ]})
+    out = _jsonld_from_batch(t, "url", "html").to_pylist()
+    got = [(r["jsonld_type"], r["jsonld_name"]) for r in out]
+    assert got == [("Article", "My Story"), ("Product", None),
+                   (None, None), (None, None), (None, None), (None, None)]

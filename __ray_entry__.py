@@ -1200,6 +1200,83 @@ SELECT doc_id AS media_id,
        CAST(n AS BIGINT) AS n_samples,
        CAST(n * base + (n * (n - 1)) // 2 AS BIGINT) AS sum_s
 FROM p""",
+        "semdedup": r"""
+WITH p AS (
+  SELECT doc_id, (doc_id // 3) % 16 AS r FROM documents),
+k AS (
+  SELECT r, min(doc_id) AS keeper FROM p GROUP BY r)
+SELECT CAST(p.r % 4 AS BIGINT) AS cluster,
+       CAST(p.doc_id AS BIGINT) AS dup_id,
+       CAST(k.keeper AS BIGINT) AS keeper_id
+FROM p JOIN k USING (r)
+WHERE p.doc_id <> k.keeper""",
+        "pub_dates": r"""
+WITH p AS (
+  SELECT doc_id AS i, doc_id % 6 AS c,
+         CAST(2000 + doc_id % 25 AS VARCHAR) AS y,
+         lpad(CAST(1 + doc_id % 12 AS VARCHAR), 2, '0') AS m,
+         lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0') AS d,
+         lpad(CAST(1 + (doc_id + 5) % 12 AS VARCHAR), 2, '0') AS m2,
+         lpad(CAST(1 + (doc_id + 7) % 28 AS VARCHAR), 2, '0') AS d2
+  FROM documents)
+SELECT CASE
+         WHEN c = 1 THEN 'https://pd' || CAST(i % 3 AS VARCHAR)
+           || '.ex.com/' || y || '/' || m2 || '/' || d2 || '/p'
+           || CAST(i AS VARCHAR)
+         WHEN c IN (3, 4) THEN 'https://pd' || CAST(i % 3 AS VARCHAR)
+           || '.ex.com/' || y || '/' || m || '/' || d || '/p'
+           || CAST(i AS VARCHAR)
+         ELSE 'https://pd' || CAST(i % 3 AS VARCHAR) || '.ex.com/post/'
+           || CAST(i AS VARCHAR)
+       END AS url,
+       CASE WHEN c = 5 THEN NULL
+            ELSE y || '-' || m || '-' || d END AS pub_date,
+       CASE c WHEN 0 THEN 'meta' WHEN 1 THEN 'time' WHEN 2 THEN 'jsonld'
+              WHEN 3 THEN 'url' WHEN 4 THEN 'url' END AS pub_source
+FROM p""",
+        "extract_tables": r"""
+WITH d AS (
+  SELECT doc_id AS i,
+         'https://tb' || CAST(doc_id % 5 AS VARCHAR) || '.ex.com/t/'
+           || CAST(doc_id AS VARCHAR) AS url
+  FROM documents),
+cols(col) AS (VALUES (0), (1)),
+hdr AS (
+  SELECT url, 0 AS table_idx, 0 AS row_idx, col AS col_idx,
+         1 AS rowspan, 1 AS colspan, TRUE AS is_header,
+         CASE col WHEN 0 THEN 'Name' ELSE 'Val' END AS text
+  FROM d, cols),
+body AS (
+  SELECT url, 0 AS table_idx, r.r + 1 AS row_idx, col AS col_idx,
+         1 AS rowspan, 1 AS colspan, FALSE AS is_header,
+         CASE col
+           WHEN 0 THEN 'k' || CAST(i AS VARCHAR) || '-'
+                       || CAST(r.r AS VARCHAR)
+           ELSE 'v' || CAST((i * 7 + r.r) % 100 AS VARCHAR)
+         END AS text
+  FROM d,
+       LATERAL (SELECT unnest(generate_series(0, i % 3)) AS r) r,
+       cols),
+span AS (
+  SELECT url, 1 AS table_idx, 0 AS row_idx, 0 AS col_idx,
+         2 AS rowspan, 1 AS colspan, FALSE AS is_header,
+         's' || CAST(i AS VARCHAR) AS text FROM d WHERE i % 4 = 0
+  UNION ALL
+  SELECT url, 1, 0, 1, 1, 1, FALSE, 'a' || CAST(i AS VARCHAR)
+  FROM d WHERE i % 4 = 0
+  UNION ALL
+  SELECT url, 1, 1, 1, 1, 1, FALSE, 'b' || CAST(i AS VARCHAR)
+  FROM d WHERE i % 4 = 0),
+allrows AS (
+  SELECT * FROM hdr UNION ALL SELECT * FROM body UNION ALL
+  SELECT * FROM span)
+SELECT url, CAST(table_idx AS BIGINT) AS table_idx,
+       CAST(row_idx AS BIGINT) AS row_idx,
+       CAST(col_idx AS BIGINT) AS col_idx,
+       CAST(rowspan AS BIGINT) AS rowspan,
+       CAST(colspan AS BIGINT) AS colspan,
+       is_header, text
+FROM allrows""",
         "jsonld": r"""
 WITH p AS (
   SELECT 'https://jl' || CAST(doc_id % 3 AS VARCHAR) || '.ex.com/p/'

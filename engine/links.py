@@ -438,3 +438,78 @@ def extract_jsonld(ds: "ray.data.Dataset", url_col: str = "url",
     return ds.map_batches(
         lambda t: _jsonld_from_batch(t, url_col, html_col),
         batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# published-date extraction (temporal filtering / freshness signal)
+# ---------------------------------------------------------------------------
+
+_PUB_META_RE = (r'(?s)<meta[^>]*property="article:published_time"'
+                r'[^>]*content="(?P<v>[^"]*)"')
+_PUB_TIME_RE = r'(?s)<time[^>]*datetime="(?P<v>[^"]*)"'
+# documented simplification: datePublished is read straight off the raw
+# JSON-LD text with RE2 (no JSON parse) — the value is a quoted ISO string
+# in well-formed schema.org markup, and the date validator below rejects
+# anything else.
+_PUB_JSONLD_RE = r'(?s)"datePublished"\s*:\s*"(?P<v>[^"]*)"'
+# a candidate value counts only if it STARTS with a plausible ISO date
+_DATE_PREFIX_RE = (r"^(?P<d>(?:19|20)\d{2}-(?:0[1-9]|1[0-2])"
+                   r"-(?:0[1-9]|[12]\d|3[01]))")
+# /YYYY/MM/DD/ (or trailing) path segment in the page's own URL
+_URL_DATE_RE = (r"/(?P<d>(?:19|20)\d{2}/(?:0[1-9]|1[0-2])"
+                r"/(?:0[1-9]|[12]\d|3[01]))(?:/|$)")
+
+
+def _valid_date(vals: pa.Array) -> pa.Array:
+    """YYYY-MM-DD prefix of each candidate, null when implausible."""
+    out = pc.struct_field(
+        pc.extract_regex(pc.fill_null(vals, ""), pattern=_DATE_PREFIX_RE),
+        "d")
+    return out.combine_chunks() if isinstance(out, pa.ChunkedArray) else out
+
+
+def _pub_dates_from_batch(t: pa.Table, url_col: str,
+                          html_col: str) -> pa.Table:
+    html = pc.cast(t[html_col], pa.string())
+    url = pc.cast(t[url_col], pa.string())
+
+    def first(pattern: str, src: pa.Array) -> pa.Array:
+        out = pc.struct_field(pc.extract_regex(src, pattern=pattern), "v")
+        return out.combine_chunks() if isinstance(out, pa.ChunkedArray) \
+            else out
+
+    meta = _valid_date(first(_PUB_META_RE, html))
+    time_ = _valid_date(first(_PUB_TIME_RE, html))
+    jsonld = _valid_date(first(_PUB_JSONLD_RE, html))
+    from_url = pc.struct_field(
+        pc.extract_regex(url, pattern=_URL_DATE_RE), "d")
+    if isinstance(from_url, pa.ChunkedArray):
+        from_url = from_url.combine_chunks()
+    from_url = pc.replace_substring(from_url, pattern="/", replacement="-")
+
+    pub = pc.coalesce(meta, time_, jsonld, from_url)
+    src = pc.if_else(
+        pc.is_valid(meta), pa.scalar("meta", type=pa.string()),
+        pc.if_else(
+            pc.is_valid(time_), pa.scalar("time", type=pa.string()),
+            pc.if_else(
+                pc.is_valid(jsonld), pa.scalar("jsonld", type=pa.string()),
+                pc.if_else(pc.is_valid(from_url),
+                           pa.scalar("url", type=pa.string()),
+                           pa.scalar(None, type=pa.string())))))
+    return pa.table({"url": url, "pub_date": pub, "pub_source": src})
+
+
+def extract_pub_dates(ds: "ray.data.Dataset", url_col: str = "url",
+                      html_col: str = "html") -> "ray.data.Dataset":
+    """(url, pub_date, pub_source) — best-effort publication date per page,
+    the temporal-filtering signal (date-range corpus cuts, freshness
+    weighting, snapshot alignment). Signals in priority order, first VALID
+    date wins: ``article:published_time`` meta > first ``<time datetime>``
+    > JSON-LD ``datePublished`` > a /YYYY/MM/DD/ path segment in the URL.
+    A candidate must start with a plausible ISO date (month 01-12, day
+    01-31) or it falls through to the next signal; no signal ⇒ nulls.
+    Four vectorized RE2 passes, map-side only, ZERO shuffle."""
+    return ds.map_batches(
+        lambda t: _pub_dates_from_batch(t, url_col, html_col),
+        batch_format="pyarrow")

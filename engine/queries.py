@@ -2953,6 +2953,118 @@ def q_jsonld(sf_dir: str):
     return extract_jsonld(docs.map_batches(mk, batch_format="pyarrow"))
 
 
+def q_extract_tables(sf_dir: str):
+    """Structured table extraction (engine.tables.extract_tables): planted
+    pages carry a header+body grid table (1 + doc_id%3 body rows) and, on
+    every 4th doc, a rowspan table whose second row's cell must be pushed
+    to col 1 by the reservation — grid placement, th flags, whitespace
+    collapse and per-doc table ordinals are all pinned. DuckDB twin
+    derives the expected long-format cells from doc_id arithmetic (the
+    planted html is a pure function of it)."""
+    from engine.tables import extract_tables
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def mk(t: pa.Table) -> pa.Table:
+        urls, htmls = [], []
+        for i in t["doc_id"].to_pylist():
+            urls.append(f"https://tb{i % 5}.ex.com/t/{i}")
+            body = "".join(
+                f"<tr><td>  k{i}-{r} </td><td>v{(i * 7 + r) % 100}</td></tr>"
+                for r in range(1 + i % 3))
+            parts = ["<html><body><table><thead><tr><th>Name</th>"
+                     f"<th>Val</th></tr></thead><tbody>{body}"
+                     "</tbody></table>"]
+            if i % 4 == 0:
+                parts.append(
+                    f'<table><tr><td rowspan="2">s{i}</td><td>a{i}</td>'
+                    f"</tr><tr><td>b{i}</td></tr></table>")
+            parts.append("</body></html>")
+            htmls.append("".join(parts))
+        return pa.table({"url": pa.array(urls, type=pa.string()),
+                         "html": pa.array(htmls, type=pa.string())})
+
+    return extract_tables(docs.map_batches(mk, batch_format="pyarrow"))
+
+
+def q_pub_dates(sf_dir: str):
+    """Published-date extraction (engine.links.extract_pub_dates): planted
+    pages cycle through meta/time/jsonld/url-path signals plus an
+    invalid-meta fall-through and a no-signal class; every class also
+    plants a LOWER-priority distractor date so the priority order is
+    pinned, not just presence. DuckDB twin derives (pub_date, pub_source)
+    from doc_id arithmetic."""
+    from engine.links import extract_pub_dates
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def mk(t: pa.Table) -> pa.Table:
+        urls, htmls = [], []
+        for i in t["doc_id"].to_pylist():
+            y, m, d = 2000 + i % 25, 1 + i % 12, 1 + i % 28
+            m2, d2 = 1 + (i + 5) % 12, 1 + (i + 7) % 28
+            date = f"{y}-{m:02d}-{d:02d}"
+            alt = f"{y}-{m2:02d}-{d2:02d}"
+            c = i % 6
+            if c == 1:
+                url = f"https://pd{i % 3}.ex.com/{y}/{m2:02d}/{d2:02d}/p{i}"
+            elif c in (3, 4):
+                url = f"https://pd{i % 3}.ex.com/{y}/{m:02d}/{d:02d}/p{i}"
+            else:
+                url = f"https://pd{i % 3}.ex.com/post/{i}"
+            urls.append(url)
+            if c == 0:  # meta beats the planted <time> distractor
+                htmls.append(
+                    '<html><meta property="article:published_time" '
+                    f'content="{date}T08:30:00Z">'
+                    f'<time datetime="{alt}">x</time></html>')
+            elif c == 1:  # <time> beats the dated URL
+                htmls.append(f'<html><time datetime="{date}">x</time>'
+                             "</html>")
+            elif c == 2:
+                htmls.append(
+                    '<html><script type="application/ld+json">'
+                    f'{{"@type": "Article", "datePublished": "{date}"}}'
+                    "</script></html>")
+            elif c == 4:  # implausible meta value falls through to url
+                htmls.append(
+                    '<html><meta property="article:published_time" '
+                    'content="last tuesday"></html>')
+            else:  # c == 3 (url only) / c == 5 (no signal)
+                htmls.append("<html><p>plain</p></html>")
+        return pa.table({"url": pa.array(urls, type=pa.string()),
+                         "html": pa.array(htmls, type=pa.string())})
+
+    return extract_pub_dates(docs.map_batches(mk, batch_format="pyarrow"))
+
+
+def q_semdedup(sf_dir: str):
+    """SemDeDup (engine.similarity.semdedup): planted 8-dim vectors carry a
+    12-spike on cluster dim (r%4, r = (doc_id//3)%16) and a 9-spike on an
+    identity dim (4 + r//4) — all docs sharing r are exact duplicates
+    (cos 1.0), different r in the SAME cell sit at cos 0.64 < 0.9, so the
+    expected output is exactly 'every non-min doc of each r maps to the
+    r-minimum'. Pins assignment (unit-axis centroids), within-cell greedy
+    and keeper choice. DuckDB twin: GROUP BY r + min(doc_id)."""
+    from engine.similarity import semdedup
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        r = (d // 3) % 16
+        vecs = np.zeros((len(d), 8), dtype=np.float64)
+        rows = np.arange(len(d))
+        vecs[rows, r % 4] = 12.0
+        vecs[rows, 4 + r // 4] = 9.0
+        offsets = pa.array(np.arange(len(d) + 1, dtype=np.int32) * 8)
+        emb = pa.ListArray.from_arrays(offsets, pa.array(vecs.ravel()))
+        return pa.table({"doc_id": t["doc_id"], "embedding": emb})
+
+    planted = docs.map_batches(plant, batch_format="pyarrow")
+    return semdedup(planted, np.eye(4, 8), threshold=0.9)
+
+
 # ---------------------------------------------------------------------------
 # registry
 #
@@ -2967,6 +3079,9 @@ def q_jsonld(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 QUERIES = {
+    "extract_tables": q_extract_tables,
+    "pub_dates": q_pub_dates,
+    "semdedup": q_semdedup,
     "charset_decode": q_charset_decode,
     "quality_classifier": q_quality_classifier,
     "url_filter": q_url_filter,

@@ -468,3 +468,120 @@ def embedding_near_dup_pairs(ds: "ray.data.Dataset", threshold: float = 0.95,
         _embedding_pairs_plan(ds, threshold, id_col, vec_col, num_planes,
                               max_bucket, n, dim),
         "cosine")
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic dedup inside k-means cells (Abbas et al. 2023,
+# arXiv:2303.09540): cluster with k-means, compare pairwise cosine only
+# WITHIN a cell, greedily drop near-duplicates of already-kept docs.
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_CHUNK = 1024  # greedy matmul tile (kept x chunk), bounds peak mem
+
+
+def _greedy_dups(ids: np.ndarray, V: np.ndarray, tau: float,
+                 chunk: int | None = None):
+    """Greedy-by-ascending-id semantic dedup of one cell.
+
+    A doc is DROPPED iff some already-KEPT doc (lower id) has cosine >=
+    tau with it; its keeper is the lowest-id such doc. Deliberately NOT
+    transitive closure (SemDeDup semantics): in a chain a~b, b~c, a!~c,
+    b drops against a but c survives — pinned by test.
+
+    V must be unit-normalized. Vectorized in (kept x chunk) tiles; the
+    per-row Python step only indexes precomputed similarity tiles.
+    """
+    if chunk is None:
+        chunk = SEMDEDUP_CHUNK  # read at call time so tests can override
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    V = V[order]
+    kept_rows: list[int] = []  # global row indices, ascending id
+    dup_ids: list[int] = []
+    keeper_ids: list[int] = []
+    n = len(ids)
+    for s in range(0, n, chunk):
+        e = min(s + chunk, n)
+        C = V[s:e]
+        prev = (V[kept_rows] @ C.T) if kept_rows else None  # (K, c)
+        inner = C @ C.T
+        base_kept = len(kept_rows)
+        for j in range(e - s):
+            keeper_row = -1
+            if prev is not None:
+                hits = np.nonzero(prev[:, j] >= tau)[0]
+                if hits.size:
+                    keeper_row = kept_rows[int(hits[0])]
+            if keeper_row < 0 and len(kept_rows) > base_kept:
+                local = np.asarray(kept_rows[base_kept:],
+                                   dtype=np.int64) - s
+                hits = np.nonzero(inner[local, j] >= tau)[0]
+                if hits.size:
+                    keeper_row = kept_rows[base_kept + int(hits[0])]
+            if keeper_row >= 0:
+                dup_ids.append(int(ids[s + j]))
+                keeper_ids.append(int(ids[keeper_row]))
+            else:
+                kept_rows.append(s + j)
+    return dup_ids, keeper_ids
+
+
+def semdedup(ds: "ray.data.Dataset", centroids: np.ndarray,
+             threshold: float = 0.9, id_col: str = "doc_id",
+             vec_col: str = "embedding", num_buckets: int = 32,
+             chunk: int | None = None) -> "ray.data.Dataset":
+    """SemDeDup over a corpus with an embedding column: returns the
+    (cluster, dup_id, keeper_id) rows — every doc NOT listed is kept.
+
+    100 TB shape: centroids broadcast once (``ray.put``); assignment +
+    unit-normalization are one streaming map_batches pass emitting only
+    (cluster, id, vec-as-binary) — vectors ride the ONE cell exchange as
+    binary blobs (Acero/list caveat, CLAUDE.md). Cells are co-located by
+    ``bucketed_map_groups`` (Python-call count capped at num_buckets, not
+    cell count); pairwise work is O(sum cell_size^2) by construction —
+    the whole point of clustering first — tiled in SEMDEDUP_CHUNK blocks.
+    Partitioning assumption: one bucket's cells fit a worker heap; size
+    k (number of centroids) so cells stay bounded, exactly as the paper
+    prescribes (k grows with corpus).
+    """
+    from engine.broadcast import get_broadcast
+    from engine.cluster import _assign
+    from engine.joins import bucketed_map_groups
+
+    cents = np.ascontiguousarray(np.asarray(centroids, dtype=np.float64))
+    dim = cents.shape[1]
+    ref = ray.put(cents)
+
+    def prep(t: pa.Table) -> pa.Table:
+        c = get_broadcast(ref)
+        V = _to_matrix(t[vec_col])
+        a = (_assign(V, c) if len(V) else np.array([], dtype=np.int64))
+        return pa.table({
+            "cluster": pa.array(a.astype(np.int64)),
+            id_col: pc.cast(t[id_col], pa.int64()),
+            "__vec": _f64_rows_to_binary(_normalize(V)),
+        })
+
+    def cell_dedup(g: pa.Table) -> pa.Table:
+        out_c: list[int] = []
+        out_d: list[int] = []
+        out_k: list[int] = []
+        for cl in pc.unique(g["cluster"]).to_pylist():
+            sub = g.filter(pc.equal(g["cluster"], cl))
+            ids = np.asarray(sub[id_col].to_numpy(zero_copy_only=False),
+                             dtype=np.int64)
+            V = _binary_to_f64_matrix(sub["__vec"], dim)
+            d, k = _greedy_dups(ids, V, threshold, chunk)
+            out_c.extend([int(cl)] * len(d))
+            out_d.extend(d)
+            out_k.extend(k)
+        return pa.table({
+            "cluster": pa.array(out_c, type=pa.int64()),
+            "dup_id": pa.array(out_d, type=pa.int64()),
+            "keeper_id": pa.array(out_k, type=pa.int64()),
+        })
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+    return bucketed_map_groups(prepped, "cluster", cell_dedup,
+                               num_buckets=num_buckets,
+                               batch_format="pyarrow")

@@ -290,3 +290,48 @@ def test_jsonld_kernel():
     got = [(r["jsonld_type"], r["jsonld_name"]) for r in out]
     assert got == [("Article", "My Story"), ("Product", None),
                    (None, None), (None, None), (None, None), (None, None)]
+
+
+# ---------------------------------------------------------------------------
+# published-date extraction (engine.links.extract_pub_dates)
+# ---------------------------------------------------------------------------
+
+def _pub(url: str, html: str):
+    import pyarrow as pa
+
+    from engine.links import _pub_dates_from_batch
+
+    t = pa.table({"url": [url], "html": [html]})
+    r = _pub_dates_from_batch(t, "url", "html").to_pylist()[0]
+    return r["pub_date"], r["pub_source"]
+
+
+def test_pub_date_priority_meta_over_time():
+    assert _pub(
+        "https://a.ex/p",
+        '<meta property="article:published_time" content="2020-01-02T08:00Z">'
+        '<time datetime="2019-12-31">x</time>') == ("2020-01-02", "meta")
+
+
+def test_pub_date_time_beats_jsonld_and_url():
+    assert _pub(
+        "https://a.ex/2022/02/09/y",
+        '<time datetime="2019-12-31">x</time>'
+        '<script type="application/ld+json">{"datePublished": "2018-06-07"}'
+        "</script>") == ("2019-12-31", "time")
+
+
+def test_pub_date_invalid_candidates_fall_through():
+    # implausible month/day and non-date strings are rejected per signal
+    assert _pub(
+        "https://a.ex/2021/05/03/x",
+        '<meta property="article:published_time" content="2020-13-45">'
+        '<time datetime="yesterday">x</time>') == ("2021-05-03", "url")
+
+
+def test_pub_date_url_day_32_not_matched():
+    assert _pub("https://a.ex/2021/05/32/x", "<p>n</p>") == (None, None)
+
+
+def test_pub_date_no_signal_is_null():
+    assert _pub("https://a.ex/p", "<p>n</p>") == (None, None)

@@ -263,3 +263,77 @@ def test_train_ivf_full_corpus_recall(vecs):
     got = similarity.knn_ivf(ds, np.array([q]), k=5, nprobe=8,
                              centroids=cents)
     assert list(got["vec_id"]) == exact  # nprobe=all cells == exact
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (engine.similarity.semdedup)
+# ---------------------------------------------------------------------------
+
+def _emb_table(ids, vecs):
+    import numpy as np
+    import pyarrow as pa
+
+    vecs = np.asarray(vecs, dtype=np.float64)
+    offsets = pa.array(
+        np.arange(len(ids) + 1, dtype=np.int32) * vecs.shape[1])
+    return pa.table({
+        "doc_id": pa.array(ids, type=pa.int64()),
+        "embedding": pa.ListArray.from_arrays(
+            offsets, pa.array(vecs.ravel())),
+    })
+
+
+def test_semdedup_chain_is_not_transitive(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from engine.similarity import semdedup
+
+    # a~b and b~c at cos .707 >= .7, a!~c (cos 0): greedy keeps a, drops
+    # b against a, KEEPS c (compared against kept docs only)
+    t = _emb_table([10, 20, 30],
+                   [[1, 0], [1, 1], [0, 1]])
+    out = semdedup(rd.from_arrow(t), np.array([[1.0, 1.0]]),
+                   threshold=0.7).to_pandas()
+    assert out[["dup_id", "keeper_id"]].values.tolist() == [[20, 10]]
+
+
+def test_semdedup_cells_are_isolated(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from engine.similarity import semdedup
+
+    # identical direction but assigned to different cells by the planted
+    # spike -> never compared, no dup rows
+    t = _emb_table([1, 2], [[5, 0.1], [0.1, 5]])
+    out = semdedup(rd.from_arrow(t), np.eye(2) * 5,
+                   threshold=0.5).to_pandas()
+    assert len(out) == 0
+
+
+def test_semdedup_parallelism_and_chunk_invariance(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from engine.similarity import semdedup
+
+    rng = np.random.default_rng(7)
+    n = 400
+    base = rng.normal(size=(n, 4))
+    base[: n // 2] = base[0]  # big duplicate set crossing chunk tiles
+    ids = np.arange(n)
+    t = _emb_table(ids, base)
+    expected = None
+    for chunk, par in ((8, 1), (1024, 5)):
+        ds = rd.from_arrow(t).repartition(par)
+        got = (semdedup(ds, np.eye(2, 4) * 3, threshold=0.95,
+                        chunk=chunk)
+               .to_pandas().sort_values("dup_id")
+               .reset_index(drop=True))
+        if expected is None:
+            expected = got
+        else:
+            assert got.equals(expected)
+    dups = set(expected["dup_id"])
+    assert set(ids[1: n // 2]).issubset(dups)

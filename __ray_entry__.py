@@ -1200,6 +1200,26 @@ SELECT doc_id AS media_id,
        CAST(n AS BIGINT) AS n_samples,
        CAST(n * base + (n * (n - 1)) // 2 AS BIGINT) AS sum_s
 FROM p""",
+        "dsir_weights": r"""
+WITH bk AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % 1024 AS b
+  FROM (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok
+        FROM documents)),
+tcnt AS (
+  SELECT b, count(*) AS n FROM bk WHERE doc_id % 7 = 0 GROUP BY b),
+rcnt AS (
+  SELECT b, count(*) AS n FROM bk GROUP BY b),
+score AS (
+  SELECT r.b,
+         length(bin(COALESCE(t.n, 0) + 1)) - length(bin(r.n + 1)) AS s
+  FROM rcnt r LEFT JOIN tcnt t ON r.b = t.b),
+per_doc AS (
+  SELECT bk.doc_id, CAST(sum(score.s) AS BIGINT) AS w
+  FROM bk JOIN score ON bk.b = score.b
+  GROUP BY bk.doc_id)
+SELECT d.doc_id, COALESCE(p.w, 0) AS dsir_weight
+FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id""",
         "semdedup": r"""
 WITH p AS (
   SELECT doc_id, (doc_id // 3) % 16 AS r FROM documents),

@@ -3065,6 +3065,24 @@ def q_semdedup(sf_dir: str):
     return semdedup(planted, np.eye(4, 8), threshold=0.9)
 
 
+def q_dsir_weights(sf_dir: str):
+    """DSIR importance weights (engine.dsir.dsir_weights): target = every
+    7th document, raw = all documents; per-doc weight = sum over token
+    occurrences of the integer bit-length ladder of the token's md5
+    bucket's target/raw counts. DuckDB twin recomputes the ladder with
+    the '0x'||md5-prefix bucket hash and length(bin(x))."""
+    from engine.dsir import dsir_weights
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def tgt(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.filter(pa.array(d % 7 == 0))
+
+    target = docs.map_batches(tgt, batch_format="pyarrow")
+    return dsir_weights(docs, target)
+
+
 # ---------------------------------------------------------------------------
 # registry
 #
@@ -3082,6 +3100,7 @@ QUERIES = {
     "extract_tables": q_extract_tables,
     "pub_dates": q_pub_dates,
     "semdedup": q_semdedup,
+    "dsir_weights": q_dsir_weights,
     "charset_decode": q_charset_decode,
     "quality_classifier": q_quality_classifier,
     "url_filter": q_url_filter,

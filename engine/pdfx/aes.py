@@ -1,4 +1,4 @@
-"""Pure-Python AES-128 (FIPS-197) + CBC, for PDF AESV2 crypt filters.
+"""Pure-Python AES-128/256 (FIPS-197) + CBC, for PDF AESV2/AESV3 filters.
 
 The PDF 1.6+ standard security handler wraps streams/strings in
 AES-128-CBC with a per-object key and a 16-byte IV prefix (PDF 1.7 spec
@@ -53,18 +53,22 @@ for _i in range(13):
 
 
 def _expand_key(key: bytes) -> list[list[int]]:
-    """128-bit key → 11 round keys (each 16 ints)."""
-    if len(key) != 16:
-        raise ValueError("AES-128 requires a 16-byte key")
-    w = [list(key[i:i + 4]) for i in range(0, 16, 4)]
-    for i in range(4, 44):
+    """128/192/256-bit key → Nr+1 round keys (each 16 ints, FIPS-197 §5.2)."""
+    nk = len(key) // 4
+    if len(key) not in (16, 24, 32):
+        raise ValueError("AES requires a 16/24/32-byte key")
+    nr = nk + 6
+    w = [list(key[i:i + 4]) for i in range(0, len(key), 4)]
+    for i in range(nk, 4 * (nr + 1)):
         t = list(w[i - 1])
-        if i % 4 == 0:
+        if i % nk == 0:
             t = t[1:] + t[:1]
             t = [SBOX[b] for b in t]
-            t[0] ^= _RCON[i // 4 - 1]
-        w.append([a ^ b for a, b in zip(w[i - 4], t)])
-    return [sum(w[4 * r:4 * r + 4], []) for r in range(11)]
+            t[0] ^= _RCON[i // nk - 1]
+        elif nk > 6 and i % nk == 4:
+            t = [SBOX[b] for b in t]
+        w.append([a ^ b for a, b in zip(w[i - nk], t)])
+    return [sum(w[4 * r:4 * r + 4], []) for r in range(nr + 1)]
 
 
 def _add_rk(s: list[int], rk: list[int]) -> None:
@@ -79,8 +83,9 @@ _INV_SHIFT = [0, 13, 10, 7, 4, 1, 14, 11, 8, 5, 2, 15, 12, 9, 6, 3]
 
 def _encrypt_block(block: bytes, rks: list[list[int]]) -> bytes:
     s = list(block)
+    nr = len(rks) - 1
     _add_rk(s, rks[0])
-    for rnd in range(1, 10):
+    for rnd in range(1, nr):
         s = [SBOX[s[_SHIFT[i]]] for i in range(16)]
         t = s
         s = [0] * 16
@@ -92,14 +97,15 @@ def _encrypt_block(block: bytes, rks: list[list[int]]) -> bytes:
             s[4 * c + 3] = _gmul(a0, 3) ^ a1 ^ a2 ^ _gmul(a3, 2)
         _add_rk(s, rks[rnd])
     s = [SBOX[s[_SHIFT[i]]] for i in range(16)]
-    _add_rk(s, rks[10])
+    _add_rk(s, rks[nr])
     return bytes(s)
 
 
 def _decrypt_block(block: bytes, rks: list[list[int]]) -> bytes:
     s = list(block)
-    _add_rk(s, rks[10])
-    for rnd in range(9, 0, -1):
+    nr = len(rks) - 1
+    _add_rk(s, rks[nr])
+    for rnd in range(nr - 1, 0, -1):
         s = [INV_SBOX[s[_INV_SHIFT[i]]] for i in range(16)]
         _add_rk(s, rks[rnd])
         t = s
@@ -119,8 +125,10 @@ def _decrypt_block(block: bytes, rks: list[list[int]]) -> bytes:
     return bytes(s)
 
 
-def aes128_cbc_decrypt(key: bytes, data: bytes) -> bytes:
-    """PDF AESV2 layout: data = IV(16) || ciphertext; PKCS#7 unpad."""
+def aes_cbc_decrypt(key: bytes, data: bytes) -> bytes:
+    """PDF AESV2/AESV3 layout: data = IV(16) || ciphertext; PKCS#7 unpad.
+
+    Key length selects the variant (16 → AES-128, 32 → AES-256)."""
     if len(data) < 32 or len(data) % 16:
         raise ValueError("bad AES-CBC payload length")
     rks = _expand_key(key)
@@ -138,7 +146,7 @@ def aes128_cbc_decrypt(key: bytes, data: bytes) -> bytes:
 
 
 def aes128_cbc_encrypt(key: bytes, iv: bytes, plain: bytes) -> bytes:
-    """Inverse of :func:`aes128_cbc_decrypt` (fixture writer)."""
+    """Inverse of :func:`aes_cbc_decrypt` (fixture writer)."""
     rks = _expand_key(key)
     pad = 16 - len(plain) % 16
     plain = plain + bytes([pad]) * pad
@@ -149,3 +157,60 @@ def aes128_cbc_encrypt(key: bytes, iv: bytes, plain: bytes) -> bytes:
         prev = _encrypt_block(blk, rks)
         out += prev
     return bytes(out)
+
+
+# Back-compat alias (the AESV2 path and its tests predate the generic name).
+aes128_cbc_decrypt = aes_cbc_decrypt
+
+
+def aes_cbc_encrypt_raw(key: bytes, iv: bytes, plain: bytes) -> bytes:
+    """CBC encrypt with NO padding and NO IV prefix (len % 16 == 0).
+
+    Used by the R6 hash ladder (Algorithm 2.B) and the /UE key wrap,
+    both of which operate on exact block multiples."""
+    if len(plain) % 16:
+        raise ValueError("raw CBC requires a block-multiple input")
+    rks = _expand_key(key)
+    prev = iv
+    out = bytearray()
+    for off in range(0, len(plain), 16):
+        blk = bytes(a ^ b for a, b in zip(plain[off:off + 16], prev))
+        prev = _encrypt_block(blk, rks)
+        out += prev
+    return bytes(out)
+
+
+def aes_cbc_decrypt_raw(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """CBC decrypt with NO padding and NO IV prefix (inverse of the raw
+    encryptor; the /UE → file-key unwrap)."""
+    if len(data) % 16:
+        raise ValueError("raw CBC requires a block-multiple input")
+    rks = _expand_key(key)
+    prev = iv
+    out = bytearray()
+    for off in range(0, len(data), 16):
+        blk = data[off:off + 16]
+        out += bytes(a ^ b for a, b in zip(_decrypt_block(blk, rks), prev))
+        prev = blk
+    return bytes(out)
+
+
+def hash_r6(password: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    """ISO 32000-2 Algorithm 2.B: the R6 password hash ladder.
+
+    SHA-256 seeded, then ≥64 rounds of (repeat-64 → AES-128-CBC encrypt →
+    SHA-{256,384,512} picked by the first 16 bytes mod 3), terminating when
+    round ≥ 64 and the last ciphertext byte ≤ round-32. R5 callers use a
+    single SHA-256 instead (see objects._v5_file_key)."""
+    import hashlib
+
+    k = hashlib.sha256(password + salt + udata).digest()
+    rnd = 0
+    while True:
+        k1 = (password + k + udata) * 64
+        e = aes_cbc_encrypt_raw(k[:16], k[16:32], k1)
+        k = [hashlib.sha256, hashlib.sha384,
+             hashlib.sha512][sum(e[:16]) % 3](e).digest()
+        rnd += 1
+        if rnd >= 64 and e[-1] <= rnd - 32:
+            return k[:32]

@@ -523,17 +523,46 @@ def _check_empty_user_pw(enc: dict, key: bytes, first_id: bytes) -> bool:
 
 def _object_key(file_key: bytes, num: int, gen: int,
                 aes: bool = False) -> bytes:
-    """Algorithm 1: per-object key (AESV2 appends the spec's 'sAlT')."""
+    """Algorithm 1: per-object key (AESV2 appends the spec's 'sAlT').
+
+    V5 (AESV3, 32-byte file key) uses the file key directly for every
+    object — ISO 32000-2 drops the per-object derivation at 256 bits."""
     import hashlib
     import struct
 
+    if len(file_key) == 32:
+        return file_key
     ext = (file_key + struct.pack("<I", num)[:3] + struct.pack("<I", gen)[:2]
            + (b"sAlT" if aes else b""))
     return hashlib.md5(ext).digest()[: min(len(file_key) + 5, 16)]
 
 
+def _v5_file_key(enc: dict) -> bytes:
+    """ISO 32000-2 Algorithms 2.A/8: verify the EMPTY user password against
+    /U and unwrap the 32-byte file key from /UE (V=5, R=5 or 6)."""
+    import hashlib
+
+    from engine.pdfx.aes import aes_cbc_decrypt_raw, hash_r6
+
+    u, ue = enc.get("U", b""), enc.get("UE", b"")
+    if not (isinstance(u, bytes) and len(u) >= 48 and
+            isinstance(ue, bytes) and len(ue) == 32):
+        raise PdfError("encrypted PDF: malformed V5 /U or /UE")
+    vsalt, ksalt = u[32:40], u[40:48]
+    if enc.get("R", 6) == 5:
+        # deprecated Adobe R5 extension: single SHA-256, no ladder
+        digest = hashlib.sha256(b"" + vsalt).digest()
+        inter = hashlib.sha256(b"" + ksalt).digest()
+    else:
+        digest = hash_r6(b"", vsalt)
+        inter = hash_r6(b"", ksalt)
+    if digest != u[:32]:
+        raise PdfError("encrypted PDF: password required")
+    return aes_cbc_decrypt_raw(inter, bytes(16), ue)
+
+
 def _aes_decrypt(obj_key: bytes, data: bytes) -> bytes:
-    from engine.pdfx.aes import aes128_cbc_decrypt
+    from engine.pdfx.aes import aes_cbc_decrypt as aes128_cbc_decrypt
 
     if not data:
         # empty strings pass through un-wrapped in the wild (the RC4 path
@@ -549,6 +578,7 @@ def _aes_decrypt(obj_key: bytes, data: bytes) -> bytes:
 _CRYPT_FILTERS = {
     "V2": (_rc4, False),
     "AESV2": (_aes_decrypt, True),
+    "AESV3": (_aes_decrypt, True),  # 32-byte file key used directly
     "Identity": (lambda _k, d: d, False),
 }
 
@@ -594,22 +624,25 @@ def _decrypt_objects(objects: "dict[int, object]", gens: "dict[int, int]",
         raise PdfError("encrypted PDF: malformed /Encrypt")
     v, r = enc.get("V", 0), enc.get("R", 2)
     if enc.get("Filter") != "Standard" or (v, r) not in \
-            {(1, 2), (1, 3), (2, 2), (2, 3), (4, 4)}:
+            {(1, 2), (1, 3), (2, 2), (2, 3), (4, 4), (5, 5), (5, 6)}:
         raise PdfError("encrypted PDF: unsupported security handler "
                        f"(Filter={enc.get('Filter')}, V={v}, R={r})")
-    if v == 4:
+    if v >= 4:
         (stm_fn, stm_aes), (str_fn, str_aes) = \
             _resolve_crypt_filters(objects, enc)
         if "Length" not in enc:
-            enc = {**enc, "Length": 128}
+            enc = {**enc, "Length": 256 if v == 5 else 128}
     else:
         (stm_fn, stm_aes) = (str_fn, str_aes) = (_rc4, False)
-    ids = trailer.get("ID")
-    first_id = ids[0] if isinstance(ids, list) and ids and \
-        isinstance(ids[0], bytes) else b""
-    key = _std_file_key(enc, first_id)
-    if not _check_empty_user_pw(enc, key, first_id):
-        raise PdfError("encrypted PDF: password required")
+    if v == 5:
+        key = _v5_file_key(enc)  # raises "password required" on mismatch
+    else:
+        ids = trailer.get("ID")
+        first_id = ids[0] if isinstance(ids, list) and ids and \
+            isinstance(ids[0], bytes) else b""
+        key = _std_file_key(enc, first_id)
+        if not _check_empty_user_pw(enc, key, first_id):
+            raise PdfError("encrypted PDF: password required")
     enc_num = enc_ref.num if isinstance(enc_ref, Ref) else None
     for num, obj in objects.items():
         if num == enc_num:

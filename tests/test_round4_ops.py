@@ -651,3 +651,159 @@ def test_aes_empty_string_passes_through():
     from engine.pdfx.objects import _aes_decrypt
 
     assert _aes_decrypt(bytes(16), b"") == b""
+
+
+# --- empty-password AES-256 (V5/R6, AESV3) roundtrip ------------------------
+# The R6 hash ladder below is written from the ISO 32000-2 Algorithm 2.B
+# text independently of engine.pdfx.aes.hash_r6 (loop structure, digest
+# selection and termination re-derived); only the externally-FIPS-pinned
+# block primitives are shared.
+
+
+def _hash_2b_independent(pw: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    import hashlib
+
+    from engine.pdfx.aes import _encrypt_block, _expand_key
+
+    k = hashlib.sha256(pw + salt + udata).digest()
+    i = 0
+    while True:
+        unit = pw + k + udata
+        k1 = unit * 64
+        # AES-128-CBC over k1, key=k[:16], iv=k[16:32], hand-rolled here
+        rks = _expand_key(k[:16])
+        prev = k[16:32]
+        e = bytearray()
+        for off in range(0, len(k1), 16):
+            blk = bytes(a ^ b for a, b in zip(k1[off:off + 16], prev))
+            prev = _encrypt_block(blk, rks)
+            e += prev
+        pick = sum(e[:16]) % 3
+        if pick == 0:
+            k = hashlib.sha256(e).digest()
+        elif pick == 1:
+            k = hashlib.sha384(e).digest()
+        else:
+            k = hashlib.sha512(e).digest()
+        i += 1
+        if i >= 64 and e[-1] <= i - 32:
+            return k[:32]
+
+
+def _encrypt_pdf_aes256(plain: bytes, r: int = 6) -> bytes:
+    """Independent V5 AESV3 encryptor (empty user password, R=5 or 6)."""
+    import hashlib
+
+    from engine.pdfx.aes import aes_cbc_encrypt_raw
+    from engine.pdfx.objects import Name, Ref, Stream, parse_objects
+
+    objects, trailer = parse_objects(plain)
+    file_key = bytes(range(1, 33))            # 32-byte content key
+    vsalt = b"VALSALT!"
+    ksalt = b"KEYSALT!"
+    if r == 5:
+        digest = hashlib.sha256(vsalt).digest()
+        inter = hashlib.sha256(ksalt).digest()
+    else:
+        digest = _hash_2b_independent(b"", vsalt)
+        inter = _hash_2b_independent(b"", ksalt)
+    u_entry = digest + vsalt + ksalt
+    ue_entry = aes_cbc_encrypt_raw(inter, bytes(16), file_key)
+    # owner entries are present but arbitrary (empty-USER-password readers
+    # never consult them)
+    o_entry, oe_entry = b"\xAA" * 48, b"\xBB" * 32
+
+    def iv_for(num, tag):
+        return hashlib.md5(b"iv%d%s" % (num, tag)).digest()
+
+    def aes_pad_encrypt(num, tag, data):
+        from engine.pdfx.aes import aes128_cbc_encrypt
+        iv = iv_for(num, tag)
+        # aes128_cbc_encrypt pads + prefixes the IV; key len selects AES-256
+        return aes128_cbc_encrypt(file_key, iv, data)
+
+    def enc_value(v, num):
+        if isinstance(v, bytes):
+            return aes_pad_encrypt(num, b"s", v)
+        if isinstance(v, list):
+            return [enc_value(x, num) for x in v]
+        if isinstance(v, dict):
+            return {kk: enc_value(x, num) for kk, x in v.items()}
+        return v
+
+    enc_num = max(objects) + 1
+    out = [b"%PDF-2.0\n"]
+    for num in sorted(objects):
+        obj = objects[num]
+        out.append(b"%d 0 obj\n" % num)
+        if isinstance(obj, Stream):
+            raw = aes_pad_encrypt(num, b"m", obj.raw)
+            d2 = enc_value({kk: v for kk, v in obj.dict.items()
+                            if kk != "Length"}, num)
+            d2["Length"] = len(raw)
+            out.append(_ser(d2) + b"\nstream\n" + raw + b"\nendstream")
+        else:
+            out.append(_ser(enc_value(obj, num)))
+        out.append(b"\nendobj\n")
+    enc_dict = {
+        "Filter": Name("Standard"), "V": 5, "R": r, "Length": 256, "P": -44,
+        "O": o_entry, "U": u_entry, "OE": oe_entry, "UE": ue_entry,
+        "CF": {"StdCF": {"CFM": Name("AESV3"), "Length": 32}},
+        "StmF": Name("StdCF"), "StrF": Name("StdCF"),
+    }
+    out.append(b"%d 0 obj\n" % enc_num + _ser(enc_dict) + b"\nendobj\n")
+    tr = dict(trailer)
+    tr["Encrypt"] = Ref(enc_num)
+    tr["ID"] = [bytes(range(16)), bytes(range(16))]
+    out.append(b"trailer\n" + _ser(tr) + b"\n%%EOF\n")
+    return b"".join(out)
+
+
+def test_aes256_fips_vector():
+    # FIPS-197 Appendix C.3 (AES-256) pins the widened key schedule
+    from engine.pdfx.aes import _decrypt_block, _encrypt_block, _expand_key
+
+    key = bytes.fromhex("000102030405060708090a0b0c0d0e0f"
+                        "101112131415161718191a1b1c1d1e1f")
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    ct = _encrypt_block(pt, _expand_key(key))
+    assert ct.hex() == "8ea2b7ca516745bfeafc49904b496089"
+    assert _decrypt_block(ct, _expand_key(key)) == pt
+
+
+def test_hash_r6_matches_independent():
+    # engine ladder vs the test's independently-written Algorithm 2.B
+    from engine.pdfx.aes import hash_r6
+
+    for pw, salt in [(b"", b"\x00" * 8), (b"", b"VALSALT!"),
+                     (b"pw", b"12345678")]:
+        assert hash_r6(pw, salt) == _hash_2b_independent(pw, salt)
+        assert hash_r6(pw, salt, b"u" * 48) == \
+            _hash_2b_independent(pw, salt, b"u" * 48)
+
+
+def test_aes256_pdf_roundtrip():
+    from engine.pdfx.extract import extract_pdf_doc
+
+    plain = _plain_pdf()
+    want = extract_pdf_doc(plain)
+    for r in (5, 6):
+        enc = _encrypt_pdf_aes256(plain, r=r)
+        assert b"encrypted page one" not in enc
+        assert extract_pdf_doc(enc) == want
+    # compressed streams: decrypt-then-inflate ordering
+    plain_z = _plain_pdf(compress=True)
+    assert extract_pdf_doc(_encrypt_pdf_aes256(plain_z)) \
+        == extract_pdf_doc(plain_z)
+
+
+def test_aes256_wrong_password_raises():
+    import pytest
+
+    from engine.pdfx.extract import extract_pdf_doc
+    from engine.pdfx.objects import PdfError
+
+    enc = _encrypt_pdf_aes256(_plain_pdf())
+    bad = enc.replace(b"/U <", b"/U <ff", 1)
+    with pytest.raises(PdfError, match="password required"):
+        extract_pdf_doc(bad)

@@ -971,6 +971,30 @@ SELECT doc_id,
                       '')) ||
        regexp_replace(u, '^(?i:https?)://[^/?#]*', '') AS url
 FROM s6""",
+        "window_dedup": """
+WITH raw AS (
+  SELECT doc_id,
+         'c0 c1 c2 c3 u' || CAST(doc_id AS VARCHAR) ||
+         ' c0 c1 c2 c3 z' || CAST(doc_id % 4 AS VARCHAR) AS text
+  FROM documents),
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM raw),
+win AS (
+  SELECT doc_id, i AS pos, array_to_string(t[i:i+2], ' ') AS w
+  FROM toks,
+       LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i)),
+f AS (SELECT w FROM win GROUP BY w HAVING count(*) >= 2),
+dup AS (SELECT doc_id, pos FROM win WHERE w IN (SELECT w FROM f)),
+cov AS (
+  SELECT doc_id, count(DISTINCT pos) AS n_dup_windows,
+         count(DISTINCT tp) AS n_covered_tokens
+  FROM (SELECT doc_id, pos, unnest(generate_series(pos, pos + 2)) AS tp
+        FROM dup)
+  GROUP BY doc_id),
+base AS (SELECT doc_id, CAST(len(t) - 2 AS BIGINT) AS n_windows FROM toks)
+SELECT b.doc_id, b.n_windows,
+       CAST(coalesce(c.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+       CAST(coalesce(c.n_covered_tokens, 0) AS BIGINT) AS n_covered_tokens
+FROM base b LEFT JOIN cov c USING (doc_id)""",
         "strip_lines": """
 WITH raw AS (
   SELECT doc_id,

@@ -1636,6 +1636,35 @@ def q_strip_lines(sf_dir: str):
     return strip_repeated_lines(planted, max_occurrences=2)
 
 
+def q_window_dedup(sf_dir: str):
+    """Exact 3-token-window duplicate stats (engine.textstats.
+    window_dup_stats — the window-hash form of Lee et al. 2022 exact
+    substring dedup) over a planted corpus mixing intra-doc repeats
+    ('c0 c1 c2 c3' twice per doc), corpus-wide hot windows and d%4
+    cross-doc tails around per-doc-unique middles. DuckDB twin: the same
+    explode → HAVING >= 2 → IN → interval-union chain, coverage =
+    count(DISTINCT covered token position)."""
+    from engine.textstats import window_dup_stats
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        d = t["doc_id"]
+        ds_ = pc.cast(d, pa.string())
+        m4 = pc.cast(pc.subtract(d, pc.multiply(pc.divide(d, 4), 4)),
+                     pa.string())
+        text = pc.binary_join_element_wise(
+            "c0 c1 c2 c3",
+            pc.binary_join_element_wise("u", ds_, ""),
+            "c0 c1 c2 c3",
+            pc.binary_join_element_wise("z", m4, ""),
+            " ")
+        return pa.table({"doc_id": d, "text": text})
+
+    planted = docs.map_batches(plant, batch_format="pyarrow")
+    return window_dup_stats(planted, k=3)
+
+
 def q_normalize_urls(sf_dir: str):
     """URL canonicalization (engine.textops.normalize_url): fragment strip,
     utm_* removal, default-port strip, scheme+host lowercase — over a
@@ -3097,6 +3126,7 @@ def q_dsir_weights(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 QUERIES = {
+    "window_dedup": q_window_dedup,
     "extract_tables": q_extract_tables,
     "pub_dates": q_pub_dates,
     "semdedup": q_semdedup,

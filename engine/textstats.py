@@ -959,3 +959,136 @@ def strip_repeated_spans(ds: "ray.data.Dataset", text_col: str = "text",
 
     return bucketed_map_groups(kept, id_col, per_bucket, num_buckets,
                                cols=[id_col, "pos", "sent"])
+
+
+def window_dup_stats(ds: "ray.data.Dataset", k: int = 5,
+                     text_col: str = "text", id_col: str = "doc_id",
+                     min_count: int = 2,
+                     num_buckets: int = 32) -> "ray.data.Dataset":
+    """Exact k-token-window duplicate statistics — the window-hash form of
+    Lee et al. 2022 exact-substring dedup ("Deduplicating Training Data
+    Makes Language Models Better"): a k-token window occurring >=
+    ``min_count`` times ANYWHERE in the corpus (same doc or not) is
+    duplicated; report, per document, how many of its windows are
+    duplicated and how many of its token positions the duplicated windows
+    cover (the interval-union of their [pos, pos+k) spans). Downstream
+    policy (drop doc above a coverage fraction, or cut the spans) is the
+    caller's; the stats are the corpus pass.
+
+    Plan (all exchanges narrow):
+    - window build is fully vectorized: k shifted slices of the flat token
+      stream joined element-wise (``binary_join_element_wise``) — one Arrow
+      kernel, no per-row Python; windows crossing a document boundary are
+      masked out with numpy index arithmetic.
+    - only (wh:u64, doc_id, pos) triples cross the wire — the window TEXT
+      never leaves the map task (seeded 64-bit xxhash keys, the
+      partition.py hash family).
+    - occurrence counts: per-block Acero pre-agg -> one (wh, n) groupby;
+      >= min_count survivors semi-join back against the triples
+      (distributed — no broadcast-size assumption on the hot-window set).
+    - per-doc interval union: sorted-positions overlap trick
+      (sum(min(next_pos - pos, k)) + k per run) vectorized inside
+      ~num_buckets pandas buckets via bucketed_map_groups.
+
+    Output: one row per input doc —
+    (doc_id, n_windows, n_dup_windows, n_covered_tokens), int64, zeros for
+    clean docs. n_windows = max(n_tokens - k + 1, 0).
+    """
+    import polars as pl
+    from ray.data.aggregate import Sum
+
+    from engine.joins import bucketed_map_groups, hash_join
+    from engine.stats import acero_counts
+
+    def windows(t: pa.Table) -> pa.Table:
+        toks, lens = _flat_tokens(_text_column(t, text_col), r"\s+")
+        n = len(toks)
+        ids_in = t[id_col].to_numpy(zero_copy_only=False)
+        empty = pa.table({
+            "wh": pa.array([], type=pa.int64()),
+            id_col: pa.array([], type=pa.int64()),
+            "pos": pa.array([], type=pa.int64()),
+        })
+        if n < k:
+            return empty
+        nwin = np.maximum(lens - k + 1, 0)
+        parts = [toks.slice(j, n - k + 1) for j in range(k)]
+        wins = pc.binary_join_element_wise(*parts, " ")
+        row_start = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        srow = np.repeat(np.arange(len(lens)), lens)[: n - k + 1]
+        lpos = np.arange(n - k + 1) - row_start[srow]
+        keep = lpos < nwin[srow]
+        if not keep.any():
+            return empty
+        # reinterpret u64 as i64 (all 64 bits kept) — Ray's groupby block
+        # rebuild round-trips through Python ints and overflows on u64.
+        wh = pl.from_arrow(wins.filter(pa.array(keep))).hash(seed=0) \
+            .to_numpy().view(np.int64)
+        return pa.table({
+            "wh": wh,
+            id_col: ids_in[srow[keep]].astype(np.int64),
+            "pos": (lpos[keep] + 1).astype(np.int64),  # 1-based, SQL twin
+        })
+
+    triples = ds.map_batches(windows, batch_format="pyarrow") \
+        .materialize()  # 2 consumers (counts + semi-join left); CLAUDE.md
+
+    frequent = (
+        triples.map_batches(lambda t: acero_counts(t.select(["wh"]), ["wh"]),
+                            batch_format="pyarrow")
+        .groupby("wh").aggregate(Sum("n", alias_name="n"))
+        .map_batches(
+            lambda t: t.filter(pc.greater_equal(t["n"], min_count))
+            .select(["wh"]),
+            batch_format="pyarrow")
+        .materialize()  # hash_join reads schemas up front (CLAUDE.md)
+    )
+    dup_occ = hash_join(triples, frequent, on="wh", how="semi",
+                        num_buckets=num_buckets)
+
+    def per_bucket(g: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        g = g.sort_values([id_col, "pos"], kind="mergesort")
+        ids = g[id_col].to_numpy()
+        pos = g["pos"].to_numpy()
+        m = len(g)
+        same = np.zeros(m, dtype=bool)
+        if m > 1:
+            same[:-1] = ids[1:] == ids[:-1]
+        nxt = np.zeros(m, dtype=np.int64)
+        if m > 1:
+            nxt[:-1] = pos[1:]
+        cov = np.where(same, np.minimum(nxt - pos, k), k)
+        out = pd.DataFrame({id_col: ids, "cov": cov}) \
+            .groupby(id_col, sort=False) \
+            .agg(n_dup_windows=("cov", "size"),
+                 n_covered_tokens=("cov", "sum")) \
+            .reset_index()
+        return out
+
+    cov = bucketed_map_groups(dup_occ, id_col, per_bucket, num_buckets,
+                              cols=[id_col, "pos"]).materialize()
+
+    def base(t: pa.Table) -> pa.Table:
+        _, lens = _flat_tokens(_text_column(t, text_col), r"\s+")
+        return pa.table({
+            id_col: pc.cast(t[id_col], pa.int64()),
+            "n_windows": pa.array(np.maximum(lens - k + 1, 0),
+                                  type=pa.int64()),
+        })
+
+    joined = hash_join(ds.map_batches(base, batch_format="pyarrow"), cov,
+                       on=id_col, how="left", num_buckets=num_buckets)
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: t[id_col],
+            "n_windows": t["n_windows"],
+            "n_dup_windows": pc.cast(
+                pc.fill_null(t["n_dup_windows"], 0), pa.int64()),
+            "n_covered_tokens": pc.cast(
+                pc.fill_null(t["n_covered_tokens"], 0), pa.int64()),
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow")

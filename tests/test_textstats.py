@@ -153,3 +153,27 @@ def test_exact_percentiles_empty(ray_session):
     empty = rd.from_arrow(pa.table({"v": pa.array([], type=pa.int64())}))
     out = exact_percentiles(empty, "v")
     assert out.num_rows == 0
+
+
+def test_window_dup_stats(ray_session):
+    import ray.data as rd
+
+    from engine.textstats import window_dup_stats
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": [0, 1, 2, 3],
+        "text": [
+            "a b c d e",    # shares "a b c" with doc 1
+            "a b c x y",
+            "q q q q",      # intra-doc repeat: "q q q" twice, overlap union
+            "p",            # shorter than k -> zero windows
+        ],
+    })).repartition(2)
+    out = window_dup_stats(ds, k=3).to_pandas() \
+        .set_index("doc_id").sort_index()
+    rows = {i: tuple(out.loc[i]) for i in out.index}
+    # (n_windows, n_dup_windows, n_covered_tokens)
+    assert rows[0] == (3, 1, 3)
+    assert rows[1] == (3, 1, 3)
+    assert rows[2] == (2, 2, 4)   # union of [1,4) and [2,5) = 4 tokens
+    assert rows[3] == (0, 0, 0)

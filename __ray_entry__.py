@@ -995,6 +995,44 @@ SELECT b.doc_id, b.n_windows,
        CAST(coalesce(c.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
        CAST(coalesce(c.n_covered_tokens, 0) AS BIGINT) AS n_covered_tokens
 FROM base b LEFT JOIN cov c USING (doc_id)""",
+        "cut_dup_windows": """
+WITH raw AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN
+           'a' || CAST(doc_id AS VARCHAR) || ' b' || CAST(doc_id AS VARCHAR)
+           || ' c' || CAST(doc_id AS VARCHAR) || ' d'
+           || CAST(doc_id AS VARCHAR) || ' e' || CAST(doc_id AS VARCHAR)
+         ELSE
+           'c0 c1 c2 c3 u' || CAST(doc_id AS VARCHAR) ||
+           ' c0 c1 c2 c3 z' || CAST(doc_id % 4 AS VARCHAR)
+         END AS text
+  FROM documents),
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM raw),
+tok AS (
+  SELECT doc_id, i AS pos, t[i] AS w
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t))) AS i)),
+win AS (
+  SELECT doc_id, i AS pos, array_to_string(t[i:i+2], ' ') AS w
+  FROM toks,
+       LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i)),
+f AS (SELECT w FROM win GROUP BY w HAVING count(*) >= 2),
+dup AS (SELECT doc_id, pos FROM win WHERE w IN (SELECT w FROM f)),
+cov AS (
+  SELECT DISTINCT doc_id, tp
+  FROM (SELECT doc_id, unnest(generate_series(pos, pos + 2)) AS tp
+        FROM dup)),
+kept AS (
+  SELECT k.doc_id, k.pos, k.w
+  FROM tok k LEFT JOIN cov c ON k.doc_id = c.doc_id AND k.pos = c.tp
+  WHERE c.tp IS NULL),
+agg AS (
+  SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id),
+base AS (SELECT doc_id, len(t) AS n_tok FROM toks)
+SELECT b.doc_id, coalesce(a.text, '') AS text,
+       CAST(b.n_tok - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed_tokens
+FROM base b LEFT JOIN agg a USING (doc_id)""",
         "strip_lines": """
 WITH raw AS (
   SELECT doc_id,

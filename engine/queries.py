@@ -1665,6 +1665,39 @@ def q_window_dedup(sf_dir: str):
     return window_dup_stats(planted, k=3)
 
 
+def q_cut_dup_windows(sf_dir: str):
+    """Lee et al. 2022 removal policy (engine.textstats.cut_dup_windows):
+    rewrite each planted doc with every token covered by a duplicated
+    3-window cut out. Corpus mixes hot heads/tails around a per-doc-unique
+    middle (only 'u<id>' survives) with all-unique docs (doc_id%5==0,
+    nothing removed). DuckDB twin: explode -> HAVING >= 2 -> coverage
+    anti-join -> string_agg(ORDER BY pos)."""
+    from engine.textstats import cut_dup_windows
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        d = t["doc_id"]
+        ds_ = pc.cast(d, pa.string())
+        m4 = pc.cast(pc.subtract(d, pc.multiply(pc.divide(d, 4), 4)),
+                     pa.string())
+        hot = pc.binary_join_element_wise(
+            "c0 c1 c2 c3",
+            pc.binary_join_element_wise("u", ds_, ""),
+            "c0 c1 c2 c3",
+            pc.binary_join_element_wise("z", m4, ""),
+            " ")
+        uniq = pc.binary_join_element_wise(
+            *[pc.binary_join_element_wise(p, ds_, "") for p in "abcde"],
+            " ")
+        clean = pc.equal(pc.subtract(d, pc.multiply(pc.divide(d, 5), 5)), 0)
+        return pa.table({"doc_id": d,
+                         "text": pc.if_else(clean, uniq, hot)})
+
+    planted = docs.map_batches(plant, batch_format="pyarrow")
+    return cut_dup_windows(planted, k=3)
+
+
 def q_normalize_urls(sf_dir: str):
     """URL canonicalization (engine.textops.normalize_url): fragment strip,
     utm_* removal, default-port strip, scheme+host lowercase — over a
@@ -3127,6 +3160,7 @@ def q_dsir_weights(sf_dir: str):
 
 QUERIES = {
     "window_dedup": q_window_dedup,
+    "cut_dup_windows": q_cut_dup_windows,
     "extract_tables": q_extract_tables,
     "pub_dates": q_pub_dates,
     "semdedup": q_semdedup,

@@ -961,43 +961,18 @@ def strip_repeated_spans(ds: "ray.data.Dataset", text_col: str = "text",
                                cols=[id_col, "pos", "sent"])
 
 
-def window_dup_stats(ds: "ray.data.Dataset", k: int = 5,
-                     text_col: str = "text", id_col: str = "doc_id",
-                     min_count: int = 2,
-                     num_buckets: int = 32) -> "ray.data.Dataset":
-    """Exact k-token-window duplicate statistics — the window-hash form of
-    Lee et al. 2022 exact-substring dedup ("Deduplicating Training Data
-    Makes Language Models Better"): a k-token window occurring >=
-    ``min_count`` times ANYWHERE in the corpus (same doc or not) is
-    duplicated; report, per document, how many of its windows are
-    duplicated and how many of its token positions the duplicated windows
-    cover (the interval-union of their [pos, pos+k) spans). Downstream
-    policy (drop doc above a coverage fraction, or cut the spans) is the
-    caller's; the stats are the corpus pass.
-
-    Plan (all exchanges narrow):
-    - window build is fully vectorized: k shifted slices of the flat token
-      stream joined element-wise (``binary_join_element_wise``) — one Arrow
-      kernel, no per-row Python; windows crossing a document boundary are
-      masked out with numpy index arithmetic.
-    - only (wh:u64, doc_id, pos) triples cross the wire — the window TEXT
-      never leaves the map task (seeded 64-bit xxhash keys, the
-      partition.py hash family).
-    - occurrence counts: per-block Acero pre-agg -> one (wh, n) groupby;
-      >= min_count survivors semi-join back against the triples
-      (distributed — no broadcast-size assumption on the hot-window set).
-    - per-doc interval union: sorted-positions overlap trick
-      (sum(min(next_pos - pos, k)) + k per run) vectorized inside
-      ~num_buckets pandas buckets via bucketed_map_groups.
-
-    Output: one row per input doc —
-    (doc_id, n_windows, n_dup_windows, n_covered_tokens), int64, zeros for
-    clean docs. n_windows = max(n_tokens - k + 1, 0).
-    """
+def _dup_window_occ(ds: "ray.data.Dataset", k: int, text_col: str,
+                    id_col: str, min_count: int,
+                    num_buckets: int) -> "ray.data.Dataset":
+    """Shared corpus pass behind ``window_dup_stats`` / ``cut_dup_windows``:
+    (id_col, pos:int64 1-based) rows for every k-token window whose hash
+    occurs >= min_count times anywhere in the corpus. Window build is one
+    Arrow kernel over k shifted slices of the flat token stream; only
+    (wh:i64, doc_id, pos) triples cross the wire."""
     import polars as pl
     from ray.data.aggregate import Sum
 
-    from engine.joins import bucketed_map_groups, hash_join
+    from engine.joins import hash_join
     from engine.stats import acero_counts
 
     def windows(t: pa.Table) -> pa.Table:
@@ -1043,8 +1018,47 @@ def window_dup_stats(ds: "ray.data.Dataset", k: int = 5,
             batch_format="pyarrow")
         .materialize()  # hash_join reads schemas up front (CLAUDE.md)
     )
-    dup_occ = hash_join(triples, frequent, on="wh", how="semi",
-                        num_buckets=num_buckets)
+    return hash_join(triples, frequent, on="wh", how="semi",
+                     num_buckets=num_buckets)
+
+
+def window_dup_stats(ds: "ray.data.Dataset", k: int = 5,
+                     text_col: str = "text", id_col: str = "doc_id",
+                     min_count: int = 2,
+                     num_buckets: int = 32) -> "ray.data.Dataset":
+    """Exact k-token-window duplicate statistics — the window-hash form of
+    Lee et al. 2022 exact-substring dedup ("Deduplicating Training Data
+    Makes Language Models Better"): a k-token window occurring >=
+    ``min_count`` times ANYWHERE in the corpus (same doc or not) is
+    duplicated; report, per document, how many of its windows are
+    duplicated and how many of its token positions the duplicated windows
+    cover (the interval-union of their [pos, pos+k) spans). Downstream
+    policy (drop doc above a coverage fraction, or cut the spans) is the
+    caller's; the stats are the corpus pass.
+
+    Plan (all exchanges narrow):
+    - window build is fully vectorized: k shifted slices of the flat token
+      stream joined element-wise (``binary_join_element_wise``) — one Arrow
+      kernel, no per-row Python; windows crossing a document boundary are
+      masked out with numpy index arithmetic.
+    - only (wh:u64, doc_id, pos) triples cross the wire — the window TEXT
+      never leaves the map task (seeded 64-bit xxhash keys, the
+      partition.py hash family).
+    - occurrence counts: per-block Acero pre-agg -> one (wh, n) groupby;
+      >= min_count survivors semi-join back against the triples
+      (distributed — no broadcast-size assumption on the hot-window set).
+    - per-doc interval union: sorted-positions overlap trick
+      (sum(min(next_pos - pos, k)) + k per run) vectorized inside
+      ~num_buckets pandas buckets via bucketed_map_groups.
+
+    Output: one row per input doc —
+    (doc_id, n_windows, n_dup_windows, n_covered_tokens), int64, zeros for
+    clean docs. n_windows = max(n_tokens - k + 1, 0).
+    """
+    from engine.joins import bucketed_map_groups, hash_join
+
+    dup_occ = _dup_window_occ(ds, k, text_col, id_col, min_count,
+                              num_buckets)
 
     def per_bucket(g: "pd.DataFrame") -> "pd.DataFrame":
         import pandas as pd
@@ -1092,3 +1106,108 @@ def window_dup_stats(ds: "ray.data.Dataset", k: int = 5,
         })
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def cut_dup_windows(ds: "ray.data.Dataset", k: int = 5,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    min_count: int = 2,
+                    num_buckets: int = 32) -> "ray.data.Dataset":
+    """The Lee et al. 2022 REMOVAL policy over ``window_dup_stats``'s
+    corpus pass: rewrite each document with every token position covered
+    by a duplicated k-window (interval union of the [pos, pos+k) spans)
+    cut out, remaining tokens re-joined with single spaces (whitespace is
+    normalized by the rewrite — runs of whitespace collapse; this is the
+    operator's contract, documented not accidental).
+
+    Plan: the duplicated-window spans per doc are packed into ONE binary
+    blob per doc map-side inside the bucket exchange (int64-LE positions —
+    Acero rejects list payloads, the dedup._list_u64_to_binary discipline),
+    left-joined onto the docs, then one vectorized cut kernel per batch:
+    span diff-array -> coverage cumsum over the flat token stream, Arrow
+    filter + LargeListArray reassembly + ``pc.binary_join``. No per-row
+    Python anywhere.
+
+    Output: (id_col, text, n_removed_tokens:int64) — one row per input
+    doc; clean docs pass through with n_removed_tokens = 0 (their text
+    still whitespace-normalized, see above).
+    """
+    from engine.joins import bucketed_map_groups, hash_join
+
+    dup_occ = _dup_window_occ(ds, k, text_col, id_col, min_count,
+                              num_buckets)
+
+    def spans_blob(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = t["pos"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids) == 0:
+            return pa.table({
+                id_col: pa.array([], type=pa.int64()),
+                "spans": pa.array([], type=pa.large_binary()),
+            })
+        order = np.lexsort((pos, ids))
+        ids, pos = ids[order], pos[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], ids[1:] != ids[:-1])))
+        bounds = np.append(starts, len(ids)).astype(np.int64)
+        spans = pa.LargeBinaryArray.from_buffers(
+            pa.large_binary(), len(starts),
+            [None, pa.py_buffer((bounds * 8).tobytes()),
+             pa.py_buffer(pos.tobytes())])
+        return pa.table({id_col: pa.array(ids[starts]), "spans": spans})
+
+    spans = bucketed_map_groups(dup_occ, id_col, spans_blob, num_buckets,
+                                cols=[id_col, "pos"],
+                                batch_format="pyarrow").materialize()
+
+    def docs(t: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: pc.cast(t[id_col], pa.int64()),
+            text_col: _text_column(t, text_col),
+        })
+
+    joined = hash_join(ds.map_batches(docs, batch_format="pyarrow"), spans,
+                       on=id_col, how="left", num_buckets=num_buckets)
+
+    def cut(t: pa.Table) -> pa.Table:
+        toks, lens = _flat_tokens(_text_column(t, text_col), r"\s+")
+        n = len(toks)
+        rows = len(lens)
+        blob = t["spans"]
+        if isinstance(blob, pa.ChunkedArray):
+            blob = blob.combine_chunks()
+        blob = pc.fill_null(blob, b"")
+        # LargeBinaryArray exposes no .offsets in this pyarrow — read the
+        # int64 offsets buffer directly, honoring the array's slice offset.
+        offs = np.frombuffer(blob.buffers()[1], dtype=np.int64)[
+            blob.offset: blob.offset + len(blob) + 1]
+        nspans = (offs[1:] - offs[:-1]) // 8
+        flat = np.frombuffer(bytes(blob.buffers()[2] or b""),
+                             dtype=np.int64,
+                             count=int(nspans.sum()),
+                             offset=int(offs[0]))
+        row_start = np.concatenate(([0], np.cumsum(lens)))
+        gstart = row_start[np.repeat(np.arange(rows), nspans)] + flat - 1
+        diff = np.zeros(n + 1, dtype=np.int64)
+        np.add.at(diff, gstart, 1)
+        np.add.at(diff, gstart + k, -1)
+        keep = np.cumsum(diff[:n]) == 0
+        kept_per_row = np.bincount(
+            np.repeat(np.arange(rows), lens)[keep], minlength=rows) \
+            if n else np.zeros(rows, dtype=np.int64)
+        kept = toks.filter(pa.array(keep))
+        if isinstance(kept, pa.ChunkedArray):
+            kept = kept.combine_chunks()
+        lst = pa.LargeListArray.from_arrays(
+            pa.array(np.concatenate(([0], np.cumsum(kept_per_row))),
+                     type=pa.int64()),
+            pc.cast(kept, pa.large_string()))
+        return pa.table({
+            id_col: t[id_col],
+            text_col: pc.cast(
+                pc.binary_join(lst, pa.scalar(" ", type=pa.large_string())),
+                pa.string()),
+            "n_removed_tokens": pa.array(lens - kept_per_row,
+                                         type=pa.int64()),
+        })
+
+    return joined.map_batches(cut, batch_format="pyarrow")

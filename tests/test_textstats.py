@@ -177,3 +177,27 @@ def test_window_dup_stats(ray_session):
     assert rows[1] == (3, 1, 3)
     assert rows[2] == (2, 2, 4)   # union of [1,4) and [2,5) = 4 tokens
     assert rows[3] == (0, 0, 0)
+
+
+def test_cut_dup_windows(ray_session):
+    import ray.data as rd
+
+    from engine.textstats import cut_dup_windows
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": [0, 1, 2, 3, 4],
+        "text": [
+            "a b c d e",      # "a b c" shared with doc 1 -> cut pos 1-3
+            "a b c x y",
+            "q q q q",        # both windows dup -> fully removed
+            "p",              # shorter than k, untouched
+            "m1 m2   m3",     # clean but whitespace-normalized
+        ],
+    })).repartition(2)
+    out = cut_dup_windows(ds, k=3).to_pandas().set_index("doc_id")
+    assert out.loc[0, "text"] == "d e" and out.loc[0, "n_removed_tokens"] == 3
+    assert out.loc[1, "text"] == "x y" and out.loc[1, "n_removed_tokens"] == 3
+    assert out.loc[2, "text"] == "" and out.loc[2, "n_removed_tokens"] == 4
+    assert out.loc[3, "text"] == "p" and out.loc[3, "n_removed_tokens"] == 0
+    assert out.loc[4, "text"] == "m1 m2 m3"
+    assert out.loc[4, "n_removed_tokens"] == 0

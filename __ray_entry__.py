@@ -995,6 +995,31 @@ SELECT b.doc_id, b.n_windows,
        CAST(coalesce(c.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
        CAST(coalesce(c.n_covered_tokens, 0) AS BIGINT) AS n_covered_tokens
 FROM base b LEFT JOIN cov c USING (doc_id)""",
+        "fim_split": """
+WITH h AS (
+  SELECT doc_id, coalesce(text, '') AS text,
+         md5('fim:' || CAST(doc_id AS VARCHAR)) AS hx
+  FROM documents),
+p AS (
+  SELECT doc_id, text, length(text) AS n,
+         CAST('0x' || substr(hx, 1, 8) AS BIGINT) % 100 < 60 AS g,
+         CAST('0x' || substr(hx, 9, 8) AS BIGINT) AS h1,
+         CAST('0x' || substr(hx, 17, 8) AS BIGINT) AS h2
+  FROM h),
+q AS (
+  SELECT doc_id, text, n, g,
+         CASE WHEN g THEN h1 % (n + 1) ELSE n END AS p1, h2
+  FROM p),
+r AS (
+  SELECT doc_id, text, g, p1,
+         CASE WHEN g THEN p1 + h2 % (n - p1 + 1) ELSE n END AS p2
+  FROM q)
+SELECT doc_id,
+       substr(text, 1, CAST(p1 AS INT)) AS prefix,
+       substr(text, CAST(p1 + 1 AS INT), CAST(p2 - p1 AS INT)) AS middle,
+       substr(text, CAST(p2 + 1 AS INT)) AS suffix,
+       CAST(g AS BIGINT) AS is_fim
+FROM r""",
         "cut_dup_windows": """
 WITH raw AS (
   SELECT doc_id,

@@ -1698,6 +1698,17 @@ def q_cut_dup_windows(sf_dir: str):
     return cut_dup_windows(planted, k=3)
 
 
+def q_fim_split(sf_dir: str):
+    """Fill-in-the-middle transform (engine.tokenize.fim_transform) over
+    the real documents table: salted-md5 gate at 60%, hash-derived char
+    split points. DuckDB twin: the same md5 hex-slice arithmetic +
+    substr() (both sides count CHARACTERS)."""
+    from engine.tokenize import fim_transform
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return fim_transform(docs, fim_pct=60)
+
+
 def q_normalize_urls(sf_dir: str):
     """URL canonicalization (engine.textops.normalize_url): fragment strip,
     utm_* removal, default-port strip, scheme+host lowercase — over a
@@ -3161,6 +3172,7 @@ def q_dsir_weights(sf_dir: str):
 QUERIES = {
     "window_dedup": q_window_dedup,
     "cut_dup_windows": q_cut_dup_windows,
+    "fim_split": q_fim_split,
     "extract_tables": q_extract_tables,
     "pub_dates": q_pub_dates,
     "semdedup": q_semdedup,

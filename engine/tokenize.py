@@ -487,3 +487,72 @@ def chunk_token_windows(ds: "ray.data.Dataset", size: int, stride: int,
         })
 
     return ds.map_batches(windows, batch_format="pyarrow")
+
+
+def fim_transform(ds: "ray.data.Dataset", text_col: str = "text",
+                  id_col: str = "doc_id", fim_pct: int = 50,
+                  salt: str = "fim") -> "ray.data.Dataset":
+    """Fill-in-the-middle document transform (Bavarian et al. 2022,
+    "Efficient Training of Language Models to Fill in the Middle"): a
+    deterministic salted-md5 gate selects ~``fim_pct``% of docs; for those,
+    two hash-derived character positions split the text into
+    (prefix, middle, suffix) — the PSM/SPM token reordering is the packing
+    stage's concern, the engine emits the spans plus the gate flag.
+    Membership and split points depend only on (salt, id): reproducible
+    across runs/engines and stable under corpus growth (the stable_split
+    discipline, engine/partition.py). Ungated docs pass through as
+    (text, '', '').
+
+        gate = md5(salt:id)[hex 1-8]  % 100 < fim_pct
+        p1   = md5(salt:id)[hex 9-16] % (n_chars + 1)
+        p2   = p1 + md5(salt:id)[hex 17-24] % (n_chars - p1 + 1)
+
+    Per-row work: ONE md5 per doc (the SQL-checkable hash family — swap in
+    partition._hash_array's polars 'fast' path at deployment); the slicing
+    itself is vectorized char-based ``polars str.slice`` with expression
+    offsets. No shuffle — one map_batches pass.
+
+    Output: (id, prefix, middle, suffix, is_fim:int64).
+    """
+    import hashlib
+
+    def fim(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        md5 = hashlib.md5
+        frombytes = int.from_bytes
+        ids = t[id_col].to_pylist()
+        digs = [md5(f"{salt}:{i}".encode()).digest() for i in ids]
+        m = len(ids)
+        gate = np.fromiter(
+            (frombytes(d[:4], "big") % 100 < fim_pct for d in digs),
+            dtype=bool, count=m)
+        h1 = np.fromiter((frombytes(d[4:8], "big") for d in digs),
+                         dtype=np.int64, count=m)
+        h2 = np.fromiter((frombytes(d[8:12], "big") for d in digs),
+                         dtype=np.int64, count=m)
+        col = t[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        col = pc.fill_null(col, "")
+        n = pc.utf8_length(col).to_numpy().astype(np.int64)
+        p1 = np.where(gate, h1 % (n + 1), n)
+        p2 = np.where(gate, p1 + h2 % (n - p1 + 1), n)
+        df = pl.DataFrame({
+            "t": pl.from_arrow(col), "p1": p1, "p2": p2,
+        })
+        out = df.select(
+            prefix=pl.col("t").str.slice(0, pl.col("p1")),
+            middle=pl.col("t").str.slice(pl.col("p1"),
+                                         pl.col("p2") - pl.col("p1")),
+            suffix=pl.col("t").str.slice(pl.col("p2")),
+        ).to_arrow()
+        return pa.table({
+            id_col: t[id_col],
+            "prefix": pc.cast(out["prefix"], pa.string()),
+            "middle": pc.cast(out["middle"], pa.string()),
+            "suffix": pc.cast(out["suffix"], pa.string()),
+            "is_fim": pa.array(gate.astype(np.int64), type=pa.int64()),
+        })
+
+    return ds.map_batches(fim, batch_format="pyarrow")

@@ -105,3 +105,35 @@ def test_global_shuffle_stable_under_growth(ray_session):
     pos_e = {r["doc_id"]: r["shuffle_pos"] for r in
              global_shuffle(rd.from_arrow(small), salt="epoch1").take_all()}
     assert pos_e != pos_s
+
+
+def test_fim_transform(ray_session):
+    import hashlib
+
+    import ray.data as rd
+
+    from engine.tokenize import fim_transform
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": list(range(20)),
+        "text": [f"doc {i} body text with wörds αβγ {i}" for i in range(20)],
+    })).repartition(2)
+    out = fim_transform(ds, fim_pct=50, salt="s").to_pandas() \
+        .set_index("doc_id").sort_index()
+    for i in range(20):
+        d = hashlib.md5(f"s:{i}".encode()).digest()
+        text = f"doc {i} body text with wörds αβγ {i}"
+        n = len(text)
+        row = out.loc[i]
+        assert row["prefix"] + row["middle"] + row["suffix"] == text
+        if int.from_bytes(d[:4], "big") % 100 < 50:
+            p1 = int.from_bytes(d[4:8], "big") % (n + 1)
+            p2 = p1 + int.from_bytes(d[8:12], "big") % (n - p1 + 1)
+            assert row["is_fim"] == 1
+            assert row["prefix"] == text[:p1]
+            assert row["middle"] == text[p1:p2]
+            assert row["suffix"] == text[p2:]
+        else:
+            assert row["is_fim"] == 0
+            assert (row["prefix"], row["middle"], row["suffix"]) == \
+                (text, "", "")

@@ -995,6 +995,93 @@ SELECT b.doc_id, b.n_windows,
        CAST(coalesce(c.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
        CAST(coalesce(c.n_covered_tokens, 0) AS BIGINT) AS n_covered_tokens
 FROM base b LEFT JOIN cov c USING (doc_id)""",
+        "robots_gate": """
+WITH hosts AS (SELECT DISTINCT doc_id % 10 AS m FROM documents),
+rb AS (
+  SELECT m,
+    '# robots for h' || m || chr(10) ||
+    'User-agent: otherbot' || chr(10) || 'Disallow: /' || chr(10) ||
+    chr(10) ||
+    CASE WHEN m % 4 = 1 THEN
+      'User-agent: mybot' || chr(10) || 'Disallow: /only' || chr(10) ||
+      'Allow: /only/ok' || chr(10) ELSE '' END ||
+    'User-agent: helper' || chr(10) || 'User-agent: *' || chr(10) ||
+    'Disallow: /private' || chr(10) || 'Allow: /private/pub' || chr(10) ||
+    CASE WHEN m % 2 = 0 THEN 'Disallow: /tmp*' || chr(10) ELSE '' END ||
+    'Disallow:' || chr(10) ||
+    CASE WHEN m % 5 = 2 THEN 'Disallow: /bad$path' || chr(10) ELSE '' END
+    AS robots
+  FROM hosts),
+lines0 AS (
+  SELECT m, i AS ln, trim(regexp_replace(l[i], '#.*$', '')) AS line
+  FROM (SELECT m, string_split(robots, chr(10)) AS l FROM rb),
+       LATERAL (SELECT unnest(generate_series(1, len(l))) AS i)),
+cls AS (
+  SELECT m, ln,
+    lower(regexp_extract(line, '^([A-Za-z-]+)\\s*:\\s*(\\S*)', 1)) AS k,
+    regexp_extract(line, '^([A-Za-z-]+)\\s*:\\s*(\\S*)', 2) AS v,
+    regexp_matches(line, '^[A-Za-z-]+\\s*:') AS valid
+  FROM lines0),
+flags AS (
+  SELECT m, ln, k, v,
+    (valid AND k = 'user-agent') AS is_ua,
+    (valid AND k IN ('allow', 'disallow')) AS is_rule
+  FROM cls),
+ng AS (
+  SELECT m, ln, k, v, is_ua, is_rule,
+    CASE WHEN is_ua AND NOT coalesce(
+           lag(is_ua) OVER (PARTITION BY m ORDER BY ln), FALSE)
+         THEN 1 ELSE 0 END AS new_g
+  FROM flags),
+grp AS (
+  SELECT m, ln, k, v, is_ua, is_rule,
+    CAST(SUM(new_g) OVER (PARTITION BY m ORDER BY ln) AS BIGINT) AS gid
+  FROM ng),
+gflags AS (
+  SELECT m, gid,
+    bool_or(is_ua AND lower(v) = 'mybot') AS g_agent,
+    bool_or(is_ua AND v = '*') AS g_star
+  FROM grp WHERE gid >= 1 GROUP BY m, gid),
+hspec AS (SELECT m, bool_or(g_agent) AS has_spec FROM gflags GROUP BY m),
+rul0 AS (
+  SELECT g.m, regexp_replace(g.v, '\\*$', '') AS rule,
+         CASE WHEN g.k = 'allow' THEN 1 ELSE 0 END AS allow
+  FROM grp g
+  JOIN gflags f ON g.m = f.m AND g.gid = f.gid
+  JOIN hspec h ON g.m = h.m
+  WHERE g.is_rule AND g.gid >= 1
+    AND ((h.has_spec AND f.g_agent) OR (NOT h.has_spec AND f.g_star))),
+rul AS (
+  SELECT m, rule, allow, length(rule) AS rlen
+  FROM rul0
+  WHERE length(rule) > 0 AND NOT regexp_matches(rule, '[*$]')),
+u2 AS (
+  SELECT doc_id, doc_id % 10 AS m,
+    'https://h' || (doc_id % 10) ||
+    CASE doc_id % 8 WHEN 0 THEN '' WHEN 1 THEN '/private/x'
+      WHEN 2 THEN '/private/pub/ok' WHEN 3 THEN '/tmp/file'
+      WHEN 4 THEN '/only/ok/deep' WHEN 5 THEN '/only/no'
+      WHEN 6 THEN '/pub' ELSE '/private' END ||
+    '?d=' || doc_id ||
+    CASE WHEN doc_id % 8 = 6 THEN '#f' ELSE '' END AS url
+  FROM documents),
+pp AS (
+  SELECT doc_id, url, m,
+    CASE WHEN p0 = '' THEN '/' ELSE p0 END AS path
+  FROM (SELECT doc_id, url, m,
+          regexp_replace(regexp_replace(url, '#.*$', ''),
+                         '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '') AS p0
+        FROM u2)),
+cand AS (
+  SELECT pp.doc_id, r.allow, r.rlen
+  FROM pp JOIN rul r ON pp.m = r.m
+  WHERE substr(pp.path, 1, CAST(r.rlen AS INT)) = r.rule),
+win AS (
+  SELECT doc_id, allow FROM cand
+  QUALIFY row_number() OVER (PARTITION BY doc_id
+                             ORDER BY rlen DESC, allow DESC) = 1)
+SELECT pp.url, CAST(coalesce(w.allow, 1) AS BIGINT) AS allowed
+FROM pp LEFT JOIN win w USING (doc_id)""",
         "fim_split": """
 WITH h AS (
   SELECT doc_id, coalesce(text, '') AS text,

@@ -1709,6 +1709,68 @@ def q_fim_split(sf_dir: str):
     return fim_transform(docs, fim_pct=60)
 
 
+def q_robots_gate(sf_dir: str):
+    """robots.txt compliance gate (engine.filters.parse_robots_rules +
+    robots_gate): RFC 9309 group parsing (specific-agent groups override
+    star groups; comments; multi-UA headers; empty Disallow ignored;
+    trailing-* stripped; mid-pattern wildcards dropped by contract) and
+    longest-match / Allow-wins-ties verdicts. Planted: 10 hosts with
+    varied group structure from doc_id%10, urls over 8 path patterns.
+    DuckDB twin: the full parse in SQL — line explode, window-function
+    group ids, bool_or group flags, prefix-match QUALIFY winner."""
+    from engine.filters import parse_robots_rules, robots_gate
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def mod(x, k):
+        return pc.subtract(x, pc.multiply(pc.divide(x, k), k))
+
+    def hosts_of(t: pa.Table) -> pa.Table:
+        return pa.table({"m": mod(t["doc_id"], 10)})
+
+    def mk_robots(t: pa.Table) -> pa.Table:
+        m = t["m"]
+        ms = pc.cast(m, pa.string())
+        robots = pc.binary_join_element_wise(
+            "# robots for h", ms,
+            "\nUser-agent: otherbot\nDisallow: /\n\n",
+            pc.if_else(pc.equal(mod(m, 4), 1),
+                       "User-agent: mybot\nDisallow: /only\n"
+                       "Allow: /only/ok\n", ""),
+            "User-agent: helper\nUser-agent: *\nDisallow: /private\n"
+            "Allow: /private/pub\n",
+            pc.if_else(pc.equal(mod(m, 2), 0), "Disallow: /tmp*\n", ""),
+            "Disallow:\n",
+            pc.if_else(pc.equal(mod(m, 5), 2), "Disallow: /bad$path\n", ""),
+            "")
+        return pa.table({
+            "host": pc.binary_join_element_wise("h", ms, ""),
+            "robots_txt": robots,
+        })
+
+    from ray.data.aggregate import Count
+    robots_tbl = (docs.map_batches(hosts_of, batch_format="pyarrow")
+                  .groupby("m").aggregate(Count())
+                  .map_batches(mk_robots, batch_format="pyarrow"))
+
+    _PATHS = ["", "/private/x", "/private/pub/ok", "/tmp/file",
+              "/only/ok/deep", "/only/no", "/pub", "/private"]
+
+    def mk_urls(t: pa.Table) -> pa.Table:
+        d = t["doc_id"]
+        ms = pc.cast(mod(d, 10), pa.string())
+        pat = pc.cast(mod(d, 8), pa.int32())
+        base = pa.array(_PATHS, type=pa.string()).take(pat)
+        url = pc.binary_join_element_wise(
+            "https://h", ms, base, "?d=", pc.cast(d, pa.string()),
+            pc.if_else(pc.equal(pat, 6), "#f", ""), "")
+        return pa.table({"url": url})
+
+    urls = docs.map_batches(mk_urls, batch_format="pyarrow")
+    rules = parse_robots_rules(robots_tbl, "mybot").materialize()
+    return robots_gate(urls, rules)
+
+
 def q_normalize_urls(sf_dir: str):
     """URL canonicalization (engine.textops.normalize_url): fragment strip,
     utm_* removal, default-port strip, scheme+host lowercase — over a
@@ -3173,6 +3235,7 @@ QUERIES = {
     "window_dedup": q_window_dedup,
     "cut_dup_windows": q_cut_dup_windows,
     "fim_split": q_fim_split,
+    "robots_gate": q_robots_gate,
     "extract_tables": q_extract_tables,
     "pub_dates": q_pub_dates,
     "semdedup": q_semdedup,

@@ -85,3 +85,64 @@ def test_banned_words_are_regex_escaped(ray_session):
            .to_pandas().set_index("doc_id"))
     assert out.loc[0, "n_banned"] == 0   # '.' is literal, not wildcard
     assert out.loc[1, "n_banned"] == 1
+
+
+def test_parse_robots_rules(ray_session):
+    import ray.data as rd
+
+    from engine.filters import parse_robots_rules
+
+    robots = rd.from_arrow(pa.table({
+        "host": ["h1", "h2", "h3", "h4"],
+        "robots_txt": [
+            # star group after an irrelevant group; comment; empty
+            # Disallow ignored; trailing-* stripped; mid-* dropped
+            "# hi\nUser-agent: otherbot\nDisallow: /\n\n"
+            "User-agent: helper\nUser-agent: *\nDisallow: /private\n"
+            "Allow: /private/pub\nDisallow: /tmp*\nDisallow:\n"
+            "Disallow: /a*b\nDisallow: /end$\n",
+            # specific group overrides star
+            "User-agent: MyBot\nDisallow: /only\nUser-agent: *\n"
+            "Disallow: /\n",
+            # no applicable group
+            "User-agent: spider\nDisallow: /x\n",
+            # rules before any group are orphans (ignored)
+            "Disallow: /orphan\nUser-agent: *\nDisallow: /real\n",
+        ],
+    }))
+    out = parse_robots_rules(robots, "mybot").to_pandas()
+    got = {(r.host, r.rule, r.allow) for r in out.itertuples()}
+    assert got == {
+        ("h1", "/private", 0), ("h1", "/private/pub", 1), ("h1", "/tmp", 0),
+        ("h2", "/only", 0),
+        ("h4", "/real", 0),
+    }
+    assert all(out["rlen"] == out["rule"].str.len())
+
+
+def test_robots_gate(ray_session):
+    import ray.data as rd
+
+    from engine.filters import parse_robots_rules, robots_gate
+
+    robots = rd.from_arrow(pa.table({
+        "host": ["h1"],
+        "robots_txt": ["User-agent: *\nDisallow: /private\n"
+                       "Allow: /private/pub\nDisallow: /private/pub/no\n"],
+    }))
+    rules = parse_robots_rules(robots, "mybot").materialize()
+    urls = rd.from_arrow(pa.table({"url": [
+        "https://h1/private/a",      # disallowed
+        "https://h1/private/pub/a",  # allow (longer)
+        "https://h1/private/pub/no/x",  # disallow (longest)
+        "https://h1/open",           # no rule
+        "https://h1",                # empty path -> '/', no rule matches
+        "https://OTHER/x",           # unknown host
+    ]}))
+    out = robots_gate(urls, rules).to_pandas().set_index("url")["allowed"]
+    assert out["https://h1/private/a"] == 0
+    assert out["https://h1/private/pub/a"] == 1
+    assert out["https://h1/private/pub/no/x"] == 0
+    assert out["https://h1/open"] == 1
+    assert out["https://h1"] == 1
+    assert out["https://OTHER/x"] == 1

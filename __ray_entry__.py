@@ -995,6 +995,59 @@ SELECT b.doc_id, b.n_windows,
        CAST(coalesce(c.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
        CAST(coalesce(c.n_covered_tokens, 0) AS BIGINT) AS n_covered_tokens
 FROM base b LEFT JOIN cov c USING (doc_id)""",
+        "sitemap": """
+WITH p AS (
+  SELECT doc_id, doc_id % 10 AS m, doc_id % 3 AS n FROM documents),
+built AS (
+  SELECT doc_id,
+    'https://s' || m || '/sitemap' || doc_id || '.xml' AS url,
+    '<?xml version="1.0"?><urlset>' || chr(10) ||
+    '<url><loc> https://s' || m || '/p' || doc_id || '_1 </loc>' ||
+    CASE WHEN (doc_id + 1) % 2 = 0
+         THEN '<lastmod>2024-01-01</lastmod>' ELSE '' END ||
+    '</url>' || chr(10) ||
+    CASE WHEN n >= 1 THEN
+      '<url><loc>https://s' || m || '/p' || doc_id || '_2</loc>' ||
+      CASE WHEN (doc_id + 2) % 2 = 0
+           THEN '<lastmod>2024-01-02</lastmod>' ELSE '' END ||
+      '</url>' || chr(10) ELSE '' END ||
+    CASE WHEN n >= 2 THEN
+      '<url><loc>https://s' || m || '/p' || doc_id || '_3</loc>' ||
+      CASE WHEN (doc_id + 3) % 2 = 0
+           THEN '<lastmod>2024-01-03</lastmod>' ELSE '' END ||
+      '</url>' || chr(10) ELSE '' END ||
+    CASE WHEN doc_id % 11 = 0
+         THEN '<url><lastmod>2020-01-01</lastmod></url>' || chr(10)
+         ELSE '' END ||
+    CASE WHEN doc_id % 7 = 0
+         THEN '<sitemap><loc>https://s' || m ||
+              '/sub.xml</loc></sitemap>' || chr(10) ELSE '' END ||
+    '</urlset>' AS xml
+  FROM p),
+blocks AS (
+  SELECT url,
+    regexp_extract_all(xml, '(?s)<url>(.*?)</url>', 1) AS bl,
+    regexp_extract_all(xml, '(?s)<sitemap>(.*?)</sitemap>', 1) AS sl
+  FROM built),
+uent AS (
+  SELECT url AS src, 'url' AS kind, i AS bidx,
+    regexp_extract(bl[i], '(?s)<loc>\\s*([^<]*?)\\s*</loc>', 1) AS loc,
+    regexp_extract(bl[i], '(?s)<lastmod>\\s*([^<]*?)\\s*</lastmod>',
+                   1) AS lastmod
+  FROM blocks,
+       LATERAL (SELECT unnest(generate_series(1, len(bl))) AS i)),
+sent AS (
+  SELECT url AS src, 'sitemap' AS kind, i AS bidx,
+    regexp_extract(sl[i], '(?s)<loc>\\s*([^<]*?)\\s*</loc>', 1) AS loc,
+    regexp_extract(sl[i], '(?s)<lastmod>\\s*([^<]*?)\\s*</lastmod>',
+                   1) AS lastmod
+  FROM blocks,
+       LATERAL (SELECT unnest(generate_series(1, len(sl))) AS i)),
+allent AS (SELECT * FROM uent UNION ALL SELECT * FROM sent)
+SELECT src, kind,
+       row_number() OVER (PARTITION BY src, kind ORDER BY bidx) AS pos,
+       loc, NULLIF(lastmod, '') AS lastmod
+FROM allent WHERE loc <> ''""",
         "robots_gate": """
 WITH hosts AS (SELECT DISTINCT doc_id % 10 AS m FROM documents),
 rb AS (

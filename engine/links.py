@@ -513,3 +513,94 @@ def extract_pub_dates(ds: "ray.data.Dataset", url_col: str = "url",
     return ds.map_batches(
         lambda t: _pub_dates_from_batch(t, url_col, html_col),
         batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Sitemap XML extraction (sitemaps.org protocol)
+# ---------------------------------------------------------------------------
+
+_SITEMAP_SCHEMA = pa.schema([
+    ("src", pa.string()), ("kind", pa.string()), ("pos", pa.int64()),
+    ("loc", pa.string()), ("lastmod", pa.string()),
+])
+
+_LOC_RE = r"(?s)<loc>\s*(?P<v>[^<]*?)\s*</loc>"
+_LASTMOD_RE = r"(?s)<lastmod>\s*(?P<v>[^<]*?)\s*</lastmod>"
+
+
+def _sitemap_entries(t: pa.Table, url_col: str, xml_col: str,
+                     tag: str) -> pa.Table:
+    """One literal-tag scan: split every doc on ``<tag>``, truncate each
+    tail at ``</tag>``, extract trimmed <loc>/<lastmod>. Entries without a
+    <loc> are dropped; an empty/absent <lastmod> is null (the SQL-twin
+    NULLIF normalization). pos is the 1-based ordinal among the row's
+    ``tag`` entries."""
+    empty = _SITEMAP_SCHEMA.empty_table()
+    if t.num_rows == 0:
+        return empty
+    xml = pc.fill_null(pc.cast(t[xml_col], pa.string()), "")
+    parts = pc.split_pattern(xml, pattern=f"<{tag}>")
+    if isinstance(parts, pa.ChunkedArray):
+        parts = parts.combine_chunks()
+    flat = parts.flatten()
+    counts = np.asarray(pc.list_value_length(parts)
+                        .to_numpy(zero_copy_only=False), dtype=np.int64)
+    starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
+    is_tail = np.ones(len(flat), dtype=bool)
+    is_tail[starts[counts > 0]] = False
+    closed = pc.not_equal(pc.find_substring(flat, f"</{tag}>"), -1) \
+        .to_numpy(zero_copy_only=False)
+    cand = is_tail & np.asarray(closed, dtype=bool)
+    if not cand.any():
+        return empty
+    rows_all = np.repeat(np.arange(t.num_rows, dtype=np.int64), counts)
+    sel = np.flatnonzero(cand)
+    block = pc.replace_substring_regex(
+        flat.take(pa.array(sel)), pattern=f"(?s)</{tag}>.*$",
+        replacement="")
+    loc = pc.struct_field(pc.extract_regex(block, pattern=_LOC_RE), "v")
+    lastmod = pc.struct_field(
+        pc.extract_regex(block, pattern=_LASTMOD_RE), "v")
+    lastmod = pc.if_else(pc.equal(pc.fill_null(lastmod, ""), ""),
+                         pa.scalar(None, type=pa.string()), lastmod)
+    ok = (pc.is_valid(loc).to_numpy(zero_copy_only=False)
+          & (pc.utf8_length(pc.fill_null(loc, ""))
+             .to_numpy(zero_copy_only=False) > 0))
+    if not ok.any():
+        return empty
+    rows = rows_all[sel][ok]
+    # 1-based ordinal among the row's KEPT entries of this tag
+    pos = np.arange(len(rows), dtype=np.int64) + 1
+    row_first = np.concatenate(([True], rows[1:] != rows[:-1]))
+    pos = pos - np.maximum.accumulate(np.where(row_first, pos - 1, 0))
+    src_col = t[url_col]
+    if isinstance(src_col, pa.ChunkedArray):
+        src_col = src_col.combine_chunks()
+    oki = pa.array(np.flatnonzero(ok))
+    return pa.table({
+        "src": src_col.take(pa.array(rows)),
+        "kind": pa.array(np.full(len(rows), tag, dtype=object),
+                         type=pa.string()),
+        "pos": pa.array(pos, type=pa.int64()),
+        "loc": pc.cast(loc.take(oki), pa.string()),
+        "lastmod": pc.cast(lastmod.take(oki), pa.string()),
+    })
+
+
+def extract_sitemap(ds: "ray.data.Dataset", url_col: str = "url",
+                    xml_col: str = "xml") -> "ray.data.Dataset":
+    """(src, kind, pos, loc, lastmod) from sitemaps.org XML — both
+    ``<url>`` page entries and ``<sitemap>`` index entries (kind column;
+    pos is the 1-based ordinal within the row's kind). <loc> values are
+    whitespace-trimmed; entries without a <loc> drop; empty <lastmod>
+    normalizes to null. Locs are NOT resolved (the protocol requires
+    absolute URLs). One literal split + RE2 extraction per kind, map-side
+    only — a frontier feeder: compose with snapshot_delta on (loc,
+    lastmod) fingerprints to find re-crawl candidates."""
+    def run(t: pa.Table) -> pa.Table:
+        return pa.concat_tables([
+            _sitemap_entries(t, url_col, xml_col, "url"),
+            _sitemap_entries(t, url_col, xml_col, "sitemap"),
+        ])
+
+    return ds.map_batches(run, batch_format="pyarrow")

@@ -1771,6 +1771,58 @@ def q_robots_gate(sf_dir: str):
     return robots_gate(urls, rules)
 
 
+def q_sitemap(sf_dir: str):
+    """Sitemap XML extraction (engine.links.extract_sitemap): planted
+    sitemaps with 1-3 <url> entries (alternating lastmod, whitespace
+    around the first loc), loc-less entries (dropped) and <sitemap> index
+    entries on every 7th doc. DuckDB twin: regexp_extract_all non-greedy
+    blocks + per-block loc/lastmod extraction + row_number ordinals."""
+    from engine.links import extract_sitemap
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def mod(x, k):
+        return pc.subtract(x, pc.multiply(pc.divide(x, k), k))
+
+    def plant(t: pa.Table) -> pa.Table:
+        d = t["doc_id"]
+        ds_ = pc.cast(d, pa.string())
+        ms = pc.cast(mod(d, 10), pa.string())
+        n = mod(d, 3)  # 0..2 -> entries 1..3
+
+        def entry(j: int, spaced: bool) -> pa.Array:
+            pad = " " if spaced else ""
+            loc = pc.binary_join_element_wise(
+                "<url><loc>", pad, "https://s", ms, "/p", ds_, "_",
+                str(j), pad, "</loc>", "")
+            lm = pc.if_else(
+                pc.equal(mod(pc.add(d, j), 2), 0),
+                pc.binary_join_element_wise(
+                    "<lastmod>2024-01-0", str(j), "</lastmod>", ""),
+                "")
+            return pc.binary_join_element_wise(loc, lm, "</url>\n", "")
+
+        xml = pc.binary_join_element_wise(
+            '<?xml version="1.0"?><urlset>\n',
+            entry(1, True),
+            pc.if_else(pc.greater_equal(n, 1), entry(2, False), ""),
+            pc.if_else(pc.greater_equal(n, 2), entry(3, False), ""),
+            pc.if_else(pc.equal(mod(d, 11), 0),
+                       "<url><lastmod>2020-01-01</lastmod></url>\n", ""),
+            pc.if_else(pc.equal(mod(d, 7), 0),
+                       pc.binary_join_element_wise(
+                           "<sitemap><loc>https://s", ms,
+                           "/sub.xml</loc></sitemap>\n", ""),
+                       ""),
+            "</urlset>", "")
+        src = pc.binary_join_element_wise(
+            "https://s", ms, "/sitemap", ds_, ".xml", "")
+        return pa.table({"url": src, "xml": xml})
+
+    planted = docs.map_batches(plant, batch_format="pyarrow")
+    return extract_sitemap(planted)
+
+
 def q_normalize_urls(sf_dir: str):
     """URL canonicalization (engine.textops.normalize_url): fragment strip,
     utm_* removal, default-port strip, scheme+host lowercase — over a
@@ -3236,6 +3288,7 @@ QUERIES = {
     "cut_dup_windows": q_cut_dup_windows,
     "fim_split": q_fim_split,
     "robots_gate": q_robots_gate,
+    "sitemap": q_sitemap,
     "extract_tables": q_extract_tables,
     "pub_dates": q_pub_dates,
     "semdedup": q_semdedup,

@@ -335,3 +335,38 @@ def test_pub_date_url_day_32_not_matched():
 
 def test_pub_date_no_signal_is_null():
     assert _pub("https://a.ex/p", "<p>n</p>") == (None, None)
+
+
+def test_extract_sitemap(ray_session):
+    import ray.data as rd
+
+    from engine.links import extract_sitemap
+
+    xml1 = ('<?xml version="1.0"?><urlset>\n'
+            '<url><loc> https://a/1 </loc>'
+            '<lastmod>2024-01-02</lastmod></url>\n'
+            '<url><loc>https://a/2</loc></url>\n'
+            '<url><lastmod>2024-01-03</lastmod></url>\n'   # loc-less: drop
+            '<url><loc>https://a/3</loc><lastmod></lastmod></url>\n'
+            '</urlset>')
+    xml2 = ('<sitemapindex><sitemap><loc>https://b/s1.xml</loc>'
+            '<lastmod>2023-12-31</lastmod></sitemap>\n'
+            '<sitemap><loc>https://b/s2.xml</loc></sitemap></sitemapindex>')
+    ds = rd.from_arrow(pa.table({
+        "url": ["https://a/sm.xml", "https://b/sm.xml", "https://c/x"],
+        "xml": [xml1, xml2, "no entries"],
+    }))
+    out = extract_sitemap(ds).to_pandas()
+    rows = {(r.src, r.kind, r.pos): (r.loc, r.lastmod)
+            for r in out.itertuples()}
+    assert len(rows) == 5
+    assert rows[("https://a/sm.xml", "url", 1)] == \
+        ("https://a/1", "2024-01-02")
+    assert rows[("https://a/sm.xml", "url", 2)] == ("https://a/2", None)
+    # loc-less entry dropped; ordinal counts kept entries; empty lastmod
+    # normalizes to null
+    assert rows[("https://a/sm.xml", "url", 3)] == ("https://a/3", None)
+    assert rows[("https://b/sm.xml", "sitemap", 1)] == \
+        ("https://b/s1.xml", "2023-12-31")
+    assert rows[("https://b/sm.xml", "sitemap", 2)] == \
+        ("https://b/s2.xml", None)

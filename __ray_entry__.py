@@ -995,6 +995,25 @@ SELECT b.doc_id, b.n_windows,
        CAST(coalesce(c.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
        CAST(coalesce(c.n_covered_tokens, 0) AS BIGINT) AS n_covered_tokens
 FROM base b LEFT JOIN cov c USING (doc_id)""",
+        "redirects": """
+WITH RECURSIVE e AS (
+  SELECT doc_id AS src, doc_id + 1 AS dst FROM documents
+  WHERE doc_id % 5 < 4
+  UNION ALL
+  SELECT doc_id, doc_id - 4 FROM documents
+  WHERE doc_id % 5 = 4 AND (doc_id // 5) % 10 = 0),
+walk(src, cur, hops) AS (
+  SELECT src, dst, 1 FROM e
+  UNION ALL
+  SELECT w.src, e.dst, w.hops + 1
+  FROM walk w JOIN e ON w.cur = e.src
+  WHERE w.hops < 3),
+term AS (
+  SELECT w.src, w.cur AS final, w.hops
+  FROM walk w WHERE w.cur NOT IN (SELECT src FROM e))
+SELECT e.src, t.final, CAST(t.hops AS BIGINT) AS hops,
+       CAST(t.src IS NOT NULL AS BIGINT) AS resolved
+FROM e LEFT JOIN term t ON e.src = t.src""",
         "sitemap": """
 WITH p AS (
   SELECT doc_id, doc_id % 10 AS m, doc_id % 3 AS n FROM documents),

@@ -252,3 +252,84 @@ def _pagerank_broadcast(edges, nodes, iters, base_mass, teleport,
 
     return rd.from_arrow(pa.table({node: pa.array(ids),
                                    "m": pa.array(m)}))
+
+
+def resolve_redirects(edges: "ray.data.Dataset", src: str = "src",
+                      dst: str = "dst", max_hops: int = 16,
+                      num_buckets: int = 32) -> "ray.data.Dataset":
+    """Follow HTTP-redirect chains to their terminal target — the crawl
+    canonicalization step (a 301 map is (src, dst) with ONE dst per src;
+    duplicate srcs are undefined input). Returns one row per input src:
+    (src, final, hops, resolved:int64) — ``final``/``hops`` are null and
+    resolved = 0 for chains that do not reach a terminal within
+    ``max_hops`` (cycles, or deeper than the bound).
+
+    Plan: POINTER DOUBLING — ceil(log2(max_hops)) + 1 rounds, each ONE
+    partitioned hash_join of the current map against itself
+    (m'(x) = m(m(x)), hops add), so a 10^9-row redirect map resolves
+    64-deep chains in 7 exchanges instead of 64. Each round's map is
+    materialized (hash_join reads schemas up front — the lazy-re-execution
+    rule); only (node, node, int) triples ever cross the wire. Terminal
+    rows (dst not itself a src) stop participating as join probes resolve
+    to nulls — no driver state at any point.
+    """
+    from engine.joins import hash_join
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": pc.cast(t[src], pa.int64()),
+            "nxt": pc.cast(t[dst], pa.int64()),
+            "hops": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+        })
+
+    cur = edges.map_batches(prep, batch_format="pyarrow").materialize()
+
+    rounds = max(1, int(np.ceil(np.log2(max(max_hops, 2)))) + 1)
+    for _ in range(rounds):
+        # m'(x) = m(m(x)): left-join cur.nxt against the map's src
+        hop = cur.map_batches(
+            lambda t: pa.table({"nxt": t["src"], "nxt2": t["nxt"],
+                                "hops2": t["hops"]}),
+            batch_format="pyarrow")
+        joined = hash_join(cur, hop, on="nxt", num_buckets=num_buckets,
+                           how="left")
+
+        def jump(t: pa.Table) -> pa.Table:
+            hit = pc.is_valid(t["nxt2"])
+            return pa.table({
+                "src": t["src"],
+                "nxt": pc.if_else(hit, t["nxt2"], t["nxt"]),
+                "hops": pc.if_else(
+                    hit, pc.add(t["hops"], pc.fill_null(t["hops2"], 0)),
+                    t["hops"]),
+            })
+
+        cur = joined.map_batches(jump, batch_format="pyarrow").materialize()
+
+    # terminal test: nxt still present as a src => unresolved (cycle or
+    # deeper than 2^rounds); hops > max_hops => unresolved by contract
+    srcs = cur.map_batches(lambda t: t.select(["src"]),
+                           batch_format="pyarrow").materialize()
+    tagged = hash_join(
+        cur.map_batches(
+            lambda t: t.rename_columns(["src", "nxt", "hops"]),
+            batch_format="pyarrow"),
+        srcs.map_batches(
+            lambda t: pa.table({"nxt": t["src"],
+                                "__hit": pa.array(
+                                    np.ones(t.num_rows, dtype=np.int8))}),
+            batch_format="pyarrow"),
+        on="nxt", num_buckets=num_buckets, how="left")
+
+    def finish(t: pa.Table) -> pa.Table:
+        ok = pc.and_(pc.is_null(t["__hit"]),
+                     pc.less_equal(t["hops"], max_hops))
+        null_i = pa.scalar(None, type=pa.int64())
+        return pa.table({
+            "src": t["src"],
+            "final": pc.if_else(ok, t["nxt"], null_i),
+            "hops": pc.if_else(ok, t["hops"], null_i),
+            "resolved": pc.cast(ok, pa.int64()),
+        })
+
+    return tagged.map_batches(finish, batch_format="pyarrow")

@@ -1823,6 +1823,36 @@ def q_sitemap(sf_dir: str):
     return extract_sitemap(planted)
 
 
+def q_redirects(sf_dir: str):
+    """Redirect-chain resolution (engine.graph.resolve_redirects, pointer
+    doubling — log2(max_hops) exchanges, not max_hops): planted 5-node
+    chains (doc_id groups of 5) with every 10th group closed into a
+    5-cycle; max_hops=3 so heads of clean chains exceed the bound.
+    DuckDB twin: WITH RECURSIVE walk bounded at 3 hops + terminal test."""
+    from engine.graph import resolve_redirects
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def mod(x, k):
+        return pc.subtract(x, pc.multiply(pc.divide(x, k), k))
+
+    def plant(t: pa.Table) -> pa.Table:
+        d = pc.cast(t["doc_id"], pa.int64())
+        p = mod(d, 5)
+        gm = mod(pc.divide(d, 5), 10)
+        chain = pc.less(p, 4)
+        cyc = pc.and_(pc.equal(p, 4), pc.equal(gm, 0))
+        c_src = d.filter(chain)
+        y_src = d.filter(cyc)
+        return pa.concat_tables([
+            pa.table({"src": c_src, "dst": pc.add(c_src, 1)}),
+            pa.table({"src": y_src, "dst": pc.subtract(y_src, 4)}),
+        ])
+
+    edges = docs.map_batches(plant, batch_format="pyarrow")
+    return resolve_redirects(edges, max_hops=3)
+
+
 def q_normalize_urls(sf_dir: str):
     """URL canonicalization (engine.textops.normalize_url): fragment strip,
     utm_* removal, default-port strip, scheme+host lowercase — over a
@@ -3289,6 +3319,7 @@ QUERIES = {
     "fim_split": q_fim_split,
     "robots_gate": q_robots_gate,
     "sitemap": q_sitemap,
+    "redirects": q_redirects,
     "extract_tables": q_extract_tables,
     "pub_dates": q_pub_dates,
     "semdedup": q_semdedup,

@@ -995,6 +995,27 @@ SELECT b.doc_id, b.n_windows,
        CAST(coalesce(c.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
        CAST(coalesce(c.n_covered_tokens, 0) AS BIGINT) AS n_covered_tokens
 FROM base b LEFT JOIN cov c USING (doc_id)""",
+        "bigram_lm": """
+WITH toks AS (
+  SELECT doc_id,
+         regexp_extract_all(coalesce(text, ''), '\\S+') AS t
+  FROM documents),
+pairs AS (
+  SELECT doc_id, t[i] || ' ' || t[i+1] AS bigram, t[i] AS w1
+  FROM toks,
+       LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)),
+c2 AS (SELECT bigram, count(*) AS n2 FROM pairs GROUP BY bigram),
+c1 AS (SELECT w1, count(*) AS n1 FROM pairs GROUP BY w1),
+sc AS (
+  SELECT p.doc_id,
+         SUM(length(bin(c1.n1)) - length(bin(c2.n2))) AS lm_bits,
+         count(*) AS n_pairs
+  FROM pairs p JOIN c2 USING (bigram) JOIN c1 USING (w1)
+  GROUP BY p.doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(sc.lm_bits, 0) AS BIGINT) AS lm_bits,
+       CAST(coalesce(sc.n_pairs, 0) AS BIGINT) AS n_pairs
+FROM documents d LEFT JOIN sc USING (doc_id)""",
         "redirects": """
 WITH RECURSIVE e AS (
   SELECT doc_id AS src, doc_id + 1 AS dst FROM documents

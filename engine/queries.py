@@ -1853,6 +1853,18 @@ def q_redirects(sf_dir: str):
     return resolve_redirects(edges, max_hops=3)
 
 
+def q_bigram_lm(sf_dir: str):
+    """Corpus bigram-LM surprisal (engine.textstats.bigram_lm_score) over
+    the REAL documents table: integer bit-length ladder, counts derived
+    from the same pair stream, two partitioned joins, per-doc Sum.
+    DuckDB twin: pair explode + the same two count joins +
+    length(bin(n)) ladder."""
+    from engine.textstats import bigram_lm_score
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return bigram_lm_score(docs)
+
+
 def q_normalize_urls(sf_dir: str):
     """URL canonicalization (engine.textops.normalize_url): fragment strip,
     utm_* removal, default-port strip, scheme+host lowercase — over a
@@ -3320,6 +3332,7 @@ QUERIES = {
     "robots_gate": q_robots_gate,
     "sitemap": q_sitemap,
     "redirects": q_redirects,
+    "bigram_lm": q_bigram_lm,
     "extract_tables": q_extract_tables,
     "pub_dates": q_pub_dates,
     "semdedup": q_semdedup,

@@ -1211,3 +1211,133 @@ def cut_dup_windows(ds: "ray.data.Dataset", k: int = 5,
         })
 
     return joined.map_batches(cut, batch_format="pyarrow")
+
+
+def bigram_lm_score(ds: "ray.data.Dataset", text_col: str = "text",
+                    id_col: str = "doc_id",
+                    num_buckets: int = 32) -> "ray.data.Dataset":
+    """Corpus-trained bigram-LM surprisal — the CCNet/KenLM-family
+    "perplexity filter" signal with an ENGINE-EXACT integer convention:
+    per bigram occurrence (w1, w2) the contribution is
+    ``bitlen(c1(w1)) - bitlen(c2(w1 w2))`` where c2 = corpus bigram
+    occurrence counts, c1(w1) = Σ_w2 c2(w1, w2) (w1's count as a LEFT
+    context), and ``bitlen(x) = floor(log2 x) + 1`` computed exactly
+    (np.frexp == DuckDB ``length(bin(x))`` — the tfidf ladder). High
+    lm_bits/n_pairs ≈ high per-token surprisal under the corpus's own
+    bigram model (the CCNet head/middle/tail signal); a real KenLM swaps
+    the integer ladder for log-probs without touching the plan.
+
+    Plan: doc pair stream pre-agged per block to (doc_id, bigram, k)
+    rows (Acero — repeats collapse before the wire); model counts are
+    plain groupby-Sums over the SAME stream (no second corpus scan);
+    contributions attach via two partitioned hash_joins (NO broadcast —
+    the bigram vocabulary at web scale outgrows any worker heap), then
+    one per-doc Sum. Docs with < 2 tokens score (0, 0).
+
+    Output: (doc_id, lm_bits:int64, n_pairs:int64).
+    """
+    from ray.data.aggregate import Sum
+
+    from engine.joins import hash_join
+    from engine.stats import acero_counts
+
+    def pairs(t: pa.Table) -> pa.Table:
+        toks, lens = _flat_tokens(_text_column(t, text_col), r"\s+")
+        n = len(toks)
+        ids_in = t[id_col].to_numpy(zero_copy_only=False)
+        empty = pa.table({
+            id_col: pa.array([], type=pa.int64()),
+            "bigram": pa.array([], type=pa.string()),
+            "k": pa.array([], type=pa.int64()),
+        })
+        if n < 2:
+            return empty
+        ends = np.cumsum(lens)
+        pair_ok = np.ones(n - 1, dtype=bool)
+        inner = ends[:-1]
+        inner = inner[(inner >= 1) & (inner <= n - 1)]
+        pair_ok[inner - 1] = False
+        if not pair_ok.any():
+            return empty
+        sel = pa.array(pair_ok)
+        bigrams = pc.binary_join_element_wise(
+            toks.slice(0, n - 1).filter(sel),
+            toks.slice(1, n - 1).filter(sel), " ")
+        rows = np.repeat(np.arange(len(lens)), lens)[: n - 1][pair_ok]
+        raw = pa.table({
+            id_col: ids_in[rows].astype(np.int64),
+            "bigram": pc.cast(bigrams, pa.string()),
+        })
+        return acero_counts(raw, [id_col, "bigram"], out_col="k")
+
+    dp = ds.map_batches(pairs, batch_format="pyarrow").materialize()
+
+    c2 = (dp.map_batches(lambda t: t.select(["bigram", "k"]),
+                         batch_format="pyarrow")
+          .groupby("bigram").aggregate(Sum("k", alias_name="n2"))
+          .materialize())
+
+    def left_tok(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "w1": pc.replace_substring_regex(t["bigram"], r"\s.*$", ""),
+            "k": t["k"],
+        })
+
+    c1 = (dp.map_batches(left_tok, batch_format="pyarrow")
+          .groupby("w1").aggregate(Sum("k", alias_name="n1"))
+          .materialize())
+
+    def bitlen(col: "pa.ChunkedArray") -> np.ndarray:
+        v = col.to_numpy(zero_copy_only=False).astype(np.float64)
+        _, e = np.frexp(v)  # exact: counts < 2^53
+        return e.astype(np.int64)
+
+    j2 = hash_join(dp, c2, on="bigram", num_buckets=num_buckets)
+
+    def neg(t: pa.Table) -> pa.Table:
+        k = t["k"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            id_col: t[id_col],
+            "v": pa.array(-k * bitlen(t["n2"])),
+            "np_": pc.cast(t["k"], pa.int64()),
+        })
+
+    dpw = dp.map_batches(
+        lambda t: pa.table({
+            id_col: t[id_col],
+            "w1": pc.replace_substring_regex(t["bigram"], r"\s.*$", ""),
+            "k": t["k"],
+        }),
+        batch_format="pyarrow")
+    j1 = hash_join(dpw, c1, on="w1", num_buckets=num_buckets)
+
+    def pos(t: pa.Table) -> pa.Table:
+        k = t["k"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            id_col: t[id_col],
+            "v": pa.array(k * bitlen(t["n1"])),
+            "np_": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+        })
+
+    contrib = (j2.map_batches(neg, batch_format="pyarrow")
+               .union(j1.map_batches(pos, batch_format="pyarrow"))
+               .groupby(id_col)
+               .aggregate(Sum("v", alias_name="lm_bits"),
+                          Sum("np_", alias_name="n_pairs"))
+               .materialize())
+
+    def base(t: pa.Table) -> pa.Table:
+        return pa.table({id_col: pc.cast(t[id_col], pa.int64())})
+
+    joined = hash_join(ds.map_batches(base, batch_format="pyarrow"),
+                       contrib, on=id_col, how="left",
+                       num_buckets=num_buckets)
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: t[id_col],
+            "lm_bits": pc.cast(pc.fill_null(t["lm_bits"], 0), pa.int64()),
+            "n_pairs": pc.cast(pc.fill_null(t["n_pairs"], 0), pa.int64()),
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow")

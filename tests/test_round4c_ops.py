@@ -41,3 +41,20 @@ def test_resolve_redirects_hop_bound(ray_session):
     assert out.loc[1, "resolved"] == 0  # 3 hops > bound
     assert out.loc[2, "final"] == 4 and out.loc[2, "hops"] == 2
     assert out.loc[3, "final"] == 4 and out.loc[3, "hops"] == 1
+
+
+def test_bigram_lm_score(ray_session):
+    import ray.data as rd
+
+    from engine.textstats import bigram_lm_score
+
+    # corpus: "a b" x3 docs, plus "a c" once, plus a short doc
+    ds = rd.from_arrow(pa.table({
+        "doc_id": [0, 1, 2, 3, 4],
+        "text": ["a b", "a b", "a b", "a c", "solo"],
+    })).repartition(2)
+    out = bigram_lm_score(ds).to_pandas().set_index("doc_id").sort_index()
+    # c1(a)=4, c2(a b)=3, c2(a c)=1; bitlen: 4->3, 3->2, 1->1
+    assert out.loc[0, "lm_bits"] == 3 - 2 and out.loc[0, "n_pairs"] == 1
+    assert out.loc[3, "lm_bits"] == 3 - 1 and out.loc[3, "n_pairs"] == 1
+    assert out.loc[4, "lm_bits"] == 0 and out.loc[4, "n_pairs"] == 0

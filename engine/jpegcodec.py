@@ -1,0 +1,495 @@
+"""REAL baseline JPEG (ITU-T T.81) codec on stdlib + numpy.
+
+The last 'deployment-gated' image format: PNG/BMP/PPM decode went real in
+round 4 (engine/imagecodec.py); this module does the same for baseline
+sequential JPEG — THE dominant crawl image format — so the multimodal
+decode story needs pillow only for progressive/arithmetic JPEG, WebP etc.
+
+Decoder support matrix (raises ``ValueError`` outside it; the media stages
+map that to their per-row error channel):
+- baseline sequential DCT (SOF0), 8-bit precision; progressive (SOF2),
+  extended (SOF1), arithmetic-coded and hierarchical frames are rejected
+  with a clear message (pillow deployment path).
+- 1-component (grayscale, replicated to RGB) and 3-component YCbCr with
+  NO chroma subsampling (all h=v=1, i.e. 4:4:4). Subsampled 4:2:0/4:2:2
+  rejected (the upsample-filter choice is codec-specific — not provable
+  against a closed-form oracle).
+- arbitrary DQT (8- and 16-bit precision) and DHT tables, multi-table
+  segments, interleaved single-scan, restart markers (DRI/RSTn with DC
+  predictor reset), APPn/COM skip, 0xFF00 byte-unstuffing.
+
+Exactness convention (the SQL-twin discipline): IDCT runs in float64 via
+the separable orthonormal DCT-III matrix; pixel reconstruction and the
+JFIF YCbCr→RGB conversion both round with ``floor(x + 0.5)`` (NOT
+banker's np.round — CLAUDE.md float trap) and clamp to [0, 255], so a
+DuckDB twin using the same double literals computes identical pixels.
+Planted constant-8x8-block fixtures decode EXACTLY (DC-only blocks: the
+1/8 IDCT scale is within 1e-13 of exact at |DC| <= 1024, then rounds).
+
+Entropy decoding walks bits with a numpy ``unpackbits`` array + an index
+loop per Huffman symbol — per-SYMBOL Python, like the PNG Paeth row loop
+(documented honest-kernel exception; crawl-scale JPEG decode runs under
+pillow where installed, this is the correctness reference + in-sandbox
+real path).
+
+The encoder (fixtures + tests) is a REAL forward path — level shift,
+float64 FDCT, quantization, differential DC, canonical Huffman with
+custom minimal tables (12 DC categories at 4 bits; AC: EOB at 1 bit plus
+the (run,size) symbols actually present, built per image), byte stuffing,
+optional restart interval — restricted to 4:4:4 / grayscale with
+multiple-of-8 dimensions.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# zigzag scan order: zigzag index -> raster index (public spec data)
+ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+_A = None  # lazy 8x8 DCT-II matrix (JPEG scaling)
+
+
+def _dct_matrix() -> np.ndarray:
+    global _A
+    if _A is None:
+        u = np.arange(8).reshape(8, 1).astype(np.float64)
+        x = np.arange(8).reshape(1, 8).astype(np.float64)
+        a = 0.5 * np.cos((2 * x + 1) * u * np.pi / 16.0)
+        a[0, :] *= 1.0 / np.sqrt(2.0)
+        _A = a
+    return _A
+
+
+def _round_half_up_clip(v: np.ndarray) -> np.ndarray:
+    return np.clip(np.floor(v + 0.5), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Decode
+# ---------------------------------------------------------------------------
+
+class _Huff:
+    """Canonical Huffman table: (code length run) -> symbol, decoded by
+    walking a sorted (length, code) table with the spec's MINCODE/MAXCODE
+    arithmetic — O(16) per symbol, no tree objects."""
+
+    def __init__(self, counts: bytes, symbols: bytes):
+        self.min_code = np.zeros(17, dtype=np.int64)
+        self.max_code = np.full(17, -1, dtype=np.int64)
+        self.val_ptr = np.zeros(17, dtype=np.int64)
+        self.symbols = np.frombuffer(symbols, dtype=np.uint8)
+        code = 0
+        k = 0
+        for ln in range(1, 17):
+            n = counts[ln - 1]
+            if n:
+                self.val_ptr[ln] = k
+                self.min_code[ln] = code
+                code += n
+                k += n
+                self.max_code[ln] = code - 1
+            code <<= 1
+        if k != len(self.symbols):
+            raise ValueError("jpeg: DHT count/symbol mismatch")
+
+
+class _BitReader:
+    def __init__(self, bits: np.ndarray):
+        self.bits = bits
+        self.pos = 0
+
+    def read(self, n: int) -> int:
+        b = self.bits
+        p = self.pos
+        if p + n > len(b):
+            raise ValueError("jpeg: entropy data exhausted")
+        v = 0
+        for i in range(n):
+            v = (v << 1) | int(b[p + i])
+        self.pos = p + n
+        return v
+
+    def huff(self, h: _Huff) -> int:
+        b = self.bits
+        p = self.pos
+        code = 0
+        for ln in range(1, 17):
+            if p + ln > len(b):
+                raise ValueError("jpeg: entropy data exhausted")
+            code = (code << 1) | int(b[p + ln - 1])
+            if h.max_code[ln] >= code >= h.min_code[ln]:
+                self.pos = p + ln
+                return int(h.symbols[h.val_ptr[ln] + code - h.min_code[ln]])
+        raise ValueError("jpeg: invalid Huffman code")
+
+
+def _extend(v: int, size: int) -> int:
+    if size == 0:
+        return 0
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline JPEG bytes → HxWx3 uint8 (grayscale replicated).
+    Any malformed input raises ``ValueError`` (the codec-fuzz contract —
+    short reads / bad indices are normalized, never IndexError)."""
+    try:
+        return _decode_jpeg(payload)
+    except (IndexError, struct.error) as exc:
+        raise ValueError(f"jpeg: malformed stream ({exc})") from exc
+
+
+def _decode_jpeg(payload: bytes) -> np.ndarray:
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (bad SOI)")
+    pos, n = 2, len(payload)
+    qt: dict[int, np.ndarray] = {}
+    huffs: dict[tuple[int, int], _Huff] = {}
+    frame = None
+    restart_interval = 0
+    while pos + 4 <= n:
+        if payload[pos] != 0xFF:
+            raise ValueError("jpeg: marker expected")
+        m = payload[pos + 1]
+        pos += 2
+        if m == 0xD9:  # EOI
+            break
+        if 0xD0 <= m <= 0xD7 or m == 0x01:  # RSTn/TEM: no segment
+            continue
+        (seglen,) = struct.unpack(">H", payload[pos:pos + 2])
+        seg = payload[pos + 2:pos + seglen]
+        end_of_seg = pos + seglen
+        if m == 0xDB:  # DQT (possibly several tables)
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 0x0F
+                i += 1
+                if pq:
+                    tbl = np.frombuffer(seg[i:i + 128], dtype=">u2")
+                    i += 128
+                else:
+                    tbl = np.frombuffer(seg[i:i + 64], dtype=np.uint8)
+                    i += 64
+                raster = np.zeros(64, dtype=np.int64)
+                raster[ZIGZAG] = tbl.astype(np.int64)
+                qt[tq] = raster.reshape(8, 8)
+        elif m == 0xC4:  # DHT (possibly several tables)
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 0x0F
+                counts = seg[i + 1:i + 17]
+                nsym = sum(counts)
+                syms = seg[i + 17:i + 17 + nsym]
+                huffs[(tc, th)] = _Huff(counts, syms)
+                i += 17 + nsym
+        elif m in (0xC0,):  # SOF0 baseline
+            prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise ValueError("jpeg: only 8-bit precision supported")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
+                if hv != 0x11:
+                    raise ValueError(
+                        "jpeg: chroma subsampling unsupported "
+                        "(4:4:4 / grayscale only; deployment path: pillow)")
+                comps.append((cid, tq))
+            if nc not in (1, 3):
+                raise ValueError("jpeg: 1 or 3 components only")
+            frame = (h, w, comps)
+        elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                   0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                "jpeg: non-baseline frame (progressive/extended/"
+                "arithmetic) unsupported — deployment path: pillow")
+        elif m == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif m == 0xDA:  # SOS — entropy data follows
+            if frame is None:
+                raise ValueError("jpeg: SOS before SOF")
+            ns = seg[0]
+            scomp = []
+            for c in range(ns):
+                cs, tdta = seg[1 + 2 * c:3 + 2 * c]
+                scomp.append((cs, tdta >> 4, tdta & 0x0F))
+            data_start = end_of_seg
+            return _decode_scan(payload, data_start, frame, scomp, qt,
+                                huffs, restart_interval)
+        # APPn / COM / others: skip
+        pos = end_of_seg
+    raise ValueError("jpeg: no scan data")
+
+
+def _decode_scan(payload: bytes, pos: int, frame, scomp, qt, huffs,
+                 restart_interval: int) -> np.ndarray:
+    h, w, comps = frame
+    if len(scomp) != len(comps):
+        raise ValueError("jpeg: non-interleaved multi-scan unsupported")
+    # collect entropy bytes, unstuffing FF00 and splitting at RSTn
+    data = bytearray()
+    segments = [0]  # bit offsets where DC predictors reset (RST)
+    n = len(payload)
+    while pos + 1 < n:
+        b = payload[pos]
+        if b != 0xFF:
+            data.append(b)
+            pos += 1
+            continue
+        m = payload[pos + 1]
+        if m == 0x00:
+            data.append(0xFF)
+            pos += 2
+        elif 0xD0 <= m <= 0xD7:
+            segments.append(len(data) * 8)
+            pos += 2
+        else:  # EOI or next marker ends the scan
+            break
+    bits = np.unpackbits(np.frombuffer(bytes(data), dtype=np.uint8))
+    rd = _BitReader(bits)
+
+    bw = (w + 7) // 8
+    bh = (h + 7) // 8
+    ncomp = len(comps)
+    planes = [np.zeros((bh * 8, bw * 8), dtype=np.float64)
+              for _ in range(ncomp)]
+    tabs = []
+    for (cid, tq), (cs, td, ta) in zip(comps, scomp):
+        if cid != cs:
+            raise ValueError("jpeg: scan/frame component order mismatch")
+        if tq not in qt or (0, td) not in huffs or (1, ta) not in huffs:
+            raise ValueError("jpeg: missing quant/Huffman table")
+        tabs.append((qt[tq], huffs[(0, td)], huffs[(1, ta)]))
+    a = _dct_matrix()
+    pred = [0] * ncomp
+    seg_i = 1
+    mcu = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                if seg_i < len(segments):
+                    rd.pos = segments[seg_i]
+                    seg_i += 1
+                    pred = [0] * ncomp
+            for ci in range(ncomp):
+                q, hdc, hac = tabs[ci]
+                coeffs = np.zeros(64, dtype=np.int64)
+                size = rd.huff(hdc)
+                diff = _extend(rd.read(size), size)
+                pred[ci] += diff
+                coeffs[0] = pred[ci]
+                k = 1
+                while k < 64:
+                    rs = rd.huff(hac)
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r == 15:  # ZRL
+                            k += 16
+                            continue
+                        break  # EOB
+                    k += r
+                    if k > 63:
+                        raise ValueError("jpeg: AC index overflow")
+                    coeffs[k] = _extend(rd.read(s), s)
+                    k += 1
+                blk = np.zeros(64, dtype=np.float64)
+                blk[ZIGZAG] = coeffs
+                s_mat = blk.reshape(8, 8) * q
+                pix = a.T @ s_mat @ a + 128.0
+                planes[ci][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = pix
+            mcu += 1
+
+    # round each plane to integer samples FIRST (standard decode order,
+    # and it keeps the color conversion's floor(x+0.5) away from the
+    # 1e-13 IDCT noise — both oracle sides then start from exact ints)
+    planes = [_round_half_up_clip(p[:h, :w]).astype(np.float64)
+              for p in planes]
+    if ncomp == 1:
+        g = planes[0].astype(np.uint8)
+        return np.stack([g, g, g], axis=2)
+    y, cb, cr = planes
+    # JFIF conversion, floor(x+0.5) rounding (SQL-twin convention)
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.stack([_round_half_up_clip(r), _round_half_up_clip(g),
+                     _round_half_up_clip(b)], axis=2)
+
+
+# ---------------------------------------------------------------------------
+# Encode (fixtures + tests)
+# ---------------------------------------------------------------------------
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+
+
+def _category(v: int) -> int:
+    return int(abs(v)).bit_length()
+
+
+def _enc_tables(dc_syms: list[int], ac_syms: list[int]):
+    """Canonical tables: DC categories at 4 bits; AC symbols at uniform
+    length ceil(log2(n))+? — assign all AC symbols the same length L with
+    2^L >= n (Kraft-legal, decoder-agnostic)."""
+    dc_counts = [0] * 16
+    dc_counts[3] = len(dc_syms)  # all at length 4
+    dc_codes = {s: (i, 4) for i, s in enumerate(sorted(dc_syms))}
+    ln = 1
+    while (1 << ln) < len(ac_syms) + 1:  # +1 keeps the all-ones code free
+        ln += 1
+    ac_counts = [0] * 16
+    ac_counts[ln - 1] = len(ac_syms)
+    ac_codes = {s: (i, ln) for i, s in enumerate(sorted(ac_syms))}
+    return (bytes(dc_counts), bytes(sorted(dc_syms)), dc_codes,
+            bytes(ac_counts), bytes(sorted(ac_syms)), ac_codes)
+
+
+def encode_jpeg(y: np.ndarray, cb: "np.ndarray | None" = None,
+                cr: "np.ndarray | None" = None,
+                restart_interval: int = 0) -> bytes:
+    """Planes (uint8, H and W multiples of 8; grayscale when cb/cr are
+    None) → baseline JFIF bytes with all-ones quantization (integer DCT
+    coefficients round exactly for constant blocks — the oracle fixtures)
+    and minimal canonical Huffman tables built from the symbols present.
+    A REAL forward path (level shift, float64 FDCT, quantization,
+    differential DC, run-length AC, byte stuffing, optional DRI/RSTn)."""
+    h, w = y.shape
+    if h % 8 or w % 8:
+        raise ValueError("encoder: dimensions must be multiples of 8")
+    planes = [y] if cb is None else [y, cb, cr]
+    a = _dct_matrix()
+
+    # pass 1: quantized coefficient blocks per component, in MCU order
+    bw, bh = w // 8, h // 8
+    blocks: list[list[np.ndarray]] = []
+    for p in planes:
+        comp_blocks = []
+        shifted = p.astype(np.float64) - 128.0
+        for by in range(bh):
+            for bx in range(bw):
+                s = a @ shifted[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] @ a.T
+                comp_blocks.append(np.round(s).astype(np.int64)
+                                   .reshape(64)[ZIGZAG])
+        blocks.append(comp_blocks)
+
+    # pass 2: collect symbols
+    dc_syms: set[int] = set()
+    ac_syms: set[int] = {0x00}
+    for comp_blocks in blocks:
+        pred = 0
+        cnt = 0
+        for blk in comp_blocks:
+            if restart_interval and cnt and cnt % restart_interval == 0:
+                pred = 0
+            dc_syms.add(_category(int(blk[0]) - pred))
+            pred = int(blk[0])
+            run = 0
+            for k in range(1, 64):
+                v = int(blk[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    ac_syms.add(0xF0)
+                    run -= 16
+                ac_syms.add((run << 4) | _category(v))
+                run = 0
+            cnt += 1
+    (dcc, dcs, dc_codes, acc_, acs, ac_codes) = _enc_tables(
+        sorted(dc_syms), sorted(ac_syms))
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01" \
+        + b"\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    ones = bytes(np.ones(64, dtype=np.uint8))
+    out += b"\xff\xdb" + struct.pack(">H", 2 + 1 + 64) + b"\x00" + ones
+    nc = len(planes)
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for ci in range(nc):
+        sof += bytes([ci + 1, 0x11, 0])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    dht = b"\x00" + dcc + dcs + b"\x10" + acc_ + acs
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    sos = bytes([nc])
+    for ci in range(nc):
+        sos += bytes([ci + 1, 0x00])
+    sos += b"\x00\x3f\x00"
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    bwr = _BitWriter()
+    preds = [0] * nc
+    nmcu = bw * bh
+    for mcu in range(nmcu):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            bwr.flush()
+            out += bytes(bwr.out)
+            bwr = _BitWriter()
+            out += bytes([0xFF, 0xD0 + ((mcu // restart_interval - 1) % 8)])
+            preds = [0] * nc
+        for ci in range(nc):
+            blk = blocks[ci][mcu]
+            dc = int(blk[0])
+            diff = dc - preds[ci]
+            preds[ci] = dc
+            cat = _category(diff)
+            code, ln = dc_codes[cat]
+            bwr.write(code, ln)
+            if cat:
+                v = diff if diff >= 0 else diff + (1 << cat) - 1
+                bwr.write(v, cat)
+            run = 0
+            for k in range(1, 64):
+                v = int(blk[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = ac_codes[0xF0]
+                    bwr.write(code, ln)
+                    run -= 16
+                s = _category(v)
+                code, ln = ac_codes[(run << 4) | s]
+                bwr.write(code, ln)
+                vv = v if v >= 0 else v + (1 << s) - 1
+                bwr.write(vv, s)
+                run = 0
+            if run:
+                code, ln = ac_codes[0x00]
+                bwr.write(code, ln)
+    bwr.flush()
+    out += bytes(bwr.out)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# zigzag index for raster position (inverse scan): raster -> zigzag slot
+ZIGZAG_INV = np.argsort(ZIGZAG)

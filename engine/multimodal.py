@@ -78,12 +78,13 @@ def _pseudo_bytes(seed: int, n: int) -> np.ndarray:
 def _decode_image(payload: bytes) -> np.ndarray:
     """payload → HxWx3 uint8.
 
-    PNG / BMP / PPM payloads (magic-byte routed) decode through the REAL
-    stdlib codec in engine/imagecodec.py — no external library needed.
-    Everything else uses pillow when installed (JPEG/WebP/…, the
-    deployment path), and otherwise a deterministic clearly-marked STUB
-    fake derived from the payload hash so the plumbing (shapes, dtypes,
-    feature extraction, tests) is exercised end-to-end without the codec.
+    PNG / BMP / PPM / baseline-JPEG payloads (magic-byte routed) decode
+    through the REAL stdlib codecs in engine/imagecodec.py and
+    engine/jpegcodec.py — no external library needed. Everything else
+    uses pillow when installed (progressive JPEG/WebP/…, the deployment
+    path), and otherwise a deterministic clearly-marked STUB fake derived
+    from the payload hash so the plumbing (shapes, dtypes, feature
+    extraction, tests) is exercised end-to-end without the codec.
     Raises on empty/undecodable payload like a real decoder."""
     if not payload:
         raise MediaDecodeError("empty image payload")
@@ -96,6 +97,16 @@ def _decode_image(payload: bytes) -> np.ndarray:
             return _imagecodec.decode_png(payload)
         except ValueError as exc:
             raise MediaDecodeError(f"image decode failed: {exc}") from exc
+    if payload[:3] == b"\xff\xd8\xff":
+        from engine.jpegcodec import decode_jpeg
+
+        try:
+            return decode_jpeg(payload)
+        except ValueError as exc:
+            # non-baseline/subsampled JPEG: pillow when present, else error
+            if _PILImage is None:
+                raise MediaDecodeError(
+                    f"image decode failed: {exc}") from exc
     if _PILImage is not None:  # pragma: no cover - deployment path
         import io
 

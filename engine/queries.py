@@ -2949,6 +2949,52 @@ def q_image_decode(sf_dir: str):
         ["media_id", "width", "height", "sum_r", "sum_g", "sum_b"])
 
 
+def q_jpeg_decode(sf_dir: str):
+    """REAL baseline-JPEG decode through the distributed stage
+    (engine/jpegcodec.py + multimodal.image_stats): per doc_id a planted
+    constant-8x8-block image — Y/Cb/Cr block values are closed-form in
+    doc_id and block coords; even ids are grayscale, every 5th id writes
+    restart markers — is ENCODED by the real forward path (FDCT,
+    all-ones quant, canonical Huffman, byte stuffing, DRI/RSTn) and
+    decoded by the stateless task stage to exact integer channel sums.
+    DC-only blocks make Huffman + dequant + IDCT + the JFIF YCbCr→RGB
+    floor(x+0.5) conversion all value-pinned; the DuckDB twin computes
+    the same sums from the block formulas with identical double
+    literals."""
+    import numpy as np
+
+    from engine.jpegcodec import encode_jpeg
+    from engine.multimodal import image_stats
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def mk(t: pa.Table) -> pa.Table:
+        payloads = []
+        ids = t["doc_id"].to_pylist()
+        for i in ids:
+            wb, hb = 1 + i % 3, 1 + i % 2
+            bx = np.arange(wb, dtype=np.int64)[None, :]
+            by = np.arange(hb, dtype=np.int64)[:, None]
+            up = (lambda p: np.repeat(np.repeat(p, 8, 0), 8, 1)
+                  .astype(np.uint8))
+            y = up((5 * i + 11 * bx + 17 * by) % 256)
+            ri = 2 if i % 5 == 0 else 0
+            if i % 2 == 0:
+                payloads.append(encode_jpeg(y, restart_interval=ri))
+            else:
+                cb = up(np.broadcast_to((7 * i + 13 * bx) % 256, (hb, wb)))
+                cr = up(np.broadcast_to((3 * i + 19 * by) % 256, (hb, wb)))
+                payloads.append(encode_jpeg(y, cb, cr,
+                                            restart_interval=ri))
+        return pa.table({"media_id": pa.array(ids, type=pa.int64()),
+                         "payload": pa.array(payloads, type=pa.binary())})
+
+    media = docs.map_batches(mk, batch_format="pyarrow")
+    out = image_stats(media, batch_size=128)
+    return out.select_columns(
+        ["media_id", "width", "height", "sum_r", "sum_g", "sum_b"])
+
+
 def q_audio_decode(sf_dir: str):
     """REAL WAV decode through the distributed stage (engine/audiocodec.py
     + multimodal.audio_stats): per doc_id a planted 16-bit PCM WAV whose
@@ -3333,6 +3379,7 @@ QUERIES = {
     "sitemap": q_sitemap,
     "redirects": q_redirects,
     "bigram_lm": q_bigram_lm,
+    "jpeg_decode": q_jpeg_decode,
     "extract_tables": q_extract_tables,
     "pub_dates": q_pub_dates,
     "semdedup": q_semdedup,

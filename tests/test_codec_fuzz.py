@@ -43,3 +43,24 @@ def test_charset_sniff_and_decode_total(data):
     assert isinstance(enc, str)
     out = decode_html(data)          # replacement errors: never raises
     assert isinstance(out, str)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=512))
+def test_jpeg_total(data):
+    from engine.jpegcodec import decode_jpeg, encode_jpeg
+
+    import numpy as np  # noqa: F811 (local for self-containment)
+
+    for payload in (data, b"\xff\xd8" + data):
+        try:
+            out = decode_jpeg(payload)
+            assert out.dtype == np.uint8 and out.ndim == 3
+        except ValueError:
+            pass
+    # valid prefix + garbage tail must also be total
+    valid = encode_jpeg(np.full((8, 8), 100, dtype=np.uint8))
+    try:
+        decode_jpeg(valid[: max(2, len(valid) - len(data) % 40)] + data)
+    except ValueError:
+        pass

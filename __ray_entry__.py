@@ -995,6 +995,35 @@ SELECT b.doc_id, b.n_windows,
        CAST(coalesce(c.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
        CAST(coalesce(c.n_covered_tokens, 0) AS BIGINT) AS n_covered_tokens
 FROM base b LEFT JOIN cov c USING (doc_id)""",
+        "jpeg420": """
+WITH p AS (
+  SELECT doc_id AS i, 1 + doc_id % 2 AS wm, 1 + doc_id % 3 AS hm
+  FROM documents),
+cells AS (
+  SELECT i, wm, hm, xs.cx, ys.cy
+  FROM p,
+       LATERAL (SELECT unnest(generate_series(0, 2 * wm - 1)) AS cx) xs,
+       LATERAL (SELECT unnest(generate_series(0, 2 * hm - 1)) AS cy) ys),
+vals AS (
+  SELECT i, wm, hm,
+    CAST((5 * i + 11 * cx + 17 * cy) % 256 AS DOUBLE) AS yv,
+    CAST((7 * i + 13 * (cx // 2)) % 256 AS DOUBLE) AS cb,
+    CAST((3 * i + 19 * (cy // 2)) % 256 AS DOUBLE) AS cr
+  FROM cells),
+px AS (
+  SELECT i, wm, hm,
+    LEAST(GREATEST(floor(yv + 1.402 * (cr - 128) + 0.5), 0), 255) AS r,
+    LEAST(GREATEST(floor(yv - 0.344136 * (cb - 128)
+                         - 0.714136 * (cr - 128) + 0.5), 0), 255) AS g,
+    LEAST(GREATEST(floor(yv + 1.772 * (cb - 128) + 0.5), 0), 255) AS b
+  FROM vals)
+SELECT i AS media_id,
+       CAST(16 * MIN(wm) AS BIGINT) AS width,
+       CAST(16 * MIN(hm) AS BIGINT) AS height,
+       CAST(64 * SUM(r) AS BIGINT) AS sum_r,
+       CAST(64 * SUM(g) AS BIGINT) AS sum_g,
+       CAST(64 * SUM(b) AS BIGINT) AS sum_b
+FROM px GROUP BY i""",
         "jpeg_decode": """
 WITH p AS (
   SELECT doc_id AS i, 1 + doc_id % 3 AS wb, 1 + doc_id % 2 AS hb

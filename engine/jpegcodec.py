@@ -11,9 +11,12 @@ map that to their per-row error channel):
   extended (SOF1), arithmetic-coded and hierarchical frames are rejected
   with a clear message (pillow deployment path).
 - 1-component (grayscale, replicated to RGB) and 3-component YCbCr with
-  NO chroma subsampling (all h=v=1, i.e. 4:4:4). Subsampled 4:2:0/4:2:2
-  rejected (the upsample-filter choice is codec-specific — not provable
-  against a closed-form oracle).
+  sampling factors 1 and 2 — 4:4:4, 4:2:0, 4:2:2, 4:4:0. Subsampled
+  chroma upsamples by pixel REPLICATION (nearest): the spec leaves the
+  upsample filter to the codec; libjpeg's default 'fancy' triangular
+  filter would make pixels library-specific, replication keeps them
+  closed-form (and exact on constant-chroma fixtures). Factors > 2
+  rejected.
 - arbitrary DQT (8- and 16-bit precision) and DHT tables, multi-table
   segments, interleaved single-scan, restart markers (DRI/RSTn with DC
   predictor reset), APPn/COM skip, 0xFF00 byte-unstuffing.
@@ -197,11 +200,12 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
             comps = []
             for c in range(nc):
                 cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
-                if hv != 0x11:
+                hs, vs = hv >> 4, hv & 0x0F
+                if hs not in (1, 2) or vs not in (1, 2):
                     raise ValueError(
-                        "jpeg: chroma subsampling unsupported "
-                        "(4:4:4 / grayscale only; deployment path: pillow)")
-                comps.append((cid, tq))
+                        "jpeg: sampling factors beyond 2 unsupported "
+                        "(deployment path: pillow)")
+                comps.append((cid, tq, hs, vs))
             if nc not in (1, 3):
                 raise ValueError("jpeg: 1 or 3 components only")
             frame = (h, w, comps)
@@ -255,13 +259,15 @@ def _decode_scan(payload: bytes, pos: int, frame, scomp, qt, huffs,
     bits = np.unpackbits(np.frombuffer(bytes(data), dtype=np.uint8))
     rd = _BitReader(bits)
 
-    bw = (w + 7) // 8
-    bh = (h + 7) // 8
     ncomp = len(comps)
-    planes = [np.zeros((bh * 8, bw * 8), dtype=np.float64)
-              for _ in range(ncomp)]
+    hmax = max(c[2] for c in comps)
+    vmax = max(c[3] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = [np.zeros((mcuy * c[3] * 8, mcux * c[2] * 8),
+                       dtype=np.float64) for c in comps]
     tabs = []
-    for (cid, tq), (cs, td, ta) in zip(comps, scomp):
+    for (cid, tq, _, _), (cs, td, ta) in zip(comps, scomp):
         if cid != cs:
             raise ValueError("jpeg: scan/frame component order mismatch")
         if tq not in qt or (0, td) not in huffs or (1, ta) not in huffs:
@@ -271,8 +277,8 @@ def _decode_scan(payload: bytes, pos: int, frame, scomp, qt, huffs,
     pred = [0] * ncomp
     seg_i = 1
     mcu = 0
-    for by in range(bh):
-        for bx in range(bw):
+    for my in range(mcuy):
+        for mx in range(mcux):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 if seg_i < len(segments):
                     rd.pos = segments[seg_i]
@@ -280,37 +286,52 @@ def _decode_scan(payload: bytes, pos: int, frame, scomp, qt, huffs,
                     pred = [0] * ncomp
             for ci in range(ncomp):
                 q, hdc, hac = tabs[ci]
-                coeffs = np.zeros(64, dtype=np.int64)
-                size = rd.huff(hdc)
-                diff = _extend(rd.read(size), size)
-                pred[ci] += diff
-                coeffs[0] = pred[ci]
-                k = 1
-                while k < 64:
-                    rs = rd.huff(hac)
-                    r, s = rs >> 4, rs & 0x0F
-                    if s == 0:
-                        if r == 15:  # ZRL
-                            k += 16
-                            continue
-                        break  # EOB
-                    k += r
-                    if k > 63:
-                        raise ValueError("jpeg: AC index overflow")
-                    coeffs[k] = _extend(rd.read(s), s)
-                    k += 1
-                blk = np.zeros(64, dtype=np.float64)
-                blk[ZIGZAG] = coeffs
-                s_mat = blk.reshape(8, 8) * q
-                pix = a.T @ s_mat @ a + 128.0
-                planes[ci][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = pix
+                ch, cv = comps[ci][2], comps[ci][3]
+                for vy in range(cv):
+                    for vx in range(ch):
+                        coeffs = np.zeros(64, dtype=np.int64)
+                        size = rd.huff(hdc)
+                        diff = _extend(rd.read(size), size)
+                        pred[ci] += diff
+                        coeffs[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = rd.huff(hac)
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("jpeg: AC index overflow")
+                            coeffs[k] = _extend(rd.read(s), s)
+                            k += 1
+                        blk = np.zeros(64, dtype=np.float64)
+                        blk[ZIGZAG] = coeffs
+                        s_mat = blk.reshape(8, 8) * q
+                        pix = a.T @ s_mat @ a + 128.0
+                        py = (my * cv + vy) * 8
+                        px = (mx * ch + vx) * 8
+                        planes[ci][py:py + 8, px:px + 8] = pix
             mcu += 1
 
     # round each plane to integer samples FIRST (standard decode order,
     # and it keeps the color conversion's floor(x+0.5) away from the
-    # 1e-13 IDCT noise — both oracle sides then start from exact ints)
-    planes = [_round_half_up_clip(p[:h, :w]).astype(np.float64)
-              for p in planes]
+    # 1e-13 IDCT noise — both oracle sides then start from exact ints),
+    # then upsample subsampled chroma by pixel REPLICATION (nearest —
+    # the documented convention; libjpeg's default 'fancy' triangular
+    # filter is codec-specific and not oracle-provable)
+    up = []
+    for p, c in zip(planes, comps):
+        fy, fx = vmax // c[3], hmax // c[2]
+        if fy > 1:
+            p = np.repeat(p, fy, axis=0)
+        if fx > 1:
+            p = np.repeat(p, fx, axis=1)
+        up.append(_round_half_up_clip(p[:h, :w]).astype(np.float64))
+    planes = up
     if ncomp == 1:
         g = planes[0].astype(np.uint8)
         return np.stack([g, g, g], axis=2)
@@ -373,40 +394,67 @@ def _enc_tables(dc_syms: list[int], ac_syms: list[int]):
 
 def encode_jpeg(y: np.ndarray, cb: "np.ndarray | None" = None,
                 cr: "np.ndarray | None" = None,
-                restart_interval: int = 0) -> bytes:
-    """Planes (uint8, H and W multiples of 8; grayscale when cb/cr are
-    None) → baseline JFIF bytes with all-ones quantization (integer DCT
-    coefficients round exactly for constant blocks — the oracle fixtures)
-    and minimal canonical Huffman tables built from the symbols present.
-    A REAL forward path (level shift, float64 FDCT, quantization,
-    differential DC, run-length AC, byte stuffing, optional DRI/RSTn)."""
-    h, w = y.shape
-    if h % 8 or w % 8:
-        raise ValueError("encoder: dimensions must be multiples of 8")
-    planes = [y] if cb is None else [y, cb, cr]
-    a = _dct_matrix()
+                restart_interval: int = 0,
+                subsample: bool = False) -> bytes:
+    """Planes (uint8; grayscale when cb/cr are None) → baseline JFIF
+    bytes with all-ones quantization (integer DCT coefficients round
+    exactly for constant blocks — the oracle fixtures) and minimal
+    canonical Huffman tables built from the symbols present. A REAL
+    forward path (level shift, float64 FDCT, quantization, differential
+    DC, run-length AC, byte stuffing, optional DRI/RSTn).
 
-    # pass 1: quantized coefficient blocks per component, in MCU order
-    bw, bh = w // 8, h // 8
+    ``subsample=True`` writes 4:2:0: y is (H, W) with H, W multiples of
+    16; cb/cr are the HALF-resolution (H/2, W/2) chroma planes (caller
+    downsamples — constant-block fixtures are downsample-invariant).
+    Otherwise all planes share (H, W) with multiples of 8 (4:4:4)."""
+    h, w = y.shape
+    if cb is None and subsample:
+        raise ValueError("encoder: subsample needs chroma planes")
+    if subsample:
+        if h % 16 or w % 16:
+            raise ValueError("encoder: dimensions must be multiples of 16")
+        if cb.shape != (h // 2, w // 2) or cr.shape != (h // 2, w // 2):
+            raise ValueError("encoder: chroma must be half-resolution")
+        planes = [y, cb, cr]
+        factors = [(2, 2), (1, 1), (1, 1)]
+    else:
+        if h % 8 or w % 8:
+            raise ValueError("encoder: dimensions must be multiples of 8")
+        planes = [y] if cb is None else [y, cb, cr]
+        factors = [(1, 1)] * len(planes)
+    a = _dct_matrix()
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    mcux, mcuy = w // (8 * hmax), h // (8 * vmax)
+    nmcu = mcux * mcuy
+
+    # pass 1: quantized coefficient blocks per component, in MCU
+    # traversal order (per MCU: ch x cv blocks row-major)
     blocks: list[list[np.ndarray]] = []
-    for p in planes:
+    for p, (ch, cv) in zip(planes, factors):
         comp_blocks = []
         shifted = p.astype(np.float64) - 128.0
-        for by in range(bh):
-            for bx in range(bw):
-                s = a @ shifted[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] @ a.T
-                comp_blocks.append(np.round(s).astype(np.int64)
-                                   .reshape(64)[ZIGZAG])
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for vy in range(cv):
+                    for vx in range(ch):
+                        r0 = (my * cv + vy) * 8
+                        c0 = (mx * ch + vx) * 8
+                        s = a @ shifted[r0:r0 + 8, c0:c0 + 8] @ a.T
+                        comp_blocks.append(
+                            np.round(s).astype(np.int64)
+                            .reshape(64)[ZIGZAG])
         blocks.append(comp_blocks)
+    bpm = [f[0] * f[1] for f in factors]
 
-    # pass 2: collect symbols
+    # pass 2: collect symbols (DC prediction resets at restart MCUs)
     dc_syms: set[int] = set()
     ac_syms: set[int] = {0x00}
-    for comp_blocks in blocks:
+    for comp_blocks, per_mcu in zip(blocks, bpm):
         pred = 0
-        cnt = 0
-        for blk in comp_blocks:
-            if restart_interval and cnt and cnt % restart_interval == 0:
+        for bi, blk in enumerate(comp_blocks):
+            if restart_interval and bi and \
+                    bi % (restart_interval * per_mcu) == 0:
                 pred = 0
             dc_syms.add(_category(int(blk[0]) - pred))
             pred = int(blk[0])
@@ -421,7 +469,6 @@ def encode_jpeg(y: np.ndarray, cb: "np.ndarray | None" = None,
                     run -= 16
                 ac_syms.add((run << 4) | _category(v))
                 run = 0
-            cnt += 1
     (dcc, dcs, dc_codes, acc_, acs, ac_codes) = _enc_tables(
         sorted(dc_syms), sorted(ac_syms))
 
@@ -433,7 +480,7 @@ def encode_jpeg(y: np.ndarray, cb: "np.ndarray | None" = None,
     nc = len(planes)
     sof = struct.pack(">BHHB", 8, h, w, nc)
     for ci in range(nc):
-        sof += bytes([ci + 1, 0x11, 0])
+        sof += bytes([ci + 1, (factors[ci][0] << 4) | factors[ci][1], 0])
     out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
     dht = b"\x00" + dcc + dcs + b"\x10" + acc_ + acs
     out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
@@ -447,7 +494,6 @@ def encode_jpeg(y: np.ndarray, cb: "np.ndarray | None" = None,
 
     bwr = _BitWriter()
     preds = [0] * nc
-    nmcu = bw * bh
     for mcu in range(nmcu):
         if restart_interval and mcu and mcu % restart_interval == 0:
             bwr.flush()
@@ -456,35 +502,36 @@ def encode_jpeg(y: np.ndarray, cb: "np.ndarray | None" = None,
             out += bytes([0xFF, 0xD0 + ((mcu // restart_interval - 1) % 8)])
             preds = [0] * nc
         for ci in range(nc):
-            blk = blocks[ci][mcu]
-            dc = int(blk[0])
-            diff = dc - preds[ci]
-            preds[ci] = dc
-            cat = _category(diff)
-            code, ln = dc_codes[cat]
-            bwr.write(code, ln)
-            if cat:
-                v = diff if diff >= 0 else diff + (1 << cat) - 1
-                bwr.write(v, cat)
-            run = 0
-            for k in range(1, 64):
-                v = int(blk[k])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, ln = ac_codes[0xF0]
-                    bwr.write(code, ln)
-                    run -= 16
-                s = _category(v)
-                code, ln = ac_codes[(run << 4) | s]
+            for j in range(bpm[ci]):
+                blk = blocks[ci][mcu * bpm[ci] + j]
+                dc = int(blk[0])
+                diff = dc - preds[ci]
+                preds[ci] = dc
+                cat = _category(diff)
+                code, ln = dc_codes[cat]
                 bwr.write(code, ln)
-                vv = v if v >= 0 else v + (1 << s) - 1
-                bwr.write(vv, s)
+                if cat:
+                    v = diff if diff >= 0 else diff + (1 << cat) - 1
+                    bwr.write(v, cat)
                 run = 0
-            if run:
-                code, ln = ac_codes[0x00]
-                bwr.write(code, ln)
+                for k in range(1, 64):
+                    v = int(blk[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = ac_codes[0xF0]
+                        bwr.write(code, ln)
+                        run -= 16
+                    s = _category(v)
+                    code, ln = ac_codes[(run << 4) | s]
+                    bwr.write(code, ln)
+                    vv = v if v >= 0 else v + (1 << s) - 1
+                    bwr.write(vv, s)
+                    run = 0
+                if run:
+                    code, ln = ac_codes[0x00]
+                    bwr.write(code, ln)
     bwr.flush()
     out += bytes(bwr.out)
     out += b"\xff\xd9"

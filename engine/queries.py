@@ -2995,6 +2995,46 @@ def q_jpeg_decode(sf_dir: str):
         ["media_id", "width", "height", "sum_r", "sum_g", "sum_b"])
 
 
+def q_jpeg420(sf_dir: str):
+    """REAL 4:2:0 subsampled JPEG decode (engine/jpegcodec.py): planted
+    constant-chroma 16x16 macroblocks with per-8x8-cell Y; chroma
+    upsampling is pixel replication (the documented convention) so the
+    channel sums stay closed-form; every 4th id writes a restart marker
+    per MCU (stressing the interleaved 4-Y+Cb+Cr order)."""
+    import numpy as np
+
+    from engine.jpegcodec import encode_jpeg
+    from engine.multimodal import image_stats
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def mk(t: pa.Table) -> pa.Table:
+        payloads = []
+        ids = t["doc_id"].to_pylist()
+        for i in ids:
+            wm, hm = 1 + i % 2, 1 + i % 3
+            cx = np.arange(2 * wm, dtype=np.int64)[None, :]
+            cy = np.arange(2 * hm, dtype=np.int64)[:, None]
+            up8 = (lambda p: np.repeat(np.repeat(p, 8, 0), 8, 1)
+                   .astype(np.uint8))
+            y = up8(np.broadcast_to((5 * i + 11 * cx + 17 * cy) % 256,
+                                    (2 * hm, 2 * wm)))
+            mx = np.arange(wm, dtype=np.int64)[None, :]
+            my = np.arange(hm, dtype=np.int64)[:, None]
+            cb = up8(np.broadcast_to((7 * i + 13 * mx) % 256, (hm, wm)))
+            cr = up8(np.broadcast_to((3 * i + 19 * my) % 256, (hm, wm)))
+            payloads.append(encode_jpeg(
+                y, cb, cr, subsample=True,
+                restart_interval=1 if i % 4 == 0 else 0))
+        return pa.table({"media_id": pa.array(ids, type=pa.int64()),
+                         "payload": pa.array(payloads, type=pa.binary())})
+
+    media = docs.map_batches(mk, batch_format="pyarrow")
+    out = image_stats(media, batch_size=128)
+    return out.select_columns(
+        ["media_id", "width", "height", "sum_r", "sum_g", "sum_b"])
+
+
 def q_audio_decode(sf_dir: str):
     """REAL WAV decode through the distributed stage (engine/audiocodec.py
     + multimodal.audio_stats): per doc_id a planted 16-bit PCM WAV whose
@@ -3380,6 +3420,7 @@ QUERIES = {
     "redirects": q_redirects,
     "bigram_lm": q_bigram_lm,
     "jpeg_decode": q_jpeg_decode,
+    "jpeg420": q_jpeg420,
     "extract_tables": q_extract_tables,
     "pub_dates": q_pub_dates,
     "semdedup": q_semdedup,

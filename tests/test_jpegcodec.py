@@ -73,10 +73,10 @@ def test_rejections():
         decode_jpeg(b"\x89PNG")
     with pytest.raises(ValueError, match="non-baseline"):
         decode_jpeg(b"\xff\xd8\xff\xc2\x00\x05\x08\x00\x08")
-    # subsampled SOF0: one component with hv=0x22
-    sof = b"\x08\x00\x10\x00\x10\x01" + bytes([1, 0x22, 0])
+    # sampling factor 3: beyond the supported 1/2 range
+    sof = b"\x08\x00\x10\x00\x10\x01" + bytes([1, 0x33, 0])
     payload = b"\xff\xd8\xff\xc0" + (2 + len(sof)).to_bytes(2, "big") + sof
-    with pytest.raises(ValueError, match="subsampling"):
+    with pytest.raises(ValueError, match="sampling factors"):
         decode_jpeg(payload)
     with pytest.raises(ValueError):
         decode_jpeg(encode_jpeg(_up(np.zeros((1, 1), np.int64)))[:-20])
@@ -93,3 +93,37 @@ def test_magic_routing_in_multimodal():
     y = _up(np.full((1, 1), 77, dtype=np.int64))
     img = _decode_image(encode_jpeg(y))
     assert (img == 77).all()
+
+
+def test_420_constant_macroblocks_exact():
+    rng = np.random.default_rng(17)
+
+    def up(p, k):
+        return np.repeat(np.repeat(p, k, 0), k, 1).astype(np.uint8)
+
+    yb = rng.integers(0, 256, (4, 6))   # 8x8 Y blocks -> 32x48
+    cbm = rng.integers(0, 256, (2, 3))  # 16x16 macro chroma
+    crm = rng.integers(0, 256, (2, 3))
+    y = up(yb, 8)
+    img = decode_jpeg(encode_jpeg(y, up(cbm, 8), up(crm, 8),
+                                  subsample=True))
+    cbf = up(cbm, 16).astype(np.float64)
+    crf = up(crm, 16).astype(np.float64)
+    yf = y.astype(np.float64)
+    exp_r = np.clip(np.floor(yf + 1.402 * (crf - 128) + 0.5), 0, 255)
+    assert img.shape == (32, 48, 3)
+    assert (img[:, :, 0] == exp_r).all()
+    # restart markers interleave Y/Cb/Cr MCUs identically
+    img2 = decode_jpeg(encode_jpeg(y, up(cbm, 8), up(crm, 8),
+                                   subsample=True, restart_interval=2))
+    assert (img2 == img).all()
+
+
+def test_420_input_guards():
+    with pytest.raises(ValueError, match="multiples of 16"):
+        encode_jpeg(np.zeros((8, 8), np.uint8), np.zeros((4, 4), np.uint8),
+                    np.zeros((4, 4), np.uint8), subsample=True)
+    with pytest.raises(ValueError, match="half-resolution"):
+        encode_jpeg(np.zeros((16, 16), np.uint8),
+                    np.zeros((16, 16), np.uint8),
+                    np.zeros((16, 16), np.uint8), subsample=True)

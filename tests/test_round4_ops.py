@@ -315,11 +315,16 @@ def test_unsupported_encryption_raises():
     from engine.pdfx.objects import PdfError
 
     enc = _encrypt_pdf_rc4(_plain_pdf())
-    # AESV3 (V5/R6, AES-256 + SHA-2 validation) is out of the supported
-    # matrix and must fail loudly, not silently mis-decrypt
-    aes3 = enc.replace(b"/V 1", b"/V 5").replace(b"/R 2", b"/R 6")
+    # V6/R7 does not exist in the spec and must fail loudly; a V5/R6
+    # label on RC4-length /O//U (malformed AESV3) must also fail loudly
+    # rather than silently mis-decrypt (AESV3 itself IS supported —
+    # test_aes256_pdf_roundtrip below covers the real path)
+    bogus = enc.replace(b"/V 1", b"/V 6").replace(b"/R 2", b"/R 7")
     with pytest.raises(PdfError, match="unsupported"):
-        extract_pdf_doc(aes3)
+        extract_pdf_doc(bogus)
+    mangled = enc.replace(b"/V 1", b"/V 5").replace(b"/R 2", b"/R 6")
+    with pytest.raises(PdfError, match="malformed V5"):
+        extract_pdf_doc(mangled)
 
 
 def test_encrypted_status_channel():

@@ -1302,6 +1302,130 @@ base AS (SELECT doc_id, len(t) AS n_tok FROM toks)
 SELECT b.doc_id, coalesce(a.text, '') AS text,
        CAST(b.n_tok - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed_tokens
 FROM base b LEFT JOIN agg a USING (doc_id)""",
+        "feed": r"""
+WITH p AS (
+  SELECT doc_id, doc_id % 10 AS m, doc_id % 9 + 1 AS day,
+         doc_id % 3 AS r
+  FROM documents),
+built AS (
+  SELECT doc_id,
+    'https://h' || m || '/feed' || doc_id || '.xml' AS url,
+    CASE WHEN r = 0 THEN
+      '<rss><channel><title>chan</title><link>https://h' || m ||
+      '/</link>' ||
+      '<item><title>T' || doc_id || 'a</title><link> https://h' || m ||
+      '/a' || doc_id || ' </link><pubDate>2024-01-' || day ||
+      '</pubDate></item>' ||
+      '<item><title>orphan</title></item>' ||
+      '<item><title></title><link>https://h' || m || '/b' || doc_id ||
+      '</link></item>' ||
+      '</channel></rss>'
+    WHEN r = 1 THEN
+      '<feed><title>f</title><entry><title>A' || doc_id ||
+      '</title><link rel="alternate" href="https://h' || m || '/e' ||
+      doc_id || '"/><updated>2024-02-' || day || '</updated></entry>' ||
+      '<entry><link href="https://h' || m || '/f' || doc_id ||
+      '"/></entry></feed>'
+    ELSE '<html><body>not a feed</body></html>' END AS xml
+  FROM p),
+blocks AS (
+  SELECT url,
+    regexp_extract_all(xml, '(?s)<item>(.*?)</item>', 1) AS il,
+    regexp_extract_all(xml, '(?s)<entry>(.*?)</entry>', 1) AS el
+  FROM built),
+rent AS (
+  SELECT url AS src, 'rss' AS kind, i AS bidx,
+    regexp_extract(il[i], '(?s)<title>\s*([^<]*?)\s*</title>', 1) AS title,
+    regexp_extract(il[i], '(?s)<link>\s*([^<]*?)\s*</link>', 1) AS link,
+    regexp_extract(il[i], '(?s)<pubDate>\s*([^<]*?)\s*</pubDate>',
+                   1) AS published
+  FROM blocks, LATERAL (SELECT unnest(generate_series(1, len(il))) AS i)),
+aent AS (
+  SELECT url AS src, 'atom' AS kind, i AS bidx,
+    regexp_extract(el[i], '(?s)<title>\s*([^<]*?)\s*</title>', 1) AS title,
+    regexp_extract(el[i], '<link[^>]*href="([^"]*)"', 1) AS link,
+    regexp_extract(el[i], '(?s)<updated>\s*([^<]*?)\s*</updated>',
+                   1) AS published
+  FROM blocks, LATERAL (SELECT unnest(generate_series(1, len(el))) AS i)),
+allent AS (SELECT * FROM rent UNION ALL SELECT * FROM aent)
+SELECT src, kind,
+       row_number() OVER (PARTITION BY src, kind ORDER BY bidx) AS pos,
+       NULLIF(title, '') AS title, link,
+       NULLIF(published, '') AS published
+FROM allent WHERE link <> ''""",
+        "meta_refresh": r"""
+WITH pages AS (
+  SELECT 'https://ex' || CAST(doc_id % 7 AS VARCHAR) || '.com/d' ||
+         CAST(doc_id % 3 AS VARCHAR) || '/p' || CAST(doc_id AS VARCHAR)
+           AS url,
+         '<html><head><title>t</title>' ||
+         CASE
+           WHEN doc_id % 4 = 0 THEN
+             '<meta http-equiv="refresh" content="0; url=https://ex' ||
+             CAST((doc_id + 1) % 7 AS VARCHAR) || '.com/home">'
+           WHEN doc_id % 4 = 1 THEN
+             '<meta http-equiv="refresh" content="5;URL=/next' ||
+             CAST(doc_id AS VARCHAR) || '">'
+           WHEN doc_id % 4 = 2 THEN
+             '<meta http-equiv="refresh" content="2; url=go' ||
+             CAST(doc_id AS VARCHAR) || '.html#frag">'
+           WHEN doc_id % 8 = 3 THEN
+             '<meta http-equiv="refresh" content="300">'
+           ELSE '' END ||
+         '</head><body>x</body></html>' AS html
+  FROM documents),
+x AS (
+  SELECT url AS src,
+         regexp_extract(html,
+           '(?i)<meta[^>]*http-equiv="refresh"[^>]*content="([^"]*)"',
+           1) AS content
+  FROM pages),
+y AS (
+  SELECT src,
+         regexp_extract(content, '^\s*([0-9]+)', 1) AS dstr,
+         regexp_extract(content, '(?i);\s*url\s*=\s*(.*?)\s*$', 1) AS tgt
+  FROM x WHERE content <> '')
+SELECT src, CAST(dstr AS BIGINT) AS delay,
+       regexp_replace(
+         CASE
+           WHEN tgt LIKE 'http://%' OR tgt LIKE 'https://%' THEN tgt
+           WHEN tgt LIKE '//%'
+             THEN regexp_extract(src, '^(https?):', 1) || ':' || tgt
+           WHEN tgt LIKE '/%'
+             THEN regexp_extract(src, '^(https?://[^/]+)', 1) || tgt
+           ELSE regexp_extract(src, '^(.*/)', 1) || tgt
+         END, '#.*$', '') AS dst
+FROM y WHERE tgt <> ''""",
+        "cluster_split": """
+WITH c AS (
+  SELECT doc_id,
+         CAST(min(doc_id) OVER (PARTITION BY doc_id // 10) AS BIGINT)
+           AS cluster
+  FROM documents)
+SELECT doc_id, cluster,
+       CASE WHEN pct < 80 THEN 'train'
+            WHEN pct < 90 THEN 'val' ELSE 'test' END AS split
+FROM (SELECT doc_id, cluster,
+             CAST('0x' || substr(md5('split:' || CAST(cluster AS VARCHAR)),
+                                 1, 8) AS BIGINT) % 100 AS pct
+      FROM c)""",
+        "dedup_paragraphs": """
+WITH raw AS (
+  SELECT doc_id,
+         'shared header' || chr(10) ||
+         'sec ' || CAST(doc_id % 7 AS VARCHAR) || chr(10) ||
+         'uniq ' || CAST(doc_id AS VARCHAR) || chr(10) ||
+         'pair ' || CAST(doc_id // 2 AS VARCHAR) || chr(10) ||
+         'shared footer' AS text
+  FROM documents),
+l AS (
+  SELECT doc_id, i AS pos, lines[i] AS para
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS lines FROM raw),
+       LATERAL (SELECT unnest(generate_series(1, len(lines))) AS i)),
+w AS (SELECT para, min(doc_id * 1048576 + pos) AS k FROM l GROUP BY para)
+SELECT CAST(k // 1048576 AS BIGINT) AS doc_id,
+       string_agg(para, chr(10) ORDER BY k % 1048576) AS text
+FROM w GROUP BY 1""",
         "strip_lines": """
 WITH raw AS (
   SELECT doc_id,

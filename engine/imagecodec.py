@@ -1,4 +1,5 @@
-"""REAL image codecs on the stdlib: PNG (zlib), BMP (24-bit), PPM (P6).
+"""REAL image codecs on the stdlib: PNG (zlib), BMP (24-bit), PPM (P6),
+GIF (LZW).
 
 The round-3 verdict graded multimodal decode 'weak' because the sandbox
 ships no codec libraries — but PNG needs only ``zlib`` (stdlib) plus numpy
@@ -13,6 +14,8 @@ stages map to their per-row error channel):
   Average/Paeth); critical-chunk CRC verified.
 - BMP: BITMAPINFOHEADER, 24 bpp, uncompressed, bottom-up or top-down.
 - PPM: binary P6, maxval 255.
+- GIF: 87a/89a first frame, global/local palette, full LZW,
+  non-interlaced (extensions skipped, transparency ignored).
 
 The encoder (fixtures + tests) writes PNGs with a chosen per-row filter so
 the unfilter paths are provable, and is byte-deterministic (fixed zlib
@@ -249,3 +252,192 @@ def encode_ppm(img: np.ndarray) -> bytes:
     img = np.asarray(img, dtype=np.uint8)
     h, w = img.shape[:2]
     return b"P6\n%d %d\n255\n" % (w, h) + img.tobytes()
+
+
+# ---------------------------------------------------------------------------
+# GIF decode/encode (GIF87a/89a, single frame, LZW)
+# ---------------------------------------------------------------------------
+
+GIF_SIGS = (b"GIF87a", b"GIF89a")
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int,
+                    expected: int) -> np.ndarray:
+    """GIF-variant LZW (variable 3..12-bit codes, little-endian bit
+    packing, clear/end codes) → ``expected`` palette indices. Sequential
+    by nature (each code extends the dictionary built by its
+    predecessors) — same per-element-loop policy as the Paeth unfilter;
+    real crawl media decode runs under pillow anyway."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    bits = np.unpackbits(np.frombuffer(data, np.uint8), bitorder="little")
+    weights12 = 1 << np.arange(12, dtype=np.int64)
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    code_size = min_code_size + 1
+    out = np.empty(expected, np.uint8)
+    oi, pos, nbits = 0, 0, len(bits)
+    prev: "bytes | None" = None
+    while pos + code_size <= nbits and oi < expected:
+        code = int(bits[pos:pos + code_size] @ weights12[:code_size])
+        pos += code_size
+        if code == clear:
+            table = list(base)
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= clear:
+                raise ValueError("GIF LZW: first code not a literal")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("GIF LZW: code beyond table")
+        take = min(len(entry), expected - oi)
+        out[oi:oi + take] = np.frombuffer(entry[:take], np.uint8)
+        oi += take
+        prev = entry
+        if len(table) == (1 << code_size) and code_size < 12:
+            code_size += 1
+    if oi < expected:
+        raise ValueError("GIF LZW: stream ended early")
+    return out
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """GIF87a/89a bytes → HxWx3 uint8: the FIRST image frame, global or
+    local palette, full LZW. Outside the matrix (raises ValueError):
+    interlaced frames, files with no image descriptor. Extension blocks
+    (graphic control, comments, application) are skipped; animation
+    decodes as its first frame; transparency is ignored (the palette
+    color shows)."""
+    if payload[:6] not in GIF_SIGS:
+        raise ValueError("not a GIF (bad signature)")
+    if len(payload) < 13:
+        raise ValueError("GIF truncated in screen descriptor")
+    packed = payload[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 3 * (2 << (packed & 0x07))
+        gct = np.frombuffer(payload[pos:pos + n], np.uint8)
+        if len(gct) < n:
+            raise ValueError("GIF truncated in global color table")
+        gct = gct.reshape(-1, 3)
+        pos += n
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(payload) and payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise ValueError(f"GIF: unexpected block 0x{b:02x}")
+        if pos + 10 > len(payload):
+            raise ValueError("GIF truncated in image descriptor")
+        w, h = struct.unpack("<HH", payload[pos + 5:pos + 9])
+        ipacked = payload[pos + 9]
+        pos += 10
+        if ipacked & 0x40:
+            raise ValueError("GIF: interlaced frames unsupported")
+        pal = gct
+        if ipacked & 0x80:
+            n = 3 * (2 << (ipacked & 0x07))
+            pal = np.frombuffer(payload[pos:pos + n], np.uint8)
+            if len(pal) < n:
+                raise ValueError("GIF truncated in local color table")
+            pal = pal.reshape(-1, 3)
+            pos += n
+        if pal is None:
+            raise ValueError("GIF: no color table")
+        if pos >= len(payload):
+            raise ValueError("GIF truncated before LZW data")
+        min_code_size = payload[pos]
+        pos += 1
+        if not 2 <= min_code_size <= 11:
+            raise ValueError("GIF: bad LZW min code size")
+        chunks = []
+        while pos < len(payload) and payload[pos] != 0:
+            ln = payload[pos]
+            chunks.append(payload[pos + 1:pos + 1 + ln])
+            pos += 1 + ln
+        idx = _gif_lzw_decode(b"".join(chunks), min_code_size, w * h)
+        if idx.max(initial=0) >= len(pal):
+            raise ValueError("GIF: palette index out of range")
+        return pal[idx].reshape(h, w, 3)
+    raise ValueError("GIF: no image descriptor")
+
+
+def encode_gif(img: np.ndarray) -> bytes:
+    """HxWx3 uint8 → GIF89a bytes (fixtures/tests twin of decode_gif).
+    Palette built from the image's distinct colors (≤256 required);
+    LZW emitted as literal codes with a clear code every 2^m - 2 symbols
+    (the classic never-grow-the-code-width scheme) — byte-deterministic,
+    decoder-exact."""
+    img = np.asarray(img, dtype=np.uint8)
+    h, w, _ = img.shape
+    flat = img.reshape(-1, 3)
+    rgb_dtype = np.dtype([("r", np.uint8), ("g", np.uint8),
+                          ("b", np.uint8)])
+    pal, idx = np.unique(np.ascontiguousarray(flat).view(rgb_dtype).ravel(),
+                         return_inverse=True)
+    pal = pal.view(np.uint8).reshape(-1, 3)
+    if len(pal) > 256:
+        raise ValueError("encode_gif: more than 256 distinct colors")
+    m = max(2, int(np.ceil(np.log2(max(len(pal), 2)))))
+    tbl_bits = max(1, m)  # color table size field: 2 << bits-1 entries
+    n_entries = 2 << (tbl_bits - 1)
+    while n_entries < len(pal):
+        tbl_bits += 1
+        n_entries = 2 << (tbl_bits - 1)
+    m = max(2, tbl_bits)
+    padded = np.zeros((n_entries, 3), np.uint8)
+    padded[:len(pal)] = pal
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (tbl_bits - 1), 0, 0)
+    out += padded.tobytes()
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)
+    out.append(m)
+    clear, end = 1 << m, (1 << m) + 1
+    code_size = m + 1
+    acc = bytearray()
+    buf = 0
+    nbuf = 0
+
+    def emit(code: int) -> None:
+        nonlocal buf, nbuf
+        buf |= code << nbuf
+        nbuf += code_size
+        while nbuf >= 8:
+            acc.append(buf & 0xFF)
+            buf >>= 8
+            nbuf -= 8
+
+    emit(clear)
+    run = 0
+    for v in idx:
+        if run == (1 << m) - 2:
+            emit(clear)
+            run = 0
+        emit(int(v))
+        run += 1
+    emit(end)
+    if nbuf:
+        acc.append(buf & 0xFF)
+    for i in range(0, len(acc), 255):
+        chunk = acc[i:i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)

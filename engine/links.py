@@ -604,3 +604,162 @@ def extract_sitemap(ds: "ray.data.Dataset", url_col: str = "url",
         ])
 
     return ds.map_batches(run, batch_format="pyarrow")
+
+
+_REFRESH_SCHEMA = pa.schema([("src", pa.string()), ("delay", pa.int64()),
+                             ("dst", pa.string())])
+
+
+def _meta_refresh_from_batch(t: pa.Table, url_col: str,
+                             html_col: str) -> pa.Table:
+    if t.num_rows == 0:
+        return _REFRESH_SCHEMA.empty_table()
+    html = t[html_col]
+    if isinstance(html, pa.ChunkedArray):
+        html = html.combine_chunks()
+    # first refresh directive per page (extract_regex = first RE2 match,
+    # same as the DuckDB twin's regexp_extract)
+    content = pc.struct_field(pc.extract_regex(
+        html,
+        pattern=r'(?i)<meta[^>]*http-equiv="refresh"[^>]*'
+                r'content="(?P<c>[^"]*)"'), "c")
+    delay = pc.struct_field(pc.extract_regex(
+        content, pattern=r"^\s*(?P<d>[0-9]+)"), "d")
+    target = pc.struct_field(pc.extract_regex(
+        content, pattern=r"(?i);\s*url\s*=\s*(?P<u>.*?)\s*$"), "u")
+    keep = np.asarray(
+        pc.and_(pc.is_valid(target),
+                pc.not_equal(pc.fill_null(target, ""), ""))
+        .to_numpy(zero_copy_only=False), dtype=bool)
+    idx = np.flatnonzero(keep)
+    if len(idx) == 0:
+        return _REFRESH_SCHEMA.empty_table()
+    sel = pa.array(idx)
+    src_col = t[url_col]
+    if isinstance(src_col, pa.ChunkedArray):
+        src_col = src_col.combine_chunks()
+    src = src_col.take(sel)
+    dst = _resolve_refs(src, target.take(sel))
+    return pa.table({"src": src,
+                     "delay": pc.cast(delay.take(sel), pa.int64()),
+                     "dst": dst})
+
+
+def extract_meta_refresh(ds: "ray.data.Dataset", url_col: str = "url",
+                         html_col: str = "html") -> "ray.data.Dataset":
+    """(src, delay, dst) from ``<meta http-equiv="refresh"
+    content="N; url=TARGET">`` directives — the soft-redirect channel a
+    crawl pipeline must fold into its redirect graph alongside HTTP 3xx
+    (compose with :func:`engine.graph.resolve_redirects`). One RE2
+    extraction pass per page, map-side only, narrow edge output.
+
+    Semantics (RE2-twin, SQL-checkable): the FIRST refresh directive per
+    page wins; ``content`` must be double-quoted; the target is everything
+    after a case-insensitive ``;url=`` with surrounding whitespace
+    trimmed; directives with no target (pure reload timers, e.g.
+    ``content="300"``) are dropped; targets resolve against the page URL
+    with the outlink resolver rules (absolute / protocol-relative /
+    root-relative / directory join, fragment stripped). ``delay`` is the
+    leading integer of ``content`` (null if malformed)."""
+    return ds.map_batches(
+        lambda t: _meta_refresh_from_batch(t, url_col, html_col),
+        batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# RSS / Atom feed extraction — the other frontier feeder next to sitemaps:
+# feeds carry fresh-content URLs plus editorial titles/timestamps, the
+# recrawl-scheduling signal a crawl pipeline mines before fetching pages.
+# ---------------------------------------------------------------------------
+
+_FEED_SCHEMA = pa.schema([
+    ("src", pa.string()), ("kind", pa.string()), ("pos", pa.int64()),
+    ("title", pa.string()), ("link", pa.string()),
+    ("published", pa.string()),
+])
+_TITLE_RE = r"(?s)<title>\s*(?P<v>[^<]*?)\s*</title>"
+_RSS_LINK_RE = r"(?s)<link>\s*(?P<v>[^<]*?)\s*</link>"
+_ATOM_LINK_RE = r'(?s)<link[^>]*href="(?P<v>[^"]*)"'
+_PUBDATE_RE = r"(?s)<pubDate>\s*(?P<v>[^<]*?)\s*</pubDate>"
+_UPDATED_RE = r"(?s)<updated>\s*(?P<v>[^<]*?)\s*</updated>"
+
+
+def _feed_entries(t: pa.Table, url_col: str, xml_col: str, tag: str,
+                  kind: str, link_re: str, pub_re: str) -> pa.Table:
+    """Same one-literal-split block scan as :func:`_sitemap_entries`, over
+    ``<item>`` (RSS 2.0) or ``<entry>`` (Atom) blocks: title and published
+    are trimmed element texts (null when absent/empty); the link is the
+    element text (RSS) or the first ``href`` attribute (Atom); items
+    without a link drop. pos is the 1-based ordinal among the row's KEPT
+    items."""
+    empty = _FEED_SCHEMA.empty_table()
+    if t.num_rows == 0:
+        return empty
+    xml = pc.fill_null(pc.cast(t[xml_col], pa.string()), "")
+    parts = pc.split_pattern(xml, pattern=f"<{tag}>")
+    if isinstance(parts, pa.ChunkedArray):
+        parts = parts.combine_chunks()
+    flat = parts.flatten()
+    counts = np.asarray(pc.list_value_length(parts)
+                        .to_numpy(zero_copy_only=False), dtype=np.int64)
+    starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
+    is_tail = np.ones(len(flat), dtype=bool)
+    is_tail[starts[counts > 0]] = False
+    closed = pc.not_equal(pc.find_substring(flat, f"</{tag}>"), -1) \
+        .to_numpy(zero_copy_only=False)
+    cand = is_tail & np.asarray(closed, dtype=bool)
+    if not cand.any():
+        return empty
+    rows_all = np.repeat(np.arange(t.num_rows, dtype=np.int64), counts)
+    sel = np.flatnonzero(cand)
+    block = pc.replace_substring_regex(
+        flat.take(pa.array(sel)), pattern=f"(?s)</{tag}>.*$",
+        replacement="")
+    link = pc.struct_field(pc.extract_regex(block, pattern=link_re), "v")
+    title = pc.struct_field(pc.extract_regex(block, pattern=_TITLE_RE), "v")
+    pub = pc.struct_field(pc.extract_regex(block, pattern=pub_re), "v")
+    title = pc.if_else(pc.equal(pc.fill_null(title, ""), ""),
+                       pa.scalar(None, type=pa.string()), title)
+    pub = pc.if_else(pc.equal(pc.fill_null(pub, ""), ""),
+                     pa.scalar(None, type=pa.string()), pub)
+    ok = (pc.is_valid(link).to_numpy(zero_copy_only=False)
+          & (pc.utf8_length(pc.fill_null(link, ""))
+             .to_numpy(zero_copy_only=False) > 0))
+    if not ok.any():
+        return empty
+    rows = rows_all[sel][ok]
+    pos = np.arange(len(rows), dtype=np.int64) + 1
+    row_first = np.concatenate(([True], rows[1:] != rows[:-1]))
+    pos = pos - np.maximum.accumulate(np.where(row_first, pos - 1, 0))
+    src_col = t[url_col]
+    if isinstance(src_col, pa.ChunkedArray):
+        src_col = src_col.combine_chunks()
+    oki = pa.array(np.flatnonzero(ok))
+    return pa.table({
+        "src": src_col.take(pa.array(rows)),
+        "kind": pa.array(np.full(len(rows), kind, dtype=object),
+                         type=pa.string()),
+        "pos": pa.array(pos, type=pa.int64()),
+        "title": pc.cast(title.take(oki), pa.string()),
+        "link": pc.cast(link.take(oki), pa.string()),
+        "published": pc.cast(pub.take(oki), pa.string()),
+    })
+
+
+def extract_feed(ds: "ray.data.Dataset", url_col: str = "url",
+                 xml_col: str = "xml") -> "ray.data.Dataset":
+    """(src, kind, pos, title, link, published) from RSS 2.0 ``<item>``
+    and Atom ``<entry>`` blocks in one map-side pass (kind ∈ rss|atom; a
+    document can contribute both). Items without a link drop; empty
+    title/published normalize to null. Map-side only, narrow output —
+    compose with snapshot_delta on (link, published) for recrawl
+    candidates, exactly like the sitemap feeder."""
+    def run(t: pa.Table) -> pa.Table:
+        return pa.concat_tables([
+            _feed_entries(t, url_col, xml_col, "item", "rss",
+                          _RSS_LINK_RE, _PUBDATE_RE),
+            _feed_entries(t, url_col, xml_col, "entry", "atom",
+                          _ATOM_LINK_RE, _UPDATED_RE),
+        ])
+
+    return ds.map_batches(run, batch_format="pyarrow")

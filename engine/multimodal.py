@@ -1,6 +1,6 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
-Image decode is REAL for PNG / BMP / PPM — stdlib zlib + numpy
+Image decode is REAL for PNG / BMP / PPM / GIF — stdlib zlib/LZW + numpy
 (engine/imagecodec.py), no external codec needed, verified pixel-exact by
 round-trip tests and a DuckDB-oracled query. Compressed formats (JPEG/
 WebP) and audio remain DEPLOYMENT-GATED: pillow / soundfile are used when
@@ -78,7 +78,7 @@ def _pseudo_bytes(seed: int, n: int) -> np.ndarray:
 def _decode_image(payload: bytes) -> np.ndarray:
     """payload → HxWx3 uint8.
 
-    PNG / BMP / PPM / baseline-JPEG payloads (magic-byte routed) decode
+    PNG / BMP / PPM / GIF / baseline-JPEG payloads (magic-byte routed) decode
     through the REAL stdlib codecs in engine/imagecodec.py and
     engine/jpegcodec.py — no external library needed. Everything else
     uses pillow when installed (progressive JPEG/WebP/…, the deployment
@@ -88,12 +88,16 @@ def _decode_image(payload: bytes) -> np.ndarray:
     Raises on empty/undecodable payload like a real decoder."""
     if not payload:
         raise MediaDecodeError("empty image payload")
-    if payload[:8] == _imagecodec.PNG_SIG or payload[:2] in (b"BM", b"P6"):
+    if (payload[:8] == _imagecodec.PNG_SIG
+            or payload[:2] in (b"BM", b"P6")
+            or payload[:6] in _imagecodec.GIF_SIGS):
         try:
             if payload[:2] == b"BM":
                 return _imagecodec.decode_bmp(payload)
             if payload[:2] == b"P6":
                 return _imagecodec.decode_ppm(payload)
+            if payload[:6] in _imagecodec.GIF_SIGS:
+                return _imagecodec.decode_gif(payload)
             return _imagecodec.decode_png(payload)
         except ValueError as exc:
             raise MediaDecodeError(f"image decode failed: {exc}") from exc

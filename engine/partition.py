@@ -205,6 +205,54 @@ def stable_split(ds: "ray.data.Dataset", id_col: str = "doc_id",
     )
 
 
+def cluster_split(docs: "ray.data.Dataset", edges: "ray.data.Dataset",
+                  id_col: str = "doc_id", src: str = "src",
+                  dst: str = "dst", train_pct: int = 80, val_pct: int = 10,
+                  salt: str = "split",
+                  num_buckets: int = 32) -> "ray.data.Dataset":
+    """Leakage-safe train/val/test split: every near-duplicate cluster
+    (a connected component of the pair graph ``edges`` — MinHash/SemDeDup
+    candidate output) lands in ONE split, so held-out data never contains
+    a near-copy of a training row. This is the dedup-aware split step a
+    training pipeline runs after candidate mining; splitting by raw
+    doc_id (:func:`stable_split`) leaks n-gram overlap across the fence.
+
+    Plan: :func:`engine.graph.connected_components` labels the pair graph
+    (size-gated driver union-find / distributed min-label propagation);
+    labels LEFT-join onto the id column of the corpus via the narrow
+    partitioned hash_join (edge-touched docs are usually a minority, but
+    no broadcast-size assumption); unlabeled docs are their own cluster
+    (component = own id); then the :func:`stable_split_batch` md5
+    discipline keyed on the CLUSTER id — membership is a pure function of
+    (salt, cluster), so reruns never migrate a cluster and corpus growth
+    never moves an existing one. Output: (doc_id, cluster, split).
+    """
+    from engine.graph import connected_components
+    from engine.joins import hash_join
+
+    labels = connected_components(edges, src=src, dst=dst,
+                                  num_buckets=num_buckets) \
+        .map_batches(
+            lambda t: pa.table({id_col: t["node"], "cluster": t["component"]}),
+            batch_format="pyarrow") \
+        .materialize()  # hash_join reads schemas up front (CLAUDE.md)
+
+    ids = docs.map_batches(lambda t: t.select([id_col]),
+                           batch_format="pyarrow")
+    joined = hash_join(ids, labels, on=id_col, how="left",
+                       num_buckets=num_buckets)
+
+    def assign(t: pa.Table) -> pa.Table:
+        cluster = pc.coalesce(t["cluster"], pc.cast(t[id_col], pa.int64()))
+        keyed = pa.table({id_col: t[id_col], "cluster": cluster})
+        out = stable_split_batch(keyed, id_col="cluster",
+                                 train_pct=train_pct, val_pct=val_pct,
+                                 salt=salt)
+        return out.select([id_col, "cluster", "split"])
+
+    return joined.map_batches(assign, batch_format="pyarrow")
+
+
 def cap_per_key(ds: "ray.data.Dataset", key_col: str, k: int,
                 id_col: str = "doc_id", salt: str = "cap",
                 num_buckets: int = DEFAULT_BUCKETS) -> "ray.data.Dataset":

@@ -1636,6 +1636,147 @@ def q_strip_lines(sf_dir: str):
     return strip_repeated_lines(planted, max_occurrences=2)
 
 
+def q_dedup_paragraphs(sf_dir: str):
+    """Keep-first exact paragraph dedup (engine.textstats.
+    dedup_paragraphs — RefinedWeb §4.2 semantics) over the same planted
+    multi-line docs as strip_lines: the corpus-wide header/footer survive
+    only in the minimum doc, each 'sec k' line only in the first doc of
+    its residue class, each 'pair k' line only in the even doc of its
+    pair, 'uniq d' everywhere. DuckDB twin: min composite key per
+    paragraph, decoded back to (doc_id, pos) and re-agged in order."""
+    from engine.textstats import dedup_paragraphs
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        d = t["doc_id"]
+        ds_ = pc.cast(d, pa.string())
+        m7 = pc.cast(pc.subtract(d, pc.multiply(pc.divide(d, 7), 7)),
+                     pa.string())
+        half = pc.cast(pc.divide(d, 2), pa.string())
+        text = pc.binary_join_element_wise(
+            "shared header",
+            pc.binary_join_element_wise("sec ", m7, ""),
+            pc.binary_join_element_wise("uniq ", ds_, ""),
+            pc.binary_join_element_wise("pair ", half, ""),
+            "shared footer",
+            "\n")
+        return pa.table({"doc_id": d, "text": text})
+
+    planted = docs.map_batches(plant, batch_format="pyarrow")
+    return dedup_paragraphs(planted)
+
+
+def q_cluster_split(sf_dir: str):
+    """Leakage-safe train/val/test split (engine.partition.cluster_split):
+    planted near-dup chains (d, d+1) for d % 10 != 9 group documents into
+    ten-blocks; each block shares ONE split drawn from
+    md5('split:'||cluster). DuckDB twin: cluster = min(doc_id) OVER
+    (PARTITION BY doc_id // 10) — the chain structure in closed form
+    (propagation itself is pinned by q_components' recursive twin) — plus
+    the stable_split md5 bucket expression on the cluster id."""
+    from engine.partition import cluster_split
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def mk_edges(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = d[d % 10 != 9]
+        return pa.table({"src": d, "dst": d + 1})
+
+    edges = docs.map_batches(mk_edges, batch_format="pyarrow")
+    return cluster_split(docs, edges)
+
+
+def q_meta_refresh(sf_dir: str):
+    """Meta-refresh soft-redirect extraction (engine.links.
+    extract_meta_refresh) over planted pages: d%4 = 0 absolute target,
+    1 root-relative with uppercase URL=, 2 directory-relative with a
+    fragment to strip, 3 a delay-only timer (d%8==3) or no directive —
+    both dropped. DuckDB twin: the same RE2 extraction + CASE resolver
+    as the outlinks oracle."""
+    from engine.links import extract_meta_refresh
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        d = t["doc_id"]
+        sd = pc.cast(d, pa.string())
+        m7 = pc.cast(_mod_i64(d, 7), pa.string())
+        m3 = pc.cast(_mod_i64(d, 3), pa.string())
+        url = pc.binary_join_element_wise(
+            "https://ex", m7, ".com/d", m3, "/p", sd, "")
+        j7 = pc.cast(_mod_i64(pc.add(d, 1), 7), pa.string())
+        c0 = pc.binary_join_element_wise(
+            '<meta http-equiv="refresh" content="0; url=https://ex',
+            j7, '.com/home">', "")
+        c1 = pc.binary_join_element_wise(
+            '<meta http-equiv="refresh" content="5;URL=/next', sd, '">',
+            "")
+        c2 = pc.binary_join_element_wise(
+            '<meta http-equiv="refresh" content="2; url=go', sd,
+            '.html#frag">', "")
+        c3 = pc.if_else(
+            pc.equal(_mod_i64(d, 8), 3),
+            pa.scalar('<meta http-equiv="refresh" content="300">'),
+            pa.scalar(""))
+        m4 = _mod_i64(d, 4)
+        meta = pc.if_else(
+            pc.equal(m4, 0), c0,
+            pc.if_else(pc.equal(m4, 1), c1,
+                       pc.if_else(pc.equal(m4, 2), c2, c3)))
+        html = pc.binary_join_element_wise(
+            "<html><head><title>t</title>", meta,
+            "</head><body>x</body></html>", "")
+        return pa.table({"url": url, "html": html})
+
+    planted = docs.map_batches(plant, batch_format="pyarrow")
+    return extract_meta_refresh(planted)
+
+
+def q_feed(sf_dir: str):
+    """RSS/Atom feed extraction (engine.links.extract_feed) over planted
+    feeds: d%3==0 an RSS channel (one full item, one linkless item that
+    drops, one empty-title item), d%3==1 an Atom feed (one full entry,
+    one link-only entry), d%3==2 not a feed. DuckDB twin: the sitemap
+    oracle's block regexp_extract_all + LATERAL renumbering."""
+    from engine.links import extract_feed
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        d = t["doc_id"]
+        sd = pc.cast(d, pa.string())
+        m = pc.cast(_mod_i64(d, 10), pa.string())
+        day = pc.cast(pc.add(_mod_i64(d, 9), 1), pa.string())
+        url = pc.binary_join_element_wise(
+            "https://h", m, "/feed", sd, ".xml", "")
+        rss = pc.binary_join_element_wise(
+            "<rss><channel><title>chan</title><link>https://h", m,
+            "/</link>",
+            "<item><title>T", sd, "a</title><link> https://h", m, "/a", sd,
+            " </link><pubDate>2024-01-", day, "</pubDate></item>",
+            "<item><title>orphan</title></item>",
+            "<item><title></title><link>https://h", m, "/b", sd,
+            "</link></item>",
+            "</channel></rss>", "")
+        atom = pc.binary_join_element_wise(
+            "<feed><title>f</title><entry><title>A", sd,
+            '</title><link rel="alternate" href="https://h', m, "/e", sd,
+            '"/><updated>2024-02-', day, "</updated></entry>",
+            '<entry><link href="https://h', m, "/f", sd, '"/></entry>',
+            "</feed>", "")
+        m3 = _mod_i64(d, 3)
+        xml = pc.if_else(
+            pc.equal(m3, 0), rss,
+            pc.if_else(pc.equal(m3, 1), atom,
+                       pa.scalar("<html><body>not a feed</body></html>")))
+        return pa.table({"url": url, "xml": xml})
+
+    planted = docs.map_batches(plant, batch_format="pyarrow")
+    return extract_feed(planted)
+
+
 def q_window_dedup(sf_dir: str):
     """Exact 3-token-window duplicate stats (engine.textstats.
     window_dup_stats — the window-hash form of Lee et al. 2022 exact
@@ -3412,6 +3553,10 @@ def q_dsir_weights(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 QUERIES = {
+    "dedup_paragraphs": q_dedup_paragraphs,
+    "cluster_split": q_cluster_split,
+    "meta_refresh": q_meta_refresh,
+    "feed": q_feed,
     "window_dedup": q_window_dedup,
     "cut_dup_windows": q_cut_dup_windows,
     "fim_split": q_fim_split,

@@ -961,6 +961,67 @@ def strip_repeated_spans(ds: "ray.data.Dataset", text_col: str = "text",
                                cols=[id_col, "pos", "sent"])
 
 
+def dedup_paragraphs(ds: "ray.data.Dataset", text_col: str = "text",
+                     id_col: str = "doc_id", sep: str = "\n",
+                     num_buckets: int = 32) -> "ray.data.Dataset":
+    """RefinedWeb-style exact paragraph dedup with KEEP-FIRST semantics
+    (Penedo et al. 2023 §4.2, "exact substring/paragraph deduplication"):
+    every distinct paragraph survives only at its globally FIRST
+    occurrence in (doc_id, position) order; later copies are dropped and
+    documents reassemble from their surviving paragraphs in order.
+    Documents whose every paragraph appeared earlier vanish. Differs from
+    :func:`strip_repeated_lines` (C4): a hot line is not removed
+    everywhere — its first copy stays, so corpus content is preserved
+    exactly once.
+
+    Plan: ONE narrow exchange total. Paragraphs explode map-side with the
+    composite int64 key ``doc_id * 2^20 + pos`` (a strict global order; id
+    and pos ranges guarded like span dedup); a per-block Acero min
+    pre-agg collapses same-block repeats before the wire; one
+    ``groupby(para).Min(key)`` picks each paragraph's winner — and since
+    the winning key ENCODES the surviving row, (doc_id, pos) is decoded
+    straight off the aggregate with no join back against the exploded
+    table. Reassembly is the :func:`engine.joins.bucketed_map_groups`
+    bucket discipline (ordered C-level join per doc). Exchange volume:
+    one (para, key) row per distinct paragraph per block; documents never
+    cross the wire.
+    """
+    from ray.data.aggregate import Min
+
+    from engine.joins import bucketed_map_groups
+
+    def explode_keyed(t: pa.Table) -> pa.Table:
+        t = _explode_table(t, text_col, id_col, sep, out_pos="pos",
+                           out_val="para", max_positions=MAX_SENT_POS)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids) and (ids.max() >= (1 << 43) or ids.min() < 0):
+            raise ValueError(
+                "doc ids must be in [0, 2^43) for paragraph dedup")
+        key = ids * MAX_SENT_POS + \
+            t["pos"].to_numpy(zero_copy_only=False).astype(np.int64)
+        local = pa.table({"para": t["para"], "k": key}) \
+            .group_by(["para"]).aggregate([("k", "min")])
+        return local.rename_columns(["para", "k"])
+
+    winners = ds.map_batches(explode_keyed, batch_format="pyarrow") \
+        .groupby("para").aggregate(Min("k", alias_name="k"))
+
+    def decode(t: pa.Table) -> pa.Table:
+        k = t["k"].to_numpy(zero_copy_only=False)
+        return pa.table({id_col: (k // MAX_SENT_POS).astype(np.int64),
+                         "pos": (k % MAX_SENT_POS).astype(np.int64),
+                         "para": t["para"]})
+
+    kept = winners.map_batches(decode, batch_format="pyarrow")
+
+    def per_bucket(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values([id_col, "pos"], kind="mergesort")
+        agg = g.groupby(id_col, sort=False)["para"].agg(sep.join)
+        return agg.rename(text_col).reset_index()
+
+    return bucketed_map_groups(kept, id_col, per_bucket, num_buckets)
+
+
 def _dup_window_occ(ds: "ray.data.Dataset", k: int, text_col: str,
                     id_col: str, min_count: int,
                     num_buckets: int) -> "ray.data.Dataset":

@@ -131,3 +131,73 @@ def test_truncated_png_raises_valueerror_not_struct_error():
     for cut in (12, 20, 29, len(png) - 2):
         with pytest.raises(ValueError):
             decode_png(png[:cut])
+
+
+def test_gif_roundtrip():
+    from engine.imagecodec import decode_gif, encode_gif
+
+    for shape in [(1, 1), (7, 5), (16, 16), (13, 31)]:
+        img = (RNG.randint(0, 6, (*shape, 3)) * 43).astype(np.uint8)
+        out = decode_gif(encode_gif(img))
+        assert out.shape == img.shape and (out == img).all()
+
+
+def test_gif_256_color_roundtrip():
+    from engine.imagecodec import decode_gif, encode_gif
+
+    # exactly 256 distinct gray levels -> full 8-bit palette
+    v = np.arange(256, dtype=np.uint8).reshape(16, 16)
+    img = np.stack([v, v, v], axis=2)
+    assert (decode_gif(encode_gif(img)) == img).all()
+    with pytest.raises(ValueError):
+        i = np.arange(289)
+        img2 = np.stack([(i % 256).astype(np.uint8),
+                         (i // 256).astype(np.uint8),
+                         np.zeros(289, np.uint8)], axis=1).reshape(17, 17, 3)
+        encode_gif(img2)  # 289 distinct colors
+
+
+def test_gif_lzw_dictionary_codes():
+    from engine.imagecodec import decode_gif
+
+    # hand-built stream exercising the code==len(table) LZW branch:
+    # m=2, codes [clear=4, 0, 6, end=5] at 3 bits -> pixels [0, 0, 0]
+    data = bytes([4 | (0 << 3) | (6 << 6) & 0xFF, (6 << 6 | 5 << 9) >> 8])
+    gif = (b"GIF89a"
+           + b"\x03\x00\x01\x00"       # 3x1 screen
+           + bytes([0x80, 0, 0])       # GCT, 2 entries
+           + bytes([10, 20, 30, 40, 50, 60])
+           + b"\x2c" + b"\x00\x00\x00\x00" + b"\x03\x00\x01\x00" + b"\x00"
+           + bytes([2])                # LZW min code size
+           + bytes([len(data)]) + data + b"\x00\x3b")
+    out = decode_gif(gif)
+    assert out.shape == (1, 3, 3)
+    assert (out == np.array([[[10, 20, 30]] * 3], np.uint8)).all()
+
+
+def test_gif_error_paths():
+    from engine.imagecodec import decode_gif, encode_gif
+
+    with pytest.raises(ValueError):
+        decode_gif(b"GIF89a")                    # truncated
+    with pytest.raises(ValueError):
+        decode_gif(b"NOTGIF" + b"\x00" * 20)     # bad signature
+    good = encode_gif(np.zeros((4, 4, 3), np.uint8))
+    with pytest.raises(ValueError):
+        decode_gif(good[:len(good) - 6])         # LZW stream cut short
+    # interlace flag rejected
+    bad = bytearray(good)
+    # image descriptor packed byte: after 6+7 header+lsd, GCT(6? no:
+    # find 0x2C) — locate the descriptor and set the interlace bit
+    i = bad.index(0x2C, 6)
+    bad[i + 9] |= 0x40
+    with pytest.raises(ValueError):
+        decode_gif(bytes(bad))
+
+
+def test_decode_image_routes_gif():
+    from engine.imagecodec import encode_gif
+    from engine.multimodal import _decode_image
+
+    img = (RNG.randint(0, 4, (6, 6, 3)) * 80).astype(np.uint8)
+    assert (_decode_image(encode_gif(img)) == img).all()

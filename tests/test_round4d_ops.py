@@ -1,0 +1,133 @@
+"""Round-4d operator tests: keep-first paragraph dedup and the other
+late-round-4 additions."""
+
+import pandas as pd
+import pyarrow as pa
+
+
+def _keep_first_ref(df: pd.DataFrame, sep: str = "\n") -> dict:
+    """Sequential oracle: global (doc_id, pos) order, first copy wins."""
+    seen: set = set()
+    ref: dict = {}
+    for i, t in sorted(zip(df["doc_id"], df["text"])):
+        kept = [p for p in t.split(sep)
+                if p not in seen and not seen.add(p)]
+        if kept:
+            ref[i] = sep.join(kept)
+    return ref
+
+
+def test_dedup_paragraphs_keep_first(ray_session):
+    import ray.data as rd
+
+    from engine.textstats import dedup_paragraphs
+
+    df = pd.DataFrame({
+        "doc_id": [3, 1, 7, 9],
+        "text": ["h\nu0\nx", "h\nu1\nx", "u2\nh", "x"],
+    })
+    out = dedup_paragraphs(rd.from_pandas(df).repartition(3)) \
+        .to_pandas().set_index("doc_id")["text"]
+    ref = _keep_first_ref(df)
+    assert dict(out) == ref
+    assert 9 not in ref  # all-duplicate doc vanishes
+    assert ref[3] == "u0" and ref[1] == "h\nu1\nx" and ref[7] == "u2"
+
+
+def test_cluster_split_colocates_components(ray_session):
+    import ray.data as rd
+
+    from engine.partition import cluster_split, stable_split_batch
+
+    docs = rd.from_arrow(pa.table({"doc_id": list(range(12))}))
+    # components: {0,1,2}, {3,4}, singletons 5..11 except edge 10-11
+    edges = rd.from_arrow(pa.table({"src": [0, 1, 3, 10],
+                                    "dst": [1, 2, 4, 11]}))
+    out = cluster_split(docs, edges).to_pandas() \
+        .set_index("doc_id").sort_index()
+    assert list(out["cluster"]) == [0, 0, 0, 3, 3, 5, 6, 7, 8, 9, 10, 10]
+    # one split per cluster, and it equals the stable_split of the label
+    for cl, grp in out.groupby("cluster"):
+        assert grp["split"].nunique() == 1
+        ref = stable_split_batch(
+            pa.table({"cluster": [cl]}), id_col="cluster")
+        assert grp["split"].iloc[0] == ref["split"][0].as_py()
+
+
+def test_meta_refresh_shapes(ray_session):
+    import ray.data as rd
+
+    from engine.links import extract_meta_refresh
+
+    pages = pa.table({
+        "url": ["https://a.com/d/p1", "https://a.com/d/p2",
+                "https://b.com/p3", "https://b.com/p4",
+                "https://b.com/p5", "https://b.com/p6"],
+        "html": [
+            '<head><meta http-equiv="refresh" content="0; url=https://x.com/t"></head>',
+            '<head><META HTTP-EQUIV="refresh" CONTENT="5;URL=/root"></head>',
+            '<head><meta http-equiv="refresh" content="2 ; url = rel.html#frag "></head>',
+            '<head><meta http-equiv="refresh" content="300"></head>',
+            '<head><title>no refresh</title></head>',
+            '<head><meta http-equiv="refresh" content="1;url=//cdn.c/x"></head>',
+        ],
+    })
+    out = extract_meta_refresh(rd.from_arrow(pages)).to_pandas() \
+        .set_index("src").sort_index()
+    assert len(out) == 4
+    assert out.loc["https://a.com/d/p1", "dst"] == "https://x.com/t"
+    assert out.loc["https://a.com/d/p1", "delay"] == 0
+    assert out.loc["https://a.com/d/p2", "dst"] == "https://a.com/root"
+    assert out.loc["https://b.com/p3", "dst"] == "https://b.com/rel.html"
+    assert out.loc["https://b.com/p3", "delay"] == 2
+    assert out.loc["https://b.com/p6", "dst"] == "https://cdn.c/x"
+
+
+def test_extract_feed_rss_and_atom(ray_session):
+    import ray.data as rd
+
+    from engine.links import extract_feed
+
+    rss = ("<rss><channel><title>chan</title><link>https://c/</link>"
+           "<item><title> T1 </title><link> https://c/a1 </link>"
+           "<pubDate>2024-01-02</pubDate></item>"
+           "<item><title>orphan</title></item>"
+           "<item><title></title><link>https://c/a2</link></item>"
+           "</channel></rss>")
+    atom = ('<feed><title>f</title>'
+            '<entry><title>A1</title>'
+            '<link rel="alternate" href="https://d/e1"/>'
+            '<updated>2024-02-03</updated></entry>'
+            '<entry><link href="https://d/e2"/></entry></feed>')
+    ds = rd.from_arrow(pa.table({
+        "url": ["https://c/feed", "https://d/atom", "https://e/junk"],
+        "xml": [rss, atom, "<html>no feed</html>"],
+    }))
+    out = extract_feed(ds).to_pandas() \
+        .sort_values(["src", "kind", "pos"]).reset_index(drop=True)
+    rows = list(out.itertuples(index=False, name=None))
+    assert rows == [
+        ("https://c/feed", "rss", 1, "T1", "https://c/a1", "2024-01-02"),
+        ("https://c/feed", "rss", 2, None, "https://c/a2", None),
+        ("https://d/atom", "atom", 1, "A1", "https://d/e1", "2024-02-03"),
+        ("https://d/atom", "atom", 2, None, "https://d/e2", None),
+    ]
+
+
+def test_dedup_paragraphs_matches_bruteforce(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from engine.textstats import dedup_paragraphs
+
+    rng = np.random.RandomState(7)
+    docs = []
+    for i in range(80):
+        lines = [f"shared {rng.randint(0, 25)}" for _ in range(3)]
+        if rng.rand() < 0.7:
+            lines.insert(rng.randint(0, 4), f"uniq {i}")
+        docs.append("\n".join(lines))
+    df = pd.DataFrame({"doc_id": range(80), "text": docs})
+    out = dedup_paragraphs(rd.from_pandas(df).repartition(7)) \
+        .to_pandas().set_index("doc_id")["text"]
+    assert dict(out) == _keep_first_ref(df)

@@ -3557,6 +3557,11 @@ QUERIES = {
     "cluster_split": q_cluster_split,
     "meta_refresh": q_meta_refresh,
     "feed": q_feed,
+    # flagship roundtrips stay inside the 50-entry driver gate: the
+    # extraction kernels they pin changed this round (charset sniffing,
+    # AESV2/V3 PDF decryption, JPEG + GIF codecs)
+    "extract_roundtrip": q_extract_roundtrip,
+    "pdf_roundtrip": q_pdf_roundtrip,
     "window_dedup": q_window_dedup,
     "cut_dup_windows": q_cut_dup_windows,
     "fim_split": q_fim_split,
@@ -3605,8 +3610,6 @@ QUERIES = {
     "global_shuffle": q_global_shuffle,
     "quantile_sketch": q_quantile_sketch,
     "group_quantile_sketch": q_group_quantile_sketch,
-    "extract_roundtrip": q_extract_roundtrip,
-    "pdf_roundtrip": q_pdf_roundtrip,
     "doc_repetition": q_doc_repetition,
     "domain_counts": q_domain_counts,
     "bloom_semi_join": q_bloom_semi_join,

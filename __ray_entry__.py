@@ -1302,6 +1302,60 @@ base AS (SELECT doc_id, len(t) AS n_tok FROM toks)
 SELECT b.doc_id, coalesce(a.text, '') AS text,
        CAST(b.n_tok - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed_tokens
 FROM base b LEFT JOIN agg a USING (doc_id)""",
+        "hreflang": r"""
+WITH pages AS (
+  SELECT 'https://ex' || CAST(doc_id % 7 AS VARCHAR) || '.com/d' ||
+         CAST(doc_id % 3 AS VARCHAR) || '/p' || CAST(doc_id AS VARCHAR)
+           AS url,
+         '<html><head>' ||
+         CASE
+           WHEN doc_id % 4 = 0 THEN
+             '<link rel="alternate" hreflang="es" href="https://es.ex' ||
+             CAST(doc_id % 7 AS VARCHAR) || '.com/p' ||
+             CAST(doc_id AS VARCHAR) || '">' ||
+             '<link hreflang="fr" href="/fr/p' || CAST(doc_id AS VARCHAR)
+             || '" rel="alternate">'
+           WHEN doc_id % 4 = 1 THEN
+             '<link rel="alternate" href="de/p' || CAST(doc_id AS VARCHAR)
+             || '" hreflang="de">'
+           WHEN doc_id % 4 = 2 THEN '<link rel="stylesheet" href="/s.css">'
+           ELSE '' END ||
+         '</head><body>x</body></html>' AS html
+  FROM documents),
+tags AS (
+  SELECT url AS src, regexp_extract_all(html, '<link([^>]*)>', 1) AS tl
+  FROM pages),
+e AS (
+  SELECT src, t.i AS bidx, tl[t.i] AS tag
+  FROM tags, LATERAL (SELECT unnest(generate_series(1, len(tl))) AS i) t),
+x AS (
+  SELECT src, bidx,
+         regexp_extract(tag, 'hreflang="([^"]*)"', 1) AS hreflang,
+         regexp_extract(tag, 'href="([^"]*)"', 1) AS h
+  FROM e WHERE tag LIKE '%rel="alternate"%')
+SELECT src,
+       row_number() OVER (PARTITION BY src ORDER BY bidx) AS pos,
+       hreflang,
+       regexp_replace(
+         CASE
+           WHEN h LIKE 'http://%' OR h LIKE 'https://%' THEN h
+           WHEN h LIKE '//%'
+             THEN regexp_extract(src, '^(https?):', 1) || ':' || h
+           WHEN h LIKE '/%'
+             THEN regexp_extract(src, '^(https?://[^/]+)', 1) || h
+           ELSE regexp_extract(src, '^(.*/)', 1) || h
+         END, '#.*$', '') AS href
+FROM x WHERE hreflang <> '' AND h <> ''""",
+        "domain_prior": """
+WITH rows_ AS (
+  SELECT doc_id, 'd' || CAST(doc_id % 20 AS VARCHAR) AS domain,
+         CAST(length(text) AS BIGINT) AS nchars
+  FROM documents)
+SELECT doc_id, domain, nchars,
+       CAST(sum(nchars) OVER (PARTITION BY domain) AS BIGINT)
+         AS domain_sum,
+       CAST(count(*) OVER (PARTITION BY domain) AS BIGINT) AS domain_n
+FROM rows_""",
         "feed": r"""
 WITH p AS (
   SELECT doc_id, doc_id % 10 AS m, doc_id % 9 + 1 AS day,

@@ -763,3 +763,79 @@ def extract_feed(ds: "ray.data.Dataset", url_col: str = "url",
         ])
 
     return ds.map_batches(run, batch_format="pyarrow")
+
+
+_HREFLANG_SCHEMA = pa.schema([
+    ("src", pa.string()), ("pos", pa.int64()),
+    ("hreflang", pa.string()), ("href", pa.string()),
+])
+
+
+def _hreflang_from_batch(t: pa.Table, url_col: str,
+                         html_col: str) -> pa.Table:
+    if t.num_rows == 0:
+        return _HREFLANG_SCHEMA.empty_table()
+    parts = pc.split_pattern(t[html_col], pattern="<link")
+    if isinstance(parts, pa.ChunkedArray):
+        parts = parts.combine_chunks()
+    flat = parts.flatten()
+    counts = np.asarray(pc.list_value_length(parts)
+                        .to_numpy(zero_copy_only=False), dtype=np.int64)
+    starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
+    is_tail = np.ones(len(flat), dtype=bool)
+    is_tail[starts[counts > 0]] = False
+    # attribute order inside the tag is free: truncate at '>' then test
+    # rel/hreflang/href independently (the RE2-twin LIKE + extract chain)
+    tag = pc.replace_substring_regex(flat, pattern="(?s)>.*$",
+                                     replacement="")
+    closed = pc.not_equal(
+        pc.find_substring(flat, ">"), -1).to_numpy(zero_copy_only=False)
+    is_alt = pc.not_equal(
+        pc.find_substring(tag, 'rel="alternate"'), -1) \
+        .to_numpy(zero_copy_only=False)
+    lang = pc.struct_field(
+        pc.extract_regex(tag, pattern='hreflang="(?P<v>[^"]*)"'), "v")
+    href = pc.struct_field(
+        pc.extract_regex(tag, pattern='href="(?P<v>[^"]*)"'), "v")
+    ok_lang = pc.and_(pc.is_valid(lang),
+                      pc.not_equal(pc.fill_null(lang, ""), ""))
+    ok_href = pc.and_(pc.is_valid(href),
+                      pc.not_equal(pc.fill_null(href, ""), ""))
+    cand = (is_tail & np.asarray(closed, dtype=bool)
+            & np.asarray(is_alt, dtype=bool)
+            & np.asarray(ok_lang.to_numpy(zero_copy_only=False), dtype=bool)
+            & np.asarray(ok_href.to_numpy(zero_copy_only=False), dtype=bool))
+    if not cand.any():
+        return _HREFLANG_SCHEMA.empty_table()
+    csum = np.cumsum(cand)
+    before_row = np.concatenate(([0], csum))[starts]
+    rows_all = np.repeat(np.arange(t.num_rows, dtype=np.int64), counts)
+    pos_all = csum - np.repeat(before_row, counts)
+    sel = np.flatnonzero(cand)
+    sel_pa = pa.array(sel)
+    page = t[url_col]
+    if isinstance(page, pa.ChunkedArray):
+        page = page.combine_chunks()
+    page = page.take(pa.array(rows_all[sel]))
+    return pa.table({
+        "src": page,
+        "pos": pa.array(pos_all[sel], type=pa.int64()),
+        "hreflang": pc.cast(lang.take(sel_pa), pa.string()),
+        "href": _resolve_refs(page, pc.cast(href.take(sel_pa),
+                                            pa.string())),
+    })
+
+
+def extract_hreflang(ds: "ray.data.Dataset", url_col: str = "url",
+                     html_col: str = "html") -> "ray.data.Dataset":
+    """(src, pos, hreflang, href) from ``<link rel="alternate"
+    hreflang="xx" href="...">`` head tags — the language-alternate graph
+    behind parallel-corpus mining (pages explicitly declare their own
+    translations) and multilingual crawl dedup. Attribute order inside
+    the tag is free; tags missing rel="alternate", hreflang or href
+    drop; hrefs resolve with the outlink resolver rules; pos is the
+    1-based ordinal among the page's kept alternates. Map-side only,
+    narrow edge output."""
+    return ds.map_batches(
+        lambda t: _hreflang_from_batch(t, url_col, html_col),
+        batch_format="pyarrow")

@@ -1777,6 +1777,71 @@ def q_feed(sf_dir: str):
     return extract_feed(planted)
 
 
+def q_hreflang(sf_dir: str):
+    """Language-alternate extraction (engine.links.extract_hreflang) over
+    planted pages: d%4 = 0 two alternates (es absolute + fr root-relative,
+    attribute orders swapped), 1 one alternate (de, directory-relative),
+    2 a stylesheet link (wrong rel — dropped), 3 no links. DuckDB twin:
+    link-tag regexp_extract_all + LIKE rel test + the CASE resolver."""
+    from engine.links import extract_hreflang
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        d = t["doc_id"]
+        sd = pc.cast(d, pa.string())
+        m7 = pc.cast(_mod_i64(d, 7), pa.string())
+        m3 = pc.cast(_mod_i64(d, 3), pa.string())
+        url = pc.binary_join_element_wise(
+            "https://ex", m7, ".com/d", m3, "/p", sd, "")
+        l0 = pc.binary_join_element_wise(
+            '<link rel="alternate" hreflang="es" href="https://es.ex',
+            m7, '.com/p', sd, '">',
+            '<link hreflang="fr" href="/fr/p', sd, '" rel="alternate">',
+            "")
+        l1 = pc.binary_join_element_wise(
+            '<link rel="alternate" href="de/p', sd, '" hreflang="de">',
+            "")
+        m4 = _mod_i64(d, 4)
+        links = pc.if_else(
+            pc.equal(m4, 0), l0,
+            pc.if_else(pc.equal(m4, 1), l1,
+                       pc.if_else(pc.equal(m4, 2),
+                                  pa.scalar('<link rel="stylesheet" '
+                                            'href="/s.css">'),
+                                  pa.scalar(""))))
+        html = pc.binary_join_element_wise(
+            "<html><head>", links, "</head><body>x</body></html>", "")
+        return pa.table({"url": url, "html": html})
+
+    planted = docs.map_batches(plant, batch_format="pyarrow")
+    return extract_hreflang(planted)
+
+
+def q_domain_prior(sf_dir: str):
+    """Per-domain prior attach (engine.stats.attach_group_stat): documents
+    keyed into 20 planted domains; each row gains its domain's total
+    char count and row count — the host-level quality-prior join of a
+    web pipeline, zero row movement on the broadcast plan. DuckDB twin:
+    SUM/COUNT OVER (PARTITION BY domain)."""
+    from engine.stats import attach_group_stat
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        dom = pc.binary_join_element_wise(
+            "d", pc.cast(_mod_i64(t["doc_id"], 20), pa.string()), "")
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "domain": dom,
+            "nchars": pc.cast(pc.utf8_length(t["text"]), pa.int64()),
+        })
+
+    rows = docs.map_batches(prep, batch_format="pyarrow")
+    return attach_group_stat(rows, "domain", "nchars",
+                             sum_name="domain_sum", n_name="domain_n")
+
+
 def q_window_dedup(sf_dir: str):
     """Exact 3-token-window duplicate stats (engine.textstats.
     window_dup_stats — the window-hash form of Lee et al. 2022 exact
@@ -3557,6 +3622,8 @@ QUERIES = {
     "cluster_split": q_cluster_split,
     "meta_refresh": q_meta_refresh,
     "feed": q_feed,
+    "hreflang": q_hreflang,
+    "domain_prior": q_domain_prior,
     # flagship roundtrips stay inside the 50-entry driver gate: the
     # extraction kernels they pin changed this round (charset sniffing,
     # AESV2/V3 PDF decryption, JPEG + GIF codecs)

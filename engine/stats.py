@@ -1346,3 +1346,85 @@ def heavy_hitters(ds: "ray.data.Dataset", col: str,
             .map_batches(
                 lambda t: t.filter(pc.greater_equal(t["n"], threshold)),
                 batch_format="pyarrow"))
+
+
+GROUP_STAT_BROADCAST_MAX = 2_000_000  # distinct-key cap for the zero-shuffle plan
+
+
+def attach_group_stat(ds: "ray.data.Dataset", key_col: str, value_col: str,
+                      sum_name: "str | None" = None,
+                      n_name: "str | None" = None,
+                      num_buckets: int = 32,
+                      broadcast_max: int = GROUP_STAT_BROADCAST_MAX
+                      ) -> "ray.data.Dataset":
+    """Attach each row's group SUM and COUNT of ``value_col`` over
+    ``key_col`` as new int64 columns — the domain-prior pattern of a web
+    corpus pipeline (score a document partly by its host's aggregate
+    behavior: mean length, spam rate, dup rate) without re-keying the
+    documents themselves.
+
+    Plan (size-gated like the dedup family): per-block Acero (key, sum,
+    n) pre-agg → ONE narrow groupby — only distinct (key, s, n) rows
+    cross the wire. Key cardinality ≤ ``broadcast_max``: the stat table
+    broadcasts (ray.put once, worker-cached get — engine/broadcast.py)
+    and rows NEVER move; larger key domains fall back to a partitioned
+    LEFT hash_join (rows cross once). Both plans are test-pinned equal.
+    ``n`` counts the key's rows; ``s`` sums its non-null values.
+    """
+    import numpy as np
+    import pandas as pd
+
+    import ray
+
+    from engine.broadcast import get_broadcast
+
+    sum_name = sum_name or f"{key_col}_sum"
+    n_name = n_name or f"{key_col}_n"
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.select([key_col, value_col]).group_by([key_col]).aggregate(
+            [(value_col, "sum"), ([], "count_all")])
+        g = g.rename_columns([key_col, "__s", "__n"])
+        return pa.table({key_col: g[key_col],
+                         "__s": pc.cast(g["__s"], pa.int64()),
+                         "__n": pc.cast(g["__n"], pa.int64())})
+
+    stats = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby(key_col)
+             .aggregate(Sum("__s", alias_name=sum_name),
+                        Sum("__n", alias_name=n_name))
+             .materialize())  # consumed by count() + either plan
+
+    if stats.count() > broadcast_max:
+        from engine.joins import hash_join
+
+        return hash_join(ds, stats, on=key_col, how="left",
+                         num_buckets=num_buckets)
+
+    # empty aggregate blocks can carry a divergent schema — drop them and
+    # project before concat
+    blocks = [b.select([key_col, sum_name, n_name])
+              for b in ray.get(stats.to_arrow_refs()) if b.num_rows]
+    if blocks:
+        lookup = pa.concat_tables(blocks).to_pandas()
+    else:
+        lookup = pd.DataFrame({key_col: [], sum_name: pd.Series([], dtype="int64"),
+                               n_name: pd.Series([], dtype="int64")})
+    lookup = lookup.set_index(key_col)
+    ref = ray.put(lookup)
+
+    def attach(t: pa.Table) -> pa.Table:
+        lk: "pd.DataFrame" = get_broadcast(ref)
+        idx = lk.index.get_indexer(
+            t[key_col].to_numpy(zero_copy_only=False))
+        found = idx >= 0
+        s = np.where(found, lk[sum_name].to_numpy()[idx], 0)
+        n = np.where(found, lk[n_name].to_numpy()[idx], 0)
+        t = t.append_column(
+            sum_name, pa.array(s.astype(np.int64), type=pa.int64(),
+                               mask=~found))
+        return t.append_column(
+            n_name, pa.array(n.astype(np.int64), type=pa.int64(),
+                             mask=~found))
+
+    return ds.map_batches(attach, batch_format="pyarrow")

@@ -114,6 +114,53 @@ def test_extract_feed_rss_and_atom(ray_session):
     ]
 
 
+def test_extract_hreflang_attr_order_and_filtering(ray_session):
+    import ray.data as rd
+
+    from engine.links import extract_hreflang
+
+    pages = pa.table({
+        "url": ["https://a.com/d/p"],
+        "html": ['<head>'
+                 '<link rel="alternate" hreflang="es" href="https://es.a/p">'
+                 '<link hreflang="fr" href="/fr" rel="alternate">'
+                 '<link rel="alternate" href="de.html" hreflang="de">'
+                 '<link rel="stylesheet" href="/s.css">'
+                 '<link rel="alternate" hreflang="it">'  # no href: drop
+                 '</head>'],
+    })
+    out = extract_hreflang(rd.from_arrow(pages)).to_pandas() \
+        .sort_values("pos").reset_index(drop=True)
+    assert list(out[["pos", "hreflang", "href"]].itertuples(
+        index=False, name=None)) == [
+        (1, "es", "https://es.a/p"),
+        (2, "fr", "https://a.com/fr"),
+        (3, "de", "https://a.com/d/de.html"),
+    ]
+
+
+def test_attach_group_stat_both_plans_equal(ray_session):
+    import ray.data as rd
+
+    from engine.stats import attach_group_stat
+
+    df = pd.DataFrame({"id": range(40),
+                       "k": [f"k{i % 6}" for i in range(40)],
+                       "v": [i * 3 for i in range(40)]})
+    ds = rd.from_pandas(df).repartition(5)
+    bcast = attach_group_stat(ds, "k", "v").to_pandas() \
+        .sort_values("id").reset_index(drop=True)
+    joined = attach_group_stat(ds, "k", "v", broadcast_max=0) \
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    ref_sum = df.groupby("k")["v"].sum()
+    ref_n = df.groupby("k")["v"].count()
+    for out in (bcast, joined):
+        assert (out["k_sum"].to_numpy()
+                == ref_sum[out["k"]].to_numpy()).all()
+        assert (out["k_n"].to_numpy() == ref_n[out["k"]].to_numpy()).all()
+    assert sorted(bcast.columns) == sorted(joined.columns)
+
+
 def test_dedup_paragraphs_matches_bruteforce(ray_session):
     import numpy as np
     import ray.data as rd

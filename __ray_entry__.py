@@ -1302,6 +1302,42 @@ base AS (SELECT doc_id, len(t) AS n_tok FROM toks)
 SELECT b.doc_id, coalesce(a.text, '') AS text,
        CAST(b.n_tok - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed_tokens
 FROM base b LEFT JOIN agg a USING (doc_id)""",
+        "anchor_corpus": r"""
+WITH pages AS (
+  SELECT 'https://an' || CAST(doc_id % 4 AS VARCHAR) || '.ex.com/p/' ||
+         CAST(doc_id AS VARCHAR) AS url,
+         '<html><p>intro</p><a href="/a/' || CAST(doc_id AS VARCHAR) ||
+         '">first ' || CAST(doc_id AS VARCHAR) || '</a> mid <a href="b' ||
+         CAST(doc_id % 9 AS VARCHAR) || '.html" class="x">second-' ||
+         CAST(doc_id % 5 AS VARCHAR) ||
+         '</a><a href="#f">frag anchor</a></html>' AS html
+  FROM documents),
+hx AS (
+  SELECT url AS src,
+         regexp_extract_all(html, 'href="([^"]*)"', 1) AS hrefs,
+         regexp_extract_all(html, 'href="[^"]*"[^>]*>([^<]*)', 1) AS texts
+  FROM pages),
+e AS (
+  SELECT src, t.i AS pos, hrefs[t.i] AS href, texts[t.i] AS text
+  FROM hx, LATERAL (SELECT unnest(generate_series(1, len(hrefs))) AS i) t),
+r AS (
+  SELECT regexp_replace(
+           CASE
+             WHEN href LIKE 'http://%' OR href LIKE 'https://%' THEN href
+             WHEN href LIKE '//%'
+               THEN regexp_extract(src, '^(https?):', 1) || ':' || href
+             WHEN href LIKE '/%'
+               THEN regexp_extract(src, '^(https?://[^/]+)', 1) || href
+             ELSE regexp_extract(src, '^(.*/)', 1) || href
+           END, '#.*$', '') AS dst,
+         src, pos, text
+  FROM e
+  WHERE href <> '' AND href NOT LIKE '#%' AND href NOT LIKE 'mailto:%'
+        AND href NOT LIKE 'javascript:%' AND href NOT LIKE 'data:%'
+        AND text <> '')
+SELECT dst, CAST(count(*) AS BIGINT) AS n_anchors,
+       string_agg(text, ' | ' ORDER BY src, pos) AS anchors
+FROM r GROUP BY dst""",
         "hreflang": r"""
 WITH pages AS (
   SELECT 'https://ex' || CAST(doc_id % 7 AS VARCHAR) || '.com/d' ||

@@ -839,3 +839,50 @@ def extract_hreflang(ds: "ray.data.Dataset", url_col: str = "url",
     return ds.map_batches(
         lambda t: _hreflang_from_batch(t, url_col, html_col),
         batch_format="pyarrow")
+
+
+def anchor_corpus(ds: "ray.data.Dataset", url_col: str = "url",
+                  html_col: str = "html",
+                  num_buckets: int = 32) -> "ray.data.Dataset":
+    """Inbound anchor-text corpus: for every link TARGET, the ordered
+    concatenation of anchor texts pointing at it — the classic
+    page-surrogate signal (anchor text often describes a target better
+    than the target's own text; the basis of ORCAS/MS-MARCO-style weak
+    labels and link-text retrieval corpora). Output
+    (dst, n_anchors, anchors) with texts joined by ``' | '`` in
+    (src, pos) order.
+
+    Plan: map-side anchor extraction (:func:`extract_anchor_texts`),
+    outlink-resolver target resolution with the outlink drop rules plus
+    empty/null anchor texts; ONE bucketed exchange of narrow
+    (dst, src, pos, text) rows (pages never cross the wire);
+    per-bucket ordered string_agg is vectorized pandas
+    (:func:`engine.joins.bucketed_map_groups` — Python calls capped at
+    num_buckets)."""
+    import pandas as pd
+
+    from engine.joins import bucketed_map_groups
+
+    anchors = extract_anchor_texts(ds, url_col, html_col)
+
+    def resolve(t: pa.Table) -> pa.Table:
+        href = pc.fill_null(t["href"], "")
+        keep = pc.invert(pc.equal(href, ""))
+        for p in _DROP_PREFIXES:
+            keep = pc.and_(keep, pc.invert(pc.starts_with(href, pattern=p)))
+        keep = pc.and_(keep, pc.not_equal(pc.fill_null(t["text"], ""), ""))
+        t = t.filter(keep)
+        return pa.table({"dst": _resolve_refs(t["src"], t["href"]),
+                         "src": t["src"], "pos": t["pos"],
+                         "text": t["text"]})
+
+    rows = anchors.map_batches(resolve, batch_format="pyarrow")
+
+    def per_bucket(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values(["dst", "src", "pos"], kind="mergesort")
+        agg = g.groupby("dst", sort=False).agg(
+            n_anchors=("text", "size"), anchors=("text", " | ".join))
+        agg["n_anchors"] = agg["n_anchors"].astype("int64")
+        return agg.reset_index()
+
+    return bucketed_map_groups(rows, "dst", per_bucket, num_buckets)

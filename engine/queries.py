@@ -1842,6 +1842,32 @@ def q_domain_prior(sf_dir: str):
                              sum_name="domain_sum", n_name="domain_n")
 
 
+def q_anchor_corpus(sf_dir: str):
+    """Inbound anchor-text corpus (engine.links.anchor_corpus) over the
+    anchor_texts planted pages: '/a/i' targets collect one anchor each,
+    'b(i%9).html' targets collect one per (i%4, i%9) class — a real
+    multi-source aggregation; '#f' anchors drop. DuckDB twin: the
+    anchor_texts extraction + CASE resolver + ordered string_agg per
+    target."""
+    from engine.links import anchor_corpus
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def mk_pages(t: pa.Table) -> pa.Table:
+        urls, htmls = [], []
+        for i in t["doc_id"].to_pylist():
+            urls.append(f"https://an{i % 4}.ex.com/p/{i}")
+            htmls.append(
+                f'<html><p>intro</p><a href="/a/{i}">first {i}</a> mid '
+                f'<a href="b{i % 9}.html" class="x">second-{i % 5}</a>'
+                '<a href="#f">frag anchor</a></html>')
+        return pa.table({"url": pa.array(urls, type=pa.string()),
+                         "html": pa.array(htmls, type=pa.string())})
+
+    pages = docs.map_batches(mk_pages, batch_format="pyarrow")
+    return anchor_corpus(pages)
+
+
 def q_window_dedup(sf_dir: str):
     """Exact 3-token-window duplicate stats (engine.textstats.
     window_dup_stats — the window-hash form of Lee et al. 2022 exact
@@ -3624,6 +3650,7 @@ QUERIES = {
     "feed": q_feed,
     "hreflang": q_hreflang,
     "domain_prior": q_domain_prior,
+    "anchor_corpus": q_anchor_corpus,
     # flagship roundtrips stay inside the 50-entry driver gate: the
     # extraction kernels they pin changed this round (charset sniffing,
     # AESV2/V3 PDF decryption, JPEG + GIF codecs)

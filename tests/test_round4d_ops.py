@@ -161,6 +161,28 @@ def test_attach_group_stat_both_plans_equal(ray_session):
     assert sorted(bcast.columns) == sorted(joined.columns)
 
 
+def test_anchor_corpus_aggregates_per_target(ray_session):
+    import ray.data as rd
+
+    from engine.links import anchor_corpus
+
+    pages = pa.table({
+        "url": ["https://a.com/p/1", "https://a.com/p/2", "https://b.com/x"],
+        "html": [
+            '<a href="/t">alpha</a><a href="/u">beta</a>',
+            '<a href="/t">gamma</a><a href="#f">frag</a>'
+            '<a href="/t"></a>',           # empty text: dropped
+            '<a href="https://a.com/t">delta</a>',
+        ],
+    })
+    out = anchor_corpus(rd.from_arrow(pages)).to_pandas() \
+        .set_index("dst").sort_index()
+    assert out.loc["https://a.com/t", "n_anchors"] == 3
+    # ordered by (src, pos): p/1 alpha, p/2 gamma, b.com delta
+    assert out.loc["https://a.com/t", "anchors"] == "alpha | gamma | delta"
+    assert out.loc["https://a.com/u", "anchors"] == "beta"
+
+
 def test_dedup_paragraphs_matches_bruteforce(ray_session):
     import numpy as np
     import ray.data as rd

@@ -1302,6 +1302,32 @@ base AS (SELECT doc_id, len(t) AS n_tok FROM toks)
 SELECT b.doc_id, coalesce(a.text, '') AS text,
        CAST(b.n_tok - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed_tokens
 FROM base b LEFT JOIN agg a USING (doc_id)""",
+        "outline": r"""
+WITH pages AS (
+  SELECT 'https://o' || CAST(doc_id % 7 AS VARCHAR) || '.ex/p' ||
+         CAST(doc_id AS VARCHAR) AS url,
+         '<html><body><h1 class="t">Title ' || CAST(doc_id AS VARCHAR) ||
+         '</h1><p>x</p><h2>Sec <em>' || CAST(doc_id % 7 AS VARCHAR) ||
+         '</em></h2><h2>  </h2><h2>More ' || CAST(doc_id % 3 AS VARCHAR)
+         || '</h2>' ||
+         CASE WHEN doc_id % 2 = 0
+              THEN '<h3>Deep ' || CAST(doc_id AS VARCHAR) || '</h3>'
+              ELSE '' END ||
+         '<h4>oops</body></html>' AS html
+  FROM documents),
+lv AS (SELECT unnest(generate_series(1, 6)) AS k),
+hx AS (
+  SELECT p.url AS src, lv.k,
+         regexp_extract_all(p.html,
+           '(?s)<h' || lv.k || '[^>]*>(.*?)</h' || lv.k || '>', 1) AS hs
+  FROM pages p, lv),
+e AS (
+  SELECT src, k, t.i AS bidx,
+         trim(regexp_replace(hs[t.i], '<[^>]*>', '', 'g')) AS text
+  FROM hx, LATERAL (SELECT unnest(generate_series(1, len(hs))) AS i) t)
+SELECT src, CAST(k AS BIGINT) AS level,
+       row_number() OVER (PARTITION BY src, k ORDER BY bidx) AS pos, text
+FROM e WHERE text <> ''""",
         "anchor_corpus": r"""
 WITH pages AS (
   SELECT 'https://an' || CAST(doc_id % 4 AS VARCHAR) || '.ex.com/p/' ||

@@ -886,3 +886,79 @@ def anchor_corpus(ds: "ray.data.Dataset", url_col: str = "url",
         return agg.reset_index()
 
     return bucketed_map_groups(rows, "dst", per_bucket, num_buckets)
+
+
+_OUTLINE_SCHEMA = pa.schema([
+    ("src", pa.string()), ("level", pa.int64()), ("pos", pa.int64()),
+    ("text", pa.string()),
+])
+
+
+def _headings_at_level(t: pa.Table, url_col: str, html_col: str,
+                       k: int) -> pa.Table:
+    """One literal split on ``<hk``: a candidate block must close its
+    opening tag BEFORE its ``</hk>`` (the RE2-twin ``<hk[^>]*>(.*?)</hk>``
+    semantics); inner markup strips, whitespace trims, empties drop."""
+    parts = pc.split_pattern(t[html_col], pattern=f"<h{k}")
+    if isinstance(parts, pa.ChunkedArray):
+        parts = parts.combine_chunks()
+    flat = parts.flatten()
+    counts = np.asarray(pc.list_value_length(parts)
+                        .to_numpy(zero_copy_only=False), dtype=np.int64)
+    starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
+    is_tail = np.ones(len(flat), dtype=bool)
+    is_tail[starts[counts > 0]] = False
+    gt = pc.find_substring(flat, ">").to_numpy(zero_copy_only=False)
+    close = pc.find_substring(flat, f"</h{k}>") \
+        .to_numpy(zero_copy_only=False)
+    cand = is_tail & (gt >= 0) & (close >= 0) & (gt < close)
+    if not cand.any():
+        return _OUTLINE_SCHEMA.empty_table()
+    rows_all = np.repeat(np.arange(t.num_rows, dtype=np.int64), counts)
+    sel = np.flatnonzero(cand)
+    block = flat.take(pa.array(sel))
+    inner = pc.replace_substring_regex(
+        pc.replace_substring_regex(block, pattern=r"(?s)^[^>]*>",
+                                   replacement=""),
+        pattern=f"(?s)</h{k}>.*$", replacement="")
+    text = pc.utf8_trim_whitespace(pc.replace_substring_regex(
+        inner, pattern=r"<[^>]*>", replacement=""))
+    keep = np.asarray(pc.not_equal(text, "").to_numpy(
+        zero_copy_only=False), dtype=bool)
+    if not keep.any():
+        return _OUTLINE_SCHEMA.empty_table()
+    ki = np.flatnonzero(keep)
+    rows = rows_all[sel][ki]
+    pos = np.arange(len(rows), dtype=np.int64) + 1
+    row_first = np.concatenate(([True], rows[1:] != rows[:-1]))
+    pos = pos - np.maximum.accumulate(np.where(row_first, pos - 1, 0))
+    src_col = t[url_col]
+    if isinstance(src_col, pa.ChunkedArray):
+        src_col = src_col.combine_chunks()
+    return pa.table({
+        "src": src_col.take(pa.array(rows)),
+        "level": pa.array(np.full(len(rows), k, dtype=np.int64)),
+        "pos": pa.array(pos, type=pa.int64()),
+        "text": text.take(pa.array(ki)),
+    })
+
+
+def extract_outline(ds: "ray.data.Dataset", url_col: str = "url",
+                    html_col: str = "html") -> "ray.data.Dataset":
+    """(src, level, pos, text) heading outline per page — h1..h6 element
+    texts with inline markup stripped and whitespace trimmed; empty
+    headings drop; pos is the 1-based ordinal among the page's KEPT
+    headings of that level. The document-structure signal behind
+    structure-aware chunking (split long docs at heading boundaries) and
+    title-hierarchy features. Map-side only, six literal scans per page.
+    Documented simplification (shared with the RE2 SQL twin): headings
+    nested inside a same-level heading (malformed HTML) are not handled.
+    """
+    def run(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _OUTLINE_SCHEMA.empty_table()
+        return pa.concat_tables([
+            _headings_at_level(t, url_col, html_col, k)
+            for k in range(1, 7)])
+
+    return ds.map_batches(run, batch_format="pyarrow")

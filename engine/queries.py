@@ -1868,6 +1868,51 @@ def q_anchor_corpus(sf_dir: str):
     return anchor_corpus(pages)
 
 
+def q_outline(sf_dir: str):
+    """Heading-outline extraction (engine.links.extract_outline) over
+    planted pages: an attributed h1, an h2 with inline markup to strip,
+    a whitespace-only h2 (drops), a second real h2, an h3 on even docs,
+    and an unclosed h4 (drops). DuckDB twin: per-level non-greedy
+    regexp_extract_all + tag-strip + trim + ordinal renumbering."""
+    from engine.links import extract_outline
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        d = t["doc_id"]
+        sd = pc.cast(d, pa.string())
+        m7 = pc.cast(_mod_i64(d, 7), pa.string())
+        m3 = pc.cast(_mod_i64(d, 3), pa.string())
+        url = pc.binary_join_element_wise("https://o", m7, ".ex/p", sd, "")
+        h3 = pc.if_else(
+            pc.equal(_mod_i64(d, 2), 0),
+            pc.binary_join_element_wise("<h3>Deep ", sd, "</h3>", ""),
+            pa.scalar(""))
+        html = pc.binary_join_element_wise(
+            '<html><body><h1 class="t">Title ', sd, "</h1>",
+            "<p>x</p><h2>Sec <em>", m7, "</em></h2>",
+            "<h2>  </h2>",
+            "<h2>More ", m3, "</h2>",
+            h3,
+            "<h4>oops</body></html>", "")
+        return pa.table({"url": url, "html": html})
+
+    planted = docs.map_batches(plant, batch_format="pyarrow")
+    return extract_outline(planted)
+
+
+def q_compression(sf_dir: str):
+    """Per-doc zlib compressibility signal (engine.textstats.
+    compression_signal) over the real documents table — the Gopher/Dolma
+    repetitiveness filter input. No SQL twin (DuckDB has no zlib):
+    driver rows-only check; exact values pytest-pinned against direct
+    zlib calls."""
+    from engine.textstats import compression_signal
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return compression_signal(docs)
+
+
 def q_window_dedup(sf_dir: str):
     """Exact 3-token-window duplicate stats (engine.textstats.
     window_dup_stats — the window-hash form of Lee et al. 2022 exact
@@ -3651,6 +3696,8 @@ QUERIES = {
     "hreflang": q_hreflang,
     "domain_prior": q_domain_prior,
     "anchor_corpus": q_anchor_corpus,
+    "outline": q_outline,
+    "compression": q_compression,
     # flagship roundtrips stay inside the 50-entry driver gate: the
     # extraction kernels they pin changed this round (charset sniffing,
     # AESV2/V3 PDF decryption, JPEG + GIF codecs)

@@ -1402,3 +1402,39 @@ def bigram_lm_score(ds: "ray.data.Dataset", text_col: str = "text",
         })
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def compression_ratio_batch(t: pa.Table, text_col: str = "text",
+                            id_col: str = "doc_id",
+                            level: int = 6) -> pa.Table:
+    """Per-document zlib compressibility — the repetitiveness signal of
+    the Gopher/Dolma quality-filter family that SQL cannot express (no
+    zlib in the oracle: driver rows-only check, values pytest-pinned).
+    Boilerplate/templated text compresses far below ~0.4×; prose sits
+    around 0.4-0.7; random/encrypted payloads near 1.0. Output integers
+    (raw_len, zip_len) so consumers form exact ratios; one C zlib call
+    per row (the hashlib-per-row discipline), fixed level for
+    determinism across runs and engines."""
+    texts = pc.fill_null(t[text_col], "")
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    compress = zlib.compress
+    binary = pc.cast(texts, pa.binary())
+    raw_lens = pc.binary_length(binary) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    zip_lens = np.fromiter(
+        (len(compress(s.as_buffer(), level)) for s in binary),
+        dtype=np.int64, count=len(texts))
+    return pa.table({id_col: t[id_col],
+                     "raw_len": pa.array(raw_lens),
+                     "zip_len": pa.array(zip_lens)})
+
+
+def compression_signal(ds: "ray.data.Dataset", text_col: str = "text",
+                       id_col: str = "doc_id",
+                       level: int = 6) -> "ray.data.Dataset":
+    """(doc_id, raw_len, zip_len) per document — see
+    :func:`compression_ratio_batch`. Map-side only."""
+    return ds.map_batches(
+        lambda t: compression_ratio_batch(t, text_col, id_col, level),
+        batch_format="pyarrow")

@@ -183,6 +183,42 @@ def test_anchor_corpus_aggregates_per_target(ray_session):
     assert out.loc["https://a.com/u", "anchors"] == "beta"
 
 
+def test_extract_outline_levels_and_drops(ray_session):
+    import ray.data as rd
+
+    from engine.links import extract_outline
+
+    pages = pa.table({
+        "url": ["https://a/p"],
+        "html": ['<h1 id="x">Top</h1><h2>A <em>em</em></h2>'
+                 '<h2>   </h2><h2>B</h2><h3>unclosed'
+                 '<h6>deep</h6>'],
+    })
+    out = extract_outline(rd.from_arrow(pages)).to_pandas() \
+        .sort_values(["level", "pos"]).reset_index(drop=True)
+    rows = list(out[["level", "pos", "text"]].itertuples(
+        index=False, name=None))
+    assert rows == [(1, 1, "Top"), (2, 1, "A em"), (2, 2, "B"),
+                    (6, 1, "deep")]
+
+
+def test_compression_signal_pins_zlib(ray_session):
+    import zlib
+
+    import ray.data as rd
+
+    from engine.textstats import compression_signal
+
+    texts = ["spam " * 200, "The quick brown fox.", ""]
+    ds = rd.from_arrow(pa.table({"doc_id": [1, 2, 3], "text": texts}))
+    out = compression_signal(ds).to_pandas().set_index("doc_id").sort_index()
+    for i, s in enumerate(texts, start=1):
+        assert out.loc[i, "raw_len"] == len(s.encode())
+        assert out.loc[i, "zip_len"] == len(zlib.compress(s.encode(), 6))
+    # repetitive text compresses much harder than prose
+    assert out.loc[1, "zip_len"] * 10 < out.loc[1, "raw_len"]
+
+
 def test_dedup_paragraphs_matches_bruteforce(ray_session):
     import numpy as np
     import ray.data as rd

@@ -15,7 +15,7 @@ stages map to their per-row error channel):
 - BMP: BITMAPINFOHEADER, 24 bpp, uncompressed, bottom-up or top-down.
 - PPM: binary P6, maxval 255.
 - GIF: 87a/89a first frame, global/local palette, full LZW,
-  non-interlaced (extensions skipped, transparency ignored).
+  interlaced or sequential (extensions skipped, transparency ignored).
 
 The encoder (fixtures + tests) writes PNGs with a chosen per-row filter so
 the unfilter paths are provable, and is byte-deterministic (fixed zlib
@@ -311,10 +311,17 @@ def _gif_lzw_decode(data: bytes, min_code_size: int,
     return out
 
 
+def _gif_interlace_order(h: int) -> np.ndarray:
+    """The 4-pass GIF interlace row schedule: the k-th DECODED row is
+    display row order[k]."""
+    return np.concatenate([np.arange(0, h, 8), np.arange(4, h, 8),
+                           np.arange(2, h, 4), np.arange(1, h, 2)])
+
+
 def decode_gif(payload: bytes) -> np.ndarray:
     """GIF87a/89a bytes → HxWx3 uint8: the FIRST image frame, global or
-    local palette, full LZW. Outside the matrix (raises ValueError):
-    interlaced frames, files with no image descriptor. Extension blocks
+    local palette, full LZW, interlaced or sequential. Outside the
+    matrix (raises ValueError): files with no image descriptor. Extension blocks
     (graphic control, comments, application) are skipped; animation
     decodes as its first frame; transparency is ignored (the palette
     color shows)."""
@@ -349,8 +356,7 @@ def decode_gif(payload: bytes) -> np.ndarray:
         w, h = struct.unpack("<HH", payload[pos + 5:pos + 9])
         ipacked = payload[pos + 9]
         pos += 10
-        if ipacked & 0x40:
-            raise ValueError("GIF: interlaced frames unsupported")
+        interlaced = bool(ipacked & 0x40)
         pal = gct
         if ipacked & 0x80:
             n = 3 * (2 << (ipacked & 0x07))
@@ -375,7 +381,11 @@ def decode_gif(payload: bytes) -> np.ndarray:
         idx = _gif_lzw_decode(b"".join(chunks), min_code_size, w * h)
         if idx.max(initial=0) >= len(pal):
             raise ValueError("GIF: palette index out of range")
-        return pal[idx].reshape(h, w, 3)
+        rows = idx.reshape(h, w)
+        if interlaced:
+            rows = rows[np.argsort(_gif_interlace_order(h),
+                                   kind="stable")]
+        return pal[rows.reshape(-1)].reshape(h, w, 3)
     raise ValueError("GIF: no image descriptor")
 
 

@@ -185,14 +185,21 @@ def test_gif_error_paths():
     good = encode_gif(np.zeros((4, 4, 3), np.uint8))
     with pytest.raises(ValueError):
         decode_gif(good[:len(good) - 6])         # LZW stream cut short
-    # interlace flag rejected
-    bad = bytearray(good)
-    # image descriptor packed byte: after 6+7 header+lsd, GCT(6? no:
-    # find 0x2C) — locate the descriptor and set the interlace bit
-    i = bad.index(0x2C, 6)
-    bad[i + 9] |= 0x40
-    with pytest.raises(ValueError):
-        decode_gif(bytes(bad))
+
+
+def test_gif_interlaced_decode():
+    from engine.imagecodec import (_gif_interlace_order, decode_gif,
+                                   encode_gif)
+
+    rng = np.random.RandomState(3)
+    for h in (1, 2, 5, 11, 16):
+        img = (rng.randint(0, 5, (h, 7, 3)) * 60).astype(np.uint8)
+        order = _gif_interlace_order(h)
+        assert sorted(order.tolist()) == list(range(h))
+        b = bytearray(encode_gif(img[order]))  # rows in interlace order
+        i = bytes(b).index(0x2C, 6)
+        b[i + 9] |= 0x40                       # set the interlace flag
+        assert (decode_gif(bytes(b)) == img).all()
 
 
 def test_decode_image_routes_gif():

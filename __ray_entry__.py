@@ -1302,6 +1302,19 @@ base AS (SELECT doc_id, len(t) AS n_tok FROM toks)
 SELECT b.doc_id, coalesce(a.text, '') AS text,
        CAST(b.n_tok - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed_tokens
 FROM base b LEFT JOIN agg a USING (doc_id)""",
+        "video_stats": """
+SELECT doc_id AS media_id,
+       CAST(2 + doc_id % 3 AS BIGINT) AS n_frames,
+       CAST(4 + doc_id % 3 AS BIGINT) AS width,
+       CAST(3 + doc_id % 2 AS BIGINT) AS height,
+       CAST((4 + doc_id % 3) * (3 + doc_id % 2) * (doc_id % 256)
+            AS BIGINT) AS sum_r,
+       CAST((4 + doc_id % 3) * (3 + doc_id % 2) * ((2 * doc_id) % 256)
+            AS BIGINT) AS sum_g,
+       CAST((4 + doc_id % 3) * (3 + doc_id % 2) * ((3 * doc_id) % 256)
+            AS BIGINT) AS sum_b,
+       'ok' AS status
+FROM documents""",
         "outline": r"""
 WITH pages AS (
   SELECT 'https://o' || CAST(doc_id % 7 AS VARCHAR) || '.ex/p' ||

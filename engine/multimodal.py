@@ -1,6 +1,7 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
-Image decode is REAL for PNG / BMP / PPM / GIF — stdlib zlib/LZW + numpy
+Image decode is REAL for PNG / BMP / PPM / GIF, and video frame
+sampling for uncompressed-DIB AVI — stdlib zlib/LZW/RIFF + numpy
 (engine/imagecodec.py), no external codec needed, verified pixel-exact by
 round-trip tests and a DuckDB-oracled query. Compressed formats (JPEG/
 WebP) and audio remain DEPLOYMENT-GATED: pillow / soundfile are used when
@@ -153,9 +154,24 @@ def _decode_audio(payload: bytes) -> np.ndarray:
 
 
 def _sample_video_frames(payload: bytes, num_frames: int = 4) -> list[np.ndarray]:
-    """STUB — real impl: ffmpeg keyframe sampling."""
+    """payload → ``num_frames`` HxWx3 uint8 frames, evenly sampled.
+
+    Uncompressed-DIB AVI payloads (RIFF/'AVI ' magic) decode through the
+    REAL stdlib codec (engine/videocodec.py). Compressed video stays the
+    deployment-gated path (ffmpeg keyframe sampling in a real deployment);
+    without it, a deterministic clearly-marked STUB fake keeps the
+    plumbing exercised."""
     if not payload:
         raise MediaDecodeError("empty video payload")
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        from engine.videocodec import decode_avi
+
+        try:
+            frames = decode_avi(payload)
+        except ValueError as exc:
+            raise MediaDecodeError(f"video decode failed: {exc}") from exc
+        n = len(frames)
+        return [frames[(i * n) // num_frames] for i in range(num_frames)]
     return [
         _decode_image(payload + struct.pack("<I", i)) for i in range(num_frames)
     ]
@@ -435,3 +451,49 @@ def gen_media_table(n_rows: int, seed: int = 42) -> pa.Table:
             int(rng.randint(1000, 60000)) if kind != "image" else -1
         )
     return pa.table(rows, schema=MEDIA_SCHEMA)
+
+
+class VideoStatsActor:
+    """Stage over REAL AVI decode (engine/videocodec.py): (media_id,
+    payload) → (n_frames, width, height, exact per-channel pixel sums of
+    the FIRST frame) — the DuckDB-oracle hook for the video path, the
+    video sibling of ImageStatsActor/AudioStatsActor."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from engine.videocodec import decode_avi
+
+        ids = t["media_id"].to_pylist()
+        payloads = t["payload"].to_pylist()
+        cols = {"n_frames": [], "width": [], "height": [],
+                "sum_r": [], "sum_g": [], "sum_b": [], "status": []}
+        for payload in payloads:
+            try:
+                if not payload:
+                    raise MediaDecodeError("empty video payload")
+                frames = decode_avi(payload)
+                f0 = frames[0].astype(np.int64)
+                cols["n_frames"].append(len(frames))
+                cols["height"].append(f0.shape[0])
+                cols["width"].append(f0.shape[1])
+                for c, name in enumerate(("sum_r", "sum_g", "sum_b")):
+                    cols[name].append(int(f0[:, :, c].sum()))
+                cols["status"].append("ok")
+            except (MediaDecodeError, ValueError):
+                for name in ("n_frames", "width", "height",
+                             "sum_r", "sum_g", "sum_b"):
+                    cols[name].append(0)
+                cols["status"].append("failed")
+        return pa.table({
+            "media_id": pa.array(ids, type=pa.int64()),
+            **{k: pa.array(v, type=pa.int64()) for k, v in cols.items()
+               if k != "status"},
+            "status": pa.array(cols["status"], type=pa.string()),
+        })
+
+
+def video_stats(ds: "ray.data.Dataset", *, batch_size: int = 16,
+                ) -> "ray.data.Dataset":
+    # stateless-TASK stage, same reasoning as image_stats; smaller default
+    # batch: video rows are the largest media rows
+    return ds.map_batches(VideoStatsActor(), batch_format="pyarrow",
+                          batch_size=batch_size)

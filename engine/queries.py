@@ -1913,6 +1913,33 @@ def q_compression(sf_dir: str):
     return compression_signal(docs)
 
 
+def q_video_stats(sf_dir: str):
+    """REAL video decode path (engine.multimodal.video_stats over
+    engine.videocodec.decode_avi): planted uncompressed-DIB AVIs with
+    doc_id-derived frame counts, dimensions and constant colors, so
+    first-frame channel sums are closed-form. DuckDB twin: pure
+    arithmetic."""
+    from engine.multimodal import video_stats
+    from engine.videocodec import encode_avi
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids, payloads = [], []
+        for d in t["doc_id"].to_pylist():
+            w, h, nf = 4 + d % 3, 3 + d % 2, 2 + d % 3
+            col = np.array([d % 256, (2 * d) % 256, (3 * d) % 256],
+                           np.uint8)
+            frames = [np.broadcast_to(col, (h, w, 3)).copy()
+                      for _ in range(nf)]
+            ids.append(d)
+            payloads.append(encode_avi(frames))
+        return pa.table({"media_id": pa.array(ids, type=pa.int64()),
+                         "payload": pa.array(payloads, type=pa.binary())})
+
+    return video_stats(docs.map_batches(plant, batch_format="pyarrow"))
+
+
 def q_window_dedup(sf_dir: str):
     """Exact 3-token-window duplicate stats (engine.textstats.
     window_dup_stats — the window-hash form of Lee et al. 2022 exact
@@ -3698,6 +3725,7 @@ QUERIES = {
     "anchor_corpus": q_anchor_corpus,
     "outline": q_outline,
     "compression": q_compression,
+    "video_stats": q_video_stats,
     # flagship roundtrips stay inside the 50-entry driver gate: the
     # extraction kernels they pin changed this round (charset sniffing,
     # AESV2/V3 PDF decryption, JPEG + GIF codecs)

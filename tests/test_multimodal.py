@@ -104,3 +104,19 @@ def test_resize_stage(ray_session):
         else:
             assert r["status"] == "failed" and r["tensor"] == b""
     assert any(r["status"] == "ok" for r in out)
+
+
+def test_video_frames_real_avi():
+    import numpy as np
+
+    from engine.multimodal import _sample_video_frames
+    from engine.videocodec import encode_avi
+
+    rng = np.random.RandomState(11)
+    frames = [rng.randint(0, 256, (8, 6, 3)).astype(np.uint8)
+              for _ in range(10)]
+    payload = encode_avi(frames)
+    got = _sample_video_frames(payload, num_frames=4)
+    # evenly sampled: indices 0, 2, 5, 7
+    for g, idx in zip(got, [0, 2, 5, 7]):
+        assert (g == frames[idx]).all()

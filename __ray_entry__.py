@@ -1302,6 +1302,37 @@ base AS (SELECT doc_id, len(t) AS n_tok FROM toks)
 SELECT b.doc_id, coalesce(a.text, '') AS text,
        CAST(b.n_tok - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed_tokens
 FROM base b LEFT JOIN agg a USING (doc_id)""",
+        "robots_sitemaps": r"""
+WITH p AS (
+  SELECT doc_id, doc_id % 3 AS m,
+         'h' || CAST(doc_id AS VARCHAR) || '.ex' AS host
+  FROM documents),
+built AS (
+  SELECT host,
+    CASE WHEN m = 0 THEN
+      'User-agent: *' || chr(10) || 'Disallow: /tmp' || chr(10) ||
+      'Sitemap: https://h' || doc_id || '.ex/sm1.xml # main' || chr(10) ||
+      'sitemap: https://h' || doc_id || '.ex/sm2.xml' || chr(10)
+    WHEN m = 1 THEN
+      '# header' || chr(10) || '  SITEMAP:https://h' || doc_id ||
+      '.ex/only.xml' || chr(10) ||
+      'User-agent: *' || chr(10) || 'Allow: /' || chr(10)
+    ELSE 'User-agent: *' || chr(10) || 'Disallow:' || chr(10) END
+      AS robots
+  FROM p),
+l AS (
+  SELECT host, i AS lno, regexp_replace(lines[i], '#.*$', '') AS line
+  FROM (SELECT host, string_split(robots, chr(10)) AS lines FROM built),
+       LATERAL (SELECT unnest(generate_series(1, len(lines))) AS i)),
+x AS (
+  SELECT host, lno,
+         regexp_extract(line, '(?i)^\s*sitemap\s*:\s*(\S+)', 1) AS sitemap
+  FROM l)
+SELECT host, row_number() OVER (PARTITION BY host ORDER BY lno) AS pos,
+       sitemap
+FROM x WHERE sitemap <> ''""",
+        "jsonl_roundtrip": """
+SELECT doc_id, text FROM documents""",
         "video_stats": """
 SELECT doc_id AS media_id,
        CAST(2 + doc_id % 3 AS BIGINT) AS n_frames,

@@ -287,3 +287,52 @@ def robots_gate(urls: "ray.data.Dataset", rules: "ray.data.Dataset",
 
     return tagged.groupby("__bucket").map_groups(merge_bucket,
                                                  batch_format="pyarrow")
+
+
+def robots_sitemaps(ds: "ray.data.Dataset", robots_col: str = "robots_txt",
+                    host_col: str = "host") -> "ray.data.Dataset":
+    """(host, pos, sitemap) from ``Sitemap:`` directives in robots.txt —
+    the RFC 9309 §2.3 sitemap-discovery extension, group-INdependent per
+    the sitemaps.org protocol (valid anywhere in the file). Comments
+    strip first; the value is the first whitespace-free token after the
+    case-insensitive key; pos is the 1-based ordinal among the host's
+    directives. Feeds :func:`engine.links.extract_sitemap` — the crawl
+    chain robots → sitemap index → page frontier. Map-side only."""
+    import numpy as np
+
+    schema = pa.schema([("host", pa.string()), ("pos", pa.int64()),
+                        ("sitemap", pa.string())])
+
+    def parse(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return schema.empty_table()
+        txt = pc.fill_null(pc.cast(t[robots_col], pa.string()), "")
+        lines = pc.split_pattern(txt, pattern="\n")
+        if isinstance(lines, pa.ChunkedArray):
+            lines = lines.combine_chunks()
+        flat = pc.replace_substring_regex(lines.flatten(), pattern="#.*$",
+                                          replacement="")
+        counts = np.asarray(pc.list_value_length(lines)
+                            .to_numpy(zero_copy_only=False), dtype=np.int64)
+        val = pc.struct_field(pc.extract_regex(
+            flat, pattern=r"(?i)^\s*sitemap\s*:\s*(?P<v>\S+)"), "v")
+        keep = np.asarray(pc.is_valid(val).to_numpy(zero_copy_only=False),
+                          dtype=bool)
+        if not keep.any():
+            return schema.empty_table()
+        rows_all = np.repeat(np.arange(t.num_rows, dtype=np.int64), counts)
+        sel = np.flatnonzero(keep)
+        rows = rows_all[sel]
+        pos = np.arange(len(rows), dtype=np.int64) + 1
+        row_first = np.concatenate(([True], rows[1:] != rows[:-1]))
+        pos = pos - np.maximum.accumulate(np.where(row_first, pos - 1, 0))
+        hosts = t[host_col]
+        if isinstance(hosts, pa.ChunkedArray):
+            hosts = hosts.combine_chunks()
+        return pa.table({
+            "host": hosts.take(pa.array(rows)),
+            "pos": pa.array(pos, type=pa.int64()),
+            "sitemap": pc.cast(val.take(pa.array(sel)), pa.string()),
+        })
+
+    return ds.map_batches(parse, batch_format="pyarrow")

@@ -1940,6 +1940,56 @@ def q_video_stats(sf_dir: str):
     return video_stats(docs.map_batches(plant, batch_format="pyarrow"))
 
 
+def q_jsonl_roundtrip(sf_dir: str):
+    """JSONL source/sink lane (Dolma-style text-corpus shards): documents
+    → ``Dataset.write_json`` shards under /tmp → ``ray.data.read_json``
+    back — the registry's newline-delimited-JSON ingest path, pinned by a
+    full write→read value roundtrip. DuckDB twin: the direct table (the
+    roundtrip must be lossless)."""
+    import tempfile
+
+    import ray.data as rd
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out_dir = tempfile.mkdtemp(prefix="graft_jsonl_")
+    docs.write_json(out_dir)
+    back = rd.read_json(out_dir)
+    return back.map_batches(
+        lambda t: t.select(["doc_id", "text"]), batch_format="pyarrow")
+
+
+def q_robots_sitemaps(sf_dir: str):
+    """Sitemap discovery from robots.txt (engine.filters.robots_sitemaps)
+    over planted per-host files: h%3==0 two directives (one behind a
+    comment tail, one lowercase key), h%3==1 one indented uppercase-key
+    directive, h%3==2 none. DuckDB twin: line explode + comment strip +
+    the same RE2 extraction + ordinal renumbering."""
+    from engine.filters import robots_sitemaps
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        d = t["doc_id"]
+        sd = pc.cast(d, pa.string())
+        m = _mod_i64(d, 3)
+        host = pc.binary_join_element_wise("h", sd, ".ex", "")
+        r0 = pc.binary_join_element_wise(
+            "User-agent: *\nDisallow: /tmp\n",
+            "Sitemap: https://h", sd, ".ex/sm1.xml # main\n",
+            "sitemap: https://h", sd, ".ex/sm2.xml\n", "")
+        r1 = pc.binary_join_element_wise(
+            "# header\n  SITEMAP:https://h", sd, ".ex/only.xml\n",
+            "User-agent: *\nAllow: /\n", "")
+        robots = pc.if_else(
+            pc.equal(m, 0), r0,
+            pc.if_else(pc.equal(m, 1), r1,
+                       pa.scalar("User-agent: *\nDisallow:\n")))
+        return pa.table({"host": host, "robots_txt": robots})
+
+    planted = docs.map_batches(plant, batch_format="pyarrow")
+    return robots_sitemaps(planted)
+
+
 def q_window_dedup(sf_dir: str):
     """Exact 3-token-window duplicate stats (engine.textstats.
     window_dup_stats — the window-hash form of Lee et al. 2022 exact
@@ -3726,6 +3776,8 @@ QUERIES = {
     "outline": q_outline,
     "compression": q_compression,
     "video_stats": q_video_stats,
+    "jsonl_roundtrip": q_jsonl_roundtrip,
+    "robots_sitemaps": q_robots_sitemaps,
     # flagship roundtrips stay inside the 50-entry driver gate: the
     # extraction kernels they pin changed this round (charset sniffing,
     # AESV2/V3 PDF decryption, JPEG + GIF codecs)

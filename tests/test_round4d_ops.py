@@ -219,6 +219,30 @@ def test_compression_signal_pins_zlib(ray_session):
     assert out.loc[1, "zip_len"] * 10 < out.loc[1, "raw_len"]
 
 
+def test_robots_sitemaps_discovery(ray_session):
+    import ray.data as rd
+
+    from engine.filters import robots_sitemaps
+
+    ds = rd.from_arrow(pa.table({
+        "host": ["a.ex", "b.ex", "c.ex"],
+        "robots_txt": [
+            "User-agent: *\nDisallow: /x\n"
+            "Sitemap: https://a.ex/s1.xml # comment\n"
+            "  sitemap:https://a.ex/s2.xml\n",
+            "# nothing here\nUser-agent: *\nAllow: /\n",
+            "SITEMAP: https://c.ex/only.xml",
+        ],
+    }))
+    out = robots_sitemaps(ds).to_pandas() \
+        .sort_values(["host", "pos"]).reset_index(drop=True)
+    assert list(out.itertuples(index=False, name=None)) == [
+        ("a.ex", 1, "https://a.ex/s1.xml"),
+        ("a.ex", 2, "https://a.ex/s2.xml"),
+        ("c.ex", 1, "https://c.ex/only.xml"),
+    ]
+
+
 def test_dedup_paragraphs_matches_bruteforce(ray_session):
     import numpy as np
     import ray.data as rd

@@ -1302,6 +1302,28 @@ base AS (SELECT doc_id, len(t) AS n_tok FROM toks)
 SELECT b.doc_id, coalesce(a.text, '') AS text,
        CAST(b.n_tok - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed_tokens
 FROM base b LEFT JOIN agg a USING (doc_id)""",
+        "frontier": """
+WITH nn AS (SELECT count(*) AS n FROM documents),
+disc AS (
+  SELECT 'https://c' || (((doc_id + 2) % nn.n) % 5) || '.ex/p' ||
+         ((doc_id + 2) % nn.n) AS url
+  FROM documents, nn WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT 'https://new' || (doc_id % 7) || '.ex/x' || (doc_id % 50)
+  FROM documents WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT 'https://c' || (((doc_id + 3) % nn.n) % 5) || '.ex/p' ||
+         ((doc_id + 3) % nn.n)
+  FROM documents, nn WHERE doc_id % 2 = 1
+  UNION ALL
+  SELECT 'https://new' || (doc_id % 7) || '.ex/y' || (doc_id % 50)
+  FROM documents WHERE doc_id % 2 = 1),
+corpus AS (
+  SELECT 'https://c' || (doc_id % 5) || '.ex/p' || doc_id AS url
+  FROM documents)
+SELECT url, CAST(count(*) AS BIGINT) AS n_refs
+FROM disc WHERE url NOT IN (SELECT url FROM corpus)
+GROUP BY url""",
         "robots_sitemaps": r"""
 WITH p AS (
   SELECT doc_id, doc_id % 3 AS m,

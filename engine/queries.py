@@ -1990,6 +1990,68 @@ def q_robots_sitemaps(sf_dir: str):
     return robots_sitemaps(planted)
 
 
+def q_frontier(sf_dir: str):
+    """Crawl-frontier assembly — the discover→dedup→schedule capstone:
+    outlink targets (even docs carry html) UNION sitemap locs (odd docs
+    carry xml), counted per target with a map-side Acero pre-agg + one
+    narrow groupby, then ANTI hash_join against the corpus's own URLs;
+    output = the next crawl wave (url, n_refs). The extractions
+    themselves are value-pinned by the outlinks/sitemap oracles, so the
+    DuckDB twin builds the planted targets directly and pins the
+    union + count + anti-join composition."""
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    from engine.joins import hash_join
+    from engine.links import extract_outlinks, extract_sitemap
+    from engine.stats import acero_counts
+
+    n = pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")).num_rows
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        urls, htmls, xmls = [], [], []
+        for d in t["doc_id"].to_pylist():
+            urls.append(f"https://c{d % 5}.ex/p{d}")
+            if d % 2 == 0:
+                j = (d + 2) % n
+                htmls.append(
+                    f'<a href="https://c{j % 5}.ex/p{j}">'
+                    f'<a href="https://new{d % 7}.ex/x{d % 50}">')
+                xmls.append("")
+            else:
+                j = (d + 3) % n
+                htmls.append("")
+                xmls.append(
+                    f"<urlset><url><loc>https://c{j % 5}.ex/p{j}</loc>"
+                    f"</url><url><loc>https://new{d % 7}.ex/y{d % 50}"
+                    f"</loc></url></urlset>")
+        return pa.table({
+            "url": pa.array(urls, type=pa.string()),
+            "html": pa.array(htmls, type=pa.string()),
+            "xml": pa.array(xmls, type=pa.string()),
+        })
+
+    pages = docs.map_batches(plant, batch_format="pyarrow") \
+        .materialize()  # 3 consumers (lazy-re-execution rule)
+
+    out_edges = extract_outlinks(pages).map_batches(
+        lambda t: pa.table({"url": t["dst"]}), batch_format="pyarrow")
+    sm_locs = extract_sitemap(pages).map_batches(
+        lambda t: pa.table(
+            {"url": t.filter(pc.equal(t["kind"], "url"))["loc"]}),
+        batch_format="pyarrow")
+    counts = (out_edges.union(sm_locs)
+              .map_batches(lambda t: acero_counts(t, ["url"]),
+                           batch_format="pyarrow")
+              .groupby("url").aggregate(Sum("n", alias_name="n_refs"))
+              .materialize())  # hash_join reads schemas up front
+    corpus = pages.map_batches(lambda t: t.select(["url"]),
+                               batch_format="pyarrow")
+    return hash_join(counts, corpus, on="url", how="anti")
+
+
 def q_window_dedup(sf_dir: str):
     """Exact 3-token-window duplicate stats (engine.textstats.
     window_dup_stats — the window-hash form of Lee et al. 2022 exact
@@ -3778,6 +3840,7 @@ QUERIES = {
     "video_stats": q_video_stats,
     "jsonl_roundtrip": q_jsonl_roundtrip,
     "robots_sitemaps": q_robots_sitemaps,
+    "frontier": q_frontier,
     # flagship roundtrips stay inside the 50-entry driver gate: the
     # extraction kernels they pin changed this round (charset sniffing,
     # AESV2/V3 PDF decryption, JPEG + GIF codecs)

@@ -1302,6 +1302,18 @@ base AS (SELECT doc_id, len(t) AS n_tok FROM toks)
 SELECT b.doc_id, coalesce(a.text, '') AS text,
        CAST(b.n_tok - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed_tokens
 FROM base b LEFT JOIN agg a USING (doc_id)""",
+        "term_search": r"""
+WITH f AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok
+  FROM documents),
+m AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS tf_total,
+         count(DISTINCT tok) AS nd
+  FROM f WHERE tok IN ('hash', 'merge', 'window') GROUP BY doc_id)
+SELECT doc_id, tf_total,
+       CAST(row_number() OVER (ORDER BY tf_total DESC, doc_id)
+            AS BIGINT) AS rank
+FROM m WHERE nd = 3""",
         "frontier": """
 WITH nn AS (SELECT count(*) AS n FROM documents),
 disc AS (

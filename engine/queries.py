@@ -2052,6 +2052,17 @@ def q_frontier(sf_dir: str):
     return hash_join(counts, corpus, on="url", how="anti")
 
 
+def q_term_search(sf_dir: str):
+    """Conjunctive term search (engine.textstats.term_search) over the
+    real documents table: docs containing ALL of (hash, merge, window),
+    ranked by total query-term frequency then doc_id. DuckDB twin:
+    token explode + IN filter + HAVING-all-terms + row_number rank."""
+    from engine.textstats import term_search
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return term_search(docs, ("hash", "merge", "window"))
+
+
 def q_window_dedup(sf_dir: str):
     """Exact 3-token-window duplicate stats (engine.textstats.
     window_dup_stats — the window-hash form of Lee et al. 2022 exact
@@ -3841,6 +3852,7 @@ QUERIES = {
     "jsonl_roundtrip": q_jsonl_roundtrip,
     "robots_sitemaps": q_robots_sitemaps,
     "frontier": q_frontier,
+    "term_search": q_term_search,
     # flagship roundtrips stay inside the 50-entry driver gate: the
     # extraction kernels they pin changed this round (charset sniffing,
     # AESV2/V3 PDF decryption, JPEG + GIF codecs)

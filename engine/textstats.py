@@ -1438,3 +1438,69 @@ def compression_signal(ds: "ray.data.Dataset", text_col: str = "text",
     return ds.map_batches(
         lambda t: compression_ratio_batch(t, text_col, id_col, level),
         batch_format="pyarrow")
+
+
+def term_search(ds: "ray.data.Dataset", terms: "tuple[str, ...]",
+                text_col: str = "text", id_col: str = "doc_id",
+                ) -> "ray.data.Dataset":
+    """Conjunctive (AND) term search with term-frequency ranking — the
+    retrieval consumer of the token machinery: documents containing
+    EVERY query term, scored by total occurrences of the query terms,
+    ranked dense by (-tf_total, doc_id). The inverted-index read path of
+    a corpus-inspection / targeted-decontamination workflow (find every
+    document mentioning this benchmark).
+
+    Plan: map-side only until the final tiny rank — per block, one flat
+    token stream (:func:`_flat_tokens`) + ``pc.is_in`` against the query
+    set, a segment-sum per (doc, term) via np.bincount; only matching
+    (doc, tf_total, n_distinct_terms) rows leave the block, docs missing
+    a term are filtered map-side. The global rank is a sort on the
+    (usually tiny) hit set. Output: (doc_id, tf_total, rank)."""
+    nq = len(terms)
+    term_arr = pa.array(list(terms), type=pa.string())
+
+    def score(t: pa.Table) -> pa.Table:
+        toks, lens = _flat_tokens(_text_column(t, text_col), r"\s+")
+        n = len(toks)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        empty = pa.table({id_col: pa.array([], type=pa.int64()),
+                          "tf_total": pa.array([], type=pa.int64())})
+        if n == 0:
+            return empty
+        hit = pc.is_in(toks, value_set=term_arr)
+        # term id per token (index_in: null for non-matches)
+        tid = pc.index_in(toks, value_set=term_arr) \
+            .to_numpy(zero_copy_only=False)
+        row = np.repeat(np.arange(len(lens)), lens)
+        m = np.asarray(hit.to_numpy(zero_copy_only=False), dtype=bool)
+        m &= ~np.isnan(tid) if tid.dtype.kind == "f" else m
+        if not m.any():
+            return empty
+        rowm = row[m]
+        tidm = tid[m].astype(np.int64)
+        # per (row, term) presence and per-row totals via bincount
+        key = rowm * nq + tidm
+        cnt = np.bincount(key, minlength=len(lens) * nq) \
+            .reshape(len(lens), nq)
+        full = (cnt > 0).all(axis=1)
+        if not full.any():
+            return empty
+        sel = np.flatnonzero(full)
+        return pa.table({
+            id_col: pa.array(ids[sel], type=pa.int64()),
+            "tf_total": pa.array(cnt[sel].sum(axis=1).astype(np.int64)),
+        })
+
+    hits = ds.map_batches(score, batch_format="pyarrow")
+
+    def rank(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        tf = t["tf_total"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -tf))
+        rnk = np.empty(len(ids), dtype=np.int64)
+        rnk[order] = np.arange(1, len(ids) + 1)
+        return t.append_column("rank", pa.array(rnk, type=pa.int64()))
+
+    # the hit set is tiny relative to the corpus (that is the point of a
+    # conjunctive query); one coalesced pass ranks it
+    return hits.repartition(1).map_batches(rank, batch_format="pyarrow")

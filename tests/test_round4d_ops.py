@@ -243,6 +243,22 @@ def test_robots_sitemaps_discovery(ray_session):
     ]
 
 
+def test_term_search_conjunctive_rank(ray_session):
+    import ray.data as rd
+
+    from engine.textstats import term_search
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["a b a b c", "a c", "b c a", "x y"],
+    })).repartition(2)
+    out = term_search(ds, ("a", "b")).to_pandas() \
+        .sort_values("rank").reset_index(drop=True)
+    # doc 1: a x2 + b x2 = 4; doc 3: a+b = 2; docs 2 (no b) and 4 drop
+    assert list(out.itertuples(index=False, name=None)) == [
+        (1, 4, 1), (3, 2, 2)]
+
+
 def test_dedup_paragraphs_matches_bruteforce(ray_session):
     import numpy as np
     import ray.data as rd

@@ -1302,6 +1302,21 @@ base AS (SELECT doc_id, len(t) AS n_tok FROM toks)
 SELECT b.doc_id, coalesce(a.text, '') AS text,
        CAST(b.n_tok - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed_tokens
 FROM base b LEFT JOIN agg a USING (doc_id)""",
+        "phrase_search": r"""
+WITH f AS (
+  SELECT doc_id, i AS pos, ts[i] AS tok
+  FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS ts
+        FROM documents),
+       LATERAL (SELECT unnest(generate_series(1, len(ts))) AS i)),
+m AS (
+  SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+  FROM f a JOIN f b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  WHERE a.tok = 'batch' AND b.tok = 'batch'
+  GROUP BY a.doc_id)
+SELECT doc_id, n_hits,
+       CAST(row_number() OVER (ORDER BY n_hits DESC, doc_id)
+            AS BIGINT) AS rank
+FROM m""",
         "term_search": r"""
 WITH f AS (
   SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok

@@ -2063,6 +2063,17 @@ def q_term_search(sf_dir: str):
     return term_search(docs, ("hash", "merge", "window"))
 
 
+def q_phrase_search(sf_dir: str):
+    """Exact phrase search (engine.phrase.phrase_search) for the 2-gram
+    'batch batch' over the real documents table — overlapping occurrences
+    count (a 'batch batch batch' run yields 2 hits). DuckDB twin:
+    positional token explode + adjacency self-joins + row_number rank."""
+    from engine.phrase import phrase_search
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return phrase_search(docs, ("batch", "batch"))
+
+
 def q_window_dedup(sf_dir: str):
     """Exact 3-token-window duplicate stats (engine.textstats.
     window_dup_stats — the window-hash form of Lee et al. 2022 exact
@@ -3853,6 +3864,7 @@ QUERIES = {
     "robots_sitemaps": q_robots_sitemaps,
     "frontier": q_frontier,
     "term_search": q_term_search,
+    "phrase_search": q_phrase_search,
     # flagship roundtrips stay inside the 50-entry driver gate: the
     # extraction kernels they pin changed this round (charset sniffing,
     # AESV2/V3 PDF decryption, JPEG + GIF codecs)

@@ -259,6 +259,24 @@ def test_term_search_conjunctive_rank(ray_session):
         (1, 4, 1), (3, 2, 2)]
 
 
+def test_phrase_search_overlaps_and_boundaries(ray_session):
+    import ray.data as rd
+
+    from engine.phrase import phrase_search
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["x a a a y",       # overlapping: 2 hits of (a, a)
+                 "a",               # too short
+                 "b a",             # phrase split across docs must NOT
+                 "a b"],            # match (3 ends 'a', 4 starts 'a b')
+    })).repartition(1)  # one block: the boundary guard does the work
+    out = phrase_search(ds, ("a", "a")).to_pandas()
+    assert list(out.itertuples(index=False, name=None)) == [(1, 2, 1)]
+    out2 = phrase_search(ds, ("a", "b")).to_pandas()
+    assert list(out2.itertuples(index=False, name=None)) == [(4, 1, 1)]
+
+
 def test_dedup_paragraphs_matches_bruteforce(ray_session):
     import numpy as np
     import ray.data as rd

@@ -295,9 +295,11 @@ def robots_sitemaps(ds: "ray.data.Dataset", robots_col: str = "robots_txt",
     the RFC 9309 §2.3 sitemap-discovery extension, group-INdependent per
     the sitemaps.org protocol (valid anywhere in the file). Comments
     strip first; the value is the first whitespace-free token after the
-    case-insensitive key; pos is the 1-based ordinal among the host's
-    directives. Feeds :func:`engine.links.extract_sitemap` — the crawl
-    chain robots → sitemap index → page frontier. Map-side only."""
+    case-insensitive key; pos is the 1-based ordinal among the INPUT
+    ROW's directives (one row per host expected — a host serves one
+    robots.txt; duplicate-host inputs keep per-file ordinals). Feeds
+    :func:`engine.links.extract_sitemap` — the crawl chain robots →
+    sitemap index → page frontier. Map-side only."""
     import numpy as np
 
     schema = pa.schema([("host", pa.string()), ("pos", pa.int64()),

@@ -405,13 +405,11 @@ def encode_gif(img: np.ndarray) -> bytes:
     pal = pal.view(np.uint8).reshape(-1, 3)
     if len(pal) > 256:
         raise ValueError("encode_gif: more than 256 distinct colors")
+    # LZW min code size == color-table bits; >= 2 per spec, and
+    # 2^m >= len(pal) by construction (the size field stores m - 1)
     m = max(2, int(np.ceil(np.log2(max(len(pal), 2)))))
-    tbl_bits = max(1, m)  # color table size field: 2 << bits-1 entries
-    n_entries = 2 << (tbl_bits - 1)
-    while n_entries < len(pal):
-        tbl_bits += 1
-        n_entries = 2 << (tbl_bits - 1)
-    m = max(2, tbl_bits)
+    tbl_bits = m
+    n_entries = 1 << m
     padded = np.zeros((n_entries, 3), np.uint8)
     padded[:len(pal)] = pal
     out = bytearray(b"GIF89a")

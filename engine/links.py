@@ -775,7 +775,8 @@ def _hreflang_from_batch(t: pa.Table, url_col: str,
                          html_col: str) -> pa.Table:
     if t.num_rows == 0:
         return _HREFLANG_SCHEMA.empty_table()
-    parts = pc.split_pattern(t[html_col], pattern="<link")
+    parts = pc.split_pattern(pc.fill_null(t[html_col], ""),
+                             pattern="<link")
     if isinstance(parts, pa.ChunkedArray):
         parts = parts.combine_chunks()
     flat = parts.flatten()
@@ -899,7 +900,8 @@ def _headings_at_level(t: pa.Table, url_col: str, html_col: str,
     """One literal split on ``<hk``: a candidate block must close its
     opening tag BEFORE its ``</hk>`` (the RE2-twin ``<hk[^>]*>(.*?)</hk>``
     semantics); inner markup strips, whitespace trims, empties drop."""
-    parts = pc.split_pattern(t[html_col], pattern=f"<h{k}")
+    parts = pc.split_pattern(pc.fill_null(t[html_col], ""),
+                             pattern=f"<h{k}")
     if isinstance(parts, pa.ChunkedArray):
         parts = parts.combine_chunks()
     flat = parts.flatten()

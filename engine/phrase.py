@@ -77,4 +77,16 @@ def phrase_search(ds: "ray.data.Dataset", phrase: "tuple[str, ...]",
         rnk[order] = np.arange(1, len(ids) + 1)
         return t.append_column("rank", pa.array(rnk, type=pa.int64()))
 
-    return found.repartition(1).map_batches(rank, batch_format="pyarrow")
+    # zero-hit guard: a 0-row exchange loses its schema in Ray 2.49
+    # (repartition emits a column-less block). A sentinel row keeps every
+    # stage schema-ful; it sorts LAST (n_hits=0 < any real hit) so real
+    # ranks are unaffected, and the final filter drops it.
+    sentinel = ray.data.from_arrow(pa.table({
+        id_col: pa.array([-1], type=pa.int64()),
+        "n_hits": pa.array([0], type=pa.int64()),
+    }))
+    ranked = found.union(sentinel).repartition(1) \
+        .map_batches(rank, batch_format="pyarrow")
+    return ranked.map_batches(
+        lambda t: t.filter(pc.greater_equal(t[id_col], 0)),
+        batch_format="pyarrow")

@@ -1946,12 +1946,19 @@ def q_jsonl_roundtrip(sf_dir: str):
     back — the registry's newline-delimited-JSON ingest path, pinned by a
     full write→read value roundtrip. DuckDB twin: the direct table (the
     roundtrip must be lossless)."""
+    import shutil
     import tempfile
 
     import ray.data as rd
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    out_dir = tempfile.mkdtemp(prefix="graft_jsonl_")
+    # fixed, reused scratch path (keyed by sf dir): repeated bench/gate
+    # invocations must not grow /tmp without bound
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        "graft_jsonl_" + os.path.basename(os.path.normpath(sf_dir)))
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
     docs.write_json(out_dir)
     back = rd.read_json(out_dir)
     return back.map_batches(

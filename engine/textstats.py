@@ -1467,13 +1467,13 @@ def term_search(ds: "ray.data.Dataset", terms: "tuple[str, ...]",
                           "tf_total": pa.array([], type=pa.int64())})
         if n == 0:
             return empty
-        hit = pc.is_in(toks, value_set=term_arr)
-        # term id per token (index_in: null for non-matches)
-        tid = pc.index_in(toks, value_set=term_arr) \
-            .to_numpy(zero_copy_only=False)
+        # ONE scan: index_in gives the term id per token, null for
+        # non-matches — its validity IS the match mask
+        tid_arr = pc.index_in(toks, value_set=term_arr)
+        tid = tid_arr.to_numpy(zero_copy_only=False)
         row = np.repeat(np.arange(len(lens)), lens)
-        m = np.asarray(hit.to_numpy(zero_copy_only=False), dtype=bool)
-        m &= ~np.isnan(tid) if tid.dtype.kind == "f" else m
+        m = np.asarray(pc.is_valid(tid_arr).to_numpy(zero_copy_only=False),
+                       dtype=bool)
         if not m.any():
             return empty
         rowm = row[m]
@@ -1502,5 +1502,18 @@ def term_search(ds: "ray.data.Dataset", terms: "tuple[str, ...]",
         return t.append_column("rank", pa.array(rnk, type=pa.int64()))
 
     # the hit set is tiny relative to the corpus (that is the point of a
-    # conjunctive query); one coalesced pass ranks it
-    return hits.repartition(1).map_batches(rank, batch_format="pyarrow")
+    # conjunctive query); one coalesced pass ranks it. Zero-hit guard:
+    # a 0-row exchange loses its schema in Ray 2.49, so a sentinel row
+    # (tf_total=0, sorts last — ranks unaffected) rides the exchange and
+    # the final filter drops it.
+    import ray.data as _rd
+
+    sentinel = _rd.from_arrow(pa.table({
+        id_col: pa.array([-1], type=pa.int64()),
+        "tf_total": pa.array([0], type=pa.int64()),
+    }))
+    ranked = hits.union(sentinel).repartition(1) \
+        .map_batches(rank, batch_format="pyarrow")
+    return ranked.map_batches(
+        lambda t: t.filter(pc.greater_equal(t[id_col], 0)),
+        batch_format="pyarrow")

@@ -277,6 +277,40 @@ def test_phrase_search_overlaps_and_boundaries(ray_session):
     assert list(out2.itertuples(index=False, name=None)) == [(4, 1, 1)]
 
 
+def test_search_zero_hits_keep_schema(ray_session):
+    import ray.data as rd
+
+    from engine.phrase import phrase_search
+    from engine.textstats import term_search
+
+    # NOTE: Ray 2.49 to_pandas drops column names on ANY 0-row dataset;
+    # the schema() contract is what the sentinel guard preserves
+    ds = rd.from_arrow(pa.table({"doc_id": [1], "text": ["x y"]}))
+    p = phrase_search(ds, ("no", "match"))
+    assert p.schema().names == ["doc_id", "n_hits", "rank"]
+    assert p.count() == 0
+    t = term_search(ds, ("absent",))
+    assert t.schema().names == ["doc_id", "tf_total", "rank"]
+    assert t.count() == 0
+
+
+def test_extractors_tolerate_null_html(ray_session):
+    import ray.data as rd
+
+    from engine.links import extract_hreflang, extract_outline
+
+    pages = pa.table({
+        "url": ["https://a/p", "https://b/q"],
+        "html": [None,
+                 '<h1>ok</h1><link rel="alternate" hreflang="es" '
+                 'href="/es">'],
+    })
+    out = extract_outline(rd.from_arrow(pages)).to_pandas()
+    assert list(out["text"]) == ["ok"]
+    hl = extract_hreflang(rd.from_arrow(pages)).to_pandas()
+    assert list(hl["hreflang"]) == ["es"]
+
+
 def test_dedup_paragraphs_matches_bruteforce(ray_session):
     import numpy as np
     import ray.data as rd

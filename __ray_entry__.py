@@ -1302,6 +1302,37 @@ base AS (SELECT doc_id, len(t) AS n_tok FROM toks)
 SELECT b.doc_id, coalesce(a.text, '') AS text,
        CAST(b.n_tok - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed_tokens
 FROM base b LEFT JOIN agg a USING (doc_id)""",
+        "url_features": r"""
+WITH pages AS (
+  SELECT CASE
+    WHEN doc_id % 4 = 0 THEN
+      'https://w' || (doc_id % 9) || '.ex/a' || doc_id || '/b/c?x=1&y='
+      || doc_id || '#frag'
+    WHEN doc_id % 4 = 1 THEN 'https://w' || (doc_id % 9) || '.ex/p'
+      || doc_id
+    WHEN doc_id % 4 = 2 THEN 'https://w' || (doc_id % 9) || '.ex/'
+    ELSE 'http://w' || (doc_id % 9) || '.ex/dl/f' || doc_id || '.pdf?'
+  END AS url
+  FROM documents),
+x AS (
+  SELECT url,
+         regexp_extract(url, '^https?://([^/?#]+)', 1) AS host,
+         coalesce(NULLIF(regexp_extract(url,
+             '^https?://[^/?#]+(/[^?#]*)', 1), ''), '/') AS path,
+         CASE WHEN url LIKE '%?%'
+              THEN regexp_extract(url, '\?([^#]*)', 1) END AS query
+  FROM pages)
+SELECT url, host,
+       CAST(len(regexp_extract_all(path, '[^/]+')) AS BIGINT) AS depth,
+       CAST(CASE WHEN query IS NOT NULL
+                 THEN len(string_split(query, '&')) ELSE 0 END
+            AS BIGINT) AS n_params,
+       CAST(len(regexp_extract_all(path, '[0-9]')) AS BIGINT)
+         AS path_digits,
+       CAST(length(path) AS BIGINT) AS path_len,
+       CAST(CASE WHEN query IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+         AS has_query
+FROM x""",
         "phrase_search": r"""
 WITH f AS (
   SELECT doc_id, i AS pos, ts[i] AS tok

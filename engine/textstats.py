@@ -1517,3 +1517,41 @@ def term_search(ds: "ray.data.Dataset", terms: "tuple[str, ...]",
     return ranked.map_batches(
         lambda t: t.filter(pc.greater_equal(t[id_col], 0)),
         batch_format="pyarrow")
+
+
+def lang_hits(ds: "ray.data.Dataset", text_col: str = "text",
+              id_col: str = "doc_id") -> "ray.data.Dataset":
+    """Per-language stopword hit COUNTS + routing confidence — the
+    integer evidence behind :class:`LangIdStage`'s argmax, exposed so a
+    routing pipeline can gate on the margin (top1 − top2 hits; small
+    margins → 'und'/manual lanes) instead of trusting a bare label.
+    Output: (doc_id, hits_de, hits_en, hits_es, hits_fr, n_tokens,
+    margin) — all int64, SQL-twin exact. Same vectorized kernel as the
+    lang-ID stage (ONE flat token scan, pc.is_in per profile)."""
+    langs = LangIdStage._LANGS
+    value_sets = [pa.array(sorted(_STOPWORDS[lang])) for lang in langs]
+
+    def score(t: pa.Table) -> pa.Table:
+        col = _text_column(t, text_col)
+        toks, row_lens = _flat_tokens(col, r"[\W\d_]+")
+        low = pc.utf8_lower(toks)
+        if len(toks):
+            hits = np.stack([
+                _seg_sum(
+                    pc.is_in(low, value_set=vs)
+                    .to_numpy(zero_copy_only=False).astype(np.int64),
+                    row_lens)
+                for vs in value_sets
+            ])
+        else:
+            hits = np.zeros((len(langs), len(col)), np.int64)
+        srt = np.sort(hits, axis=0)
+        margin = srt[-1] - (srt[-2] if len(langs) > 1 else 0)
+        cols = {id_col: t[id_col]}
+        for i, lang in enumerate(langs):
+            cols[f"hits_{lang}"] = pa.array(hits[i], type=pa.int64())
+        cols["n_tokens"] = pa.array(row_lens.astype(np.int64))
+        cols["margin"] = pa.array(margin.astype(np.int64))
+        return pa.table(cols)
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -342,7 +342,7 @@ def test_driver_gate_window_policy():
         "hreflang", "domain_prior", "anchor_corpus", "outline",
         "compression", "video_stats", "jsonl_roundtrip",
         "robots_sitemaps", "frontier", "term_search", "phrase_search",
-        "url_features", "corpus_prep2",
+        "url_features", "corpus_prep2", "lang_hits",
         "extract_roundtrip", "pdf_roundtrip",
     ]
     missing = [q for q in must_be_inside if q not in window]

@@ -1,5 +1,5 @@
 """REAL image codecs on the stdlib: PNG (zlib), BMP (24-bit), PPM (P6),
-GIF (LZW).
+GIF (LZW), TIFF (uncompressed).
 
 The round-3 verdict graded multimodal decode 'weak' because the sandbox
 ships no codec libraries — but PNG needs only ``zlib`` (stdlib) plus numpy
@@ -16,6 +16,8 @@ stages map to their per-row error channel):
 - PPM: binary P6, maxval 255.
 - GIF: 87a/89a first frame, global/local palette, full LZW,
   interlaced or sequential (extensions skipped, transparency ignored).
+- TIFF: first IFD, uncompressed 8-bit RGB/gray, chunky, multi-strip,
+  both byte orders (compressed TIFF is the pillow deployment path).
 
 The encoder (fixtures + tests) writes PNGs with a chosen per-row filter so
 the unfilter paths are provable, and is byte-deterministic (fixed zlib
@@ -449,3 +451,107 @@ def encode_gif(img: np.ndarray) -> bytes:
         out += chunk
     out += b"\x00\x3b"
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# TIFF decode/encode (uncompressed baseline, II/MM)
+# ---------------------------------------------------------------------------
+
+TIFF_SIGS = (b"II*\x00", b"MM\x00*")
+
+
+def decode_tiff(payload: bytes) -> np.ndarray:
+    """Uncompressed baseline TIFF → HxWx3 uint8: first IFD, 8-bit RGB or
+    grayscale (gray replicated), Compression=1, chunky planar config,
+    strips concatenated in order; both byte orders. Raises ValueError
+    outside the matrix (LZW/JPEG-in-TIFF are deployment-path formats)."""
+    if payload[:4] not in TIFF_SIGS:
+        raise ValueError("not a TIFF (bad signature)")
+    bo = "<" if payload[:2] == b"II" else ">"
+    if len(payload) < 8:
+        raise ValueError("TIFF truncated before IFD offset")
+    ifd_off = struct.unpack(bo + "I", payload[4:8])[0]
+    if ifd_off + 2 > len(payload):
+        raise ValueError("TIFF truncated at IFD")
+    n_entries = struct.unpack(bo + "H", payload[ifd_off:ifd_off + 2])[0]
+    tags: dict = {}
+    for i in range(n_entries):
+        e = ifd_off + 2 + 12 * i
+        if e + 12 > len(payload):
+            raise ValueError("TIFF truncated in IFD entry")
+        tag, typ, cnt = struct.unpack(bo + "HHI", payload[e:e + 8])
+        size = {1: 1, 3: 2, 4: 4}.get(typ)
+        if size is None:
+            continue  # RATIONAL etc. — not needed for the matrix
+        total = size * cnt
+        if total <= 4:
+            raw = payload[e + 8:e + 8 + total]
+        else:
+            off = struct.unpack(bo + "I", payload[e + 8:e + 12])[0]
+            raw = payload[off:off + total]
+            if len(raw) < total:
+                raise ValueError("TIFF truncated tag payload")
+        fmt = {1: "B", 3: "H", 4: "I"}[typ]
+        tags[tag] = list(struct.unpack(bo + fmt * cnt, raw))
+    try:
+        w = tags[256][0]
+        h = tags[257][0]
+        offsets = tags[273]
+        counts = tags[279]
+    except KeyError as exc:
+        raise ValueError(f"TIFF missing required tag: {exc}") from exc
+    comp = tags.get(259, [1])[0]
+    spp = tags.get(277, [1])[0]
+    bps = tags.get(258, [1] * spp)
+    planar = tags.get(284, [1])[0]
+    if comp != 1:
+        raise ValueError(f"TIFF compression {comp} unsupported")
+    if planar != 1:
+        raise ValueError("TIFF planar configuration 2 unsupported")
+    if spp not in (1, 3) or any(b != 8 for b in bps):
+        raise ValueError(
+            f"TIFF unsupported sample layout (spp={spp}, bps={bps})")
+    data = b"".join(payload[o:o + c] for o, c in zip(offsets, counts))
+    need = w * h * spp
+    if len(data) < need:
+        raise ValueError("TIFF pixel data truncated")
+    img = np.frombuffer(data[:need], np.uint8).reshape(h, w, spp)
+    if spp == 1:
+        return np.repeat(img, 3, axis=2)
+    return img
+
+
+def encode_tiff(img: np.ndarray, big_endian: bool = False) -> bytes:
+    """HxWx3 uint8 → single-strip uncompressed TIFF (fixtures/tests twin
+    of decode_tiff); deterministic, either byte order."""
+    img = np.asarray(img, dtype=np.uint8)
+    h, w, _ = img.shape
+    bo = ">" if big_endian else "<"
+    data = img.tobytes()
+    # header(8) + IFD: count(2) + 8 entries(96) + next(4) = offset 110 for
+    # bps array (3 SHORTs = 6 bytes), pixel data after
+    n_tags = 8
+    ifd_off = 8
+    bps_off = ifd_off + 2 + 12 * n_tags + 4
+    data_off = bps_off + 6
+
+    def entry(tag: int, typ: int, cnt: int, val: int) -> bytes:
+        e = struct.pack(bo + "HHI", tag, typ, cnt)
+        if typ == 3 and cnt == 1:
+            return e + struct.pack(bo + "HH", val, 0)
+        return e + struct.pack(bo + "I", val)
+
+    ifd = struct.pack(bo + "H", n_tags)
+    ifd += entry(256, 4, 1, w)            # ImageWidth
+    ifd += entry(257, 4, 1, h)            # ImageLength
+    ifd += entry(258, 3, 3, bps_off)      # BitsPerSample -> offset
+    ifd += entry(259, 3, 1, 1)            # Compression: none
+    ifd += entry(262, 3, 1, 2)            # Photometric: RGB
+    ifd += entry(273, 4, 1, data_off)     # StripOffsets
+    ifd += entry(277, 3, 1, 3)            # SamplesPerPixel
+    ifd += entry(279, 4, 1, len(data))    # StripByteCounts
+    ifd += struct.pack(bo + "I", 0)       # next IFD
+    sig = b"II*\x00" if not big_endian else b"MM\x00*"
+    head = sig + struct.pack(bo + "I", ifd_off)
+    bps = struct.pack(bo + "HHH", 8, 8, 8)
+    return head + ifd + bps + data

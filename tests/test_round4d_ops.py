@@ -332,18 +332,74 @@ def test_dedup_paragraphs_matches_bruteforce(ray_session):
 
 def test_driver_gate_window_policy():
     """The grading driver checks only the FIRST 50 queries() entries:
-    the newest operators and the flagship roundtrips must sit inside
-    that window (policy comment above the registry)."""
+    the newest operators and the queries whose kernels changed this round
+    must sit inside that window (policy comment above the registry).
+    Round-5 window: the 18 round-4 ops that never had a driver row, plus
+    the round-5 changed-kernel queries."""
     from engine.queries import QUERIES
 
     window = list(QUERIES)[:50]
     must_be_inside = [
-        "dedup_paragraphs", "cluster_split", "meta_refresh", "feed",
-        "hreflang", "domain_prior", "anchor_corpus", "outline",
-        "compression", "video_stats", "jsonl_roundtrip",
-        "robots_sitemaps", "frontier", "term_search", "phrase_search",
-        "url_features", "corpus_prep2", "lang_hits",
-        "extract_roundtrip", "pdf_roundtrip",
+        # the 18 round-4 post-window ops (VERDICT r4 #2)
+        "link_density", "mix_corpora", "quantile_filter", "crawl_delta",
+        "pagerank", "shard_pack", "profile", "range_partition",
+        "upsample", "curriculum", "heavy_hitters", "kmeans",
+        "hll_merged", "encode_tokens", "pack_sequences",
+        "global_shuffle", "quantile_sketch", "group_quantile_sketch",
+        # round-5 new + changed-kernel queries
+        "textops_composite", "extract_roundtrip", "pdf_roundtrip",
+        "image_decode", "media_features", "bigram_lm",
     ]
     missing = [q for q in must_be_inside if q not in window]
     assert not missing, f"gate window lost: {missing}"
+
+
+# judge-verified registry entries that are neither driver-green in a
+# checked-in CORRECTNESS_r0*.json nor inside the current 50-slot window:
+# r3 entries re-verified by the round-3 judge via check_oracle at sf0.01
+# and regression-pinned at sf0.001 in tests/test_queries_oracle.py.
+# "compression" is rows-only BY DESIGN (no zlib in DuckDB; pinned against
+# direct zlib in pytest). Adding a NEW op here instead of the window is a
+# policy violation — shrink this list, never grow it.
+JUDGE_VERIFIED_OUTSIDE_GATE = {
+    "transitions", "cms_users", "vocab", "corpus_prep", "cap_per_source",
+    "normalize_urls", "strip_lines", "dense_rank", "bloom_users",
+    "fuzzy_decontam", "strip_spans", "running_total", "audience_overlap",
+    "url_dedup", "hll_events", "hll_by_type", "compression",
+}
+
+
+def test_no_orphan_registry_entries():
+    """Every queries() entry must be driver-checkable: either it already
+    has a hash-green row in a checked-in CORRECTNESS_r0*.json, or it sits
+    inside the current 50-slot driver window (so the NEXT artifact will
+    record it), or it is on the frozen judge-verified allowlist above.
+    This makes it impossible to ship a new operator that no driver gate
+    will ever sample (VERDICT r4 #10)."""
+    import glob
+    import json
+    import os
+
+    from engine.queries import QUERIES
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    green: set[str] = set()
+    for p in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r0*.json"))):
+        with open(p) as f:
+            rows = json.load(f)
+        for name, row in rows.items():
+            if isinstance(row, dict) and row.get("hash_match"):
+                green.add(name)
+    assert green, "no CORRECTNESS artifacts found — wrong repo layout?"
+
+    names = list(QUERIES)
+    window = set(names[:50])
+    orphans = [q for q in names
+               if q not in green and q not in window
+               and q not in JUDGE_VERIFIED_OUTSIDE_GATE]
+    assert not orphans, (
+        f"registry entries outside every gate: {orphans} — put new ops in "
+        "the first-50 window (registry order) so the driver checks them")
+    # the allowlist must not silently rot: entries on it must still exist
+    stale = JUDGE_VERIFIED_OUTSIDE_GATE - set(names)
+    assert not stale, f"allowlist names not in registry: {stale}"

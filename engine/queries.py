@@ -2446,9 +2446,10 @@ def q_redirects(sf_dir: str):
 def q_bigram_lm(sf_dir: str):
     """Corpus bigram-LM surprisal (engine.textstats.bigram_lm_score) over
     the REAL documents table: integer bit-length ladder, counts derived
-    from the same pair stream, two partitioned joins, per-doc Sum.
-    DuckDB twin: pair explode + the same two count joins +
-    length(bin(n)) ladder."""
+    from the same pair stream inside ONE w1-keyed bucket exchange
+    (bigram → w1 is a function, so one partition co-locates both model
+    counts), per-doc Sum. DuckDB twin: pair explode + the two count
+    joins + length(bin(n)) ladder."""
     from engine.textstats import bigram_lm_score
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])

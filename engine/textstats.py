@@ -1288,18 +1288,29 @@ def bigram_lm_score(ds: "ray.data.Dataset", text_col: str = "text",
     bigram model (the CCNet head/middle/tail signal); a real KenLM swaps
     the integer ladder for log-probs without touching the plan.
 
-    Plan: doc pair stream pre-agged per block to (doc_id, bigram, k)
-    rows (Acero — repeats collapse before the wire); model counts are
-    plain groupby-Sums over the SAME stream (no second corpus scan);
-    contributions attach via two partitioned hash_joins (NO broadcast —
-    the bigram vocabulary at web scale outgrows any worker heap), then
-    one per-doc Sum. Docs with < 2 tokens score (0, 0).
+    Plan (round 5 — ONE wide exchange, was three): the doc pair stream is
+    pre-agged per block to (doc_id, bigram, k) rows (Acero — repeats
+    collapse before the wire) and bucketed by hash(w1). Because bigram →
+    w1 is a function, ONE hash-partition on w1 co-locates every
+    occurrence of a bigram (all its rows share its w1) AND every
+    occurrence of its left context — so n2(bigram), n1(w1), the per-row
+    contribution, and a per-doc partial sum all happen in a single
+    vectorized per-bucket pass (dictionary-encode + weighted bincount;
+    num_buckets Python calls total, not per-group). The pair stream
+    crosses the wire ONCE; only O(docs-per-bucket) partials follow (one
+    narrow per-doc Sum — a doc's w1s span buckets). NO broadcast — the
+    bigram vocabulary at web scale outgrows any worker heap. Skew note: a
+    stopword w1 lands its whole context family in one bucket; buckets
+    hold many w1s and the pass is O(bucket) vectorized, so imbalance
+    costs wall-time, not correctness — raise num_buckets for very hot
+    vocabularies. Docs with < 2 tokens score (0, 0).
 
     Output: (doc_id, lm_bits:int64, n_pairs:int64).
     """
+    import pandas as pd
     from ray.data.aggregate import Sum
 
-    from engine.joins import hash_join
+    from engine.joins import _bucket_of_column, _coalesced, hash_join
     from engine.stats import acero_counts
 
     def pairs(t: pa.Table) -> pa.Table:
@@ -1310,6 +1321,7 @@ def bigram_lm_score(ds: "ray.data.Dataset", text_col: str = "text",
             id_col: pa.array([], type=pa.int64()),
             "bigram": pa.array([], type=pa.string()),
             "k": pa.array([], type=pa.int64()),
+            "__bucket": pa.array([], type=pa.int32()),
         })
         if n < 2:
             return empty
@@ -1321,67 +1333,59 @@ def bigram_lm_score(ds: "ray.data.Dataset", text_col: str = "text",
         if not pair_ok.any():
             return empty
         sel = pa.array(pair_ok)
+        w1_toks = toks.slice(0, n - 1).filter(sel)
         bigrams = pc.binary_join_element_wise(
-            toks.slice(0, n - 1).filter(sel),
-            toks.slice(1, n - 1).filter(sel), " ")
+            w1_toks, toks.slice(1, n - 1).filter(sel), " ")
         rows = np.repeat(np.arange(len(lens)), lens)[: n - 1][pair_ok]
         raw = pa.table({
             id_col: ids_in[rows].astype(np.int64),
             "bigram": pc.cast(bigrams, pa.string()),
         })
-        return acero_counts(raw, [id_col, "bigram"], out_col="k")
+        out = acero_counts(raw, [id_col, "bigram"], out_col="k")
+        w1 = pc.replace_substring_regex(out["bigram"], r"\s.*$", "")
+        return out.append_column(
+            "__bucket", _bucket_of_column(w1, num_buckets))
 
-    dp = ds.map_batches(pairs, batch_format="pyarrow").materialize()
+    dp = ds.map_batches(pairs, batch_format="pyarrow")
 
-    c2 = (dp.map_batches(lambda t: t.select(["bigram", "k"]),
-                         batch_format="pyarrow")
-          .groupby("bigram").aggregate(Sum("k", alias_name="n2"))
-          .materialize())
+    def bucket_pass(t: pa.Table) -> pa.Table:
+        # one vectorized pass over a whole w1-hash bucket: model counts,
+        # contributions, and per-doc partials — no per-group Python beyond
+        # this call (num_buckets total)
+        if t.num_rows == 0:
+            return pa.table({id_col: pa.array([], type=pa.int64()),
+                             "v": pa.array([], type=pa.int64()),
+                             "np_": pa.array([], type=pa.int64())})
+        # single contiguous Array: dictionary_encode over a ChunkedArray
+        # would give each chunk its OWN dictionary
+        big = t["bigram"].combine_chunks()
+        k = t["k"].to_numpy(zero_copy_only=False).astype(np.int64)
+        enc2 = pc.dictionary_encode(big)
+        bi_idx = enc2.indices.to_numpy(zero_copy_only=False)
+        n2 = np.bincount(bi_idx, weights=k).astype(np.int64)  # < 2^53
+        w1 = pc.replace_substring_regex(enc2.dictionary, r"\s.*$", "")
+        enc1 = pc.dictionary_encode(w1)
+        w1_of_big = enc1.indices.to_numpy(zero_copy_only=False)
+        n1 = np.bincount(w1_of_big[bi_idx], weights=k).astype(np.int64)
 
-    def left_tok(t: pa.Table) -> pa.Table:
+        def bitlen(v: np.ndarray) -> np.ndarray:
+            _, e = np.frexp(v.astype(np.float64))  # exact: counts < 2^53
+            return e.astype(np.int64)
+
+        v = k * (bitlen(n1[w1_of_big[bi_idx]]) - bitlen(n2[bi_idx]))
+        docs = t[id_col].to_numpy(zero_copy_only=False)
+        dcodes, duniq = pd.factorize(docs)
         return pa.table({
-            "w1": pc.replace_substring_regex(t["bigram"], r"\s.*$", ""),
-            "k": t["k"],
+            id_col: pa.array(np.asarray(duniq, dtype=np.int64)),
+            "v": pa.array(np.bincount(dcodes, weights=v)
+                          .astype(np.int64)),
+            "np_": pa.array(np.bincount(dcodes, weights=k)
+                            .astype(np.int64)),
         })
 
-    c1 = (dp.map_batches(left_tok, batch_format="pyarrow")
-          .groupby("w1").aggregate(Sum("k", alias_name="n1"))
-          .materialize())
-
-    def bitlen(col: "pa.ChunkedArray") -> np.ndarray:
-        v = col.to_numpy(zero_copy_only=False).astype(np.float64)
-        _, e = np.frexp(v)  # exact: counts < 2^53
-        return e.astype(np.int64)
-
-    j2 = hash_join(dp, c2, on="bigram", num_buckets=num_buckets)
-
-    def neg(t: pa.Table) -> pa.Table:
-        k = t["k"].to_numpy(zero_copy_only=False)
-        return pa.table({
-            id_col: t[id_col],
-            "v": pa.array(-k * bitlen(t["n2"])),
-            "np_": pc.cast(t["k"], pa.int64()),
-        })
-
-    dpw = dp.map_batches(
-        lambda t: pa.table({
-            id_col: t[id_col],
-            "w1": pc.replace_substring_regex(t["bigram"], r"\s.*$", ""),
-            "k": t["k"],
-        }),
-        batch_format="pyarrow")
-    j1 = hash_join(dpw, c1, on="w1", num_buckets=num_buckets)
-
-    def pos(t: pa.Table) -> pa.Table:
-        k = t["k"].to_numpy(zero_copy_only=False)
-        return pa.table({
-            id_col: t[id_col],
-            "v": pa.array(k * bitlen(t["n1"])),
-            "np_": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
-        })
-
-    contrib = (j2.map_batches(neg, batch_format="pyarrow")
-               .union(j1.map_batches(pos, batch_format="pyarrow"))
+    contrib = (_coalesced(dp, num_buckets, "auto")
+               .groupby("__bucket")
+               .map_groups(bucket_pass, batch_format="pyarrow")
                .groupby(id_col)
                .aggregate(Sum("v", alias_name="lm_bits"),
                           Sum("np_", alias_name="n_pairs"))

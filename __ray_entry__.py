@@ -2009,6 +2009,22 @@ SELECT doc_id,
        len(regexp_extract_all(text, '\b(slow|scan|merge)\b')) * 1000
          <= len(regexp_extract_all(text, '\S+')) * 100 AS keep
 FROM documents""",
+        "tiff_decode": r"""
+WITH p AS (
+  SELECT doc_id,
+         8 + (doc_id % 5) * 4 AS w,
+         8 + (doc_id % 3) * 4 AS h,
+         (7 * doc_id) % 200 AS rbase,
+         (13 * doc_id) % 256 AS g,
+         (29 * doc_id) % 256 AS b
+  FROM documents)
+SELECT doc_id AS media_id,
+       CAST(w AS BIGINT) AS width,
+       CAST(h AS BIGINT) AS height,
+       CAST(h * (w * rbase + (w * (w - 1)) // 2) AS BIGINT) AS sum_r,
+       CAST(h * w * g AS BIGINT) AS sum_g,
+       CAST(h * w * b AS BIGINT) AS sum_b
+FROM p""",
         "image_decode": r"""
 WITH p AS (
   SELECT doc_id,

@@ -454,17 +454,153 @@ def encode_gif(img: np.ndarray) -> bytes:
 
 
 # ---------------------------------------------------------------------------
-# TIFF decode/encode (uncompressed baseline, II/MM)
+# TIFF decode/encode (baseline none/PackBits/LZW, II/MM)
 # ---------------------------------------------------------------------------
 
 TIFF_SIGS = (b"II*\x00", b"MM\x00*")
 
 
+def _packbits_decode(data: bytes, limit: int) -> bytes:
+    """TIFF PackBits (compression 32773): n in 0..127 → copy n+1 literal
+    bytes; n in -127..-1 (129..255 unsigned) → repeat next byte 1-n times;
+    n == -128 (128) → no-op. Same scheme as PDF RunLengthDecode minus the
+    EOD byte (TIFF strips end at the byte count)."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        ctl = data[i]
+        if ctl < 128:
+            if i + 2 + ctl > n:
+                raise ValueError("truncated PackBits literal run")
+            out += data[i + 1:i + 2 + ctl]
+            i += 2 + ctl
+        elif ctl == 128:
+            i += 1
+        else:
+            if i + 1 >= n:
+                raise ValueError("truncated PackBits repeat run")
+            out += data[i + 1:i + 2] * (257 - ctl)
+            i += 2
+        if len(out) > limit:
+            raise ValueError("PackBits output exceeds size cap")
+    return bytes(out)
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """PackBits encoder (fixture/test twin): runs of >= 3 identical bytes
+    become repeat packets (capped at 128), everything else literal packets
+    (capped at 128)."""
+    out = bytearray()
+    i, n = 0, len(data)
+    lit_start = 0
+
+    def flush_literal(end: int) -> None:
+        nonlocal lit_start
+        j = lit_start
+        while j < end:
+            m = min(128, end - j)
+            out.append(m - 1)
+            out.extend(data[j:j + m])
+            j += m
+        lit_start = end
+
+    while i < n:
+        run = 1
+        while i + run < n and data[i + run] == data[i] and run < 128:
+            run += 1
+        if run >= 3:
+            flush_literal(i)
+            out.append(257 - run)
+            out.append(data[i])
+            i += run
+            lit_start = i
+        else:
+            i += run
+    flush_literal(n)
+    return bytes(out)
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """TIFF LZW encoder (fixture/test twin of pdfx._lzw_decode, which IS
+    the TIFF variant: MSB-first 9→12-bit codes, 256=Clear, 257=EOD, early
+    change). The encoder simulates the decoder's table growth exactly —
+    the decoder trails one entry behind the encoder, so width switches are
+    keyed off the DECODER's next_code, and the table is Cleared before the
+    decoder's could reach 4096."""
+    acc = bytearray()
+    bitbuf = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal bitbuf, nbits
+        bitbuf = (bitbuf << width) | code
+        nbits += width
+        while nbits >= 8:
+            acc.append((bitbuf >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+        bitbuf &= (1 << nbits) - 1  # keep exactly the pending bits
+
+    CLEAR, EOD = 256, 257
+    table: dict[bytes, int] = {}
+    enc_next = 258
+    width = 9
+    dec_next = 258
+    first = True
+
+    def reset() -> None:
+        nonlocal table, enc_next, width, dec_next, first
+        table = {bytes([i]): i for i in range(256)}
+        enc_next = 258
+        width = 9
+        dec_next = 258
+        first = True
+
+    def post_emit() -> None:
+        # mirror one decoder step: it adds a table entry for every code
+        # after the first since reset, THEN checks the early-change rule
+        nonlocal dec_next, width, first
+        if first:
+            first = False
+        else:
+            dec_next += 1
+        if dec_next >= (1 << width) - 1 and width < 12:
+            width += 1
+
+    reset()
+    emit(CLEAR, width)
+    w = b""
+    for i in range(len(data)):
+        c = data[i:i + 1]
+        wc = w + c
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], width)
+        post_emit()
+        table[wc] = enc_next
+        enc_next += 1
+        w = c
+        if enc_next > 4093:          # decoder table must stay < 4096
+            emit(CLEAR, width)
+            reset()
+    if w:
+        emit(table[w], width)
+        post_emit()
+    emit(EOD, width)
+    if nbits:
+        acc.append((bitbuf << (8 - nbits)) & 0xFF)
+    return bytes(acc)
+
+
 def decode_tiff(payload: bytes) -> np.ndarray:
-    """Uncompressed baseline TIFF → HxWx3 uint8: first IFD, 8-bit RGB or
-    grayscale (gray replicated), Compression=1, chunky planar config,
-    strips concatenated in order; both byte orders. Raises ValueError
-    outside the matrix (LZW/JPEG-in-TIFF are deployment-path formats)."""
+    """Baseline TIFF → HxWx3 uint8: first IFD, 8-bit RGB or grayscale
+    (gray replicated), Compression 1 (none) / 5 (LZW — the pdfx
+    _lzw_decode core, which IS the TIFF variant: MSB-first 9→12-bit
+    codes, early change) / 32773 (PackBits), Predictor 1 or 2
+    (horizontal differencing), chunky planar config, strips decompressed
+    independently and concatenated in order; both byte orders. Raises
+    ValueError outside the matrix (JPEG-in-TIFF, tiles and planar=2 are
+    deployment-path formats)."""
     if payload[:4] not in TIFF_SIGS:
         raise ValueError("not a TIFF (bad signature)")
     bo = "<" if payload[:2] == b"II" else ">"
@@ -504,54 +640,121 @@ def decode_tiff(payload: bytes) -> np.ndarray:
     spp = tags.get(277, [1])[0]
     bps = tags.get(258, [1] * spp)
     planar = tags.get(284, [1])[0]
-    if comp != 1:
+    predictor = tags.get(317, [1])[0]
+    if comp not in (1, 5, 32773):
         raise ValueError(f"TIFF compression {comp} unsupported")
     if planar != 1:
         raise ValueError("TIFF planar configuration 2 unsupported")
+    if predictor not in (1, 2):
+        raise ValueError(f"TIFF predictor {predictor} unsupported")
     if spp not in (1, 3) or any(b != 8 for b in bps):
         raise ValueError(
             f"TIFF unsupported sample layout (spp={spp}, bps={bps})")
-    data = b"".join(payload[o:o + c] for o, c in zip(offsets, counts))
     need = w * h * spp
+    strips = [payload[o:o + c] for o, c in zip(offsets, counts)]
+    if any(len(s) < c for s, c in zip(strips, counts)):
+        raise ValueError("TIFF strip data truncated")
+    if comp == 5:
+        from engine.pdfx.objects import PdfError, _lzw_decode
+
+        try:
+            strips = [_lzw_decode(s, limit=need) for s in strips]
+        except PdfError as exc:
+            raise ValueError(f"TIFF LZW strip: {exc}") from exc
+    elif comp == 32773:
+        strips = [_packbits_decode(s, limit=need) for s in strips]
+    data = b"".join(strips)
     if len(data) < need:
         raise ValueError("TIFF pixel data truncated")
     img = np.frombuffer(data[:need], np.uint8).reshape(h, w, spp)
+    if predictor == 2:
+        # horizontal differencing: undo with a per-row per-channel cumsum
+        # (mod 256 — uint8 wraps)
+        img = np.cumsum(img, axis=1, dtype=np.uint64) \
+            .astype(np.uint8, copy=False)
     if spp == 1:
         return np.repeat(img, 3, axis=2)
-    return img
+    return np.ascontiguousarray(img)
 
 
-def encode_tiff(img: np.ndarray, big_endian: bool = False) -> bytes:
-    """HxWx3 uint8 → single-strip uncompressed TIFF (fixtures/tests twin
-    of decode_tiff); deterministic, either byte order."""
+def encode_tiff(img: np.ndarray, big_endian: bool = False,
+                compression: int = 1, predictor: int = 1,
+                rows_per_strip: int = 0) -> bytes:
+    """HxWx3 uint8 → TIFF (fixtures/tests twin of decode_tiff);
+    deterministic, either byte order, compression 1/5 (LZW)/32773
+    (PackBits), predictor 1/2 (horizontal differencing), optional
+    multi-strip (``rows_per_strip`` 0 → one strip)."""
     img = np.asarray(img, dtype=np.uint8)
     h, w, _ = img.shape
     bo = ">" if big_endian else "<"
-    data = img.tobytes()
-    # header(8) + IFD: count(2) + 8 entries(96) + next(4) = offset 110 for
-    # bps array (3 SHORTs = 6 bytes), pixel data after
-    n_tags = 8
+    if predictor == 2:
+        d = img.astype(np.int16)
+        d[:, 1:, :] -= img[:, :-1, :].astype(np.int16)
+        img = (d & 0xFF).astype(np.uint8)
+    elif predictor != 1:
+        raise ValueError(f"predictor {predictor} unsupported")
+    rps = rows_per_strip or h
+    raw_strips = [img[r:r + rps].tobytes() for r in range(0, h, rps)]
+    if compression == 1:
+        strips = raw_strips
+    elif compression == 5:
+        strips = [_tiff_lzw_encode(s) for s in raw_strips]
+    elif compression == 32773:
+        strips = [_packbits_encode(s) for s in raw_strips]
+    else:
+        raise ValueError(f"compression {compression} unsupported")
+
+    n_strips = len(strips)
+    tags = [
+        (256, 4, 1, [w]),                       # ImageWidth
+        (257, 4, 1, [h]),                       # ImageLength
+        (258, 3, 3, [8, 8, 8]),                 # BitsPerSample
+        (259, 3, 1, [compression]),
+        (262, 3, 1, [2]),                       # Photometric: RGB
+        (273, 4, n_strips, None),               # StripOffsets (patched)
+        (277, 3, 1, [3]),                       # SamplesPerPixel
+        (278, 4, 1, [rps]),                     # RowsPerStrip
+        (279, 4, n_strips, [len(s) for s in strips]),
+    ]
+    if predictor != 1:
+        tags.append((317, 3, 1, [predictor]))
+    tags.sort()
     ifd_off = 8
-    bps_off = ifd_off + 2 + 12 * n_tags + 4
-    data_off = bps_off + 6
+    val_off = ifd_off + 2 + 12 * len(tags) + 4  # spill-value area start
+    sizes = {3: 2, 4: 4}
+    fmts = {3: "H", 4: "I"}
 
-    def entry(tag: int, typ: int, cnt: int, val: int) -> bytes:
+    # lay out the spill area (values > 4 bytes), then pixel data
+    spill: list[bytes] = []
+    offsets_of: dict[int, int] = {}
+    cur = val_off
+    for tag, typ, cnt, vals in tags:
+        total = sizes[typ] * cnt
+        if total > 4:
+            offsets_of[tag] = cur
+            cur += total
+    data_off = cur
+    strip_offs = []
+    for s in strips:
+        strip_offs.append(data_off)
+        data_off += len(s)
+
+    def packed(typ: int, cnt: int, vals: "list[int]") -> bytes:
+        return struct.pack(bo + fmts[typ] * cnt, *vals)
+
+    ifd = struct.pack(bo + "H", len(tags))
+    for tag, typ, cnt, vals in tags:
+        if tag == 273:
+            vals = strip_offs
+        total = sizes[typ] * cnt
         e = struct.pack(bo + "HHI", tag, typ, cnt)
-        if typ == 3 and cnt == 1:
-            return e + struct.pack(bo + "HH", val, 0)
-        return e + struct.pack(bo + "I", val)
-
-    ifd = struct.pack(bo + "H", n_tags)
-    ifd += entry(256, 4, 1, w)            # ImageWidth
-    ifd += entry(257, 4, 1, h)            # ImageLength
-    ifd += entry(258, 3, 3, bps_off)      # BitsPerSample -> offset
-    ifd += entry(259, 3, 1, 1)            # Compression: none
-    ifd += entry(262, 3, 1, 2)            # Photometric: RGB
-    ifd += entry(273, 4, 1, data_off)     # StripOffsets
-    ifd += entry(277, 3, 1, 3)            # SamplesPerPixel
-    ifd += entry(279, 4, 1, len(data))    # StripByteCounts
-    ifd += struct.pack(bo + "I", 0)       # next IFD
+        if total <= 4:
+            e += packed(typ, cnt, vals).ljust(4, b"\x00")
+        else:
+            e += struct.pack(bo + "I", offsets_of[tag])
+            spill.append(packed(typ, cnt, vals))
+        ifd += e
+    ifd += struct.pack(bo + "I", 0)             # next IFD
     sig = b"II*\x00" if not big_endian else b"MM\x00*"
     head = sig + struct.pack(bo + "I", ifd_off)
-    bps = struct.pack(bo + "HHH", 8, 8, 8)
-    return head + ifd + bps + data
+    return head + ifd + b"".join(spill) + b"".join(strips)

@@ -3556,6 +3556,51 @@ def q_image_decode(sf_dir: str):
         ["media_id", "width", "height", "sum_r", "sum_g", "sum_b"])
 
 
+def q_tiff_decode(sf_dir: str):
+    """REAL compressed-TIFF decode through the distributed stage
+    (engine/imagecodec.py decode_tiff + multimodal.image_stats): the same
+    planted gradient image as q_image_decode, ENCODED into a rotating
+    TIFF matrix — compression none/LZW/PackBits by id%3, horizontal-
+    differencing predictor on compressed ids where id%2==1, big-endian
+    (MM) every 5th id, multi-strip (rows_per_strip=5) every 4th —
+    decoded to exact integer channel sums. Any byte wrong in the PackBits
+    runs, the LZW early-change width schedule, the predictor cumsum or
+    the strip assembly moves a sum; the DuckDB twin computes the sums in
+    closed form (container-independent)."""
+    import numpy as np
+
+    from engine.imagecodec import encode_tiff
+    from engine.multimodal import image_stats
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def mk(t: pa.Table) -> pa.Table:
+        payloads = []
+        ids = t["doc_id"].to_pylist()
+        for i in ids:
+            w = 8 + (i % 5) * 4
+            h = 8 + (i % 3) * 4
+            rbase = (7 * i) % 200           # rbase + w - 1 <= 222 < 256
+            img = np.empty((h, w, 3), dtype=np.uint8)
+            img[:, :, 0] = (rbase + np.arange(w, dtype=np.int64))[None, :]
+            img[:, :, 1] = (13 * i) % 256
+            img[:, :, 2] = (29 * i) % 256
+            comp = (1, 5, 32773)[i % 3]
+            payloads.append(encode_tiff(
+                img,
+                big_endian=(i % 5 == 0),
+                compression=comp,
+                predictor=2 if (comp != 1 and i % 2 == 1) else 1,
+                rows_per_strip=5 if i % 4 == 0 else 0))
+        return pa.table({"media_id": pa.array(ids, type=pa.int64()),
+                         "payload": pa.array(payloads, type=pa.binary())})
+
+    media = docs.map_batches(mk, batch_format="pyarrow")
+    out = image_stats(media, batch_size=128)
+    return out.select_columns(
+        ["media_id", "width", "height", "sum_r", "sum_g", "sum_b"])
+
+
 def q_jpeg_decode(sf_dir: str):
     """REAL baseline-JPEG decode through the distributed stage
     (engine/jpegcodec.py + multimodal.image_stats): per doc_id a planted
@@ -4024,6 +4069,7 @@ def q_dsir_weights(sf_dir: str):
 QUERIES = {
     # (b) new round-5 queries
     "textops_composite": q_textops_composite,
+    "tiff_decode": q_tiff_decode,
     # (a) the 18 round-4 ops past the r4 window (judge-verified r4, never
     # driver-gated)
     "link_density": q_link_density,

@@ -230,3 +230,65 @@ def test_tiff_error_paths():
     good = encode_tiff(np.zeros((3, 3, 3), np.uint8))
     with pytest.raises(ValueError):
         decode_tiff(good[:60])                        # IFD cut short
+
+
+def test_tiff_compressed_matrix():
+    """Round-5 codecs: PackBits (32773) and TIFF-LZW (5), predictor 1/2,
+    single- and multi-strip, both byte orders — full matrix roundtrip."""
+    from engine.imagecodec import decode_tiff, encode_tiff
+    from engine.multimodal import _decode_image
+
+    for be in (False, True):
+        for comp in (5, 32773):
+            for pred in (1, 2):
+                for rps in (0, 3):
+                    img = RNG.randint(0, 256, (11, 13, 3)).astype(np.uint8)
+                    enc = encode_tiff(img, big_endian=be, compression=comp,
+                                      predictor=pred, rows_per_strip=rps)
+                    assert (decode_tiff(enc) == img).all(), \
+                        (be, comp, pred, rps)
+    # magic routing covers the compressed variants too
+    img = RNG.randint(0, 256, (8, 9, 3)).astype(np.uint8)
+    assert (_decode_image(encode_tiff(img, compression=32773)) == img).all()
+    assert (_decode_image(encode_tiff(
+        img, big_endian=True, compression=5, predictor=2)) == img).all()
+
+
+def test_packbits_spec_vector():
+    """The classic PackBits example from the TIFF 6.0 spec (Apple variant):
+    FE AA | 02 80 00 2A | FD AA | 03 80 00 2A 22 | F7 AA."""
+    from engine.imagecodec import _packbits_decode, _packbits_encode
+
+    spec = bytes.fromhex("FEAA0280002AFDAA0380002A22F7AA")
+    expect = bytes.fromhex(
+        "AAAAAA80002AAAAAAAAA80002A22AAAAAAAAAAAAAAAAAAAA")
+    assert _packbits_decode(spec, limit=1000) == expect
+    # no-op byte (0x80) is skipped
+    assert _packbits_decode(b"\x80\x00A", limit=10) == b"A"
+    with pytest.raises(ValueError):
+        _packbits_decode(b"\x05AB", limit=100)       # truncated literal
+    with pytest.raises(ValueError):
+        _packbits_decode(b"\xfe", limit=100)         # truncated repeat
+    with pytest.raises(ValueError):
+        _packbits_decode(b"\xc0" + b"A", limit=10)   # output over cap
+    # encoder twin roundtrips structured and random data
+    for n in (0, 1, 7, 1000, 40000):
+        for data in (RNG.randint(0, 4, n).astype(np.uint8).tobytes(),
+                     RNG.randint(0, 256, n).astype(np.uint8).tobytes()):
+            assert _packbits_decode(_packbits_encode(data), limit=10**8) \
+                == data
+
+
+def test_tiff_lzw_encoder_vs_pdf_decoder():
+    """The TIFF-LZW encoder must drive the shared pdfx LZW decoder (same
+    MSB-first early-change variant) through width changes (>256 distinct
+    sequences), table clears (>4093 entries -> long random input), and the
+    KwKwK case (runs)."""
+    from engine.imagecodec import _tiff_lzw_encode
+    from engine.pdfx.objects import _lzw_decode
+
+    for n in (0, 1, 5, 300, 5000, 70000):
+        for data in (RNG.randint(0, 256, n).astype(np.uint8).tobytes(),
+                     (b"abc" * (n // 3 + 1))[:n],
+                     bytes(n)):
+            assert _lzw_decode(_tiff_lzw_encode(data), limit=10**8) == data

@@ -366,6 +366,9 @@ JUDGE_VERIFIED_OUTSIDE_GATE = {
     "normalize_urls", "strip_lines", "dense_rank", "bloom_users",
     "fuzzy_decontam", "strip_spans", "running_total", "audience_overlap",
     "url_dedup", "hll_events", "hll_by_type", "compression",
+    # displaced from the window by round-5 NEW ops (strictly higher gate
+    # priority); judge-verified r3, pytest-pinned at sf0.001
+    "global_rank",
 }
 
 

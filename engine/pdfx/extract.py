@@ -56,20 +56,24 @@ def pdf_title(objects: dict, trailer: dict) -> str:
     return ""
 
 
-def extract_pdf_doc(data: bytes) -> tuple[str, str, list[dict]]:
+def extract_pdf_doc(data: bytes, password: "bytes | str" = b""
+                    ) -> tuple[str, str, list[dict]]:
     """PDF bytes → (title, text, block spans). Raises PdfError on malformed
     input (caller maps that to a per-row status='failed',
-    app/main.py:438-441 analog)."""
-    objects, trailer = parse_objects(data)
+    app/main.py:438-441 analog). ``password``: optional user password for
+    encrypted documents (RC4/AESV2/AESV3 — same key-derivation paths the
+    empty-password fast path uses)."""
+    objects, trailer = parse_objects(data, password)
     title = pdf_title(objects, trailer)
     text, spans = _pages_text(objects, trailer)
     return title, text, spans
 
 
-def extract_pdf(data: bytes) -> tuple[str, list[dict]]:
+def extract_pdf(data: bytes, password: "bytes | str" = b""
+                ) -> tuple[str, list[dict]]:
     """PDF bytes → (text, block spans); see extract_pdf_doc for the titled
     variant."""
-    objects, trailer = parse_objects(data)
+    objects, trailer = parse_objects(data, password)
     return _pages_text(objects, trailer)
 
 

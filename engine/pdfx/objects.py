@@ -487,15 +487,21 @@ def _rc4(key: bytes, data: bytes) -> bytes:
     return bytes(out)
 
 
-def _std_file_key(enc: dict, first_id: bytes) -> bytes:
-    """Algorithm 2: file key from the EMPTY user password."""
+def _pad_password(password: bytes) -> bytes:
+    """Algorithm 2 step a: pad/truncate the user password to 32 bytes."""
+    return (password + _PW_PAD)[:32]
+
+
+def _std_file_key(enc: dict, first_id: bytes,
+                  password: bytes = b"") -> bytes:
+    """Algorithm 2: file key from the (default empty) user password."""
     import hashlib
     import struct
 
     r = enc.get("R", 2)
     n = int(enc.get("Length", 40)) // 8
     h = hashlib.md5()
-    h.update(_PW_PAD)  # padded empty user password
+    h.update(_pad_password(password))
     h.update(enc["O"][:32])
     h.update(struct.pack("<I", int(enc.get("P", 0)) & 0xFFFFFFFF))
     h.update(first_id)
@@ -508,8 +514,10 @@ def _std_file_key(enc: dict, first_id: bytes) -> bytes:
     return key[:n]
 
 
-def _check_empty_user_pw(enc: dict, key: bytes, first_id: bytes) -> bool:
-    """Algorithms 4/5 + 6: recompute U for the empty password, compare."""
+def _check_user_pw(enc: dict, key: bytes, first_id: bytes) -> bool:
+    """Algorithms 4/5 + 6: recompute U from the candidate file key,
+    compare. The password itself enters only through ``key`` (Algorithm
+    2); U is always built from the PAD constant."""
     import hashlib
 
     u = enc.get("U", b"")
@@ -537,13 +545,16 @@ def _object_key(file_key: bytes, num: int, gen: int,
     return hashlib.md5(ext).digest()[: min(len(file_key) + 5, 16)]
 
 
-def _v5_file_key(enc: dict) -> bytes:
-    """ISO 32000-2 Algorithms 2.A/8: verify the EMPTY user password against
-    /U and unwrap the 32-byte file key from /UE (V=5, R=5 or 6)."""
+def _v5_file_key(enc: dict, password: bytes = b"") -> bytes:
+    """ISO 32000-2 Algorithms 2.A/8: verify the (default empty) USER
+    password against /U and unwrap the 32-byte file key from /UE (V=5,
+    R=5 or 6). V5 passwords are UTF-8 (callers encode), truncated to 127
+    bytes per the spec."""
     import hashlib
 
     from engine.pdfx.aes import aes_cbc_decrypt_raw, hash_r6
 
+    pw = password[:127]
     u, ue = enc.get("U", b""), enc.get("UE", b"")
     if not (isinstance(u, bytes) and len(u) >= 48 and
             isinstance(ue, bytes) and len(ue) == 32):
@@ -551,13 +562,14 @@ def _v5_file_key(enc: dict) -> bytes:
     vsalt, ksalt = u[32:40], u[40:48]
     if enc.get("R", 6) == 5:
         # deprecated Adobe R5 extension: single SHA-256, no ladder
-        digest = hashlib.sha256(b"" + vsalt).digest()
-        inter = hashlib.sha256(b"" + ksalt).digest()
+        digest = hashlib.sha256(pw + vsalt).digest()
+        inter = hashlib.sha256(pw + ksalt).digest()
     else:
-        digest = hash_r6(b"", vsalt)
-        inter = hash_r6(b"", ksalt)
+        digest = hash_r6(pw, vsalt)
+        inter = hash_r6(pw, ksalt)
     if digest != u[:32]:
-        raise PdfError("encrypted PDF: password required")
+        raise PdfError("encrypted PDF: password required"
+                       if not pw else "encrypted PDF: wrong password")
     return aes_cbc_decrypt_raw(inter, bytes(16), ue)
 
 
@@ -615,9 +627,12 @@ def _decrypt_value(value, obj_key: bytes, fn=_rc4):
 
 
 def _decrypt_objects(objects: "dict[int, object]", gens: "dict[int, int]",
-                     trailer: dict) -> None:
-    """Verify the empty user password and decrypt every stream/string in
-    place; raises PdfError for unsupported handlers or real passwords."""
+                     trailer: dict, password: bytes = b"") -> None:
+    """Verify the (default empty) USER password and decrypt every
+    stream/string in place; raises PdfError for unsupported handlers, a
+    required password, or a wrong supplied password. Owner passwords are
+    not attempted (Algorithm 7) — crawl practice opens with the user
+    password or not at all."""
     enc_ref = trailer.get("Encrypt")
     enc = resolve(objects, enc_ref)
     if not isinstance(enc, dict):
@@ -635,14 +650,16 @@ def _decrypt_objects(objects: "dict[int, object]", gens: "dict[int, int]",
     else:
         (stm_fn, stm_aes) = (str_fn, str_aes) = (_rc4, False)
     if v == 5:
-        key = _v5_file_key(enc)  # raises "password required" on mismatch
+        key = _v5_file_key(enc, password)  # raises on mismatch
     else:
         ids = trailer.get("ID")
         first_id = ids[0] if isinstance(ids, list) and ids and \
             isinstance(ids[0], bytes) else b""
-        key = _std_file_key(enc, first_id)
-        if not _check_empty_user_pw(enc, key, first_id):
-            raise PdfError("encrypted PDF: password required")
+        key = _std_file_key(enc, first_id, password)
+        if not _check_user_pw(enc, key, first_id):
+            raise PdfError("encrypted PDF: password required"
+                           if not password
+                           else "encrypted PDF: wrong password")
     enc_num = enc_ref.num if isinstance(enc_ref, Ref) else None
     for num, obj in objects.items():
         if num == enc_num:
@@ -659,13 +676,18 @@ def _decrypt_objects(objects: "dict[int, object]", gens: "dict[int, int]",
                 obj, _object_key(key, num, gen, str_aes), str_fn)
 
 
-def parse_objects(data: bytes) -> tuple[dict[int, object], dict]:
+def parse_objects(data: bytes, password: "bytes | str" = b""
+                  ) -> tuple[dict[int, object], dict]:
     """Scan for all ``N G obj`` bodies; return (objects, trailer_dict).
 
     The trailer is found by scanning for the last ``trailer`` keyword; if
     absent (our generator always emits one), falls back to locating the
-    /Catalog object directly.
+    /Catalog object directly. ``password`` is the optional USER password
+    for encrypted documents (str is encoded UTF-8 — exact for V5; V<=4
+    strictly wants PDFDocEncoding, identical for ASCII passwords).
     """
+    if isinstance(password, str):
+        password = password.encode("utf-8")
     objects: dict[int, object] = {}
     gens: dict[int, int] = {}
     pos = 0
@@ -729,10 +751,10 @@ def parse_objects(data: bytes) -> tuple[dict[int, object], dict]:
                 break
 
     if "Encrypt" in trailer:
-        # empty-user-password RC4 decrypts in place; a real password or an
-        # unsupported handler (AES, R>=4) raises a clear PdfError — never
-        # silently emit ciphertext
-        _decrypt_objects(objects, gens, trailer)
+        # decrypts in place with the supplied (default empty) user
+        # password; a missing/wrong password or an unsupported handler
+        # raises a clear PdfError — never silently emit ciphertext
+        _decrypt_objects(objects, gens, trailer, password)
 
     # PDF 1.5 object streams: objects packed inside /ObjStm streams are
     # invisible to the top-level scan — expand them now (header is N pairs of

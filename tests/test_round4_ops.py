@@ -191,7 +191,8 @@ def _ser(v) -> bytes:
     raise AssertionError(type(v))
 
 
-def _encrypt_pdf_rc4(plain: bytes, r: int = 2, length: int = 40) -> bytes:
+def _encrypt_pdf_rc4(plain: bytes, r: int = 2, length: int = 40,
+                     password: bytes = b"") -> bytes:
     import hashlib
     import struct
 
@@ -201,20 +202,21 @@ def _encrypt_pdf_rc4(plain: bytes, r: int = 2, length: int = 40) -> bytes:
     n = length // 8
     file_id = bytes(range(16))
     p = -44
+    pad_pw = (password + _PAD)[:32]   # owner == user password here
 
     def iter_md5(d):
         for _ in range(50):
             d = hashlib.md5(d).digest()
         return d
 
-    d = hashlib.md5(_PAD).digest()
+    d = hashlib.md5(pad_pw).digest()
     key_o = (iter_md5(d) if r >= 3 else d)[:n]
-    o_entry = _mini_rc4(key_o, _PAD)
+    o_entry = _mini_rc4(key_o, pad_pw)
     if r >= 3:
         for i in range(1, 20):
             o_entry = _mini_rc4(bytes(b ^ i for b in key_o), o_entry)
 
-    h = hashlib.md5(_PAD + o_entry + struct.pack("<I", p & 0xFFFFFFFF)
+    h = hashlib.md5(pad_pw + o_entry + struct.pack("<I", p & 0xFFFFFFFF)
                     + file_id).digest()
     key = h[:n]
     if r >= 3:  # R3+: 50 rounds of md5 over the truncated key
@@ -695,8 +697,9 @@ def _hash_2b_independent(pw: bytes, salt: bytes, udata: bytes = b"") -> bytes:
             return k[:32]
 
 
-def _encrypt_pdf_aes256(plain: bytes, r: int = 6) -> bytes:
-    """Independent V5 AESV3 encryptor (empty user password, R=5 or 6)."""
+def _encrypt_pdf_aes256(plain: bytes, r: int = 6,
+                        password: bytes = b"") -> bytes:
+    """Independent V5 AESV3 encryptor (R=5 or 6, optional user password)."""
     import hashlib
 
     from engine.pdfx.aes import aes_cbc_encrypt_raw
@@ -706,12 +709,13 @@ def _encrypt_pdf_aes256(plain: bytes, r: int = 6) -> bytes:
     file_key = bytes(range(1, 33))            # 32-byte content key
     vsalt = b"VALSALT!"
     ksalt = b"KEYSALT!"
+    pw = password[:127]
     if r == 5:
-        digest = hashlib.sha256(vsalt).digest()
-        inter = hashlib.sha256(ksalt).digest()
+        digest = hashlib.sha256(pw + vsalt).digest()
+        inter = hashlib.sha256(pw + ksalt).digest()
     else:
-        digest = _hash_2b_independent(b"", vsalt)
-        inter = _hash_2b_independent(b"", ksalt)
+        digest = _hash_2b_independent(pw, vsalt)
+        inter = _hash_2b_independent(pw, ksalt)
     u_entry = digest + vsalt + ksalt
     ue_entry = aes_cbc_encrypt_raw(inter, bytes(16), file_key)
     # owner entries are present but arbitrary (empty-USER-password readers

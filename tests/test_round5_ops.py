@@ -105,3 +105,61 @@ def test_hll_estimate_int_matches_float_form():
     empty = pa.table({"register": pa.array([], type=pa.int64()),
                       "rho_max": pa.array([], type=pa.int64())})
     assert hll_estimate_int(empty, 256) == 7213 * 256 * 256 // 2570790
+
+
+# --- user-password PDF decryption (VERDICT r4 #8) ---------------------------
+# fixtures come from the INDEPENDENT test encryptors in test_round4_ops
+# (same files that pin the empty-password paths); only the password
+# parameter plumbing is new engine surface.
+
+
+def _pw_fixtures():
+    from tests.test_round4_ops import (_encrypt_pdf_aes256,
+                                       _encrypt_pdf_rc4, _plain_pdf)
+
+    plain = _plain_pdf()
+    return plain, _encrypt_pdf_rc4, _encrypt_pdf_aes256
+
+
+@pytest.mark.parametrize("r,length", [(2, 40), (3, 128)])
+def test_rc4_real_password_roundtrip(r, length):
+    from engine.pdfx.extract import extract_pdf_doc
+    from engine.pdfx.objects import PdfError
+
+    plain, enc_rc4, _ = _pw_fixtures()
+    want = extract_pdf_doc(plain)
+    enc = enc_rc4(plain, r=r, length=length, password=b"hunter2")
+    assert b"encrypted page one" not in enc
+    assert extract_pdf_doc(enc, password=b"hunter2") == want
+    assert extract_pdf_doc(enc, password="hunter2") == want  # str form
+    with pytest.raises(PdfError, match="password required"):
+        extract_pdf_doc(enc)
+    with pytest.raises(PdfError, match="wrong password"):
+        extract_pdf_doc(enc, password=b"nope")
+
+
+@pytest.mark.parametrize("r", [5, 6])
+def test_aes256_real_password_roundtrip(r):
+    from engine.pdfx.extract import extract_pdf_doc
+    from engine.pdfx.objects import PdfError
+
+    plain, _, enc_aes = _pw_fixtures()
+    want = extract_pdf_doc(plain)
+    enc = enc_aes(plain, r=r, password=b"s3cret pass")
+    assert b"encrypted page one" not in enc
+    assert extract_pdf_doc(enc, password=b"s3cret pass") == want
+    with pytest.raises(PdfError, match="password required"):
+        extract_pdf_doc(enc)
+    with pytest.raises(PdfError, match="wrong password"):
+        extract_pdf_doc(enc, password=b"wrong")
+
+
+def test_empty_password_paths_unchanged():
+    """The default (no password) behavior is byte-identical to round 4:
+    empty-password documents still open with no argument."""
+    from engine.pdfx.extract import extract_pdf_doc
+
+    plain, enc_rc4, enc_aes = _pw_fixtures()
+    want = extract_pdf_doc(plain)
+    assert extract_pdf_doc(enc_rc4(plain, r=3, length=128)) == want
+    assert extract_pdf_doc(enc_aes(plain, r=6)) == want

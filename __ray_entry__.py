@@ -1124,6 +1124,41 @@ SELECT i AS media_id,
        CAST(64 * SUM(g) AS BIGINT) AS sum_g,
        CAST(64 * SUM(b) AS BIGINT) AS sum_b
 FROM px GROUP BY i""",
+        "jpeg_progressive": """
+WITH p AS (
+  SELECT doc_id AS i, 1 + doc_id % 3 AS wb, 1 + doc_id % 2 AS hb
+  FROM documents),
+cells AS (
+  SELECT i, wb, hb, xs.bx, ys.by
+  FROM p,
+       LATERAL (SELECT unnest(generate_series(0, wb - 1)) AS bx) xs,
+       LATERAL (SELECT unnest(generate_series(0, hb - 1)) AS by) ys),
+vals AS (
+  SELECT i, wb, hb,
+    CAST((5 * i + 11 * bx + 17 * by) % 256 AS DOUBLE) AS yv,
+    CAST((7 * i + 13 * bx) % 256 AS DOUBLE) AS cb,
+    CAST((3 * i + 19 * by) % 256 AS DOUBLE) AS cr
+  FROM cells),
+px AS (
+  SELECT i, wb, hb,
+    CASE WHEN i % 2 = 0 THEN yv ELSE
+      LEAST(GREATEST(floor(yv + 1.402 * (cr - 128) + 0.5), 0), 255)
+    END AS r,
+    CASE WHEN i % 2 = 0 THEN yv ELSE
+      LEAST(GREATEST(floor(yv - 0.344136 * (cb - 128)
+                           - 0.714136 * (cr - 128) + 0.5), 0), 255)
+    END AS g,
+    CASE WHEN i % 2 = 0 THEN yv ELSE
+      LEAST(GREATEST(floor(yv + 1.772 * (cb - 128) + 0.5), 0), 255)
+    END AS b
+  FROM vals)
+SELECT i AS media_id,
+       CAST(8 * MIN(wb) AS BIGINT) AS width,
+       CAST(8 * MIN(hb) AS BIGINT) AS height,
+       CAST(64 * SUM(r) AS BIGINT) AS sum_r,
+       CAST(64 * SUM(g) AS BIGINT) AS sum_g,
+       CAST(64 * SUM(b) AS BIGINT) AS sum_b
+FROM px GROUP BY i""",
         "jpeg_decode": """
 WITH p AS (
   SELECT doc_id AS i, 1 + doc_id % 3 AS wb, 1 + doc_id % 2 AS hb

@@ -1,15 +1,21 @@
-"""REAL baseline JPEG (ITU-T T.81) codec on stdlib + numpy.
+"""REAL baseline + progressive JPEG (ITU-T T.81) codec on stdlib + numpy.
 
 The last 'deployment-gated' image format: PNG/BMP/PPM decode went real in
-round 4 (engine/imagecodec.py); this module does the same for baseline
-sequential JPEG — THE dominant crawl image format — so the multimodal
-decode story needs pillow only for progressive/arithmetic JPEG, WebP etc.
+round 4 (engine/imagecodec.py); this module does the same for JPEG — THE
+dominant crawl image format. Round 5 adds full progressive (SOF2) decode
+(spectral selection + successive approximation, the libjpeg default
+progression style — 10-20 % of wild crawl JPEGs), so the multimodal
+decode story needs pillow only for arithmetic-coded JPEG, WebP etc.
 
 Decoder support matrix (raises ``ValueError`` outside it; the media stages
 map that to their per-row error channel):
-- baseline sequential DCT (SOF0), 8-bit precision; progressive (SOF2),
-  extended (SOF1), arithmetic-coded and hierarchical frames are rejected
-  with a clear message (pillow deployment path).
+- baseline sequential DCT (SOF0) and extended sequential (SOF1, identical
+  at 8-bit precision); progressive (SOF2) with DC first/refinement
+  (interleaved or single-component), AC first/refinement band scans, EOB
+  runs, per-scan Huffman tables, and restart markers inside every scan
+  kind (T.81 annex G / libjpeg jdphuff semantics). Arithmetic-coded,
+  lossless and hierarchical frames are rejected with a clear message
+  (pillow deployment path). 8-bit precision only.
 - 1-component (grayscale, replicated to RGB) and 3-component YCbCr with
   sampling factors 1 and 2 — 4:4:4, 4:2:0, 4:2:2, 4:4:0. Subsampled
   chroma upsamples by pixel REPLICATION (nearest): the spec leaves the
@@ -40,7 +46,12 @@ float64 FDCT, quantization, differential DC, canonical Huffman with
 custom minimal tables (12 DC categories at 4 bits; AC: EOB at 1 bit plus
 the (run,size) symbols actually present, built per image), byte stuffing,
 optional restart interval — restricted to 4:4:4 / grayscale with
-multiple-of-8 dimensions.
+multiple-of-8 dimensions. ``encode_progressive_jpeg`` emits the same
+quantized coefficients as a multi-scan SOF2 stream (libjpeg-style scan
+script, per-scan minimal DHT, EOB-run and buffered-correction-bit
+encoding pinned to hand-derived spec vectors in tests) so progressive
+decode is testable against the oracle-pinned baseline decode without any
+external library.
 """
 
 from __future__ import annotations
@@ -158,6 +169,9 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
     huffs: dict[tuple[int, int], _Huff] = {}
     frame = None
     restart_interval = 0
+    progressive = False
+    coeffs = None  # per-component zigzag coefficient grids (progressive)
+    geom = None
     while pos + 4 <= n:
         if payload[pos] != 0xFF:
             raise ValueError("jpeg: marker expected")
@@ -193,7 +207,9 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
                 syms = seg[i + 17:i + 17 + nsym]
                 huffs[(tc, th)] = _Huff(counts, syms)
                 i += 17 + nsym
-        elif m in (0xC0,):  # SOF0 baseline
+        elif m in (0xC0, 0xC1, 0xC2):
+            # SOF0 baseline; SOF1 extended sequential (identical decode
+            # at 8-bit precision); SOF2 progressive (multi-scan)
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise ValueError("jpeg: only 8-bit precision supported")
@@ -209,11 +225,12 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
             if nc not in (1, 3):
                 raise ValueError("jpeg: 1 or 3 components only")
             frame = (h, w, comps)
-        elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            progressive = m == 0xC2
+        elif m in (0xC3, 0xC5, 0xC6, 0xC7,
                    0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
-                "jpeg: non-baseline frame (progressive/extended/"
-                "arithmetic) unsupported — deployment path: pillow")
+                "jpeg: lossless/arithmetic/hierarchical frame "
+                "unsupported — deployment path: pillow")
         elif m == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif m == 0xDA:  # SOS — entropy data follows
@@ -224,22 +241,31 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
             for c in range(ns):
                 cs, tdta = seg[1 + 2 * c:3 + 2 * c]
                 scomp.append((cs, tdta >> 4, tdta & 0x0F))
-            data_start = end_of_seg
-            return _decode_scan(payload, data_start, frame, scomp, qt,
-                                huffs, restart_interval)
+            if not progressive:
+                return _decode_scan(payload, end_of_seg, frame, scomp,
+                                    qt, huffs, restart_interval)
+            ss, se, ahl = seg[1 + 2 * ns:4 + 2 * ns]
+            bits, segments, pos = _entropy_bits(payload, end_of_seg)
+            if coeffs is None:
+                coeffs, geom = _prog_init(frame)
+            _prog_scan(bits, segments, frame, scomp, huffs, coeffs,
+                       geom, ss, se, ahl >> 4, ahl & 0x0F,
+                       restart_interval)
+            continue  # pos already advanced past the entropy data
         # APPn / COM / others: skip
         pos = end_of_seg
+    if progressive and coeffs is not None:
+        return _prog_finish(frame, coeffs, qt, geom)
     raise ValueError("jpeg: no scan data")
 
 
-def _decode_scan(payload: bytes, pos: int, frame, scomp, qt, huffs,
-                 restart_interval: int) -> np.ndarray:
-    h, w, comps = frame
-    if len(scomp) != len(comps):
-        raise ValueError("jpeg: non-interleaved multi-scan unsupported")
-    # collect entropy bytes, unstuffing FF00 and splitting at RSTn
+def _entropy_bits(payload: bytes, pos: int):
+    """Collect one scan's entropy bytes starting at ``pos``, unstuffing
+    FF00 and recording RSTn boundaries. Returns (bit array, list of bit
+    offsets where DC predictors / EOB runs reset, position of the
+    terminating marker byte)."""
     data = bytearray()
-    segments = [0]  # bit offsets where DC predictors reset (RST)
+    segments = [0]
     n = len(payload)
     while pos + 1 < n:
         b = payload[pos]
@@ -257,6 +283,39 @@ def _decode_scan(payload: bytes, pos: int, frame, scomp, qt, huffs,
         else:  # EOI or next marker ends the scan
             break
     bits = np.unpackbits(np.frombuffer(bytes(data), dtype=np.uint8))
+    return bits, segments, pos
+
+
+def _finish(planes, comps, hmax: int, vmax: int, h: int, w: int) -> np.ndarray:
+    """Round planes to integer samples, upsample subsampled chroma by
+    pixel replication, crop and color-convert (shared decode tail)."""
+    up = []
+    for p, c in zip(planes, comps):
+        fy, fx = vmax // c[3], hmax // c[2]
+        if fy > 1:
+            p = np.repeat(p, fy, axis=0)
+        if fx > 1:
+            p = np.repeat(p, fx, axis=1)
+        up.append(_round_half_up_clip(p[:h, :w]).astype(np.float64))
+    planes = up
+    if len(comps) == 1:
+        g = planes[0].astype(np.uint8)
+        return np.stack([g, g, g], axis=2)
+    y, cb, cr = planes
+    # JFIF conversion, floor(x+0.5) rounding (SQL-twin convention)
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.stack([_round_half_up_clip(r), _round_half_up_clip(g),
+                     _round_half_up_clip(b)], axis=2)
+
+
+def _decode_scan(payload: bytes, pos: int, frame, scomp, qt, huffs,
+                 restart_interval: int) -> np.ndarray:
+    h, w, comps = frame
+    if len(scomp) != len(comps):
+        raise ValueError("jpeg: non-interleaved multi-scan unsupported")
+    bits, segments, _ = _entropy_bits(payload, pos)
     rd = _BitReader(bits)
 
     ncomp = len(comps)
@@ -323,25 +382,209 @@ def _decode_scan(payload: bytes, pos: int, frame, scomp, qt, huffs,
     # then upsample subsampled chroma by pixel REPLICATION (nearest —
     # the documented convention; libjpeg's default 'fancy' triangular
     # filter is codec-specific and not oracle-provable)
-    up = []
-    for p, c in zip(planes, comps):
-        fy, fx = vmax // c[3], hmax // c[2]
-        if fy > 1:
-            p = np.repeat(p, fy, axis=0)
-        if fx > 1:
-            p = np.repeat(p, fx, axis=1)
-        up.append(_round_half_up_clip(p[:h, :w]).astype(np.float64))
-    planes = up
-    if ncomp == 1:
-        g = planes[0].astype(np.uint8)
-        return np.stack([g, g, g], axis=2)
-    y, cb, cr = planes
-    # JFIF conversion, floor(x+0.5) rounding (SQL-twin convention)
-    r = y + 1.402 * (cr - 128.0)
-    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-    b = y + 1.772 * (cb - 128.0)
-    return np.stack([_round_half_up_clip(r), _round_half_up_clip(g),
-                     _round_half_up_clip(b)], axis=2)
+    return _finish(planes, comps, hmax, vmax, h, w)
+
+
+# ---------------------------------------------------------------------------
+# Progressive decode (ITU-T T.81 annex G, Huffman successive approximation)
+# ---------------------------------------------------------------------------
+
+def _prog_init(frame):
+    """Zero coefficient grids per component, sized to the FULL interleaved
+    MCU-padded block grid (interleaved DC scans write every padded block);
+    non-interleaved scans touch only the ceil(comp_dim/8) prefix."""
+    h, w, comps = frame
+    hmax = max(c[2] for c in comps)
+    vmax = max(c[3] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    coeffs = []
+    grids = []
+    for cid, tq, hs, vs in comps:
+        bwf, bhf = mcux * hs, mcuy * vs
+        cw = (w * hs + hmax - 1) // hmax
+        ch_ = (h * vs + vmax - 1) // vmax
+        bw, bh = (cw + 7) // 8, (ch_ + 7) // 8
+        coeffs.append(np.zeros((bhf, bwf, 64), dtype=np.int64))
+        grids.append((bw, bh))
+    return coeffs, (hmax, vmax, mcux, mcuy, grids)
+
+
+def _prog_scan(bits, segments, frame, scomp, huffs, coeffs, geom,
+               ss: int, se: int, ah: int, al: int, ri: int) -> None:
+    h, w, comps = frame
+    hmax, vmax, mcux, mcuy, grids = geom
+    rd = _BitReader(bits)
+    idxs = []
+    for cs, td, ta in scomp:
+        ci = next((i for i, c in enumerate(comps) if c[0] == cs), None)
+        if ci is None:
+            raise ValueError("jpeg: scan names unknown component")
+        idxs.append(ci)
+    ns = len(idxs)
+    if se > 63 or ss > se:
+        raise ValueError("jpeg: bad spectral selection")
+    if ss == 0:
+        if se != 0:
+            raise ValueError("jpeg: DC scan must have Se=0")
+        _prog_dc(rd, segments, comps, scomp, idxs, huffs, coeffs,
+                 grids, mcux, mcuy, ah, al, ri)
+    else:
+        if ns != 1:
+            raise ValueError("jpeg: AC scan must be single-component")
+        _prog_ac(rd, segments, idxs[0], scomp[0][2], huffs, coeffs,
+                 grids, ss, se, ah, al, ri)
+
+
+def _prog_dc(rd, segments, comps, scomp, idxs, huffs, coeffs, grids,
+             mcux, mcuy, ah, al, ri) -> None:
+    ns = len(idxs)
+    tabs = []
+    if ah == 0:
+        for cs, td, ta in scomp:
+            if (0, td) not in huffs:
+                raise ValueError("jpeg: missing DC Huffman table")
+            tabs.append(huffs[(0, td)])
+    pred = [0] * ns
+    seg_i = 1
+    unit = 0
+    if ns > 1:  # interleaved: MCU traversal, cv x ch blocks per comp
+        units = [(my, mx) for my in range(mcuy) for mx in range(mcux)]
+    else:  # non-interleaved: the component's own ceil block grid
+        bw, bh = grids[idxs[0]]
+        units = [(by, bx) for by in range(bh) for bx in range(bw)]
+    for uy, ux in units:
+        if ri and unit and unit % ri == 0 and seg_i < len(segments):
+            rd.pos = segments[seg_i]
+            seg_i += 1
+            pred = [0] * ns
+        for si, ci in enumerate(idxs):
+            ch, cv = comps[ci][2], comps[ci][3]
+            if ns > 1:
+                blocks = [(uy * cv + vy, ux * ch + vx)
+                          for vy in range(cv) for vx in range(ch)]
+            else:
+                blocks = [(uy, ux)]
+            for by, bx in blocks:
+                if ah == 0:
+                    size = rd.huff(tabs[si])
+                    diff = _extend(rd.read(size), size)
+                    pred[si] += diff
+                    coeffs[ci][by, bx, 0] = pred[si] << al
+                else:  # refinement: one bit appended at position al
+                    if rd.read(1):
+                        coeffs[ci][by, bx, 0] |= 1 << al
+        unit += 1
+
+
+def _prog_ac(rd, segments, ci, ta, huffs, coeffs, grids,
+             ss, se, ah, al, ri) -> None:
+    if (1, ta) not in huffs:
+        raise ValueError("jpeg: missing AC Huffman table")
+    hac = huffs[(1, ta)]
+    bw, bh = grids[ci]
+    carr = coeffs[ci]
+    eobrun = 0
+    seg_i = 1
+    unit = 0
+    p1, m1 = 1 << al, -(1 << al)
+    for by in range(bh):
+        for bx in range(bw):
+            if ri and unit and unit % ri == 0 and seg_i < len(segments):
+                rd.pos = segments[seg_i]
+                seg_i += 1
+                eobrun = 0
+            blk = carr[by, bx]
+            if ah == 0:  # first scan for this band
+                if eobrun:
+                    eobrun -= 1
+                else:
+                    k = ss
+                    while k <= se:
+                        rs = rd.huff(hac)
+                        r, s = rs >> 4, rs & 0x0F
+                        if s == 0:
+                            if r == 15:  # ZRL
+                                k += 16
+                                continue
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += rd.read(r)
+                            break
+                        k += r
+                        if k > se:
+                            raise ValueError("jpeg: AC index overflow")
+                        blk[k] = _extend(rd.read(s), s) << al
+                        k += 1
+            else:  # refinement scan (T.81 G.1.2.3 / libjpeg semantics)
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = rd.huff(hac)
+                        r, s = rs >> 4, rs & 0x0F
+                        val = 0
+                        if s:
+                            if s != 1:
+                                raise ValueError(
+                                    "jpeg: bad AC-refinement size")
+                            val = p1 if rd.read(1) else m1
+                        elif r != 15:
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += rd.read(r)
+                            break
+                        # advance over r zero-history coefficients,
+                        # emitting correction bits for nonzero-history
+                        while k <= se:
+                            c = int(blk[k])
+                            if c:
+                                if rd.read(1) and (c & p1) == 0:
+                                    blk[k] = c + (p1 if c >= 0 else m1)
+                            else:
+                                r -= 1
+                                if r < 0:
+                                    break
+                            k += 1
+                        if val and k <= se:
+                            blk[k] = val
+                        k += 1
+                if eobrun:
+                    while k <= se:  # correction bits through the EOB run
+                        c = int(blk[k])
+                        if c:
+                            if rd.read(1) and (c & p1) == 0:
+                                blk[k] = c + (p1 if c >= 0 else m1)
+                        k += 1
+                    eobrun -= 1
+            unit += 1
+
+
+def _prog_finish(frame, coeffs, qt, geom) -> np.ndarray:
+    h, w, comps = frame
+    hmax, vmax, mcux, mcuy, grids = geom
+    a = _dct_matrix()
+    planes = []
+    for carr, (cid, tq, hs, vs) in zip(coeffs, comps):
+        if tq not in qt:
+            raise ValueError("jpeg: missing quantization table")
+        q = qt[tq].astype(np.float64)
+        bhf, bwf = carr.shape[:2]
+        n = bhf * bwf
+        raster = np.zeros((n, 64), dtype=np.float64)
+        raster[:, ZIGZAG] = carr.reshape(n, 64)
+        s = raster.reshape(n, 8, 8) * q[None, :, :]
+        # per-block a.T @ s @ a, NOT a batched einsum/matmul: the baseline
+        # decoder uses this exact expression, and a different float
+        # summation order flips floor(x+0.5) at half-integer IDCT values —
+        # progressive and baseline decodes of the same coefficients must
+        # be byte-identical (test-pinned)
+        pix = np.empty_like(s)
+        for i in range(n):
+            pix[i] = a.T @ s[i] @ a
+        pix += 128.0
+        planes.append(pix.reshape(bhf, bwf, 8, 8)
+                      .transpose(0, 2, 1, 3).reshape(bhf * 8, bwf * 8))
+    return _finish(planes, comps, hmax, vmax, h, w)
 
 
 # ---------------------------------------------------------------------------
@@ -534,6 +777,339 @@ def encode_jpeg(y: np.ndarray, cb: "np.ndarray | None" = None,
                     bwr.write(code, ln)
     bwr.flush()
     out += bytes(bwr.out)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Progressive encode (fixtures + tests)
+# ---------------------------------------------------------------------------
+
+class _SymCollector:
+    """Pass-1 scan interface: records which Huffman symbols a scan emits
+    (appended value bits and restarts are bitstream-only — ignored)."""
+
+    def __init__(self):
+        self.syms: set[int] = set()
+
+    def symbol(self, s: int) -> None:
+        self.syms.add(s)
+
+    def bits(self, v: int, n: int) -> None:
+        pass
+
+    def restart(self) -> None:
+        pass
+
+
+class _ScanWriter:
+    """Pass-2 scan interface: real bit emission with byte stuffing, plus
+    RSTn handling (flush + marker + fresh bit accumulator)."""
+
+    def __init__(self, out: bytearray, codes: dict):
+        self.out = out
+        self.codes = codes
+        self.bwr = _BitWriter()
+        self.rst = 0
+
+    def symbol(self, s: int) -> None:
+        code, ln = self.codes[s]
+        self.bwr.write(code, ln)
+
+    def bits(self, v: int, n: int) -> None:
+        if n:
+            self.bwr.write(v, n)
+
+    def restart(self) -> None:
+        self.bwr.flush()
+        self.out += bytes(self.bwr.out)
+        self.bwr = _BitWriter()
+        self.out += bytes([0xFF, 0xD0 + self.rst % 8])
+        self.rst += 1
+
+    def finish(self) -> None:
+        self.bwr.flush()
+        self.out += bytes(self.bwr.out)
+
+
+def _mk_table(syms):
+    """Uniform-length canonical table over the symbols present
+    (Kraft-legal: 2^L >= n+1 keeps the all-ones code unused)."""
+    syms = sorted(syms)
+    ln = 1
+    while (1 << ln) < len(syms) + 1:
+        ln += 1
+    counts = [0] * 16
+    counts[ln - 1] = len(syms)
+    codes = {s: (i, ln) for i, s in enumerate(syms)}
+    return bytes(counts), bytes(syms), codes
+
+
+def _comp_coeff_grid(p: np.ndarray) -> np.ndarray:
+    """Plane (multiple-of-8 dims) → (bh, bw, 64) zigzag-ordered quantized
+    (all-ones) coefficient grid — the same FDCT/rounding as encode_jpeg."""
+    a = _dct_matrix()
+    h, w = p.shape
+    bh, bw = h // 8, w // 8
+    shifted = p.astype(np.float64) - 128.0
+    # per-block a @ blk @ a.T, NOT a batched einsum: encode_jpeg uses this
+    # exact expression and a different float summation order flips
+    # banker's np.round at .5-boundary FDCT values — both encoders must
+    # quantize identically for progressive-vs-baseline decode equality
+    out = np.empty((bh, bw, 64), dtype=np.int64)
+    for by in range(bh):
+        for bx in range(bw):
+            s = a @ shifted[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] @ a.T
+            out[by, bx] = np.round(s).astype(np.int64).reshape(64)[ZIGZAG]
+    return out
+
+
+def _scan_dc_first(wio, grids, factors, mcux, mcuy, al, ri) -> None:
+    nc = len(grids)
+    preds = [0] * nc
+    mcu = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if ri and mcu and mcu % ri == 0:
+                wio.restart()
+                preds = [0] * nc
+            for ci in range(nc):
+                ch, cv = factors[ci]
+                for vy in range(cv):
+                    for vx in range(ch):
+                        dc = int(grids[ci][my * cv + vy,
+                                           mx * ch + vx, 0]) >> al
+                        diff = dc - preds[ci]
+                        preds[ci] = dc
+                        cat = _category(diff)
+                        wio.symbol(cat)
+                        if cat:
+                            v = diff if diff >= 0 \
+                                else diff + (1 << cat) - 1
+                            wio.bits(v & ((1 << cat) - 1), cat)
+            mcu += 1
+
+
+def _scan_dc_refine(wio, grids, factors, mcux, mcuy, al, ri) -> None:
+    nc = len(grids)
+    mcu = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if ri and mcu and mcu % ri == 0:
+                wio.restart()
+            for ci in range(nc):
+                ch, cv = factors[ci]
+                for vy in range(cv):
+                    for vx in range(ch):
+                        dc = int(grids[ci][my * cv + vy, mx * ch + vx, 0])
+                        wio.bits((dc >> al) & 1, 1)
+            mcu += 1
+
+
+def _scan_ac_first(wio, grid, ss, se, al, ri) -> None:
+    bh, bw = grid.shape[:2]
+    eobrun = 0
+
+    def flush_eob():
+        nonlocal eobrun
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            wio.symbol(r << 4)
+            wio.bits(eobrun - (1 << r), r)
+            eobrun = 0
+
+    unit = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if ri and unit and unit % ri == 0:
+                flush_eob()
+                wio.restart()
+            blk = grid[by, bx]
+            run = 0
+            for k in range(ss, se + 1):
+                v = int(blk[k])
+                t = abs(v) >> al
+                if t == 0:
+                    run += 1
+                    continue
+                flush_eob()
+                while run > 15:
+                    wio.symbol(0xF0)  # ZRL
+                    run -= 16
+                s = t.bit_length()
+                wio.symbol((run << 4) | s)
+                enc = t if v >= 0 else (-t) + (1 << s) - 1
+                wio.bits(enc & ((1 << s) - 1), s)
+                run = 0
+            if run:  # band ends in zeros → block joins the EOB run
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+            unit += 1
+    flush_eob()
+
+
+def _scan_ac_refine(wio, grid, ss, se, al, ri) -> None:
+    """libjpeg jcphuff encode_mcu_AC_refine semantics: correction bits
+    for already-nonzero coefficients are buffered and emitted after the
+    Huffman symbol (ZRL / run-size / EOBn) they trail."""
+    bh, bw = grid.shape[:2]
+    eobrun = 0
+    be: list[int] = []  # correction bits pending behind the EOB run
+
+    def flush_eob():
+        nonlocal eobrun, be
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            wio.symbol(r << 4)
+            wio.bits(eobrun - (1 << r), r)
+            eobrun = 0
+        for b in be:
+            wio.bits(b, 1)
+        be = []
+
+    unit = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if ri and unit and unit % ri == 0:
+                flush_eob()
+                wio.restart()
+            blk = grid[by, bx]
+            absv = [abs(int(blk[k])) >> al for k in range(ss, se + 1)]
+            eob = 0  # index AFTER the last newly-significant coefficient
+            for j, t in enumerate(absv):
+                if t == 1:
+                    eob = j + 1
+            r = 0
+            br: list[int] = []  # corrections pending within this block
+            for j, t in enumerate(absv):
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15 and j < eob:
+                    flush_eob()
+                    wio.symbol(0xF0)
+                    r -= 16
+                    for b in br:
+                        wio.bits(b, 1)
+                    br = []
+                if t > 1:  # history coefficient: correction bit only
+                    br.append(t & 1)
+                    continue
+                flush_eob()  # newly significant: (run, 1) + sign bit
+                wio.symbol((r << 4) | 1)
+                wio.bits(1 if int(blk[ss + j]) >= 0 else 0, 1)
+                for b in br:
+                    wio.bits(b, 1)
+                br = []
+                r = 0
+            if r > 0 or br:
+                eobrun += 1
+                be.extend(br)
+                if eobrun == 0x7FFF:
+                    flush_eob()
+            unit += 1
+    flush_eob()
+
+
+def encode_progressive_jpeg(y: np.ndarray, cb: "np.ndarray | None" = None,
+                            cr: "np.ndarray | None" = None,
+                            subsample: bool = False,
+                            restart_interval: int = 0,
+                            al_dc: int = 1, al_ac: int = 1,
+                            band_split: int = 6) -> bytes:
+    """Planes → progressive (SOF2) JFIF bytes with all-ones quantization.
+
+    Scan script (libjpeg-style spectral selection + successive
+    approximation): interleaved DC first at Al=al_dc, per-component AC
+    bands [1, band_split-1] and [band_split, 63] at Al=al_ac, then DC and
+    AC refinement scans stepping Al down one bit at a time. ``al_dc=0`` /
+    ``al_ac=0`` yields pure spectral selection (no refinement scans).
+    Same geometry/plane contract as :func:`encode_jpeg` (4:4:4 or
+    grayscale with multiple-of-8 dims; ``subsample=True`` 4:2:0 with
+    multiple-of-16 luma). Each scan carries its own minimal DHT; restart
+    markers (DRI) apply inside every scan."""
+    h, w = y.shape
+    if cb is None and subsample:
+        raise ValueError("encoder: subsample needs chroma planes")
+    if subsample:
+        if h % 16 or w % 16:
+            raise ValueError("encoder: dimensions must be multiples of 16")
+        if cb.shape != (h // 2, w // 2) or cr.shape != (h // 2, w // 2):
+            raise ValueError("encoder: chroma must be half-resolution")
+        planes = [y, cb, cr]
+        factors = [(2, 2), (1, 1), (1, 1)]
+    else:
+        if h % 8 or w % 8:
+            raise ValueError("encoder: dimensions must be multiples of 8")
+        planes = [y] if cb is None else [y, cb, cr]
+        factors = [(1, 1)] * len(planes)
+    nc = len(planes)
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    mcux, mcuy = w // (8 * hmax), h // (8 * vmax)
+    grids = [_comp_coeff_grid(p) for p in planes]
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01" \
+        + b"\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    ones = bytes(np.ones(64, dtype=np.uint8))
+    out += b"\xff\xdb" + struct.pack(">H", 2 + 1 + 64) + b"\x00" + ones
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for ci in range(nc):
+        sof += bytes([ci + 1, (factors[ci][0] << 4) | factors[ci][1], 0])
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+
+    lo, hi = max(1, min(band_split - 1, 63)), min(band_split, 63)
+    scans: list[tuple] = [("dcf", None, 0, 0, 0, al_dc)]
+    for ci in range(nc):
+        scans.append(("acf", ci, 1, lo, 0, al_ac))
+        if hi <= 63 and hi > lo:
+            scans.append(("acf", ci, hi, 63, 0, al_ac))
+    for a in range(al_dc, 0, -1):
+        scans.append(("dcr", None, 0, 0, a, a - 1))
+    for a in range(al_ac, 0, -1):
+        for ci in range(nc):
+            scans.append(("acr", ci, 1, lo, a, a - 1))
+            if hi <= 63 and hi > lo:
+                scans.append(("acr", ci, hi, 63, a, a - 1))
+
+    ri = restart_interval
+    for kind, ci, ss, se, ah, al in scans:
+
+        def run(wio):
+            if kind == "dcf":
+                _scan_dc_first(wio, grids, factors, mcux, mcuy, al, ri)
+            elif kind == "dcr":
+                _scan_dc_refine(wio, grids, factors, mcux, mcuy, al, ri)
+            elif kind == "acf":
+                _scan_ac_first(wio, grids[ci], ss, se, al, ri)
+            else:
+                _scan_ac_refine(wio, grids[ci], ss, se, al, ri)
+
+        codes: dict = {}
+        if kind != "dcr":  # refinement-DC scans emit no Huffman symbols
+            col = _SymCollector()
+            run(col)
+            if col.syms:
+                counts, symbols, codes = _mk_table(col.syms)
+                tclass = 0 if kind == "dcf" else 1
+                dht = bytes([tclass << 4]) + counts + symbols
+                out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+        if kind in ("dcf", "dcr"):
+            sos = bytes([nc])
+            for c in range(nc):
+                sos += bytes([c + 1, 0x00])
+        else:
+            sos = bytes([1, ci + 1, 0x00])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+        wio = _ScanWriter(out, codes)
+        run(wio)
+        wio.finish()
+
     out += b"\xff\xd9"
     return bytes(out)
 

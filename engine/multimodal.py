@@ -79,11 +79,12 @@ def _pseudo_bytes(seed: int, n: int) -> np.ndarray:
 def _decode_image(payload: bytes) -> np.ndarray:
     """payload → HxWx3 uint8.
 
-    PNG / BMP / PPM / GIF / TIFF / baseline-JPEG payloads (magic-byte routed) decode
-    through the REAL stdlib codecs in engine/imagecodec.py and
-    engine/jpegcodec.py — no external library needed. Everything else
-    uses pillow when installed (progressive JPEG/WebP/…, the deployment
-    path), and otherwise a deterministic clearly-marked STUB fake derived
+    PNG / BMP / PPM / GIF / TIFF / JPEG (baseline AND progressive) payloads
+    (magic-byte routed) decode through the REAL stdlib codecs in
+    engine/imagecodec.py and engine/jpegcodec.py — no external library
+    needed. Everything else uses pillow when installed (arithmetic
+    JPEG/WebP/…, the deployment path), and otherwise a deterministic
+    clearly-marked STUB fake derived
     from the payload hash so the plumbing (shapes, dtypes, feature
     extraction, tests) is exercised end-to-end without the codec.
     Raises on empty/undecodable payload like a real decoder."""

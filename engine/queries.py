@@ -3687,6 +3687,53 @@ def q_jpeg420(sf_dir: str):
         ["media_id", "width", "height", "sum_r", "sum_g", "sum_b"])
 
 
+def q_jpeg_progressive(sf_dir: str):
+    """REAL progressive (SOF2) JPEG decode through the distributed stage
+    (engine/jpegcodec.py decode + encode_progressive_jpeg fixtures): the
+    same planted constant-8x8-block images as `jpeg_decode` (closed-form
+    Y/Cb/Cr in doc_id and block coords; even ids grayscale) but encoded
+    as multi-scan progressive streams with per-id successive-approximation
+    depths (al_dc = id%3, al_ac = (id//3)%3 — id%9==0 is pure spectral
+    selection) and restart markers inside every scan for every 5th id.
+    DC-only blocks make the whole scan ladder — interleaved DC
+    first/refinement, AC-first EOB runs (split by RSTn), AC-refinement
+    correction passes — value-pinned to the identical closed-form sums as
+    the baseline twin; nonzero-AC progressive paths are pinned in pytest
+    against the oracle-verified baseline decoder."""
+    import numpy as np
+
+    from engine.jpegcodec import encode_progressive_jpeg
+    from engine.multimodal import image_stats
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def mk(t: pa.Table) -> pa.Table:
+        payloads = []
+        ids = t["doc_id"].to_pylist()
+        for i in ids:
+            wb, hb = 1 + i % 3, 1 + i % 2
+            bx = np.arange(wb, dtype=np.int64)[None, :]
+            by = np.arange(hb, dtype=np.int64)[:, None]
+            up = (lambda p: np.repeat(np.repeat(p, 8, 0), 8, 1)
+                  .astype(np.uint8))
+            y = up((5 * i + 11 * bx + 17 * by) % 256)
+            kw = dict(al_dc=i % 3, al_ac=(i // 3) % 3,
+                      restart_interval=2 if i % 5 == 0 else 0)
+            if i % 2 == 0:
+                payloads.append(encode_progressive_jpeg(y, **kw))
+            else:
+                cb = up(np.broadcast_to((7 * i + 13 * bx) % 256, (hb, wb)))
+                cr = up(np.broadcast_to((3 * i + 19 * by) % 256, (hb, wb)))
+                payloads.append(encode_progressive_jpeg(y, cb, cr, **kw))
+        return pa.table({"media_id": pa.array(ids, type=pa.int64()),
+                         "payload": pa.array(payloads, type=pa.binary())})
+
+    media = docs.map_batches(mk, batch_format="pyarrow")
+    out = image_stats(media, batch_size=128)
+    return out.select_columns(
+        ["media_id", "width", "height", "sum_r", "sum_g", "sum_b"])
+
+
 def q_audio_decode(sf_dir: str):
     """REAL WAV decode through the distributed stage (engine/audiocodec.py
     + multimodal.audio_stats): per doc_id a planted 16-bit PCM WAV whose
@@ -4070,6 +4117,7 @@ QUERIES = {
     # (b) new round-5 queries
     "textops_composite": q_textops_composite,
     "tiff_decode": q_tiff_decode,
+    "jpeg_progressive": q_jpeg_progressive,
     # (a) the 18 round-4 ops past the r4 window (judge-verified r4, never
     # driver-gated)
     "link_density": q_link_density,

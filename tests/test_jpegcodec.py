@@ -71,8 +71,9 @@ def test_encode_deterministic():
 def test_rejections():
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"\x89PNG")
-    with pytest.raises(ValueError, match="non-baseline"):
-        decode_jpeg(b"\xff\xd8\xff\xc2\x00\x05\x08\x00\x08")
+    # lossless (SOF3) stays rejected; progressive (SOF2) is supported now
+    with pytest.raises(ValueError, match="lossless/arithmetic"):
+        decode_jpeg(b"\xff\xd8\xff\xc3\x00\x08\x08\x00\x08\x00\x08\x00")
     # sampling factor 3: beyond the supported 1/2 range
     sof = b"\x08\x00\x10\x00\x10\x01" + bytes([1, 0x33, 0])
     payload = b"\xff\xd8\xff\xc0" + (2 + len(sof)).to_bytes(2, "big") + sof
@@ -127,3 +128,137 @@ def test_420_input_guards():
         encode_jpeg(np.zeros((16, 16), np.uint8),
                     np.zeros((16, 16), np.uint8),
                     np.zeros((16, 16), np.uint8), subsample=True)
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2)
+# ---------------------------------------------------------------------------
+
+def _prog():
+    from engine.jpegcodec import encode_progressive_jpeg
+
+    return encode_progressive_jpeg
+
+
+@pytest.mark.parametrize("al_dc,al_ac,ri,bs", [
+    (0, 0, 0, 6),    # pure spectral selection, no refinement scans
+    (1, 1, 0, 6),    # libjpeg-style one-bit successive approximation
+    (2, 3, 0, 2),    # deep approximation ladder, tiny first band
+    (1, 1, 2, 6),    # restart markers inside every scan
+    (2, 2, 3, 64),   # single AC band + restarts
+])
+def test_progressive_matches_baseline_gray(al_dc, al_ac, ri, bs):
+    """Progressive decode of the same quantized coefficients must be
+    byte-identical to the oracle-pinned baseline decode — every scan kind
+    (DC first/refine interleaved, AC first/refine with EOB runs) crosses
+    the same IDCT/color tail."""
+    rng = np.random.default_rng(101)
+    y = rng.integers(0, 256, (24, 32)).astype(np.uint8)
+    base = decode_jpeg(encode_jpeg(y))
+    prog = decode_jpeg(_prog()(y, al_dc=al_dc, al_ac=al_ac,
+                               restart_interval=ri, band_split=bs))
+    assert np.array_equal(base, prog)
+
+
+@pytest.mark.parametrize("al_dc,al_ac,ri", [(0, 0, 0), (1, 1, 0), (2, 1, 2)])
+def test_progressive_matches_baseline_color(al_dc, al_ac, ri):
+    rng = np.random.default_rng(202)
+    y = rng.integers(0, 256, (16, 24)).astype(np.uint8)
+    cb = rng.integers(0, 256, (16, 24)).astype(np.uint8)
+    cr = rng.integers(0, 256, (16, 24)).astype(np.uint8)
+    base = decode_jpeg(encode_jpeg(y, cb, cr))
+    prog = decode_jpeg(_prog()(y, cb, cr, al_dc=al_dc, al_ac=al_ac,
+                               restart_interval=ri))
+    assert np.array_equal(base, prog)
+
+
+@pytest.mark.parametrize("al_dc,al_ac,ri", [(0, 0, 0), (1, 2, 1), (2, 2, 3)])
+def test_progressive_matches_baseline_420(al_dc, al_ac, ri):
+    """4:2:0: interleaved DC scans walk 4 Y + Cb + Cr blocks per MCU while
+    the non-interleaved AC scans walk each component's own block grid."""
+    rng = np.random.default_rng(303)
+    y = rng.integers(0, 256, (32, 16)).astype(np.uint8)
+    cb = rng.integers(0, 256, (16, 8)).astype(np.uint8)
+    cr = rng.integers(0, 256, (16, 8)).astype(np.uint8)
+    base = decode_jpeg(encode_jpeg(y, cb, cr, subsample=True))
+    prog = decode_jpeg(_prog()(y, cb, cr, subsample=True, al_dc=al_dc,
+                               al_ac=al_ac, restart_interval=ri))
+    assert np.array_equal(base, prog)
+
+
+def test_progressive_spec_vector_eob_run():
+    """Hand-derived T.81 EOBn bytes: 3 all-constant blocks produce one
+    AC-first scan that is a single EOB3 — symbol EOB1 (0x10, Huffman code
+    '0' in the minimal 1-bit table) + 1 extension bit (3 - 2 = 1), padded
+    with 1s => exactly b'\\x7f'. Pins the encoder's EOB-run arithmetic to
+    the spec by hand, independent of the decoder."""
+    from engine.jpegcodec import _ScanWriter, _SymCollector, _scan_ac_first
+
+    grid = np.zeros((3, 1, 64), dtype=np.int64)
+    grid[:, :, 0] = 400  # DC only: every block is all-EOB in band [1,63]
+    col = _SymCollector()
+    _scan_ac_first(col, grid, 1, 63, 0, 0)
+    assert col.syms == {0x10}
+    out = bytearray()
+    w = _ScanWriter(out, {0x10: (0, 1)})
+    _scan_ac_first(w, grid, 1, 63, 0, 0)
+    w.finish()
+    assert bytes(out) == b"\x7f"
+
+
+def test_progressive_spec_vector_ac_refine():
+    """Hand-derived refinement bytes: band [1,5], history all zero at
+    Al=1, true coefficients +1 at k=1 and -1 at k=3. The Ah=1->Al=0 scan
+    emits (0,1)+sign(1), (1,1)+sign(0), then EOB1 for the trailing zeros:
+    symbols sorted [0x00,0x01,0x11] at 2 bits => bits 01 1 10 0 00 — exactly
+    one byte, 0x70."""
+    from engine.jpegcodec import _ScanWriter, _scan_ac_refine
+
+    grid = np.zeros((1, 1, 64), dtype=np.int64)
+    grid[0, 0, 1] = 1
+    grid[0, 0, 3] = -1
+    out = bytearray()
+    w = _ScanWriter(out, {0x00: (0, 2), 0x01: (1, 2), 0x11: (2, 2)})
+    _scan_ac_refine(w, grid, 1, 5, 0, 0)
+    w.finish()
+    assert bytes(out) == b"\x70"
+
+
+def test_progressive_correction_bits_buffered_after_eob():
+    """History coefficients inside an EOB run receive their correction
+    bits right after the EOBn symbol (libjpeg BE buffering): one block
+    whose band is all history (|v| > 1) emits EOB1 then the correction
+    bits, nothing else."""
+    from engine.jpegcodec import _ScanWriter, _scan_ac_refine
+
+    grid = np.zeros((1, 1, 64), dtype=np.int64)
+    grid[0, 0, 1] = 6   # |6|>>0 = 6 -> history, correction bit 0
+    grid[0, 0, 2] = -7  # correction bit 1
+    out = bytearray()
+    w = _ScanWriter(out, {0x00: (0, 1)})
+    _scan_ac_refine(w, grid, 1, 5, 0, 0)
+    w.finish()
+    # EOB1 ('0') + correction bits 0,1 + 1-padding -> 0b00111111
+    assert bytes(out) == b"\x3f"
+
+
+def test_progressive_multimodal_routing():
+    from engine.multimodal import _decode_image
+
+    y = _up(np.full((1, 2), 77, dtype=np.int64))
+    img = _decode_image(_prog()(y, al_dc=1, al_ac=1))
+    assert (img == 77).all()
+
+
+def test_progressive_truncation_total():
+    rng = np.random.default_rng(404)
+    y = rng.integers(0, 256, (16, 16)).astype(np.uint8)
+    payload = _prog()(y, al_dc=1, al_ac=1)
+    assert np.array_equal(decode_jpeg(payload),
+                          decode_jpeg(encode_jpeg(y)))
+    for cut in (10, len(payload) // 3, len(payload) // 2,
+                len(payload) - 8):
+        try:
+            decode_jpeg(payload[:cut])
+        except ValueError:
+            pass  # raising ValueError (not IndexError) is the contract

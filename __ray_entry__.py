@@ -1124,6 +1124,41 @@ SELECT i AS media_id,
        CAST(64 * SUM(g) AS BIGINT) AS sum_g,
        CAST(64 * SUM(b) AS BIGINT) AS sum_b
 FROM px GROUP BY i""",
+        "bm25_search": """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(coalesce(text, ''), '\\S+') AS t
+  FROM documents),
+dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
+p AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+             GREATEST(1, CAST((SELECT SUM(dl) FROM dl) AS BIGINT)
+                          // (SELECT count(*) FROM documents)) AS avgdl),
+flat AS (SELECT doc_id, unnest(t) AS token FROM toks),
+qtf AS (
+  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+  FROM flat WHERE token IN ('hash', 'merge', 'window')
+  GROUP BY doc_id, token),
+df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM qtf
+       GROUP BY token),
+sc AS (
+  SELECT q.doc_id,
+         SUM(((length(bin(p.n_docs)) - length(bin(df.df)) + 1)
+              * 22 * q.tf * p.avgdl * 4096)
+             // (10 * q.tf * p.avgdl + 3 * p.avgdl + 9 * d.dl)) AS score
+  FROM qtf q JOIN df USING (token) JOIN dl d USING (doc_id), p
+  GROUP BY q.doc_id)
+SELECT doc_id, CAST(score AS BIGINT) AS score
+FROM sc ORDER BY score DESC, doc_id LIMIT 10""",
+        "cluster_rep": """
+WITH c AS (
+  SELECT doc_id,
+         CAST(min(doc_id) OVER (PARTITION BY doc_id // 10) AS BIGINT)
+           AS cluster,
+         CAST(length(coalesce(text, '')) AS BIGINT) AS score
+  FROM documents)
+SELECT cluster, doc_id, score
+FROM c
+QUALIFY row_number()
+        OVER (PARTITION BY cluster ORDER BY score DESC, doc_id) = 1""",
         "jpeg_progressive": """
 WITH p AS (
   SELECT doc_id AS i, 1 + doc_id % 3 AS wb, 1 + doc_id % 2 AS hb

@@ -1154,3 +1154,80 @@ def minhash_cross_pairs_ds(corpus: "ray.data.Dataset",
                              zero_copy_only=False)[keep]})
 
     return pairs.map_batches(cross_only, batch_format="pyarrow")
+
+
+def select_cluster_representatives(
+        docs: "ray.data.Dataset", edges: "ray.data.Dataset",
+        id_col: str = "doc_id", score_col: str = "score",
+        src: str = "src", dst: str = "dst",
+        num_buckets: int = 32) -> "ray.data.Dataset":
+    """Keep-BEST near-dup policy: per connected component of the candidate
+    pair graph keep the row with the HIGHEST integer quality score (ties →
+    lowest id) — the representative-selection step a corpus pipeline runs
+    after MinHash/SemDeDup mining when "first occurrence" is the wrong
+    keeper (D4 / RefinedWeb keep the best-quality member, not the
+    earliest). Docs untouched by any edge are their own cluster and
+    survive unconditionally.
+
+    Plan — zero per-cluster Python (the dedup_paragraphs composite-key
+    discipline): :func:`engine.graph.connected_components` labels the pair
+    graph; labels LEFT-hash_join onto the narrow (id, score) projection
+    (cluster = coalesce(component, id)); winner-per-cluster is ONE
+    ``groupby(cluster).Max(k)`` over the composite
+    ``k = score * 2^33 + (2^33 - 1 - id)`` with a per-block Acero max
+    pre-agg before the wire, and the winning key DECODES to (score, id)
+    with no join back. Bounds guarded: 0 <= score < 2^30, 0 <= id < 2^33.
+    Output: one (cluster, id_col, score_col) row per cluster.
+
+    SQL twin: QUALIFY row_number() OVER (PARTITION BY cluster
+    ORDER BY score DESC, id) = 1.
+    """
+    from ray.data.aggregate import Max as RayMax
+
+    from engine.graph import connected_components
+    from engine.joins import hash_join
+
+    _ID_SPAN = 1 << 33
+
+    labels = connected_components(edges, src=src, dst=dst,
+                                  num_buckets=num_buckets) \
+        .map_batches(
+            lambda t: pa.table({id_col: t["node"],
+                                "cluster": t["component"]}),
+            batch_format="pyarrow") \
+        .materialize()  # hash_join reads schemas up front (CLAUDE.md)
+
+    scored = docs.map_batches(lambda t: t.select([id_col, score_col]),
+                              batch_format="pyarrow")
+    joined = hash_join(scored, labels, on=id_col, how="left",
+                       num_buckets=num_buckets)
+
+    def keyed(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        sc = t[score_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids):
+            if ids.max() >= _ID_SPAN or ids.min() < 0:
+                raise ValueError(
+                    "ids must be in [0, 2^33) for representative selection")
+            if sc.max() >= (1 << 30) or sc.min() < 0:
+                raise ValueError(
+                    "scores must be in [0, 2^30) for representative "
+                    "selection")
+        cluster = pc.coalesce(t["cluster"],
+                              pc.cast(t[id_col], pa.int64()))
+        k = sc * _ID_SPAN + (_ID_SPAN - 1 - ids)
+        local = pa.table({"cluster": cluster, "k": k}) \
+            .group_by(["cluster"]).aggregate([("k", "max")])
+        return local.rename_columns(["cluster", "k"])
+
+    winners = joined.map_batches(keyed, batch_format="pyarrow") \
+        .groupby("cluster").aggregate(RayMax("k", alias_name="k"))
+
+    def decode(t: pa.Table) -> pa.Table:
+        k = t["k"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "cluster": t["cluster"],
+            id_col: (_ID_SPAN - 1 - (k % _ID_SPAN)).astype(np.int64),
+            score_col: (k // _ID_SPAN).astype(np.int64)})
+
+    return winners.map_batches(decode, batch_format="pyarrow")

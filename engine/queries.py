@@ -3687,6 +3687,52 @@ def q_jpeg420(sf_dir: str):
         ["media_id", "width", "height", "sum_r", "sum_g", "sum_b"])
 
 
+def q_bm25_search(sf_dir: str):
+    """Integer-exact BM25 top-10 retrieval (engine.textstats.bm25_search)
+    for the query (hash, merge, window) over the real documents table —
+    disjunctive, rational k1=6/5 b=3/4 cleared into one integer floor
+    division at scale 4096, idf via the length(bin(x)) ladder. DuckDB
+    twin: the identical integer expression over tf/df/dl/avgdl CTEs."""
+    import pyarrow.parquet as pq
+
+    from engine.textstats import bm25_search
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")).num_rows
+    return bm25_search(docs, ("hash", "merge", "window"), n_docs=n_docs,
+                       k=10)
+
+
+def q_cluster_rep(sf_dir: str):
+    """Keep-BEST dedup representative selection
+    (engine.dedup.select_cluster_representatives): planted near-dup chains
+    (d, d+1) for d % 10 != 9 group documents into ten-blocks; per block
+    keep the doc with the longest text (integer score = char length),
+    ties to the lowest id. DuckDB twin: cluster = min(doc_id) OVER
+    (PARTITION BY doc_id // 10) + QUALIFY row_number ORDER BY score DESC,
+    doc_id — the keep-best policy in closed form (component propagation
+    itself is pinned by q_components' recursive twin)."""
+    from engine.dedup import select_cluster_representatives
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def score(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "score": pc.cast(pc.utf8_length(
+                pc.coalesce(t["text"], pa.scalar(""))), pa.int64())})
+
+    def mk_edges(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = d[d % 10 != 9]
+        return pa.table({"src": d, "dst": d + 1})
+
+    scored = docs.map_batches(score, batch_format="pyarrow")
+    edges = docs.map_batches(mk_edges, batch_format="pyarrow")
+    return select_cluster_representatives(scored, edges)
+
+
 def q_jpeg_progressive(sf_dir: str):
     """REAL progressive (SOF2) JPEG decode through the distributed stage
     (engine/jpegcodec.py decode + encode_progressive_jpeg fixtures): the
@@ -4118,6 +4164,8 @@ QUERIES = {
     "textops_composite": q_textops_composite,
     "tiff_decode": q_tiff_decode,
     "jpeg_progressive": q_jpeg_progressive,
+    "cluster_rep": q_cluster_rep,
+    "bm25_search": q_bm25_search,
     # (a) the 18 round-4 ops past the r4 window (judge-verified r4, never
     # driver-gated)
     "link_density": q_link_density,

@@ -658,6 +658,101 @@ def tfidf_top_terms(ds: "ray.data.Dataset", n_docs: int,
                            tiebreak_col="token", num_buckets=num_buckets)
 
 
+def bm25_search(ds: "ray.data.Dataset", terms, n_docs: int, k: int = 10,
+                text_col: str = "text", id_col: str = "doc_id",
+                num_buckets: int = 32) -> "ray.data.Dataset":
+    """Integer-exact BM25 top-k retrieval (Robertson/Sparck-Jones ranking,
+    the corpus-inspection / decontamination-query sibling of
+    :func:`term_search`'s boolean rank): disjunctive query — any document
+    containing at least one query term scores.
+
+    Engine-exact convention (the SQL-twin discipline): k1 = 6/5 and
+    b = 3/4 enter as RATIONALS, the per-term contribution is one integer
+    floor division at fixed-point scale 4096::
+
+        idf     = bitlen(n_docs) - bitlen(df) + 1      (the tfidf ladder)
+        avgdl   = max(1, total_tokens // n_docs)
+        contrib = (idf * 22 * tf * avgdl * 4096)
+                  // (10 * tf * avgdl + 3 * avgdl + 9 * dl)
+
+    (22/10·avgdl, 3·avgdl, 9·dl clear k1, b's denominators exactly), so
+    scores are engine-independent integers — no float-log or float-divide
+    convention anywhere. Bounds guarded: dl, avgdl < 2^18 keeps the
+    numerator under 2^59. Robertson's log-idf is replaced by the integer
+    bit-length ladder exactly like :func:`tfidf_top_terms`.
+
+    Plan: per-doc token counts ``dl`` are map-side only
+    (``count_substring_regex(r"\\S+")`` == DuckDB ``len(regexp_extract_all
+    '\\S+')``), materialized once to feed both the avgdl scalar aggregate
+    and the join; :func:`doc_terms` tf rows filter to the query terms
+    map-side (only matching (doc, term, tf) rows leave the block); df is a
+    bounded O(|terms|) driver dict; one narrow doc-keyed
+    ``engine.joins.hash_join`` attaches dl; per-doc Sum, then a per-block
+    top-k prune caps the final sort's input at k rows per block.
+    ``n_docs`` comes from parquet metadata at the call site (a count()
+    would re-execute the pipeline)."""
+    from ray.data.aggregate import Count, Sum
+
+    from engine.joins import hash_join
+
+    terms = tuple(dict.fromkeys(terms))  # stable order, de-duplicated
+
+    def dl_batch(t: pa.Table) -> pa.Table:
+        dl = pc.count_substring_regex(
+            pc.coalesce(t[text_col], pa.scalar("")), r"\S+")
+        return pa.table({id_col: t[id_col],
+                         "dl": pc.cast(dl, pa.int64())})
+
+    dl_ds = ds.map_batches(dl_batch, batch_format="pyarrow").materialize()
+    total_tokens = int(dl_ds.sum("dl") or 0)
+    avgdl = max(1, total_tokens // int(n_docs))
+    if avgdl >= (1 << 18):
+        raise ValueError("bm25: avgdl beyond 2^18 tokens")
+
+    tset = pa.array(terms, type=pa.string())
+
+    def only_query_terms(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["token"], value_set=tset))
+
+    qtf = doc_terms(ds, text_col=text_col, id_col=id_col) \
+        .map_batches(only_query_terms, batch_format="pyarrow") \
+        .materialize()  # feeds the df aggregate AND the join (CLAUDE.md)
+
+    df_rows = qtf.groupby("token").aggregate(Count(alias_name="df")) \
+        .take_all()  # bounded by |terms|
+    n_bits = int(n_docs).bit_length()
+    idf_by_term = {r["token"]: n_bits - int(r["df"]).bit_length() + 1
+                   for r in df_rows}
+    idf_arr = np.array([idf_by_term.get(x, 0) for x in terms],
+                       dtype=np.int64)
+
+    joined = hash_join(qtf, dl_ds, on=id_col, num_buckets=num_buckets)
+
+    def contrib(t: pa.Table) -> pa.Table:
+        tf = t["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dl = t["dl"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(dl) and dl.max() >= (1 << 18):
+            raise ValueError("bm25: doc length beyond 2^18 tokens")
+        ti = pc.index_in(t["token"], value_set=tset) \
+            .to_numpy(zero_copy_only=False)
+        iv = idf_arr[ti]
+        num = iv * 22 * tf * avgdl * 4096
+        den = 10 * tf * avgdl + 3 * avgdl + 9 * dl
+        return pa.table({id_col: t[id_col],
+                         "contrib": pa.array(num // den, type=pa.int64())})
+
+    scored = joined.map_batches(contrib, batch_format="pyarrow") \
+        .groupby(id_col).aggregate(Sum("contrib", alias_name="score"))
+
+    def prune(t: pa.Table) -> pa.Table:  # block-local top-k before the sort
+        idx = pc.sort_indices(t, sort_keys=[("score", "descending"),
+                                            (id_col, "ascending")])
+        return t.take(idx[:k])
+
+    return scored.map_batches(prune, batch_format="pyarrow") \
+        .sort(["score", id_col], descending=[True, False]).limit(k)
+
+
 def inverted_index(ds: "ray.data.Dataset", text_col: str = "text",
                    id_col: str = "doc_id", max_postings: int = 10,
                    num_buckets: int = 32) -> "ray.data.Dataset":

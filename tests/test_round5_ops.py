@@ -163,3 +163,130 @@ def test_empty_password_paths_unchanged():
     want = extract_pdf_doc(plain)
     assert extract_pdf_doc(enc_rc4(plain, r=3, length=128)) == want
     assert extract_pdf_doc(enc_aes(plain, r=6)) == want
+
+
+# ---------------------------------------------------------------------------
+# select_cluster_representatives (keep-best dedup policy)
+# ---------------------------------------------------------------------------
+
+def _rep_ref(ids, scores, edge_list):
+    """Brute-force keep-best: union-find components, max score / min id."""
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edge_list:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    out = {}
+    for i, s in zip(ids, scores):
+        c = find(i)
+        best = out.get(c)
+        if best is None or s > best[1] or (s == best[1] and i < best[0]):
+            out[c] = (i, s)
+    return {c: v for c, v in out.items()}
+
+
+@pytest.mark.parametrize("nparts", [1, 5])
+def test_cluster_rep_matches_bruteforce(ray_session, nparts):
+    from engine.dedup import select_cluster_representatives
+
+    rng = np.random.RandomState(23)
+    ids = list(range(60))
+    scores = [int(rng.randint(0, 50)) for _ in ids]
+    edge_list = [(i, i + 1) for i in ids if i % 10 != 9 and i + 1 in ids]
+    docs = rd.from_pandas(pd.DataFrame(
+        {"doc_id": ids, "score": scores})).repartition(nparts)
+    edges = rd.from_pandas(pd.DataFrame(
+        {"src": [a for a, _ in edge_list],
+         "dst": [b for _, b in edge_list]})).repartition(nparts)
+    got = select_cluster_representatives(docs, edges).to_pandas() \
+        .sort_values("cluster").reset_index(drop=True)
+    ref = _rep_ref(ids, scores, edge_list)
+    assert len(got) == len(ref)
+    for _, row in got.iterrows():
+        assert ref[row["cluster"]] == (row["doc_id"], row["score"])
+
+
+def test_cluster_rep_unlabeled_docs_survive(ray_session):
+    from engine.dedup import select_cluster_representatives
+
+    docs = rd.from_pandas(pd.DataFrame(
+        {"doc_id": [0, 1, 2, 7], "score": [5, 9, 9, 1]}))
+    edges = rd.from_pandas(pd.DataFrame({"src": [1], "dst": [2]}))
+    got = select_cluster_representatives(docs, edges).to_pandas() \
+        .sort_values("cluster").reset_index(drop=True)
+    # cluster {1,2}: tie on score -> lowest id (1); singletons keep selves
+    assert list(got["cluster"]) == [0, 1, 7]
+    assert list(got["doc_id"]) == [0, 1, 7]
+    assert list(got["score"]) == [5, 9, 1]
+
+
+def test_cluster_rep_bounds_guard(ray_session):
+    from engine.dedup import select_cluster_representatives
+
+    docs = rd.from_pandas(pd.DataFrame(
+        {"doc_id": [0, 1], "score": [1 << 30, 0]}))
+    edges = rd.from_pandas(pd.DataFrame({"src": [0], "dst": [1]}))
+    with pytest.raises(Exception, match="2\\^30"):
+        select_cluster_representatives(docs, edges).to_pandas()
+
+
+# ---------------------------------------------------------------------------
+# bm25_search (integer-exact BM25 top-k)
+# ---------------------------------------------------------------------------
+
+def _bm25_ref(texts, terms, k):
+    docs = {i: t.split() for i, t in enumerate(texts)}
+    n = len(docs)
+    dls = {i: len(t) for i, t in docs.items()}
+    avgdl = max(1, sum(dls.values()) // n)
+    df = {q: sum(1 for t in docs.values() if q in t) for q in terms}
+    scores = {}
+    for i, toks in docs.items():
+        s = 0
+        for q in terms:
+            tf = toks.count(q)
+            if tf == 0:
+                continue
+            idf = n.bit_length() - df[q].bit_length() + 1
+            s += (idf * 22 * tf * avgdl * 4096) \
+                // (10 * tf * avgdl + 3 * avgdl + 9 * dls[i])
+        if s:
+            scores[i] = s
+    ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+    return ranked[:k]
+
+
+@pytest.mark.parametrize("nparts", [1, 4])
+def test_bm25_matches_bruteforce(ray_session, nparts):
+    from engine.textstats import bm25_search
+
+    rng = np.random.RandomState(31)
+    vocab = ["hash", "merge", "window", "the", "a", "data", "page"]
+    texts = [" ".join(rng.choice(vocab, size=rng.randint(3, 30)))
+             for _ in range(40)]
+    docs = rd.from_pandas(pd.DataFrame(
+        {"doc_id": range(40), "text": texts})).repartition(nparts)
+    got = bm25_search(docs, ("hash", "merge"), n_docs=40, k=5).to_pandas()
+    ref = _bm25_ref(texts, ("hash", "merge"), 5)
+    assert list(zip(got["doc_id"], got["score"])) == ref
+
+
+def test_bm25_disjunctive_and_ties(ray_session):
+    from engine.textstats import bm25_search
+
+    texts = ["hash hash", "merge", "nothing here", "hash hash"]
+    docs = rd.from_pandas(pd.DataFrame(
+        {"doc_id": range(4), "text": texts}))
+    got = bm25_search(docs, ("hash", "merge"), n_docs=4, k=10).to_pandas()
+    # doc 2 has no query term -> absent; the rarer term 'merge' carries a
+    # higher idf so doc 1 wins; identical docs 0 and 3 tie -> id order
+    assert list(got["doc_id"]) == [1, 0, 3]
+    assert 2 not in set(got["doc_id"])
+    assert got["score"][1] == got["score"][2]

@@ -1636,6 +1636,19 @@ SELECT doc_id AS media_id,
             AS BIGINT) AS sum_b,
        'ok' AS status
 FROM documents""",
+        "mjpeg_video": """
+SELECT doc_id AS media_id,
+       CAST(2 + doc_id % 3 AS BIGINT) AS n_frames,
+       CAST(8 * (1 + doc_id % 2) AS BIGINT) AS width,
+       CAST(8 * (1 + doc_id % 3) AS BIGINT) AS height,
+       CAST(64 * (1 + doc_id % 2) * (1 + doc_id % 3) * (doc_id % 256)
+            AS BIGINT) AS sum_r,
+       CAST(64 * (1 + doc_id % 2) * (1 + doc_id % 3) * (doc_id % 256)
+            AS BIGINT) AS sum_g,
+       CAST(64 * (1 + doc_id % 2) * (1 + doc_id % 3) * (doc_id % 256)
+            AS BIGINT) AS sum_b,
+       'ok' AS status
+FROM documents""",
         "outline": r"""
 WITH pages AS (
   SELECT 'https://o' || CAST(doc_id % 7 AS VARCHAR) || '.ex/p' ||

@@ -638,7 +638,8 @@ def _enc_tables(dc_syms: list[int], ac_syms: list[int]):
 def encode_jpeg(y: np.ndarray, cb: "np.ndarray | None" = None,
                 cr: "np.ndarray | None" = None,
                 restart_interval: int = 0,
-                subsample: bool = False) -> bytes:
+                subsample: bool = False,
+                std_huffman: bool = False) -> bytes:
     """Planes (uint8; grayscale when cb/cr are None) → baseline JFIF
     bytes with all-ones quantization (integer DCT coefficients round
     exactly for constant blocks — the oracle fixtures) and minimal
@@ -712,8 +713,27 @@ def encode_jpeg(y: np.ndarray, cb: "np.ndarray | None" = None,
                     run -= 16
                 ac_syms.add((run << 4) | _category(v))
                 run = 0
-    (dcc, dcs, dc_codes, acc_, acs, ac_codes) = _enc_tables(
-        sorted(dc_syms), sorted(ac_syms))
+    if std_huffman:
+        # T.81 Annex K tables (MJPEG/AVI1 convention): luma tables for
+        # component 0, chroma tables for components 1-2. Every symbol the
+        # image emits must exist in them (AC size <= 10, DC category <=
+        # 11 — violated only by pathological coefficient magnitudes).
+        dc_l, ac_l = _codes_from_spec(_STD_DC_LUMA), \
+            _codes_from_spec(_STD_AC_LUMA)
+        dc_c, ac_c = _codes_from_spec(_STD_DC_CHROMA), \
+            _codes_from_spec(_STD_AC_CHROMA)
+        bad = [s for s in dc_syms if s not in dc_l] + \
+            [s for s in ac_syms if s not in ac_l or s not in ac_c]
+        if bad:
+            raise ValueError(
+                f"encoder: symbols outside Annex K tables: {bad[:4]}")
+        dc_codes_pc = [dc_l] + [dc_c] * (len(planes) - 1)
+        ac_codes_pc = [ac_l] + [ac_c] * (len(planes) - 1)
+    else:
+        (dcc, dcs, dc_codes, acc_, acs, ac_codes) = _enc_tables(
+            sorted(dc_syms), sorted(ac_syms))
+        dc_codes_pc = [dc_codes] * len(planes)
+        ac_codes_pc = [ac_codes] * len(planes)
 
     out = bytearray(b"\xff\xd8")
     out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01" \
@@ -725,13 +745,16 @@ def encode_jpeg(y: np.ndarray, cb: "np.ndarray | None" = None,
     for ci in range(nc):
         sof += bytes([ci + 1, (factors[ci][0] << 4) | factors[ci][1], 0])
     out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
-    dht = b"\x00" + dcc + dcs + b"\x10" + acc_ + acs
-    out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+    if std_huffman:
+        out += std_dht_segment()
+    else:
+        dht = b"\x00" + dcc + dcs + b"\x10" + acc_ + acs
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     sos = bytes([nc])
     for ci in range(nc):
-        sos += bytes([ci + 1, 0x00])
+        sos += bytes([ci + 1, 0x11 if std_huffman and ci else 0x00])
     sos += b"\x00\x3f\x00"
     out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
 
@@ -745,13 +768,14 @@ def encode_jpeg(y: np.ndarray, cb: "np.ndarray | None" = None,
             out += bytes([0xFF, 0xD0 + ((mcu // restart_interval - 1) % 8)])
             preds = [0] * nc
         for ci in range(nc):
+            dc_codes_c, ac_codes_c = dc_codes_pc[ci], ac_codes_pc[ci]
             for j in range(bpm[ci]):
                 blk = blocks[ci][mcu * bpm[ci] + j]
                 dc = int(blk[0])
                 diff = dc - preds[ci]
                 preds[ci] = dc
                 cat = _category(diff)
-                code, ln = dc_codes[cat]
+                code, ln = dc_codes_c[cat]
                 bwr.write(code, ln)
                 if cat:
                     v = diff if diff >= 0 else diff + (1 << cat) - 1
@@ -763,17 +787,17 @@ def encode_jpeg(y: np.ndarray, cb: "np.ndarray | None" = None,
                         run += 1
                         continue
                     while run > 15:
-                        code, ln = ac_codes[0xF0]
+                        code, ln = ac_codes_c[0xF0]
                         bwr.write(code, ln)
                         run -= 16
                     s = _category(v)
-                    code, ln = ac_codes[(run << 4) | s]
+                    code, ln = ac_codes_c[(run << 4) | s]
                     bwr.write(code, ln)
                     vv = v if v >= 0 else v + (1 << s) - 1
                     bwr.write(vv, s)
                     run = 0
                 if run:
-                    code, ln = ac_codes[0x00]
+                    code, ln = ac_codes_c[0x00]
                     bwr.write(code, ln)
     bwr.flush()
     out += bytes(bwr.out)
@@ -1116,3 +1140,167 @@ def encode_progressive_jpeg(y: np.ndarray, cb: "np.ndarray | None" = None,
 
 # zigzag index for raster position (inverse scan): raster -> zigzag slot
 ZIGZAG_INV = np.argsort(ZIGZAG)
+
+
+# ---------------------------------------------------------------------------
+# ITU-T T.81 Annex K "typical" Huffman tables (public spec data) and the
+# MJPEG/AVI1 missing-DHT convention.
+#
+# Motion-JPEG frames inside AVI ('MJPG' fourcc, the OpenDML "AVI1" form)
+# conventionally OMIT the DHT segment: every frame implicitly uses the
+# Annex K tables (luma tables as id 0, chroma as id 1, both classes), and
+# the demuxer re-inserts them before handing the frame to a stills
+# decoder. `inject_std_huffman` is that re-insertion; `encode_jpeg`'s
+# `std_huffman=True` emits a stream coded WITH these tables so the
+# stripped form is producible (and the injection path testable) in-sandbox.
+# ---------------------------------------------------------------------------
+
+_STD_DC_LUMA = (
+    bytes([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]),
+    bytes(range(12)),
+)
+_STD_DC_CHROMA = (
+    bytes([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]),
+    bytes(range(12)),
+)
+_STD_AC_LUMA = (
+    bytes([0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]),
+    bytes([
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ]),
+)
+_STD_AC_CHROMA = (
+    bytes([0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]),
+    bytes([
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+        0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+        0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+        0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ]),
+)
+
+
+def _codes_from_spec(spec: "tuple[bytes, bytes]") -> dict:
+    """(bits, vals) DHT spec → {symbol: (code, length)} via the canonical
+    JPEG code assignment (T.81 C.2)."""
+    bits, vals = spec
+    codes: dict = {}
+    code = 0
+    vi = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            codes[vals[vi]] = (code, ln)
+            code += 1
+            vi += 1
+        code <<= 1
+    return codes
+
+
+def std_dht_segment() -> bytes:
+    """The single DHT marker segment carrying all four Annex K tables
+    (DC0/AC0 luma, DC1/AC1 chroma) — what an MJPEG demuxer splices into
+    an AVI1 frame."""
+    body = b""
+    for tclass, tid, spec in ((0, 0, _STD_DC_LUMA), (1, 0, _STD_AC_LUMA),
+                              (0, 1, _STD_DC_CHROMA),
+                              (1, 1, _STD_AC_CHROMA)):
+        bits, vals = spec
+        body += bytes([(tclass << 4) | tid]) + bits + vals
+    return b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+
+
+def _walk_to_sos(payload: bytes):
+    """Yield (marker, seg_start) for each marker segment from SOI up to and
+    including the first SOS; raises ValueError on malformed streams."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (bad SOI)")
+    pos, n = 2, len(payload)
+    while pos + 4 <= n:
+        if payload[pos] != 0xFF:
+            raise ValueError("jpeg: marker expected")
+        m = payload[pos + 1]
+        seg = pos
+        pos += 2
+        if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
+            yield m, seg
+            continue
+        size = struct.unpack(">H", payload[pos:pos + 2])[0]
+        yield m, seg
+        if m == 0xDA:
+            return
+        pos += size
+    raise ValueError("jpeg: no SOS marker")
+
+
+def has_dht(payload: bytes) -> bool:
+    return any(m == 0xC4 for m, _ in _walk_to_sos(payload))
+
+
+def inject_std_huffman(payload: bytes) -> bytes:
+    """AVI1/MJPEG convention: if the frame carries no DHT before its first
+    SOS, splice the Annex K tables in front of the SOS; otherwise return
+    the frame unchanged."""
+    sos_at = None
+    for m, seg in _walk_to_sos(payload):
+        if m == 0xC4:
+            return payload
+        if m == 0xDA:
+            sos_at = seg
+    if sos_at is None:
+        raise ValueError("jpeg: no SOS marker")
+    return payload[:sos_at] + std_dht_segment() + payload[sos_at:]
+
+
+def strip_dht(payload: bytes) -> bytes:
+    """Remove every DHT segment before the first SOS (the AVI1 writer's
+    side of the convention — tests/fixtures twin of
+    :func:`inject_std_huffman`)."""
+    cuts = []
+    for m, seg in _walk_to_sos(payload):
+        if m == 0xC4:
+            size = struct.unpack(">H", payload[seg + 2:seg + 4])[0]
+            cuts.append((seg, seg + 2 + size))
+    out = bytearray()
+    prev = 0
+    for s, e in cuts:
+        out += payload[prev:s]
+        prev = e
+    out += payload[prev:]
+    return bytes(out)

@@ -1987,6 +1987,34 @@ def q_video_stats(sf_dir: str):
     return video_stats(docs.map_batches(plant, batch_format="pyarrow"))
 
 
+def q_mjpeg_video(sf_dir: str):
+    """COMPRESSED video decode path: planted Motion-JPEG AVIs
+    (engine.videocodec MJPG lane over engine.jpegcodec) with
+    doc_id-derived frame counts, multiple-of-8 dimensions and constant
+    GRAY frames (exact through the all-ones-quantization JPEG codec).
+    Every even doc_id is written in the OpenDML "AVI1" stripped-DHT form,
+    so the T.81 Annex K table-injection path
+    (jpegcodec.inject_std_huffman) is driver-gated too. DuckDB twin:
+    pure arithmetic."""
+    from engine.multimodal import video_stats
+    from engine.videocodec import encode_avi
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids, payloads = [], []
+        for d in t["doc_id"].to_pylist():
+            w, h, nf = 8 * (1 + d % 2), 8 * (1 + d % 3), 2 + d % 3
+            gray = np.full((h, w, 3), d % 256, np.uint8)
+            ids.append(d)
+            payloads.append(encode_avi([gray] * nf, codec="MJPG",
+                                       avi1=(d % 2 == 0)))
+        return pa.table({"media_id": pa.array(ids, type=pa.int64()),
+                         "payload": pa.array(payloads, type=pa.binary())})
+
+    return video_stats(docs.map_batches(plant, batch_format="pyarrow"))
+
+
 def q_jsonl_roundtrip(sf_dir: str):
     """JSONL source/sink lane (Dolma-style text-corpus shards): documents
     → ``Dataset.write_json`` shards under /tmp → ``ray.data.read_json``
@@ -4166,6 +4194,7 @@ QUERIES = {
     "jpeg_progressive": q_jpeg_progressive,
     "cluster_rep": q_cluster_rep,
     "bm25_search": q_bm25_search,
+    "mjpeg_video": q_mjpeg_video,
     # (a) the 18 round-4 ops past the r4 window (judge-verified r4, never
     # driver-gated)
     "link_density": q_link_density,

@@ -2134,6 +2134,79 @@ SELECT doc_id AS media_id,
        CAST(n AS BIGINT) AS n_samples,
        CAST(n * base + (n * (n - 1)) // 2 AS BIGINT) AS sum_s
 FROM p""",
+        # G.711: the CCITT segment/mantissa expansion is closed-form
+        # integer math — recompute every decoded sample from the planted
+        # codeword (µ-law even ids, A-law odd ids) and sum.
+        "g711_decode": r"""
+WITH p AS (
+  SELECT doc_id, 48 + (doc_id % 5) * 16 AS n FROM documents),
+k AS (
+  SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i FROM p),
+cw AS (
+  SELECT doc_id, n,
+         xor((7 * doc_id + 13 * i) % 256, 255) AS u,
+         xor((7 * doc_id + 13 * i) % 256, 85) AS a
+  FROM k),
+expand AS (
+  SELECT doc_id, n, u, a,
+         ((u % 16) * 8 + 132) * (1 << ((u // 16) % 8)) AS tu,
+         CASE WHEN (a // 16) % 8 = 0 THEN (a % 16) * 16 + 8
+              WHEN (a // 16) % 8 = 1 THEN (a % 16) * 16 + 264
+              ELSE ((a % 16) * 16 + 264) * (1 << ((a // 16) % 8 - 1))
+         END AS ta
+  FROM cw),
+dec AS (
+  SELECT doc_id, n,
+         CASE WHEN doc_id % 2 = 0
+              THEN CASE WHEN u >= 128 THEN 132 - tu ELSE tu - 132 END
+              ELSE CASE WHEN a >= 128 THEN ta ELSE -ta END
+         END AS s
+  FROM expand)
+SELECT doc_id AS media_id,
+       CAST(any_value(n) AS BIGINT) AS n_samples,
+       CAST(sum(s) AS BIGINT) AS sum_s
+FROM dec GROUP BY doc_id""",
+        # IMA ADPCM: replay the sequential quantizer recurrence (89-entry
+        # step table, magnitude from the three code bits, clamp to int16,
+        # index walk clamped to [0, 88]) in a recursive CTE; the header
+        # predictor is sample 0, nibble k produces sample k+1.
+        "adpcm_decode": r"""
+WITH RECURSIVE st(doc_id, k, pred, idx, ssum) AS (
+  SELECT doc_id, 0,
+         (31 * doc_id) % 2048 - 1024,
+         doc_id % 89,
+         CAST((31 * doc_id) % 2048 - 1024 AS BIGINT)
+  FROM documents
+  UNION ALL
+  SELECT doc_id, k + 1, npred, nidx, ssum + npred
+  FROM (
+    SELECT doc_id, k, ssum,
+           greatest(-32768, least(32767,
+             pred + CASE WHEN d >= 8 THEN -mag ELSE mag END)) AS npred,
+           greatest(0, least(88,
+             idx + ([-1,-1,-1,-1,2,4,6,8])[(d % 8) + 1])) AS nidx
+    FROM (
+      SELECT doc_id, k, pred, idx, ssum, d,
+             (step // 8)
+             + CASE WHEN d % 2 = 1 THEN step // 4 ELSE 0 END
+             + CASE WHEN (d // 2) % 2 = 1 THEN step // 2 ELSE 0 END
+             + CASE WHEN (d // 4) % 2 = 1 THEN step ELSE 0 END AS mag
+      FROM (
+        SELECT doc_id, k, pred, idx, ssum,
+               (doc_id + 5 * k) % 16 AS d,
+               ([7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37,
+                 41,45,50,55,60,66,73,80,88,97,107,118,130,143,157,173,
+                 190,209,230,253,279,307,337,371,408,449,494,544,598,658,
+                 724,796,876,963,1060,1166,1282,1411,1552,1707,1878,2066,
+                 2272,2499,2749,3024,3327,3660,4026,4428,4871,5358,5894,
+                 6484,7132,7845,8630,9493,10442,11487,12635,13899,15289,
+                 16818,18500,20350,22385,24623,27086,29794,32767])[idx + 1]
+               AS step
+        FROM st WHERE k < 24))))
+SELECT doc_id AS media_id,
+       CAST(25 AS BIGINT) AS n_samples,
+       CAST(ssum AS BIGINT) AS sum_s
+FROM st WHERE k = 24""",
         "dsir_weights": r"""
 WITH bk AS (
   SELECT doc_id,

@@ -3839,6 +3839,73 @@ def q_audio_decode(sf_dir: str):
     return out.select_columns(["media_id", "n_samples", "sum_s"])
 
 
+def q_g711_decode(sf_dir: str):
+    """REAL G.711 telephony-audio decode (engine/audiocodec.py fmt 6/7)
+    through the distributed stage: per doc_id a planted WAV whose data
+    bytes ARE the G.711 codewords (µ-law for even ids, A-law for odd),
+    byte[k] = (7·doc_id + 13·k) % 256. The CCITT segment/mantissa
+    expansion is pure integer math, so the DuckDB twin recomputes every
+    decoded sample in closed form (xor/shift/case) and sums — table
+    construction, container walk and byte order all value-pinned."""
+    import numpy as np
+
+    from engine.audiocodec import encode_wav_g711
+    from engine.multimodal import audio_stats
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def mk(t: pa.Table) -> pa.Table:
+        payloads = []
+        ids = t["doc_id"].to_pylist()
+        for i in ids:
+            n = 48 + (i % 5) * 16
+            by = ((7 * i + 13 * np.arange(n, dtype=np.int64)) % 256)
+            payloads.append(encode_wav_g711(
+                by.astype(np.uint8).tobytes(),
+                law="alaw" if i % 2 else "ulaw",
+                rate=8000))
+        return pa.table({"media_id": pa.array(ids, type=pa.int64()),
+                         "payload": pa.array(payloads, type=pa.binary())})
+
+    media = docs.map_batches(mk, batch_format="pyarrow")
+    out = audio_stats(media, batch_size=128)
+    return out.select_columns(["media_id", "n_samples", "sum_s"])
+
+
+ADPCM_NIBBLES = 24  # one mono block: 12 data bytes = 3 words; 25 samples
+
+
+def q_adpcm_decode(sf_dir: str):
+    """REAL IMA/DVI ADPCM decode (engine/audiocodec.py fmt 0x11) through
+    the distributed stage: per doc_id one mono block with header
+    predictor (31·doc_id) % 2048 − 1024, step index doc_id % 89 and
+    nibble[k] = (doc_id + 5k) % 16. The DuckDB twin replays the exact
+    quantizer recurrence (89-entry step table as a list literal, clamp,
+    index walk) in a recursive CTE — every sample of the sequential
+    decode is value-pinned in SQL."""
+    import numpy as np
+
+    from engine.audiocodec import encode_wav_adpcm
+    from engine.multimodal import audio_stats
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def mk(t: pa.Table) -> pa.Table:
+        payloads = []
+        ids = t["doc_id"].to_pylist()
+        for i in ids:
+            nib = (i + 5 * np.arange(ADPCM_NIBBLES, dtype=np.int64)) % 16
+            payloads.append(encode_wav_adpcm(
+                (31 * i) % 2048 - 1024, i % 89,
+                nib.astype(np.uint8), rate=8000))
+        return pa.table({"media_id": pa.array(ids, type=pa.int64()),
+                         "payload": pa.array(payloads, type=pa.binary())})
+
+    media = docs.map_batches(mk, batch_format="pyarrow")
+    out = audio_stats(media, batch_size=128)
+    return out.select_columns(["media_id", "n_samples", "sum_s"])
+
+
 BPE_MERGES = 6
 
 
@@ -4195,6 +4262,8 @@ QUERIES = {
     "cluster_rep": q_cluster_rep,
     "bm25_search": q_bm25_search,
     "mjpeg_video": q_mjpeg_video,
+    "g711_decode": q_g711_decode,
+    "adpcm_decode": q_adpcm_decode,
     # (a) the 18 round-4 ops past the r4 window (judge-verified r4, never
     # driver-gated)
     "link_density": q_link_density,

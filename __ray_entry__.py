@@ -2134,6 +2134,26 @@ SELECT doc_id AS media_id,
        CAST(n AS BIGINT) AS n_samples,
        CAST(n * base + (n * (n - 1)) // 2 AS BIGINT) AS sum_s
 FROM p""",
+        # VP8L: planted channels stay < 256 (no wraparound), so the
+        # decoded sums are closed-form arithmetic series per image.
+        "webp_decode": r"""
+WITH p AS (
+  SELECT doc_id,
+         4 + doc_id % 5 AS w,
+         2 + doc_id % 3 AS h,
+         doc_id % 200 AS rb,
+         doc_id % 220 AS gb,
+         (13 * doc_id) % 190 AS bb
+  FROM documents)
+SELECT doc_id AS media_id,
+       CAST(w AS BIGINT) AS width,
+       CAST(h AS BIGINT) AS height,
+       CAST(w * h * rb + 3 * h * (w * (w - 1) // 2)
+            + 7 * w * (h * (h - 1) // 2) AS BIGINT) AS sum_r,
+       CAST(w * h * gb + 2 * h * (w * (w - 1) // 2) AS BIGINT) AS sum_g,
+       CAST(w * h * bb + h * (w * (w - 1) // 2)
+            + w * (h * (h - 1) // 2) AS BIGINT) AS sum_b
+FROM p""",
         # G.711: the CCITT segment/mantissa expansion is closed-form
         # integer math — recompute every decoded sample from the planted
         # codeword (µ-law even ids, A-law odd ids) and sum.

@@ -1,11 +1,13 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
-Image decode is REAL for PNG / BMP / PPM / GIF / TIFF, and video frame
-sampling for uncompressed-DIB AVI — stdlib zlib/LZW/RIFF + numpy
-(engine/imagecodec.py), no external codec needed, verified pixel-exact by
-round-trip tests and a DuckDB-oracled query. Compressed formats (JPEG/
-WebP) and audio remain DEPLOYMENT-GATED: pillow / soundfile are used when
-importable, and deterministic clearly-marked stubs otherwise (this
+Image decode is REAL for PNG / BMP / PPM / GIF / TIFF / JPEG (baseline +
+progressive) / lossless WebP (VP8L), and video frame sampling for
+uncompressed-DIB and Motion-JPEG AVI — stdlib zlib/LZW/RIFF + numpy
+(engine/imagecodec.py, jpegcodec.py, webpcodec.py), no external codec
+needed, verified pixel-exact by round-trip tests and DuckDB-oracled
+queries. The remaining compressed formats (arithmetic JPEG, lossy-VP8
+WebP, mp3/ogg audio) are DEPLOYMENT-GATED: pillow / soundfile are used
+when importable, and deterministic clearly-marked stubs otherwise (this
 container ships neither). Everything Ray-side — schemas, batch sizing,
 actor signatures, output layout, error channel — is identical either way
 and fully tested.
@@ -79,11 +81,12 @@ def _pseudo_bytes(seed: int, n: int) -> np.ndarray:
 def _decode_image(payload: bytes) -> np.ndarray:
     """payload → HxWx3 uint8.
 
-    PNG / BMP / PPM / GIF / TIFF / JPEG (baseline AND progressive) payloads
-    (magic-byte routed) decode through the REAL stdlib codecs in
-    engine/imagecodec.py and engine/jpegcodec.py — no external library
-    needed. Everything else uses pillow when installed (arithmetic
-    JPEG/WebP/…, the deployment path), and otherwise a deterministic
+    PNG / BMP / PPM / GIF / TIFF / JPEG (baseline AND progressive) /
+    lossless-WebP (VP8L) payloads (magic-byte routed) decode through the
+    REAL stdlib codecs in engine/imagecodec.py, jpegcodec.py and
+    webpcodec.py — no external library needed. Everything else uses
+    pillow when installed (arithmetic JPEG/lossy WebP/…, the deployment
+    path), and otherwise a deterministic
     clearly-marked STUB fake derived
     from the payload hash so the plumbing (shapes, dtypes, feature
     extraction, tests) is exercised end-to-end without the codec.
@@ -106,6 +109,16 @@ def _decode_image(payload: bytes) -> np.ndarray:
             return _imagecodec.decode_png(payload)
         except ValueError as exc:
             raise MediaDecodeError(f"image decode failed: {exc}") from exc
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        from engine.webpcodec import decode_webp
+
+        try:
+            return decode_webp(payload)
+        except ValueError as exc:
+            # lossy VP8: pillow when present, else honest error
+            if _PILImage is None:
+                raise MediaDecodeError(
+                    f"image decode failed: {exc}") from exc
     if payload[:3] == b"\xff\xd8\xff":
         from engine.jpegcodec import decode_jpeg
 

@@ -3761,6 +3761,45 @@ def q_cluster_rep(sf_dir: str):
     return select_cluster_representatives(scored, edges)
 
 
+def q_webp_decode(sf_dir: str):
+    """REAL lossless-WebP (VP8L) decode through the distributed stage
+    (engine/webpcodec.py + multimodal.image_stats): per doc_id a planted
+    VP8L image with per-pixel channels r = (id%200)+3x+7y,
+    g = (id%220)+2x, b = ((13·id)%190)+x+y (all < 256 by construction —
+    no wraparound, so channel sums are closed-form arithmetic series);
+    odd ids ride the SUBTRACT_GREEN transform. The RIFF walk, bit
+    unpacking, canonical prefix decode and inverse transform are all
+    value-pinned by the DuckDB twin."""
+    import numpy as np
+
+    from engine.webpcodec import encode_webp_lossless
+
+    from engine.multimodal import image_stats
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def mk(t: pa.Table) -> pa.Table:
+        payloads = []
+        ids = t["doc_id"].to_pylist()
+        for i in ids:
+            w, h = 4 + i % 5, 2 + i % 3
+            x = np.arange(w, dtype=np.int64)[None, :]
+            y = np.arange(h, dtype=np.int64)[:, None]
+            img = np.stack(np.broadcast_arrays(
+                (i % 200) + 3 * x + 7 * y,
+                (i % 220) + 2 * x + 0 * y,
+                ((13 * i) % 190) + x + y), axis=-1).astype(np.uint8)
+            payloads.append(encode_webp_lossless(img,
+                                                 subtract_green=bool(i % 2)))
+        return pa.table({"media_id": pa.array(ids, type=pa.int64()),
+                         "payload": pa.array(payloads, type=pa.binary())})
+
+    media = docs.map_batches(mk, batch_format="pyarrow")
+    out = image_stats(media, batch_size=128)
+    return out.select_columns(
+        ["media_id", "width", "height", "sum_r", "sum_g", "sum_b"])
+
+
 def q_jpeg_progressive(sf_dir: str):
     """REAL progressive (SOF2) JPEG decode through the distributed stage
     (engine/jpegcodec.py decode + encode_progressive_jpeg fixtures): the
@@ -4264,6 +4303,7 @@ QUERIES = {
     "mjpeg_video": q_mjpeg_video,
     "g711_decode": q_g711_decode,
     "adpcm_decode": q_adpcm_decode,
+    "webp_decode": q_webp_decode,
     # (a) the 18 round-4 ops past the r4 window (judge-verified r4, never
     # driver-gated)
     "link_density": q_link_density,

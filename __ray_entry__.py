@@ -2134,6 +2134,19 @@ SELECT doc_id AS media_id,
        CAST(n AS BIGINT) AS n_samples,
        CAST(n * base + (n * (n - 1)) // 2 AS BIGINT) AS sum_s
 FROM p""",
+        # FLAC: the planted ramps decode to base+k regardless of the
+        # per-id subframe mode / stereo decorrelation, so both reductions
+        # are closed-form.
+        "flac_decode": r"""
+WITH p AS (
+  SELECT doc_id,
+         160 + (doc_id % 5) * 48 AS n,
+         (29 * doc_id) % 500 AS base
+  FROM documents)
+SELECT doc_id AS media_id,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(n * base + (n * (n - 1)) // 2 AS BIGINT) AS sum_s
+FROM p""",
         # VP8L: planted channels stay < 256 (no wraparound), so the
         # decoded sums are closed-form arithmetic series per image.
         "webp_decode": r"""

@@ -146,11 +146,21 @@ def _decode_audio(payload: bytes) -> np.ndarray:
     """payload → float32 mono PCM.
 
     RIFF/WAVE payloads decode through the REAL stdlib codec
-    (engine/audiocodec.py — 16-bit PCM, exact integer downmix). Compressed
-    audio uses soundfile when installed (the deployment path); otherwise a
-    deterministic clearly-marked STUB fake."""
+    (engine/audiocodec.py — 16-bit PCM, G.711 A-law/µ-law, IMA ADPCM;
+    exact integer downmix), and FLAC through engine/flaccodec.py (fixed +
+    LPC predictors, Rice residuals, stereo decorrelations). Remaining
+    compressed audio (mp3/ogg) uses soundfile when installed (the
+    deployment path); otherwise a deterministic clearly-marked STUB
+    fake."""
     if not payload:
         raise MediaDecodeError("empty audio payload")
+    if payload[:4] == b"fLaC":
+        from engine.flaccodec import decode_flac
+
+        try:
+            return decode_flac(payload)[0]
+        except ValueError as exc:
+            raise MediaDecodeError(f"audio decode failed: {exc}") from exc
     if payload[:4] == b"RIFF":
         try:
             return _audiocodec.decode_wav(payload)[0]

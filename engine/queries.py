@@ -3945,6 +3945,50 @@ def q_adpcm_decode(sf_dir: str):
     return out.select_columns(["media_id", "n_samples", "sum_s"])
 
 
+def q_flac_decode(sf_dir: str):
+    """REAL FLAC decode (engine/flaccodec.py) through the distributed
+    stage: per doc_id a planted stream over the linear ramp base+k —
+    mode rotates by id (fixed order-2 whose residuals are exactly zero
+    on a ramp, verbatim, and mid/side stereo with identical channels so
+    the downmix stays integer); 192-sample blocks make n > 192 ids
+    multi-frame. Frame sync, CRC-8/CRC-16, UTF-8 frame numbers, Rice
+    residuals and the subframe predictors are all value-pinned by the
+    closed-form DuckDB twin."""
+    import numpy as np
+
+    from engine.flaccodec import encode_flac
+    from engine.multimodal import audio_stats
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def mk(t: pa.Table) -> pa.Table:
+        payloads = []
+        ids = t["doc_id"].to_pylist()
+        for i in ids:
+            n = 160 + (i % 5) * 48          # up to 352 → 1-2 frames @192
+            base = (29 * i) % 500
+            s = base + np.arange(n, dtype=np.int64)
+            rate = 8000 + (i % 3) * 4000
+            m = i % 3
+            if m == 0:
+                payloads.append(encode_flac([s], rate=rate, blocksize=192,
+                                            mode="fixed", order=2))
+            elif m == 1:
+                payloads.append(encode_flac([s], rate=rate, blocksize=192,
+                                            mode="verbatim"))
+            else:
+                payloads.append(encode_flac([s, s], rate=rate,
+                                            blocksize=192, mode="fixed",
+                                            order=1,
+                                            stereo_mode="mid_side"))
+        return pa.table({"media_id": pa.array(ids, type=pa.int64()),
+                         "payload": pa.array(payloads, type=pa.binary())})
+
+    media = docs.map_batches(mk, batch_format="pyarrow")
+    out = audio_stats(media, batch_size=128)
+    return out.select_columns(["media_id", "n_samples", "sum_s"])
+
+
 BPE_MERGES = 6
 
 
@@ -4304,6 +4348,7 @@ QUERIES = {
     "g711_decode": q_g711_decode,
     "adpcm_decode": q_adpcm_decode,
     "webp_decode": q_webp_decode,
+    "flac_decode": q_flac_decode,
     # (a) the 18 round-4 ops past the r4 window (judge-verified r4, never
     # driver-gated)
     "link_density": q_link_density,

@@ -2134,6 +2134,27 @@ SELECT doc_id AS media_id,
        CAST(n AS BIGINT) AS n_samples,
        CAST(n * base + (n * (n - 1)) // 2 AS BIGINT) AS sum_s
 FROM p""",
+        # Code blocks: planted <pre>/<code> layout reproduced in closed
+        # form (ordinals, language-class routing, entity unescape).
+        "code_blocks": r"""
+WITH p AS (SELECT doc_id, doc_id % 3 AS k FROM documents),
+j AS (SELECT doc_id, unnest(generate_series(0, k - 1)) AS j
+      FROM p WHERE k > 0),
+b AS (
+  SELECT doc_id, j + 1 AS pos,
+         CASE WHEN (doc_id + j) % 2 = 0
+              THEN (['py', 'js', 'cpp'])[((doc_id + j) % 3) + 1]
+         END AS lang,
+         'line' || doc_id || '_' || j || '<x' || chr(10)
+             || 'ret ' || (doc_id * j) AS text
+  FROM j)
+SELECT doc_id,
+       CAST(pos AS BIGINT) AS pos,
+       lang,
+       CAST(2 AS BIGINT) AS n_lines,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       text
+FROM b""",
         # FLAC: the planted ramps decode to base+k regardless of the
         # per-id subframe mode / stereo decorrelation, so both reductions
         # are closed-form.

@@ -1015,3 +1015,106 @@ def url_features(ds: "ray.data.Dataset",
     spam prior."""
     return ds.map_batches(lambda t: url_features_batch(t, url_col),
                           batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Code-block mining: <pre>/<code> extraction (web-code corpus construction,
+# the StarCoder/StackOverflow-style pretraining-data source)
+# ---------------------------------------------------------------------------
+
+_CODE_SCHEMA = pa.schema([
+    ("url", pa.string()), ("pos", pa.int64()), ("lang", pa.string()),
+    ("n_lines", pa.int64()), ("n_chars", pa.int64()),
+    ("text", pa.string()),
+])
+
+# entity unescape chain shared verbatim with the SQL twin: the five named
+# entities that dominate code markup; &amp; LAST so double-escapes survive
+# one level (documented simplification: numeric references pass through)
+_CODE_ENTITIES = (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                  ("&#39;", "'"), ("&amp;", "&"))
+
+
+def _code_blocks_from_batch(t: pa.Table, url_col: str,
+                            html_col: str) -> pa.Table:
+    """One vectorized pass: split pages on '<pre', keep tails that are
+    real pre tags (next char is '>' or whitespace/attr) AND close with
+    '</pre'; body = text between the tag's '>' and '</pre', minus an
+    optional <code ...> wrapper; lang = the first language-/lang- class
+    token in the pre/code tag head. Same split/ordinal machinery as
+    :func:`_candidate_hrefs`."""
+    if t.num_rows == 0:
+        return _CODE_SCHEMA.empty_table()
+    html = t[html_col]
+    if isinstance(html, pa.ChunkedArray):
+        html = html.combine_chunks()
+    parts = pc.split_pattern(html, pattern="<pre")
+    if isinstance(parts, pa.ChunkedArray):
+        parts = parts.combine_chunks()
+    flat = parts.flatten()  # null pages contribute no parts (count 0)
+    counts = np.asarray(
+        pc.fill_null(pc.list_value_length(parts), 0)
+        .to_numpy(zero_copy_only=False), dtype=np.int64)
+    starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
+    is_tail = np.ones(len(flat), dtype=bool)
+    is_tail[starts[counts > 0]] = False
+    blocks = pc.extract_regex(
+        flat, pattern=r"(?s)^(?P<head>[\s>][^>]*>|>)(?P<b>.*?)</pre")
+    body = pc.struct_field(blocks, "b")
+    head = pc.struct_field(blocks, "head")
+    ok = np.asarray(pc.is_valid(body).to_numpy(zero_copy_only=False),
+                    dtype=bool)
+    cand = is_tail & ok
+    if not cand.any():
+        return _CODE_SCHEMA.empty_table()
+    csum = np.cumsum(cand)
+    before_row = np.concatenate(([0], csum))[starts]
+    rows_all = np.repeat(np.arange(t.num_rows, dtype=np.int64), counts)
+    pos_all = csum - np.repeat(before_row, counts)
+    sel = np.flatnonzero(cand)
+    body = body.take(pa.array(sel))
+    head = head.take(pa.array(sel))
+    # optional <code ...> wrapper: strip it from the body, append its tag
+    # head to the lang-search region
+    code_head = pc.struct_field(pc.extract_regex(
+        body, pattern=r"(?s)^\s*<code(?P<ch>[^>]*)>"), "ch")
+    body = pc.replace_substring_regex(
+        body, pattern=r"(?s)^\s*<code[^>]*>", replacement="")
+    body = pc.replace_substring_regex(
+        body, pattern=r"(?s)</code>\s*$", replacement="")
+    lang_region = pc.binary_join_element_wise(
+        head, pc.fill_null(code_head, ""), " ")
+    lang = pc.struct_field(pc.extract_regex(
+        lang_region,
+        pattern=r'class="(?:[^"]*\s)?(?:language|lang)-'
+                r'(?P<l>[A-Za-z0-9+#_.-]+)'), "l")
+    for entity, ch in _CODE_ENTITIES:
+        body = pc.replace_substring(body, pattern=entity, replacement=ch)
+    src = t[url_col]
+    if isinstance(src, pa.ChunkedArray):
+        src = src.combine_chunks()
+    return pa.table({
+        "url": src.take(pa.array(rows_all[sel])),
+        "pos": pa.array(pos_all[sel], type=pa.int64()),
+        "lang": pc.cast(lang, pa.string()),
+        "n_lines": pc.cast(pc.add(
+            pc.count_substring(body, "\n"), 1), pa.int64()),
+        "n_chars": pc.cast(pc.utf8_length(body), pa.int64()),
+        "text": pc.cast(body, pa.string()),
+    })
+
+
+def extract_code_blocks(ds: "ray.data.Dataset", url_col: str = "url",
+                        html_col: str = "html") -> "ray.data.Dataset":
+    """(url, pos, lang, n_lines, n_chars, text) per ``<pre>`` block — the
+    web-code mining stage. ``pos`` is the 1-based ordinal among the page's
+    kept blocks; ``lang`` is the first ``language-``/``lang-`` class token
+    on the pre or its immediate ``<code>`` wrapper (null when untagged);
+    ``text`` preserves the block's whitespace (pre semantics) with the
+    five named HTML entities unescaped. Map-side only, narrow output —
+    pages never leave the stage. Documented simplifications (shared with
+    the SQL twin): lowercase tags, first text run per block, unclosed
+    blocks drop, nested <pre> not handled."""
+    return ds.map_batches(
+        lambda t: _code_blocks_from_batch(t, url_col, html_col),
+        batch_format="pyarrow")

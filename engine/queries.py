@@ -3945,6 +3945,49 @@ def q_adpcm_decode(sf_dir: str):
     return out.select_columns(["media_id", "n_samples", "sum_s"])
 
 
+def q_code_blocks(sf_dir: str):
+    """Web-code mining (engine.links.extract_code_blocks): planted pages
+    carry doc_id%3 <pre> blocks — half wrapped in <code class="language-X">,
+    half untagged, bodies with escaped entities and newlines. The
+    vectorized split/extract pass (one RE2 scan per page batch, narrow
+    rows out) is value-pinned: ordinals, language-class routing, entity
+    unescape and line/char accounting all recomputed in closed form by
+    the DuckDB twin."""
+    from engine.links import extract_code_blocks
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    langs = ("py", "js", "cpp")
+
+    def mk(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        htmls = []
+        for i in ids:
+            parts = ["<html><body><h1>t</h1>"]
+            for j in range(i % 3):
+                body = f"line{i}_{j}&lt;x\nret {i * j}"
+                if (i + j) % 2 == 0:
+                    lang = langs[(i + j) % 3]
+                    parts.append(f'<pre><code class="language-{lang}">'
+                                 f"{body}</code></pre>")
+                else:
+                    parts.append(f"<pre>{body}</pre>")
+            parts.append("</body></html>")
+            htmls.append("".join(parts))
+        return pa.table({"url": pa.array([str(i) for i in ids]),
+                         "html": pa.array(htmls)})
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pc.cast(t["url"], pa.int64()),
+            "pos": t["pos"], "lang": t["lang"],
+            "n_lines": t["n_lines"], "n_chars": t["n_chars"],
+            "text": t["text"]})
+
+    pages = docs.map_batches(mk, batch_format="pyarrow")
+    return extract_code_blocks(pages).map_batches(
+        finish, batch_format="pyarrow")
+
+
 def q_flac_decode(sf_dir: str):
     """REAL FLAC decode (engine/flaccodec.py) through the distributed
     stage: per doc_id a planted stream over the linear ramp base+k —
@@ -4349,6 +4392,7 @@ QUERIES = {
     "adpcm_decode": q_adpcm_decode,
     "webp_decode": q_webp_decode,
     "flac_decode": q_flac_decode,
+    "code_blocks": q_code_blocks,
     # (a) the 18 round-4 ops past the r4 window (judge-verified r4, never
     # driver-gated)
     "link_density": q_link_density,

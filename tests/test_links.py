@@ -370,3 +370,44 @@ def test_extract_sitemap(ray_session):
         ("https://b/s1.xml", "2023-12-31")
     assert rows[("https://b/sm.xml", "sitemap", 2)] == \
         ("https://b/s2.xml", None)
+
+
+def test_code_blocks_extraction(ray_session):
+    import ray.data as rd
+
+    from engine.links import extract_code_blocks
+
+    pages = pa.table({"url": ["u1", "u2", "u3", "u4"], "html": [
+        '<p>x</p><pre><code class="language-py">a = 1&lt;2\nb</code></pre>'
+        "<pre>plain\ntext</pre>",
+        'no blocks here <prefix>not a tag</prefix>',
+        '<pre class="lang-cpp highlight">int x;</pre><pre>never closes',
+        None,
+    ]})
+    out = (extract_code_blocks(rd.from_arrow(pages))
+           .to_pandas().sort_values(["url", "pos"]).reset_index(drop=True))
+    assert list(out["url"]) == ["u1", "u1", "u3"]
+    assert list(out["pos"]) == [1, 2, 1]
+    assert list(out["text"]) == ["a = 1<2\nb", "plain\ntext", "int x;"]
+    import pandas as pd
+
+    assert out["lang"][0] == "py" and pd.isna(out["lang"][1])
+    assert out["lang"][2] == "cpp"  # class on the pre tag itself
+    assert list(out["n_lines"]) == [2, 2, 1]
+    assert list(out["n_chars"]) == [9, 10, 6]
+
+
+def test_code_blocks_entity_order_and_parallelism(ray_session):
+    import ray.data as rd
+
+    from engine.links import extract_code_blocks
+
+    # &amp;lt; must decode to the literal '&lt;', not '<'
+    pages = pa.table({"url": [f"u{i}" for i in range(30)], "html": [
+        f"<pre>v{i} &amp;lt; &quot;q&#39;</pre>" for i in range(30)]})
+    one = (extract_code_blocks(rd.from_arrow(pages))
+           .to_pandas().sort_values("url").reset_index(drop=True))
+    par = (extract_code_blocks(rd.from_arrow(pages).repartition(7))
+           .to_pandas().sort_values("url").reset_index(drop=True))
+    assert one.equals(par)
+    assert one["text"][0] == "v0 &lt; \"q'"

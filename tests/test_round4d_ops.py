@@ -350,6 +350,7 @@ def test_driver_gate_window_policy():
         "textops_composite", "tiff_decode", "jpeg_progressive",
         "cluster_rep", "bm25_search", "mjpeg_video",
         "g711_decode", "adpcm_decode", "webp_decode", "flac_decode",
+        "code_blocks",
         "extract_roundtrip", "pdf_roundtrip",
         "image_decode", "media_features", "bigram_lm",
     ]
@@ -373,7 +374,7 @@ JUDGE_VERIFIED_OUTSIDE_GATE = {
     # priority); judge-verified r3, pytest-pinned at sf0.001
     "global_rank", "components", "funnel", "user_top_event",
     "inverted_index", "user_drift", "skew_join", "event_ntile",
-    "value_outliers",
+    "value_outliers", "tfidf_terms",
 }
 
 

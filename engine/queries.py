@@ -4542,7 +4542,6 @@ QUERIES = {
     "event_dates": q_event_dates,
     "tumbling_window": q_tumbling_window,
     "first_per_user": q_first_per_user,
-    "media_features": q_media_features,
     "asof_join": q_asof_join,
     "session_windows": q_session_windows,
     "stable_split": q_stable_split,

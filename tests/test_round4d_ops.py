@@ -412,3 +412,30 @@ def test_no_orphan_registry_entries():
     # the allowlist must not silently rot: entries on it must still exist
     stale = JUDGE_VERIFIED_OUTSIDE_GATE - set(names)
     assert not stale, f"allowlist names not in registry: {stale}"
+
+
+def test_registry_has_no_duplicate_keys():
+    """A duplicate key in the QUERIES dict literal is silent in Python
+    (last value wins, first position kept) but corrupts the 50-slot gate
+    accounting — the registry LOOKS one entry wider than it is. Parse the
+    source and pin literal-key uniqueness (caught once in round 5:
+    media_features appeared at slots 22 and 51+)."""
+    import ast
+    import collections
+    import os
+
+    import engine.queries as qmod
+
+    src = open(os.path.abspath(qmod.__file__)).read()
+    tree = ast.parse(src)
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Assign) and any(
+                isinstance(t, ast.Name) and t.id == "QUERIES"
+                for t in node.targets):
+            keys = [k.value for k in node.value.keys
+                    if isinstance(k, ast.Constant)]
+            dupes = [k for k, c in collections.Counter(keys).items() if c > 1]
+            assert not dupes, f"duplicate QUERIES literal keys: {dupes}"
+            assert len(keys) == len(qmod.QUERIES)
+            return
+    raise AssertionError("QUERIES dict literal not found in engine/queries.py")
